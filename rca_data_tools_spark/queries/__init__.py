@@ -1,0 +1,8 @@
+"""Aggregates the per-domain query modules into the driver-facing registry."""
+
+from rca_data_tools_spark.queries._registry import ORACLES, QUERIES  # noqa: F401
+
+# Importing registers the queries.
+from rca_data_tools_spark.queries import core  # noqa: F401, E402
+from rca_data_tools_spark.queries import qcq  # noqa: F401, E402
+from rca_data_tools_spark.queries import dedupq  # noqa: F401, E402

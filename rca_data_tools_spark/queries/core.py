@@ -1,0 +1,248 @@
+"""Core relational queries: scans, filters, aggregation, joins, top-k.
+
+These exercise the engine's bread-and-butter operators (SURVEY §2.1-2.7) on
+the driver's TPC-H-ish corpus. Every aggregate of doubles uses the
+deterministic decimal-sum scheme from functions.numeric on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+
+# --- flagship: TPC-H Q1 pricing summary (A5/A6/A12 aggregate family) -------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3-style: multi-way join + agg + deterministic top-k ------------
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    # customer is the small side -> broadcast; orders⋈lineitem shuffles on the key.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5-style: 6-way star join, revenue per nation -------------------
+
+@query(
+    "q5_nation_revenue",
+    oracle=f"""
+SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Dims (supplier/nation/region/customer) broadcast; the single shuffle is
+    # the orders⋈lineitem key join.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --- P2: the workhorse time-range slice ------------------------------------
+
+@query(
+    "p2_time_slice",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
+""",
+)
+def p2_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window predicate (reference: ds.sel(time=slice(...)),
+    qaqc/dashboard.py:576). On a date-partitioned layout this prunes
+    partitions; here it pushes down to the parquet row groups."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-17 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --- P4/P5: value predicate + null handling --------------------------------
+
+@query(
+    "p4_value_filter",
+    oracle="""
+SELECT event_id, user_id, value
+FROM events
+WHERE value < 400.0 AND value IS NOT NULL AND event_type <> 'error'
+""",
+)
+def p4_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value predicate (reference: drop pCO2 >= 2000, qaqc/dashboard.py:428)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") < 400.0) & F.col("value").isNotNull() & (F.col("event_type") != "error"))
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --- A2: pivot (long -> wide counts, zero-filled) --------------------------
+
+@query(
+    "a2_pivot_counts",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+)
+def a2_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit categories (reference: image_status pivot,
+    qaqc/visual_data.py:120-134). Explicit value list avoids the extra
+    distinct-scan Spark needs to discover pivot values."""
+    e = load_table(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return e.groupBy("user_id").pivot("event_type", cats).count().na.fill(0, cats)
+
+
+# --- A3: windowed mean / coarsen -------------------------------------------
+
+@query(
+    "a3_windowed_mean",
+    oracle=f"""
+SELECT event_type,
+       CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+       {davg_sql('value')} AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, hour_bucket
+""",
+)
+def a3_windowed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window mean (reference: ds.coarsen(time=w).mean(),
+    qaqc/plots.py:193-201) expressed as an epoch-bucket groupBy — a plain
+    hash aggregate, map-side combinable at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(davg("value").alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- A12/O5: distinct + deterministic top-k per group ----------------------
+
+@query(
+    "w9_topk_per_group",
+    oracle="""
+SELECT user_id, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def w9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per key via row_number (reference: latest-deployment top-1,
+    qaqc/dashboard.py:563). Ties broken by event_id for determinism."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )

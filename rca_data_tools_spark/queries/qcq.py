@@ -1,0 +1,204 @@
+"""QA/QC operator queries: bitmask decode, span flags, climatology,
+positional digit-string flags, rollups (SURVEY §2.2 P6, §2.3 J4/J5,
+§2.4 A10/A11, §2.5 W5).
+
+The driver corpus has no instrument tables, so the QC semantics are exercised
+on the events table: ``event_id % 256`` plays the role of the ``qc_executed``
+bitmask, ``user_id % 256`` the ``qc_results`` bitmask, and ``value`` the
+measured parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.qc import qc_test_flags, rollup_flags, span_flag
+from rca_data_tools_spark.operators.flagging import climatology_flags, gross_range_flags
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+# Gross-range spans per event_type (the gross_range dimension of
+# FIXTURES.md §3; reference semantics qaqc/calculate.py:100-115).
+GROSS_RANGE_ROWS = [
+    ("click", 0.0, 450.0, 10.0, 300.0),
+    ("view", 0.0, 450.0, 10.0, 300.0),
+    ("purchase", 5.0, 480.0, 20.0, 400.0),
+    ("signup", 0.0, 400.0, 5.0, 250.0),
+    ("error", 0.0, 350.0, 2.0, 200.0),
+]
+_GR_VALUES_SQL = ", ".join(f"('{t}', {fl}, {fh}, {sl}, {sh})" for t, fl, fh, sl, sh in GROSS_RANGE_ROWS)
+
+
+@query(
+    "j5_gross_range_flags",
+    oracle=f"""
+WITH gr(event_type, fail_lo, fail_hi, sus_lo, sus_hi) AS (VALUES {_GR_VALUES_SQL})
+SELECT e.event_type,
+       CASE WHEN e.value IS NULL THEN 9
+            WHEN e.value < gr.fail_lo OR e.value > gr.fail_hi THEN 4
+            WHEN e.value < gr.sus_lo OR e.value > gr.sus_hi THEN 3
+            ELSE 1 END AS gross_range_flag,
+       COUNT(*) AS n
+FROM events e LEFT JOIN gr USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def j5_gross_range_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast gross-range dimension join + span test + flag histogram."""
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(GROSS_RANGE_ROWS, "event_type string, fail_lo double, fail_hi double, sus_lo double, sus_hi double")
+    flagged = gross_range_flags(e, dim, value_col="value", join_keys=["event_type"])
+    return flagged.groupBy("event_type", "gross_range_flag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "j4_climatology_flags",
+    oracle="""
+WITH clim AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(ts) / 86400) % 7 AS INT) AS dow,
+         CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) AS mean_v,
+         SQRT(GREATEST(
+           (CAST(SUM(CAST(ROUND(value * value, 8) AS DECIMAL(28,8))) AS DOUBLE)
+            - COUNT(value) * POW(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 2))
+           / (COUNT(value) - 1), 0.0)) AS std_v
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type,
+       CASE WHEN e.value IS NULL THEN 9
+            WHEN c.mean_v IS NULL THEN 9
+            WHEN e.value < c.mean_v - 3 * c.std_v OR e.value > c.mean_v + 3 * c.std_v THEN 3
+            ELSE 1 END AS climatology_flag,
+       COUNT(*) AS n
+FROM events e
+LEFT JOIN clim c
+  ON e.event_type = c.event_type
+ AND CAST(FLOOR(EPOCH(e.ts) / 86400) % 7 AS INT) = c.dow
+GROUP BY 1, 2
+""",
+)
+def j4_climatology_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology test (reference: qaqc/calculate.py:130-193): per
+    (event_type, day-of-week) mean±3σ bounds derived from the data itself,
+    broadcast back onto the stream, values outside -> suspect(3).
+
+    The bounds table is tiny (types × 7) — the fact scan joins it broadcast,
+    so the whole flagging pass is shuffle-free at any scale; only the bounds
+    aggregation shuffles (partial-agg combined).
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dow", (F.floor(F.unix_timestamp("ts") / 86400) % 7).cast("int")
+    )
+    n = F.count("value")
+    sx = F.sum(F.round(F.col("value"), 4).cast("decimal(28,4)")).cast("double")
+    sxx = F.sum(F.round(F.col("value") * F.col("value"), 8).cast("decimal(28,8)")).cast("double")
+    mean_v = (sx / n).alias("mean_v")
+    std_v = F.sqrt(F.greatest((sxx - n * F.pow(sx / n, 2)) / (n - 1), F.lit(0.0))).alias("std_v")
+    clim = e.groupBy("event_type", "dow").agg(mean_v, std_v)
+    joined = e.join(F.broadcast(clim), ["event_type", "dow"], "left")
+    flag = (
+        F.when(F.col("value").isNull(), F.lit(9))
+        .when(F.col("mean_v").isNull(), F.lit(9))
+        .when(
+            (F.col("value") < F.col("mean_v") - 3 * F.col("std_v"))
+            | (F.col("value") > F.col("mean_v") + 3 * F.col("std_v")),
+            F.lit(3),
+        )
+        .otherwise(F.lit(1))
+    )
+    return (
+        joined.withColumn("climatology_flag", flag)
+        .groupBy("event_type", "climatology_flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "qc_bitmask_decode",
+    oracle="""
+SELECT event_type,
+       GREATEST(1,
+         CASE WHEN (((event_id % 256) >> 0) & 1) = 0 THEN 2 WHEN (((user_id % 256) >> 0) & 1) = 1 THEN 1 ELSE 4 END,
+         CASE WHEN (((event_id % 256) >> 1) & 1) = 0 THEN 2 WHEN (((user_id % 256) >> 1) & 1) = 1 THEN 1 ELSE 4 END,
+         CASE WHEN (((event_id % 256) >> 2) & 1) = 0 THEN 2 WHEN (((user_id % 256) >> 2) & 1) = 1 THEN 1 ELSE 4 END,
+         CASE WHEN (((event_id % 256) >> 3) & 1) = 0 THEN 2 WHEN (((user_id % 256) >> 3) & 1) = 1 THEN 1 ELSE 4 END
+       ) AS summary_flag,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def qc_bitmask_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOI QC bitmask decode + summary rollup (reference: retrieve_qc,
+    qaqc/dashboard.py:2031-2061): bit i of executed/results -> per-test
+    QARTOD flag, then row-wise max with floor 1."""
+    e = load_table(spark, sf_dir, "events")
+    executed = (F.col("event_id") % 256).cast("int")
+    results = (F.col("user_id") % 256).cast("int")
+    flags = [qc_test_flags(executed, results, bit) for bit in range(4)]
+    return (
+        e.withColumn("summary_flag", rollup_flags(*flags))
+        .groupBy("event_type", "summary_flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "w5_positional_flags",
+    oracle="""
+WITH encoded AS (
+  SELECT event_id, event_type,
+         CONCAT(
+           CASE WHEN value > 300.0 THEN 3 ELSE 1 END,
+           CASE WHEN value < 1.0 THEN 4 ELSE 1 END,
+           CASE WHEN event_type = 'error' THEN 3 ELSE 1 END
+         ) AS qartod_executed
+  FROM events
+)
+SELECT event_type, qartod_executed,
+       CAST(SUBSTRING(qartod_executed, 1, 1) AS INT) AS test1,
+       CAST(SUBSTRING(qartod_executed, 2, 1) AS INT) AS test2,
+       CAST(SUBSTRING(qartod_executed, 3, 1) AS INT) AS test3,
+       COUNT(*) AS n
+FROM encoded
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def w5_positional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional digit-string encode + decode round trip (reference:
+    calculateFunctions.py:19-46 encode, qaqc/utils.py:20-33 decode)."""
+    from rca_data_tools_spark.functions.qc import decode_positional_flags, encode_positional_flags
+
+    e = load_table(spark, sf_dir, "events")
+    flags = [
+        F.when(F.col("value") > 300.0, F.lit(3)).otherwise(F.lit(1)),
+        F.when(F.col("value") < 1.0, F.lit(4)).otherwise(F.lit(1)),
+        F.when(F.col("event_type") == "error", F.lit(3)).otherwise(F.lit(1)),
+    ]
+    enc = e.withColumn("qartod_executed", encode_positional_flags(flags))
+    for name, col in decode_positional_flags("qartod_executed", 3):
+        enc = enc.withColumn(name, col)
+    return enc.groupBy("event_type", "qartod_executed", "test1", "test2", "test3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "a10_bit_or_rollup",
+    oracle="""
+SELECT user_id,
+       BIT_OR(CAST(event_id % 256 AS INTEGER)) AS tests_executed_mask,
+       MAX(CASE WHEN value > 300.0 THEN 3 ELSE 1 END) AS max_flag
+FROM events
+GROUP BY user_id
+""",
+)
+def a10_bit_or_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-OR reduce of executed-test masks per key (reference:
+    np.bitwise_or.reduce, qaqc/dashboard.py:2043) + max-flag rollup."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.bit_or((F.col("event_id") % 256).cast("int")).alias("tests_executed_mask"),
+        F.max(F.when(F.col("value") > 300.0, F.lit(3)).otherwise(F.lit(1))).alias("max_flag"),
+    )

@@ -1,0 +1,110 @@
+"""Table readers.
+
+The reference reads Zarr/NetCDF/CSV-over-HTTP/JSON (rca_data_tools/qaqc/
+dashboard.py:305-313, :231-286, :49-60); our engine's canonical storage is
+columnar Parquet read through Spark's vectorized reader so Catalyst gets
+predicate pushdown, column pruning and (on a partitioned layout) partition
+pruning for free. CSV/JSON readers are provided for the config/annotation
+shaped inputs.
+
+At 100 TB the fact tables are expected to be laid out as
+``<root>/<table>/date=YYYY-MM-DD/part-*.parquet`` (or Iceberg/Delta when the
+runtime has the jars); ``load_table`` works identically on a single file or a
+partitioned directory — time predicates then prune partitions, not just row
+groups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Canonical table set of the driver's synthetic corpus (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Detected from the footer (cheap, metadata-only)."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        f = path if os.path.isfile(path) else next(iter(sorted(glob.glob(os.path.join(path, "*.parquet")))), None)
+        if f is None:
+            return []
+        schema = pq.read_schema(f)
+        return [fld.name for fld in schema if str(fld.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from a scale-factor directory.
+
+    Accepts either ``<sf_dir>/<name>.parquet`` (single file, the test corpus)
+    or ``<sf_dir>/<name>/`` (partitioned directory, the at-scale layout).
+
+    Nanosecond-precision timestamp columns (which Spark cannot scan natively)
+    are read as epoch-nanos longs via the legacy conf and rebuilt as
+    microsecond timestamps with integer division — no precision loss, and the
+    cast happens inside codegen, so scan speed is unaffected.
+    """
+    from pyspark.sql import functions as F
+
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    path = file_path if os.path.exists(file_path) else dir_path
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can be written in SQL."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source (reference: HTTP CSV scans, qaqc/dashboard.py:231-286).
+
+    Schema should be supplied in production — ``inferSchema`` triggers an
+    extra full scan, which is unacceptable on large inputs.
+    """
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON source (reference: annotation scans, qaqc/dashboard.py:49-60)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

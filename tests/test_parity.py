@@ -1,0 +1,33 @@
+"""The main correctness gate, mirroring the driver: every registered query
+with an oracle must hash-match DuckDB on sf0.01; oracle-less queries must at
+least run and return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from __spark_entry__ import oracle_sql, queries
+from tests.conftest import SF_CORRECTNESS
+from tests.parity import compare
+
+QUERIES = queries()
+ORACLES = oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(spark, name):
+    df = QUERIES[name](spark, SF_CORRECTNESS)
+    if name in ORACLES:
+        problems = compare(name, df, ORACLES[name], SF_CORRECTNESS)
+        assert not problems, "\n".join(problems)
+    else:
+        rows = df.count()
+        assert rows >= 0
+        assert df.schema is not None
+
+
+def test_entry_smoke(spark):
+    from __spark_entry__ import entry
+
+    df = entry(spark)
+    assert df.count() > 0
