@@ -1,0 +1,94 @@
+"""Time-axis interpolation operators.
+
+Reference: ``interpolate_na(dim='time', method='linear')``
+(rca_data_tools/advanced_qaqc/calculateFunctions.py:103) and the climatology
+hourly resample (qaqc/dashboard.py:141-148). Both are expressed with window
+functions — two passes (backward carry, forward carry) plus a linear blend —
+so they run as ordinary shuffles + sorts, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def interpolate_na(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL values over time within each series.
+
+    Leading/trailing NULL runs (no bracketing value on one side) take the
+    nearest available value (ffill/bfill), matching xarray's interpolate_na
+    with both fill directions left at default NaN -> here we keep NULL when
+    neither side exists.
+    """
+    out_col = out_col or value_col
+    ms = F.unix_millis(F.col(ts_col))
+    wb = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    v = F.col(value_col)
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(v.isNotNull(), ms), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(F.when(v.isNotNull(), ms), ignorenulls=True).over(wf)
+    frac: Column = (ms - prev_t) / (next_t - prev_t)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.withColumn(out_col, interp)
+
+
+def time_grid(spark, start: str, end: str, step_seconds: int, ts_col: str = "grid_ts") -> DataFrame:
+    """Regular timestamp grid [start, end) — the resample target axis.
+
+    Built with sequence+explode on the driver-side literal range, so it's a
+    single narrow partition-parallel generator, no data shuffle.
+    """
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("timestamp"),
+                F.lit(end).cast("timestamp") - F.expr("INTERVAL 1 SECOND"),
+                F.expr(f"INTERVAL {step_seconds} SECONDS"),
+            )
+        ).alias(ts_col)
+    )
+
+
+def resample_linear(
+    samples: DataFrame,
+    grid: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    grid_ts_col: str = "grid_ts",
+) -> DataFrame:
+    """Resample each series onto a regular grid with linear interpolation
+    (reference: resample('H').interpolate('linear'), qaqc/dashboard.py:141-148).
+
+    Implemented as union(grid × keys, samples) + interpolate_na, so the cost
+    is one shuffle on (key, time) — no crossJoin of grid against facts.
+    """
+    keys = samples.select(*key_cols).distinct()
+    grid_rows = keys.crossJoin(grid).withColumn(ts_col, F.col(grid_ts_col)).withColumn(
+        value_col, F.lit(None).cast(dict(samples.dtypes)[value_col])
+    ).withColumn("__is_grid", F.lit(1))
+    sample_rows = samples.select(*key_cols, ts_col, value_col).withColumn("__is_grid", F.lit(0)).withColumn(
+        grid_ts_col, F.lit(None).cast("timestamp")
+    )
+    unioned = sample_rows.unionByName(grid_rows.select(sample_rows.columns))
+    filled = interpolate_na(unioned, key_cols, ts_col, value_col, out_col="__interp")
+    return (
+        filled.filter(F.col("__is_grid") == 1)
+        .select(*key_cols, F.col(ts_col).alias(grid_ts_col), F.col("__interp").alias(value_col))
+    )

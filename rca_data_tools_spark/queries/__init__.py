@@ -6,3 +6,5 @@ from rca_data_tools_spark.queries._registry import ORACLES, QUERIES  # noqa: F40
 from rca_data_tools_spark.queries import core  # noqa: F401, E402
 from rca_data_tools_spark.queries import qcq  # noqa: F401, E402
 from rca_data_tools_spark.queries import dedupq  # noqa: F401, E402
+from rca_data_tools_spark.queries import windowq  # noqa: F401, E402
+from rca_data_tools_spark.queries import joinq  # noqa: F401, E402

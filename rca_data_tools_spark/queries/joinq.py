@@ -1,0 +1,270 @@
+"""Interval / as-of / range / overlap join queries (SURVEY §2.3) and set
+operations (§2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rca_data_tools_spark.functions.numeric import davg, davg_sql
+from rca_data_tools_spark.operators.interval_join import as_of_join, clip_intervals, range_tag_join
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+
+@query(
+    "j1_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), clicks_d AS (SELECT user_id, ts, value, event_id FROM clicks WHERE rn = 1),
+errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, e.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+FROM errors e ASOF LEFT JOIN clicks_d c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+)
+def j1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the most recent click of the
+    same user (reference: calibration interval lookup, qaqc/utils.py:288-310).
+
+    Uses the union-window strategy (operators/interval_join.as_of_join): one
+    hash shuffle, no non-equi join — the plan that survives both sides large.
+    Right side deduped per (key, ts) for determinism.
+    """
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks_d = (
+        clicks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("event_id", "click_event_id")
+        .withColumnRenamed("value", "click_value")
+    )
+    clicks_d = clicks_d.withColumnRenamed("ts", "click_ts")
+    joined = as_of_join(
+        errors,
+        clicks_d,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_cols=["click_event_id", "click_value"],
+    )
+    return joined.select("event_id", "user_id", "ts", "click_event_id", "click_ts", "click_value")
+
+
+@query(
+    "j2_interval_clip",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey, o_orderdate AS lo,
+         COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                  TIMESTAMP '2002-01-01 00:00:00') AS hi
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       GREATEST(lo, TIMESTAMP '1996-03-01 00:00:00') AS lo,
+       LEAST(hi, TIMESTAMP '1997-03-01 00:00:00') AS hi
+FROM iv
+WHERE GREATEST(lo, TIMESTAMP '1996-03-01 00:00:00') < LEAST(hi, TIMESTAMP '1997-03-01 00:00:00')
+""",
+)
+def j2_interval_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval clipping to a window, empties dropped (reference: deployment
+    x calibration clipping, qaqc/utils.py:177-207)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("lo"),
+        F.coalesce(F.lead("o_orderdate").over(w), F.lit("2002-01-01 00:00:00").cast("timestamp")).alias("hi"),
+    )
+    return clip_intervals(iv, "lo", "hi", "1996-03-01 00:00:00", "1997-03-01 00:00:00")
+
+
+PROFILE_WINDOWS = [
+    (1, "2024-01-03 00:00:00", "2024-01-03 12:00:00"),
+    (2, "2024-01-08 06:00:00", "2024-01-09 00:00:00"),
+    (3, "2024-01-14 00:00:00", "2024-01-15 00:00:00"),
+    (4, "2024-01-21 18:00:00", "2024-01-22 06:00:00"),
+    (5, "2024-01-28 00:00:00", "2024-01-29 12:00:00"),
+]
+_PROFILE_VALUES_SQL = ", ".join(f"({i}, TIMESTAMP '{s}', TIMESTAMP '{e}')" for i, s, e in PROFILE_WINDOWS)
+
+
+@query(
+    "j3_profile_range_join",
+    oracle=f"""
+WITH profiles(profile_id, p_start, p_end) AS (VALUES {_PROFILE_VALUES_SQL})
+SELECT p.profile_id, e.event_type, COUNT(*) AS n,
+       {davg_sql('e.value')} AS avg_value
+FROM events e JOIN profiles p ON e.ts >= p.p_start AND e.ts <= p.p_end
+GROUP BY 1, 2
+""",
+)
+def j3_profile_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join tagging samples with their containing profile window
+    (reference: gridProfiles slicing, qaqc/dashboard.py:186-210). The
+    interval table is broadcast; the fact scan never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    profiles = spark.createDataFrame(
+        [(i, s, e_) for i, s, e_ in PROFILE_WINDOWS], "profile_id int, p_start string, p_end string"
+    ).select(
+        "profile_id",
+        F.col("p_start").cast("timestamp").alias("p_start"),
+        F.col("p_end").cast("timestamp").alias("p_end"),
+    )
+    tagged = range_tag_join(e, profiles, "ts", "p_start", "p_end", "profile_id")
+    return tagged.groupBy("profile_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value")
+    )
+
+
+ANNOTATIONS = [
+    (1, "2024-01-02 00:00:00", "2024-01-05 00:00:00", "biofouling suspected"),
+    (2, "2024-01-10 00:00:00", "2024-01-10 06:00:00", "pump failure"),
+    (3, "2024-01-20 00:00:00", None, "ongoing drift"),
+]
+_ANNO_VALUES_SQL = ", ".join(
+    f"({i}, TIMESTAMP '{b}', {('TIMESTAMP ' + chr(39) + e + chr(39)) if e else 'NULL'}, '{a}')"
+    for i, b, e, a in ANNOTATIONS
+)
+
+
+@query(
+    "j7_annotation_overlap",
+    oracle=f"""
+WITH annos(anno_id, begin_dt, end_dt, annotation) AS (VALUES {_ANNO_VALUES_SQL})
+SELECT anno_id, annotation,
+       GREATEST(begin_dt, TIMESTAMP '2024-01-04 00:00:00') AS clip_start,
+       LEAST(COALESCE(end_dt, TIMESTAMP '9999-12-31 23:59:59'), TIMESTAMP '2024-01-25 00:00:00') AS clip_end
+FROM annos
+WHERE begin_dt < TIMESTAMP '2024-01-25 00:00:00'
+  AND COALESCE(end_dt, TIMESTAMP '9999-12-31 23:59:59') > TIMESTAMP '2024-01-04 00:00:00'
+""",
+)
+def j7_annotation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-interval overlap with a plot window; NULL end = ongoing
+    (reference: annoInRange, qaqc/dashboard.py:324-338)."""
+    w_lo, w_hi = "2024-01-04 00:00:00", "2024-01-25 00:00:00"
+    annos = spark.createDataFrame(ANNOTATIONS, "anno_id int, begin_dt string, end_dt string, annotation string").select(
+        "anno_id",
+        F.col("begin_dt").cast("timestamp").alias("begin_dt"),
+        F.col("end_dt").cast("timestamp").alias("end_dt"),
+        "annotation",
+    )
+    endc = F.coalesce(F.col("end_dt"), F.lit("9999-12-31 23:59:59").cast("timestamp"))
+    return (
+        annos.filter((F.col("begin_dt") < F.lit(w_hi).cast("timestamp")) & (endc > F.lit(w_lo).cast("timestamp")))
+        .select(
+            "anno_id",
+            "annotation",
+            F.greatest(F.col("begin_dt"), F.lit(w_lo).cast("timestamp")).alias("clip_start"),
+            F.least(endc, F.lit(w_hi).cast("timestamp")).alias("clip_end"),
+        )
+    )
+
+
+@query(
+    "j8_time_shifted_overlay",
+    oracle=f"""
+SELECT 1996 AS source_year, o_orderkey,
+       o_orderdate + INTERVAL 730 DAY AS shifted_date, o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+UNION ALL
+SELECT 1997 AS source_year, o_orderkey,
+       o_orderdate + INTERVAL 365 DAY AS shifted_date, o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00'
+""",
+)
+def j8_time_shifted_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Time machine' overlay: prior-year windows shifted by k*365d onto the
+    current axis (reference: qaqc/dashboard.py:1733-1786)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_slice(year: int, shift_days: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year}-03-01 00:00:00").cast("timestamp"))
+            ).select(
+                F.lit(year).alias("source_year"),
+                "o_orderkey",
+                (F.col("o_orderdate") + F.expr(f"INTERVAL {shift_days} DAYS")).alias("shifted_date"),
+                "o_totalprice",
+            )
+        )
+
+    return year_slice(1996, 730).unionByName(year_slice(1997, 365))
+
+
+@query(
+    "j10_latest_deploy_window",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       o_orderdate - INTERVAL 15 DAY AS window_start,
+       o_orderdate + INTERVAL 15 DAY AS window_end
+FROM latest WHERE rn = 1
+""",
+)
+def j10_latest_deploy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent deployment -> ±15-day event window (reference:
+    qaqc/dashboard.py:559-567)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            (F.col("o_orderdate") - F.expr("INTERVAL 15 DAYS")).alias("window_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 15 DAYS")).alias("window_end"),
+        )
+    )
+
+
+@query(
+    "e3_set_difference",
+    oracle="""
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def e3_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (reference: stale-output anti-entropy, qaqc/plots.py:500)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(purchases)
+
+
+@query(
+    "e4_set_intersection",
+    oracle="""
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def e4_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (reference: svg∧png pairs, qaqc/plots.py:543)."""
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return signups.intersect(errors)

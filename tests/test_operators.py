@@ -1,0 +1,100 @@
+"""Golden/property tests for operators whose semantics the DuckDB oracle
+can't express (FIXTURES.md golden-check targets 4-6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.operators.decimate import _lttb_indices, block_mean, lttb
+from rca_data_tools_spark.operators.interpolate import interpolate_na
+from rca_data_tools_spark.operators.interval_join import as_of_join
+from rca_data_tools_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_lttb_properties(spark):
+    e = load_table(spark, SF_CORRECTNESS, "events").select("user_id", "ts", "value")
+    out = lttb(e, ["user_id"], "ts", "value", threshold=50).toPandas()
+    src = e.toPandas()
+    for uid, grp in src.groupby("user_id"):
+        sel = out[out.user_id == uid].sort_values("ts")
+        n = len(grp)
+        expect = min(n, 50) if n >= 3 else n
+        assert len(sel) == expect, f"user {uid}: {len(sel)} != {expect}"
+        grp_sorted = grp.sort_values(["ts"])
+        assert sel.iloc[0].ts == grp_sorted.iloc[0].ts  # first point kept
+        assert sel.iloc[-1].ts == grp_sorted.iloc[-1].ts  # last point kept
+
+
+def test_lttb_indices_small():
+    x = np.arange(10, dtype=float)
+    y = np.zeros(10)
+    y[4] = 100.0  # spike must survive decimation
+    idx = _lttb_indices(x, y, 5)
+    assert len(idx) == 5
+    assert idx[0] == 0 and idx[-1] == 9
+    assert 4 in idx
+    # threshold >= n -> identity
+    assert list(_lttb_indices(x, y, 10)) == list(range(10))
+
+
+def test_as_of_join_matches_pandas(spark):
+    e = load_table(spark, SF_CORRECTNESS, "events")
+    left = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    )
+    got = (
+        as_of_join(left, right, key="user_id", left_ts="ts", right_ts="p_ts", value_cols=["p_value"])
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("p_ts")
+    expect = pd.merge_asof(lp, rp, left_on="ts", right_on="p_ts", by="user_id", direction="backward")
+    expect = expect.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(expect)
+    pd.testing.assert_series_equal(
+        got["p_value"].reset_index(drop=True), expect["p_value"].reset_index(drop=True), check_names=False
+    )
+
+
+def test_interpolate_na_edges(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, None),
+        ("a", t0 + dt.timedelta(seconds=10), 10.0),
+        ("a", t0 + dt.timedelta(seconds=20), None),
+        ("a", t0 + dt.timedelta(seconds=30), None),
+        ("a", t0 + dt.timedelta(seconds=40), 40.0),
+        ("a", t0 + dt.timedelta(seconds=50), None),
+        ("b", t0, None),  # all-null series stays null
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.ts): r.v2
+        for r in interpolate_na(df, ["k"], "ts", "v", out_col="v2").collect()
+    }
+    assert out[("a", t0)] == 10.0  # bfill leading edge
+    assert out[("a", t0 + dt.timedelta(seconds=20))] == pytest.approx(20.0)
+    assert out[("a", t0 + dt.timedelta(seconds=30))] == pytest.approx(30.0)
+    assert out[("a", t0 + dt.timedelta(seconds=50))] == 40.0  # ffill trailing edge
+    assert out[("b", t0)] is None
+
+
+def test_block_mean_trims_ragged_tail(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0, i), float(i)) for i in range(25)],
+        "k string, ts timestamp, v double",
+    )
+    out = block_mean(df, ["k"], "ts", ["v"], window=10).orderBy("ts").collect()
+    assert len(out) == 2  # 25 rows -> 2 full blocks, tail trimmed
+    assert out[0].v == pytest.approx(4.5)
+    assert out[1].v == pytest.approx(14.5)
