@@ -99,24 +99,32 @@ def quality_score(text: Column | str) -> Column:
     return F.round(len_score * F.lit(0.4) + (F.lit(1.0) - punct_penalty) * F.lit(0.3) + stop_score * F.lit(0.3), 6)
 
 
+def _isin_markers(markers: tuple[str, ...]):
+    # NB: F.filter inspects the lambda arity — a default arg would be taken
+    # as the index parameter — so build the single-arg lambda via closure.
+    marker_list = list(markers)
+    return lambda t: t.isin(marker_list)
+
+
 def lang_scores(text: Column | str) -> list[tuple[str, Column]]:
     """Per-language stopword hit counts (the language-ID signal)."""
     toks = tokens(normalize(text))
     return [
-        (lang, F.size(F.filter(toks, lambda t, m=markers: t.isin(list(m)))))
+        (lang, F.size(F.filter(toks, _isin_markers(markers))))
         for lang, markers in LANG_MARKERS.items()
     ]
 
 
 def lang_id(text: Column | str, default: str = "und") -> Column:
-    """Pick the language with the highest marker count (ties -> lexical order,
-    zero hits -> ``default``). Deterministic and SQL-expressible."""
+    """Pick the language with the highest marker count; ties resolve to the
+    first language in LANG_MARKERS declaration order, zero hits -> ``default``.
+    A simple when-chain, so the rule is trivially mirrored in ANSI SQL."""
     scores = lang_scores(text)
-    pairs = F.array(*[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores])
-    best = F.array_max(
-        F.transform(pairs, lambda p: F.struct(p["score"].alias("score"), F.reverse(p["lang"]).alias("ord"), p["lang"].alias("lang")))
-    )
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    expr = F.when(best == 0, F.lit(default))
+    for lang, s in scores:
+        expr = expr.when(s == best, F.lit(lang))
+    return expr.otherwise(F.lit(default))
 
 
 def md5_fingerprint(text: Column | str) -> Column:

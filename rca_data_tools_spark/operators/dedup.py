@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- The only heavy fan-out is doc -> shingles (explode). Everything downstream
+  is hash aggregation on fixed-width keys (signatures, band hashes), which
+  partial-aggregates map-side before shuffling.
+- Candidate generation joins on band signature (equi-join, shuffle on a
+  well-distributed md5 key); exact verification only touches candidate pairs,
+  never the full cross product.
+- Hashing is salted-md5 on strings, chosen deliberately: identical results in
+  any engine (it's how the DuckDB oracles replay the pipeline bit-for-bit),
+  no dependence on engine-private hash functions.
+
+Public-knowledge algorithms: MinHash (Broder 1997), LSH banding (Mining of
+Massive Datasets ch.3), SimHash (Charikar 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.text import char_ngrams, normalize, tokens
+
+# MinHash family: K salted permutations, banded b x r for candidate generation.
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+
+
+def _salt(i: int) -> str:
+    return f"h{i:02d}|"
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shingle) rows — distinct char n-grams of normalized text."""
+    return docs.select(
+        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("sh")
+    ).distinct()
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: k columns h0..h{k-1}, each the lexicographic
+    min of a salted md5 over the doc's shingles. A salted md5 is a uniform
+    pseudo-permutation of shingle space, so min over it is a valid MinHash."""
+    aggs = [F.min(F.md5(F.concat(F.lit(_salt(i)), F.col("sh")))).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band hash.
+
+    Band signature = md5 of the band's concatenated minhashes; the self-join
+    is an equi-join on (band_id, band_sig) — uniformly distributed keys, so
+    no skew even on corpora with heavy boilerplate.
+    """
+    r = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b")).select(
+        id_col, "b.band_id", "b.band_sig"
+    )
+    a = banded.withColumnRenamed(id_col, "id1")
+    c = banded.withColumnRenamed(id_col, "id2")
+    return (
+        a.join(c, ["band_id", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("s2_id"), F.col("sh").alias("sh2"))
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, (F.col("id2") == F.col("s2_id")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n1 = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
+    out = (
+        inter.join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", "jaccard")
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, shingle_n: int = 5
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify."""
+    sh = shingle_table(docs, id_col, text_col, shingle_n)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    return verify_jaccard(cand, sh, id_col, threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def _hex_slice_to_long(md5col, start: int, width: int = 8):
+    return F.conv(F.substring(md5col, start, width), 16, 10).cast("long")
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (fp_hi, fp_lo).
+
+    Each distinct token hashes via md5; per bit position the docs' tokens vote
+    +1/-1; the sign of the vote sets the bit. Implemented as explode(32 bits)
+    + aggregate, so it's two shuffles on (id, bit) and (id) — no wide rows.
+    """
+    toks = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(normalize(text_col)))).alias("tok"))
+    md5c = F.md5(F.col("tok"))
+    hashed = toks.select(
+        id_col,
+        _hex_slice_to_long(md5c, 1).alias("h_hi"),
+        _hex_slice_to_long(md5c, 9).alias("h_lo"),
+    )
+    bits = hashed.select(id_col, "h_hi", "h_lo", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
+    vote = lambda h: F.sum(  # noqa: E731
+        F.when(F.expr(f"(({h} >> j) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+    )
+    votes = bits.groupBy(id_col, "j").agg(vote("h_hi").alias("v_hi"), vote("h_lo").alias("v_lo"))
+    bit = lambda v: F.sum(  # noqa: E731
+        F.when(F.col(v) > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0).cast("long"))
+    )
+    return votes.groupBy(id_col).agg(bit("v_hi").alias("fp_hi"), bit("v_lo").alias("fp_lo"))
+
+
+def simhash_neardup_pairs(fp: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit blocks
+    (pigeonhole: hamming <= 3 guarantees a shared block; wider radii trade
+    recall), verified by exact Hamming distance."""
+    blocks = fp.select(
+        F.col(id_col),
+        "fp_hi",
+        "fp_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.expr("fp_hi >> 16").alias("bv")),
+                F.struct(F.lit(1).alias("blk"), F.expr("fp_hi & 65535").alias("bv")),
+                F.struct(F.lit(2).alias("blk"), F.expr("fp_lo >> 16").alias("bv")),
+                F.struct(F.lit(3).alias("blk"), F.expr("fp_lo & 65535").alias("bv")),
+            )
+        ).alias("b"),
+    ).select(id_col, "fp_hi", "fp_lo", "b.blk", "b.bv")
+    a = blocks.select(F.col(id_col).alias("id1"), F.col("fp_hi").alias("hi1"), F.col("fp_lo").alias("lo1"), "blk", "bv")
+    c = blocks.select(F.col(id_col).alias("id2"), F.col("fp_hi").alias("hi2"), F.col("fp_lo").alias("lo2"), "blk", "bv")
+    hamming = F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2"))) + F.bit_count(
+        F.col("lo1").bitwiseXOR(F.col("lo2"))
+    )
+    return (
+        a.join(c, ["blk", "bv"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+- **Brute-force top-k**: broadcast the (small) query set against the corpus
+  scan; per-row JVM fold for the dot product; window top-k per query. Exact,
+  one pass over the corpus, no shuffle of the corpus itself — the right
+  baseline when queries are few.
+- **Hyperplane LSH buckets**: deterministic ±1 random hyperplanes (signs
+  derived from md5, so any engine reproduces them); bucket = sign bits of the
+  projections. Bucketed join + exact re-rank turns O(N·Q) into
+  O(N + collisions) — the scale path when queries are many.
+
+Deterministic decimal-sum dot products are used where results feed the
+oracle-compared queries; the plain double fold is the fast path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rca_data_tools_spark.functions.vectors import cosine, to_double_array
+
+
+def dec_dot(a: Column, b: Column, scale: int = 12) -> Column:
+    """Order-insensitive dot product: per-element float products are exact in
+    double (24+24 bits < 53), rounded at scale 12 (no-op for exact values at
+    this magnitude) and folded into a DECIMAL accumulator."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    # Accumulator stays at decimal(20,12): the add widens to (21,12) and the
+    # cast narrows back — exact as long as |sum| < 1e8, ample for unit-ish
+    # vectors (and the oracle's DECIMAL(38,12) SUM agrees exactly).
+    acc = F.aggregate(
+        prods,
+        F.lit(0).cast(f"decimal(20,{scale})"),
+        lambda s, x: (s + F.round(x, scale).cast(f"decimal(20,{scale})")).cast(f"decimal(20,{scale})"),
+    )
+    return acc.cast("double")
+
+
+def dec_cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine: decimal-sum dot and norms, IEEE sqrt/divide."""
+    return dec_dot(a, b) / (F.sqrt(dec_dot(a, a)) * F.sqrt(dec_dot(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self excluded when ids
+    collide). Queries are broadcast; ranking uses round-6 similarity with id
+    tie-break so results are reproducible across engines and retries."""
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id_col) != F.col(id_col))
+    a, b = to_double_array(q_vec_col), to_double_array(vec_col)
+    sim = dec_cosine(a, b) if deterministic else cosine(a, b)
+    scored = joined.select(q_id_col, id_col, F.round(sim, 6).alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_projection(vec: Column, plane_id: int, dim: int) -> Column:
+    """Deterministic projection onto a ±1 hyperplane: component d is +1 when
+    bit 0 of md5('p<plane>|<d>') is set. Exact integer-weighted decimal sum,
+    so the sign is engine-independent."""
+    signs = [
+        1 if int(__import__("hashlib").md5(f"p{plane_id}|{d}".encode()).hexdigest()[-1], 16) & 1 else -1
+        for d in range(dim)
+    ]
+    sign_arr = F.array(*[F.lit(s) for s in signs])
+    prods = F.zip_with(vec, sign_arr, lambda x, s: x * s)
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(20,12)"),
+        lambda acc, x: (acc + F.round(x, 12).cast("decimal(20,12)")).cast("decimal(20,12)"),
+    ).cast("double")
+
+
+def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
+    """LSH bucket id for one hash table = integer of projection sign bits.
+    Plane ids are salted by table so tables are independent."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bit = F.when(hyperplane_projection(vec, table * 100 + p, dim) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_buckets(vec: Column, n_tables: int, n_planes: int, dim: int) -> Column:
+    """Array of (table, bucket) structs — one entry per hash table. Multiple
+    independent tables are the standard recall lever for hyperplane LSH."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec, t, n_planes, dim).alias("bkt"))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = union over hash tables of bucket
+    collisions, then exact re-rank.
+
+    At scale the corpus is scanned once to compute all table buckets (pure
+    column math), exploded to (table, bucket) keys and equi-joined against
+    the broadcast query buckets — shuffle-free for the corpus, linear in
+    collisions. Recall tunes with n_tables (up) and n_planes (down).
+    """
+    c = corpus.select(
+        id_col, vec_col, F.explode(lsh_buckets(to_double_array(vec_col), n_tables, n_planes, dim)).alias("tb")
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    q = queries.select(
+        q_id_col, q_vec_col, F.explode(lsh_buckets(to_double_array(q_vec_col), n_tables, n_planes, dim)).alias("tb")
+    ).select(q_id_col, q_vec_col, "tb.tbl", "tb.bkt")
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .select(q_id_col, id_col, q_vec_col, vec_col)
+        .distinct()
+    )
+    sim = dec_cosine(to_double_array(q_vec_col), to_double_array(vec_col))
+    scored = cand.select(q_id_col, id_col, F.round(sim, 6).alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -8,3 +8,6 @@ from rca_data_tools_spark.queries import qcq  # noqa: F401, E402
 from rca_data_tools_spark.queries import dedupq  # noqa: F401, E402
 from rca_data_tools_spark.queries import windowq  # noqa: F401, E402
 from rca_data_tools_spark.queries import joinq  # noqa: F401, E402
+from rca_data_tools_spark.queries import textq  # noqa: F401, E402
+from rca_data_tools_spark.queries import vecq  # noqa: F401, E402
+from rca_data_tools_spark.queries import multimodalq  # noqa: F401, E402

@@ -1,16 +1,76 @@
-"""Deduplication queries over the documents table (training-data pipeline
-operators: exact dedup here; MinHash/SimHash/Jaccard variants in this module
-as they land)."""
+"""Deduplication queries over the documents table: exact, MinHash+LSH,
+SimHash, word-n-gram Jaccard. The MinHash/SimHash hashing is salted md5 on
+strings, so every stage is replayed bit-for-bit by the DuckDB oracle —
+candidate generation included."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from rca_data_tools_spark.functions.text import normalize
+from rca_data_tools_spark.functions.text import normalize, word_ngrams
+from rca_data_tools_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    MINHASH_ROWS,
+    _salt,
+    minhash_dedup_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+# Shared oracle CTE: distinct char-5-gram shingles per doc.
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, substr(nt, CAST(i AS INT), 5) AS sh
+  FROM (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+       unnest(generate_series(1, greatest(1, length(nt) - 4))) AS x(i)
+)
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{_salt(i)}' || sh)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"h{b * MINHASH_ROWS + j}" for j in range(MINHASH_ROWS)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.doc_id = i.id1 JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) >= 0.7
+"""
 
 
 @query(
@@ -39,4 +99,111 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_text")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
         .select("doc_id", "group_size")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> 16 salted-md5 minhashes ->
+    4 bands -> candidate equi-join -> exact Jaccard >= 0.7."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7)
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(list_filter(str_split_regex({_NORM_SQL}, '\\s+'), t -> t <> '')) AS tok
+        FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h_hi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h_lo
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, h_hi, h_lo, CAST(j AS INT) AS j
+  FROM hashed, unnest(generate_series(0, 31)) AS z(j)
+),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((h_hi >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v_hi,
+         SUM(CASE WHEN ((h_lo >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v_lo
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN v_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS fp_hi,
+       SUM(CASE WHEN v_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS fp_lo
+FROM votes GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash_fingerprints", oracle=_simhash_oracle())
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (two 32-bit halves, md5 token hashes,
+    bit-vote aggregation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "doc_id", "text")
+
+
+@query("dedup_simhash_pairs")  # hamming-block candidates; rows-only (pair set checked in tests)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit block candidates + exact Hamming <= 3.
+    Oracle omitted (the blocked self-join is replayed in
+    tests/test_dedup.py against a Python reimplementation)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    return simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+
+
+def _word_jaccard_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split_regex({_NORM_SQL}, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(1, len(tk) - 2))) AS x(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes z1 ON z1.doc_id = i.id1 JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_word_jaccard_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.5, candidates = pairs sharing any
+    gram (inverted-index join, never a cross product)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(word_ngrams("text", 3)).alias("g")).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("id1"), "g")
+    b = grams.select(F.col("doc_id").alias("id2"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6)
+    return (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id1", "id2", "jaccard")
     )

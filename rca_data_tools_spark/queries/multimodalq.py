@@ -1,0 +1,61 @@
+"""Multimodal column queries: opaque binary payloads processed through
+Arrow-batched mapInPandas. The pseudo-decode is deterministic arithmetic on
+the bytes, so the DuckDB oracle can replay it in SQL — which proves the
+Spark-side plumbing (binary column, batch iteration, schema) end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.operators.multimodal import attach_binary, extract_media_features
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+
+@query(
+    "media_feature_extract",
+    oracle="""
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, ascii(substr(text, 1, 1)) AS first_byte
+           FROM documents)
+SELECT doc_id,
+       CAST(n AS INT) AS byte_len,
+       CAST(64 + (n % 512) AS INT) AS width,
+       CAST(64 + (first_byte % 256) AS INT) AS height,
+       CAST(1 + (n % 7) AS INT) AS n_frames,
+       ((n * 31 + first_byte) % 25600) / 100.0 AS mean_luma
+FROM b
+""",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> mapInPandas feature extraction (decode stub).
+
+    The Spark side genuinely carries bytes through an Arrow kernel
+    (operators/multimodal.py); the oracle recomputes the same features from
+    byte length / first byte arithmetically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    return extract_media_features(media)
+
+
+@query(
+    "media_batch_stats",
+    oracle="""
+SELECT CAST(FLOOR(octet_length(encode(text)) / 100) AS BIGINT) AS size_bucket,
+       COUNT(*) AS n_docs,
+       SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
+FROM documents
+GROUP BY 1
+""",
+)
+def media_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload size distribution — the partition-sizing input for media
+    pipelines (how many blobs per Arrow batch / task)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob_len = F.length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    return (
+        d.select(F.floor(blob_len / 100).cast("long").alias("size_bucket"), blob_len.alias("bl"))
+        .groupBy("size_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("bl").alias("total_bytes"))
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis queries over the documents table: quality scoring, token
+counting, language ID, fingerprinting. All pure Column expressions — the scan
+is the only cost, so these run at parquet speed on any corpus size."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    bpe_token_count,
+    lang_id,
+    lang_scores,
+    md5_fingerprint,
+    mean_token_length,
+    punct_ratio,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+)
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS_SQL = r"list_filter(str_split_regex(trim(text), '\s+'), t -> t <> '')"
+_NTOKS_SQL = rf"list_filter(str_split_regex(trim({_NORM_SQL}), '\s+'), t -> t <> '')"
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+@query(
+    "text_token_stats",
+    oracle=rf"""
+SELECT doc_id,
+       len({_TOKS_SQL}) AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       CASE WHEN length(text) > 0
+            THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len({_TOKS_SQL}) > 0
+            THEN list_sum([length(t) FOR t IN {_TOKS_SQL}]) / len({_TOKS_SQL})
+            ELSE 0.0 END AS mean_tok_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and basic shape metrics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        mean_token_length("text").alias("mean_tok_len"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=rf"""
+WITH m AS (
+  SELECT doc_id, lang,
+    LEAST(1.0, length(text) / 500.0) AS len_score,
+    LEAST(1.0, CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+        ELSE 0.0 END * 4.0) AS punct_penalty,
+    LEAST(1.0, CASE WHEN len({_NTOKS_SQL}) > 0
+        THEN len(list_filter({_NTOKS_SQL}, t -> t IN ({_in_list(LANG_MARKERS['en'])}))) / len({_NTOKS_SQL})
+        ELSE 0.0 END * 4.0) AS stop_score
+  FROM documents
+)
+SELECT doc_id, lang,
+       ROUND(len_score * 0.4 + (1.0 - punct_penalty) * 0.3 + stop_score * 0.3, 6) AS quality
+FROM m
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / punctuation / stopword signal)."""
+    from rca_data_tools_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", quality_score("text").alias("quality"))
+
+
+def _langid_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter({_NTOKS_SQL}, t -> t IN ({_in_list(markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(score.values()) + ")"
+    whens = " ".join(f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS)
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang, {_langid_case_sql()} AS lang_pred, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the labeled lang column (confusion
+    counts). Marker sets cover en/fr/es/de; zh (no markers) -> 'und'."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", lang_id("text").alias("lang_pred")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) FOR c IN str_split({_NORM_SQL}, '')]),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS rolling_fp
+FROM documents
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + Rabin-Karp-style
+    rolling hash (reference role: content identity for dedup/caching)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_fingerprint("text").alias("md5_fp"),
+        rolling_hash("text").alias("rolling_fp"),
+    )
+
+
+@query(
+    "p9_regex_filter",
+    oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE regexp_matches(text, 'spark.*hash|merge.*sort') AND source LIKE 'src1%'
+""",
+)
+def p9_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex/substring row filter (reference: HITL notes filtering,
+    qaqc/notes.py:150-166)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("text").rlike("spark.*hash|merge.*sort") & F.col("source").startswith("src1")
+    ).select("doc_id", "source", "n_chars")

@@ -1,0 +1,135 @@
+"""Similarity-search queries over the embeddings table, plus the array-math
+operator family (SURVEY §2.4 A8/A9) exercised on array<float> columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.vectors import array_stddev, k_of_n_above, to_double_array
+from rca_data_tools_spark.operators.similarity import brute_force_topk, dec_cosine, lsh_topk
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+# DuckDB-side deterministic dot: per-element float*float is exact in double;
+# decimal list_sum is order-free.
+_DOT = (
+    "CAST(list_sum([CAST(ROUND(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE),12) AS DECIMAL(38,12)) "
+    "FOR x IN list_zip({a}, {b})]) AS DOUBLE)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / (SQRT({na}) * SQRT({nb})))"
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id, ROUND({_cos_sql('q.q_vec', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for 10 query vectors —
+    the ANN baseline: corpus scanned once, queries broadcast, window top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query(
+    "ann_threshold_neighbors",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50)
+SELECT q.q_id, e.vec_id, ROUND({_cos_sql('q.q_vec', 'e.embedding')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id > q.q_id
+  AND ROUND({_cos_sql('q.q_vec', 'e.embedding')}, 6) >= 0.3
+""",
+)
+def ann_threshold_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold neighbor pairs (embedding near-dup detection shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") > F.col("q_id"))
+    sim = F.round(dec_cosine(to_double_array("q_vec"), to_double_array("embedding")), 6)
+    return joined.select("q_id", "vec_id", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.3)
+
+
+@query("ann_lsh_topk")  # approximate variant; bucket recall is data-dependent -> rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k — the scale path: equi-join on bucket id
+    instead of a full cross join; exact re-rank within buckets. Covered by
+    tests/test_similarity.py (bucket determinism, recall vs brute force)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(e, q, id_col="vec_id", vec_col="embedding", k=5).select(
+        "q_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "a8_k_of_n_array",
+    oracle="""
+SELECT vec_id, label,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.1)) AS n_above
+FROM embeddings
+WHERE len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.1)) >= 20
+""",
+)
+def a8_k_of_n_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-of-n array test (reference: ADCP beam quality votes,
+    calculateFunctions.py:153-171): count elements above threshold, keep rows
+    with >= k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_above = k_of_n_above(to_double_array("embedding"), 0.1)
+    return e.select("vec_id", "label", n_above.alias("n_above")).filter(F.col("n_above") >= 20)
+
+
+@query(
+    "a9_row_stddev_array",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         CAST(list_sum([CAST(ROUND(CAST(x AS DOUBLE), 12) AS DECIMAL(38,12)) FOR x IN embedding]) AS DOUBLE) AS sx,
+         CAST(list_sum([CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE), 12) AS DECIMAL(38,12)) FOR x IN embedding]) AS DOUBLE) AS sxx,
+         len(embedding) AS n
+  FROM embeddings
+)
+SELECT vec_id, ROUND(SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)), 6) AS row_std
+FROM s
+""",
+)
+def a9_row_stddev_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row stddev over an array column (reference: PHSEN flat-signal test,
+    calculateFunctions.py:937-947), deterministic decimal-moment form."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = to_double_array("embedding")
+    dec = lambda c: F.aggregate(  # noqa: E731
+        c,
+        F.lit(0).cast("decimal(20,12)"),
+        lambda a, x: (a + F.round(x, 12).cast("decimal(20,12)")).cast("decimal(20,12)"),
+    ).cast("double")
+    sx = dec(arr)
+    sxx = dec(F.transform(arr, lambda x: x * x))
+    n = F.size(arr)
+    row_std = F.round(F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))), 6)
+    return e.select("vec_id", row_std.alias("row_std"))
