@@ -20,18 +20,21 @@ def interpolate_na(
     ts_col: str,
     value_col: str,
     out_col: str | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Linear interpolation of NULL values over time within each series.
 
     Leading/trailing NULL runs (no bracketing value on one side) take the
     nearest available value (ffill/bfill), matching xarray's interpolate_na
     with both fill directions left at default NaN -> here we keep NULL when
-    neither side exists.
+    neither side exists. ``order_cols`` appends tie-break columns to the
+    time ordering (needed when grid points may collide with samples).
     """
     out_col = out_col or value_col
+    order = [ts_col] + (order_cols or [])
     ms = F.unix_millis(F.col(ts_col))
-    wb = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
-    wf = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    wb = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
     v = F.col(value_col)
     prev_v = F.last(v, ignorenulls=True).over(wb)
     prev_t = F.last(F.when(v.isNotNull(), ms), ignorenulls=True).over(wb)
@@ -87,8 +90,50 @@ def resample_linear(
         grid_ts_col, F.lit(None).cast("timestamp")
     )
     unioned = sample_rows.unionByName(grid_rows.select(sample_rows.columns))
-    filled = interpolate_na(unioned, key_cols, ts_col, value_col, out_col="__interp")
+    filled = interpolate_na(
+        unioned, key_cols, ts_col, value_col, out_col="__interp", order_cols=["__is_grid"]
+    )
     return (
         filled.filter(F.col("__is_grid") == 1)
         .select(*key_cols, F.col(ts_col).alias(grid_ts_col), F.col("__interp").alias(value_col))
     )
+
+
+def profile_regrid(
+    samples: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    value_col: str,
+    grid: list[float],
+) -> DataFrame:
+    """Per-profile 1-D regrid: np.interp of ``value_col`` onto a fixed grid of
+    ``x_col`` (reference: gridProfiles' depth regridding onto 0.5 m/5 m grids,
+    rca_data_tools/qaqc/dashboard.py:197-226). NaN outside the sampled range,
+    like the reference.
+
+    applyInPandas per profile: each profile is a small series, so a group is
+    one Arrow batch; profiles parallelize across executors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in samples.select(*key_cols).dtypes]
+        + [f"{x_col} double", f"{value_col} double"]
+    )
+    grid_arr = list(map(float, grid))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[x_col, value_col]).sort_values(x_col, kind="mergesort")
+        head = pdf.iloc[[0]][key_cols] if len(pdf) else None
+        if head is None:
+            return pd.DataFrame(columns=key_cols + [x_col, value_col])
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        vals = np.interp(grid_arr, x, y, left=np.nan, right=np.nan)
+        out = pd.DataFrame({x_col: grid_arr, value_col: vals})
+        for c in key_cols:
+            out[c] = head[c].iloc[0]
+        return out[key_cols + [x_col, value_col]]
+
+    return samples.groupBy(*key_cols).applyInPandas(kernel, schema=out_schema)

@@ -1,0 +1,177 @@
+"""Config-driven calculation registry.
+
+Mirrors the reference's declarative UDF system (rca_data_tools/qaqc/params/
+calculateCalls.csv declares function + inputs + outputs; qaqc/utils.py:327-358
+builds the function registry via importlib; qaqc/plots.py:50-110 executes and
+attaches outputs as new columns) — but compiled to Spark Column expressions,
+so a config row becomes part of the Catalyst plan instead of a Python call.
+
+Three kernel classes, in preference order (SURVEY §2.10):
+- ``column``: pure Column-expression builders (flaggers, converters) —
+  whole-stage codegen, zero Python.
+- ``pandas``: element-wise math via Arrow-batched pandas UDF.
+- ``grouped``: per-group applyInPandas (multi-output products, per-row
+  linear algebra like the nitrate least-squares fit).
+
+A spec is data (dict / CSV row), not code: `{name, kernel, inputs, outputs,
+params}`. ``CalcRegistry.apply`` resolves kernels by name and attaches the
+outputs, exactly the reference's gather-call-attach loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CalcSpec:
+    """One declarative calculation (≙ one calculateCalls.csv row)."""
+
+    name: str
+    kernel: str  # registered kernel key
+    inputs: list[str]  # input column names, in kernel order
+    outputs: list[str]  # output column names produced
+    params: dict = field(default_factory=dict)  # kwargs for the kernel
+
+
+class CalcRegistry:
+    """Kernel registry + executor for declarative calculation specs."""
+
+    def __init__(self) -> None:
+        self._column_kernels: dict[str, Callable[..., dict[str, Column]]] = {}
+        self._grouped_kernels: dict[str, Callable[..., DataFrame]] = {}
+
+    def register_column(self, key: str):
+        def deco(fn):
+            self._column_kernels[key] = fn
+            return fn
+
+        return deco
+
+    def register_grouped(self, key: str):
+        def deco(fn):
+            self._grouped_kernels[key] = fn
+            return fn
+
+        return deco
+
+    def apply(self, df: DataFrame, specs: list[CalcSpec]) -> DataFrame:
+        """Attach every spec's outputs. Column kernels extend the projection
+        (one Catalyst plan, no barriers); grouped kernels re-shape via
+        applyInPandas and must come last in a spec list."""
+        for spec in specs:
+            if spec.kernel in self._column_kernels:
+                cols = self._column_kernels[spec.kernel](
+                    *[F.col(c) for c in spec.inputs], **spec.params
+                )
+                if isinstance(cols, Column):
+                    cols = {spec.outputs[0]: cols}
+                for out in spec.outputs:
+                    df = df.withColumn(out, cols[out])
+            elif spec.kernel in self._grouped_kernels:
+                df = self._grouped_kernels[spec.kernel](df, spec)
+            else:
+                raise KeyError(f"unknown kernel {spec.kernel!r} for calc {spec.name!r}")
+        return df
+
+
+REGISTRY = CalcRegistry()
+
+
+# --- column kernels: the reference's flagger/converter families ------------
+# (advanced_qaqc/calculateFunctions.py — re-expressed as Column math)
+
+
+@REGISTRY.register_column("range_flag")
+def range_flag(value: Column, *, lo: float, hi: float, flag: int = 3) -> Column:
+    """Generic span flagger (flor/velpt/pco2w-style *_advanced_flags):
+    outside [lo, hi] -> flag, inside -> 1, null -> 9."""
+    return (
+        F.when(value.isNull(), F.lit(9))
+        .when((value < lo) | (value > hi), F.lit(flag))
+        .otherwise(F.lit(1))
+    )
+
+
+@REGISTRY.register_column("step_flag")
+def step_flag(value: Column, prev: Column, *, threshold: float) -> Column:
+    """Step test against a pre-computed lag column (pump-failure detection,
+    calculateFunctions.py:861-870)."""
+    return F.when(prev.isNull(), F.lit(1)).when(
+        F.abs(value - prev) > threshold, F.lit(3)
+    ).otherwise(F.lit(1))
+
+
+@REGISTRY.register_column("linear_convert")
+def linear_convert(raw: Column, *, scale: float, offset: float) -> Column:
+    """counts -> engineering units: raw * scale + offset
+    (opt_pressure, calculateFunctions.py:616)."""
+    return raw * scale + offset
+
+
+@REGISTRY.register_column("log_convert")
+def log_convert(raw: Column, *, coeff: float = 1.0) -> Column:
+    """Log-domain conversion (absorbance-style, calculateFunctions.py:433)."""
+    return F.when(raw > 0, F.log10(raw) * coeff)
+
+
+@REGISTRY.register_column("polynomial")
+def polynomial(x: Column, *, coeffs: list[float]) -> Column:
+    """Horner-form polynomial (thermistor conversions use 4th order,
+    calculateFunctions.py:436-438). Horner in both engines -> same doubles."""
+    acc: Column = F.lit(float(coeffs[0]))
+    for c in coeffs[1:]:
+        acc = acc * x + F.lit(float(c))
+    return acc
+
+
+@REGISTRY.register_column("combine_flags")
+def combine_flags(*flags: Column) -> Column:
+    """Positional digit-string rollup of prior flag columns
+    (calculateFunctions.py:19-46)."""
+    return F.concat(*[f.cast("int").cast("string") for f in flags])
+
+
+# --- grouped kernel: per-group least-squares (nutnr_plant2023-shaped) ------
+
+
+@REGISTRY.register_grouped("poly_fit")
+def poly_fit(df: DataFrame, spec: CalcSpec) -> DataFrame:
+    """Per-group polynomial least-squares fit via numpy pinv — the shape of
+    the reference's nitrate spectral fit (calculateFunctions.py:267-468:
+    per-row pinv over wavelength-windowed spectra, multi-column output).
+
+    Grouped by ``params['group_cols']``; fits y ~ poly(x, deg) per group and
+    returns (group, coefficients array, rmse). applyInPandas keeps each
+    group's solve in one Arrow batch; groups parallelize across executors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    group_cols: list[str] = spec.params["group_cols"]
+    deg: int = spec.params.get("deg", 1)
+    x_col, y_col = spec.inputs
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*group_cols).dtypes]
+        + ["coeffs array<double>", "rmse double", "n_points bigint"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        mask = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[mask], y[mask]
+        head = pdf.iloc[[0]][group_cols].reset_index(drop=True)
+        if len(x) <= deg:
+            return head.assign(coeffs=[[float("nan")] * (deg + 1)], rmse=float("nan"), n_points=len(x))
+        vand = np.vander(x, deg + 1)
+        coef = np.linalg.pinv(vand) @ y
+        resid = y - vand @ coef
+        rmse = float(np.sqrt(np.mean(resid**2)))
+        return head.assign(coeffs=[coef.tolist()], rmse=rmse, n_points=len(x))
+
+    return df.groupBy(*group_cols).applyInPandas(kernel, schema=out_schema)

@@ -1,0 +1,319 @@
+"""Queries exercising the declarative calculation registry (SURVEY §2.10) and
+the remaining scalar-function families (§2.8), streaming batch-equivalents
+(§2.9), sessionization, and grid/resample operators (§2.5 W6-W8, §2.4 A4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rca_data_tools_spark.functions.numeric import dsum, dsum_sql
+from rca_data_tools_spark.operators.interpolate import profile_regrid, resample_linear, time_grid
+from rca_data_tools_spark.plans.registry import REGISTRY, CalcSpec
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+
+@query(
+    "calc_registry_flags",
+    oracle="""
+WITH lagged AS (
+  SELECT event_type, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+), calc AS (
+  SELECT event_type,
+    CASE WHEN value IS NULL THEN 9 WHEN value < 1.0 OR value > 400.0 THEN 3 ELSE 1 END AS range_flag,
+    CASE WHEN prev_value IS NULL THEN 1 WHEN ABS(value - prev_value) > 350.0 THEN 3 ELSE 1 END AS step_flag,
+    value * 0.01 + 0.5 AS volts,
+    ((0.002 * (value * 0.01 + 0.5) + 0.1) * (value * 0.01 + 0.5) + 1.0) AS poly_temp
+  FROM lagged
+)
+SELECT event_type,
+       CONCAT(range_flag, step_flag) AS combined_flags,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(volts, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_volts,
+       CAST(SUM(CAST(ROUND(poly_temp, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_poly
+FROM calc
+GROUP BY 1, 2
+""",
+)
+def calc_registry_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config rows -> compiled Column plan: a spec list (range flag, step
+    flag, linear conversion, Horner polynomial, positional combine) applied
+    by the registry, mirroring calculateCalls.csv execution
+    (reference: qaqc/plots.py:50-110, utils.py:327-358)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn("prev_value", F.lag("value").over(w))
+    specs = [
+        CalcSpec("range", "range_flag", ["value"], ["range_flag"], {"lo": 1.0, "hi": 400.0}),
+        CalcSpec("step", "step_flag", ["value", "prev_value"], ["step_flag"], {"threshold": 350.0}),
+        CalcSpec("volts", "linear_convert", ["value"], ["volts"], {"scale": 0.01, "offset": 0.5}),
+        CalcSpec("temp", "polynomial", ["volts"], ["poly_temp"], {"coeffs": [0.002, 0.1, 1.0]}),
+        CalcSpec("combined", "combine_flags", ["range_flag", "step_flag"], ["combined_flags"]),
+    ]
+    out = REGISTRY.apply(e, specs)
+    return out.groupBy("event_type", "combined_flags").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("volts").alias("sum_volts"),
+        dsum("poly_temp").alias("sum_poly"),
+    )
+
+
+@query("calc_poly_fit")  # per-group numpy pinv -> rows-only; checked in tests/test_registry.py
+def calc_poly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (value ~ time) through the grouped kernel —
+    the nutnr_plant2023 shape (per-row pinv, multi-output;
+    reference: calculateFunctions.py:267-468)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "t_hours", (F.unix_millis("ts") - F.lit(1704067200000)) / 3600000.0
+    )
+    spec = CalcSpec("fit", "poly_fit", ["t_hours", "value"], [], {"group_cols": ["user_id"], "deg": 1})
+    return REGISTRY.apply(e, [spec])
+
+
+@query(
+    "f_string_parse",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source || '-' || lang || '-' || CAST(doc_id AS VARCHAR) AS ref_des FROM documents
+)
+SELECT doc_id, ref_des,
+       string_split(ref_des, '-')[1] AS site,
+       string_split(ref_des, '-')[2] AS node,
+       regexp_extract(ref_des, 'src([0-9]+)', 1) AS src_num
+FROM r
+""",
+)
+def f_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """refDes-style split/element_at/regexp_extract
+    (reference: refDes.split('-'), qaqc/dashboard.py:234)."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = F.concat_ws("-", F.col("source"), F.col("lang"), F.col("doc_id").cast("string"))
+    r = d.select("doc_id", ref.alias("ref_des"))
+    return r.select(
+        "doc_id",
+        "ref_des",
+        F.element_at(F.split("ref_des", "-"), 1).alias("site"),
+        F.element_at(F.split("ref_des", "-"), 2).alias("node"),
+        F.regexp_extract("ref_des", r"src([0-9]+)", 1).alias("src_num"),
+    )
+
+
+@query(
+    "f_json_extract",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(json_extract_string(props, '$.k')) AS n_with_k
+FROM events
+GROUP BY 1
+""",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (reference: annotation/qcConfig JSON parsing,
+    qaqc/dashboard.py:56, qartod.py:72-73)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
+
+
+@query(
+    "f_math_conversions",
+    oracle=f"""
+SELECT event_type,
+       {dsum_sql('SQRT(value)')} AS sum_sqrt,
+       {dsum_sql('LN(value + 1.0)')} AS sum_log,
+       {dsum_sql('value * 0.01')} AS sum_cm_to_m,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def f_math_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math conversion family (reference: thermistor log/exp conversions,
+    cm->m, counts->volts; calculateFunctions.py:513-616). sqrt is IEEE-exact;
+    log values are rounded per-row before the decimal sum."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        dsum(F.sqrt(F.col("value"))).alias("sum_sqrt"),
+        dsum(F.log(F.col("value") + 1.0)).alias("sum_log"),
+        dsum(F.col("value") * 0.01).alias("sum_cm_to_m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a13_bracket_midpoint",
+    oracle="""
+SELECT p_brand,
+       (MIN(p_retailprice) + MAX(p_retailprice)) / 2 AS midpoint,
+       COUNT(*) AS n
+FROM part GROUP BY 1
+""",
+)
+def a13_bracket_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracket midpoint (reference: climatology midpoints st.mean([lo,hi]),
+    qaqc/dashboard.py:93-97)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        ((F.min("p_retailprice") + F.max("p_retailprice")) / 2).alias("midpoint"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000 OR
+                   LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, ms,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(ms) - MIN(ms) AS duration_ms
+FROM sessions GROUP BY 1, 2
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running sum -> session ids (the batch
+    formulation; streaming uses session_window, streaming/windows.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    new_session = F.when(
+        (ms - F.lag(ms).over(w) > 1800000) | F.lag(ms).over(w).isNull(), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = e.withColumn("ms", ms).withColumn("new_session", new_session)
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+    )
+
+
+@query(
+    "streaming_tumbling_agg",
+    oracle="""
+SELECT CAST(to_timestamp(CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(CAST(FLOOR(EPOCH(ts) / 3600) * 3600 + 3600 AS BIGINT)) AS TIMESTAMP) AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window aggregation run through Spark's unified
+    API on a batch frame — byte-identical logic to the readStream version
+    (streaming/windows.py; watermark semantics tested in tests/test_streaming.py)."""
+    from rca_data_tools_spark.streaming.windows import streaming_tumbling_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return streaming_tumbling_agg(e, window_duration="1 hour")
+
+
+@query(
+    "a4_resample_interpolate",
+    oracle="""
+WITH samples AS (
+  SELECT user_id, ts, value, 0 AS is_grid, epoch_ms(ts) AS ms
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-14 00:00:00'
+    AND user_id < 20
+), grid AS (
+  SELECT u.user_id, g.gts AS ts, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid, epoch_ms(g.gts) AS ms
+  FROM (SELECT DISTINCT user_id FROM samples) u,
+       (SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                      TIMESTAMP '2024-01-11 23:00:00',
+                                      INTERVAL 1 HOUR)) AS gts) g
+), unioned AS (
+  SELECT * FROM samples UNION ALL SELECT * FROM grid
+), filled AS (
+  SELECT user_id, ts, ms, value, is_grid,
+    LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN value IS NOT NULL THEN ms END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    FIRST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN value IS NOT NULL THEN ms END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM unioned
+)
+SELECT user_id, ts AS grid_ts,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            WHEN next_t = prev_t THEN prev_v
+            ELSE prev_v + (next_v - prev_v) * ((ms - prev_t) / (next_t - prev_t))
+       END AS value
+FROM filled WHERE is_grid = 1
+""",
+)
+def a4_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample onto an hourly grid with linear interpolation (reference:
+    climatology resample('H').interpolate('linear'), qaqc/dashboard.py:141-148)
+    via the union+window formulation — one shuffle, no crossJoin of facts."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-14 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 20)
+    ).select("user_id", "ts", "value")
+    grid = time_grid(spark, "2024-01-10 00:00:00", "2024-01-12 00:00:00", 3600)
+    return resample_linear(e, grid, ["user_id"], "ts", "value")
+
+
+@query("w7_profile_regrid")  # np.interp kernel -> rows-only; checked vs SQL interp in tests
+def w7_profile_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-profile 1-D regridding via np.interp in applyInPandas (reference:
+    qaqc/dashboard.py:197-226). Here each (user_id, day) is a 'profile' and
+    hour-of-day is the depth axis."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        ((F.unix_millis("ts") % 86400000) / 3600000.0).alias("hour"),
+        "value",
+    )
+    grid = [float(h) for h in range(24)]
+    return profile_regrid(e, ["user_id", "day"], "hour", "value", grid)
+
+
+@query(
+    "w8_cell_aggregation",
+    oracle="""
+SELECT CAST(FLOOR(EPOCH(ts) / 21600) AS BIGINT) AS time_cell,
+       CAST(FLOOR(value / 50.0) AS BIGINT) AS value_cell,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS cell_mean
+FROM events
+GROUP BY 1, 2
+""",
+)
+def w8_cell_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D cell aggregation: bucketize (time x value) and aggregate per cell —
+    the engine-side equivalent of the scatter->grid interpolation surface
+    (reference: scipy.griddata over (time, depth), qaqc/dashboard.py:944-967;
+    exact barycentric interpolation stays in the viz layer)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("time_cell", F.floor(F.unix_timestamp("ts") / 21600).cast("long"))
+        .withColumn("value_cell", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("time_cell", "value_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).cast("double") / F.count("value")).alias(
+                "cell_mean"
+            ),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Calculation-registry checks: spec compilation, kernel dispatch, and the
+grouped least-squares kernel against numpy.polyfit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.operators.interpolate import profile_regrid
+from rca_data_tools_spark.plans.registry import REGISTRY, CalcSpec
+from rca_data_tools_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_column_kernels_compose(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, 500.0)], "id int, v double")
+    specs = [
+        CalcSpec("r", "range_flag", ["v"], ["rf"], {"lo": 1.0, "hi": 400.0}),
+        CalcSpec("c", "linear_convert", ["v"], ["volts"], {"scale": 2.0, "offset": 1.0}),
+        CalcSpec("p", "polynomial", ["volts"], ["poly"], {"coeffs": [1.0, 0.0]}),
+    ]
+    rows = {r.id: r for r in REGISTRY.apply(df, specs).collect()}
+    assert rows[1].rf == 1 and rows[2].rf == 9 and rows[3].rf == 3
+    assert rows[1].volts == 11.0 and rows[1].poly == 11.0
+    assert rows[2].volts is None
+
+
+def test_unknown_kernel_raises(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(KeyError, match="nope"):
+        REGISTRY.apply(df, [CalcSpec("x", "nope", [], ["y"])])
+
+
+def test_poly_fit_matches_numpy(spark):
+    e = load_table(spark, SF_CORRECTNESS, "events").withColumn(
+        "t_hours", (F.unix_millis("ts") - F.lit(1704067200000)) / 3600000.0
+    )
+    spec = CalcSpec("fit", "poly_fit", ["t_hours", "value"], [], {"group_cols": ["user_id"], "deg": 1})
+    got = {r.user_id: r for r in REGISTRY.apply(e, [spec]).collect()}
+    pdf = e.select("user_id", "t_hours", "value").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        coef = np.polyfit(grp.t_hours.to_numpy(), grp.value.to_numpy(), 1)
+        np.testing.assert_allclose(got[uid].coeffs, coef, rtol=1e-6)
+        assert got[uid].n_points == len(grp)
+
+
+def test_profile_regrid_matches_numpy(spark):
+    e = load_table(spark, SF_CORRECTNESS, "events").filter(F.col("user_id") < 5).select(
+        "user_id",
+        ((F.unix_millis("ts") % 86400000) / 3600000.0).alias("hour"),
+        "value",
+        F.to_date("ts").alias("day"),
+    )
+    grid = [float(h) for h in range(24)]
+    out = profile_regrid(e, ["user_id", "day"], "hour", "value", grid).toPandas()
+    src = e.toPandas()
+    grp = src[(src.user_id == 0)].sort_values("hour")
+    day = grp.day.iloc[0]
+    sel = out[(out.user_id == 0) & (out.day == day)].sort_values("hour")
+    gsrc = grp[grp.day == day].sort_values("hour")
+    expect = np.interp(grid, gsrc.hour.to_numpy(), gsrc.value.to_numpy(), left=np.nan, right=np.nan)
+    np.testing.assert_allclose(sel.value.to_numpy(), expect, rtol=1e-9, equal_nan=True)
