@@ -23,11 +23,19 @@ HEADLINE = [
     "q5_nation_revenue",
     "j4_climatology_flags",
     "j5_gross_range_flags",
+    "j1_asof_join",
     "qc_bitmask_decode",
     "a2_pivot_counts",
     "a3_windowed_mean",
     "w9_topk_per_group",
+    "w1_lag_step_flags",
+    "w4_lttb_decimation",
+    "sessionize_events",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "text_quality_scores",
+    "media_feature_extract",
 ]
 
 
@@ -37,17 +45,30 @@ def main() -> None:
     from rca_data_tools_spark.session import get_spark
 
     spark = get_spark("rca-bench")
-    # Warm the JVM + parquet footers with a trivial action.
+    # Warm the JVM, the Python UDF worker pool, and the Arrow path so the
+    # first timed query doesn't pay one-time process startup.
     spark.range(1).count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    warm = spark.range(8).select(F.col("id").cast("double").alias("x"))
+    warm.mapInPandas(lambda it: it, schema="x double").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: absorb cold-cache / GC jitter
+            # Queries that persist intermediates (minhash) must not distort
+            # the next measurement's memory budget.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -74,15 +74,31 @@ def lttb(
     ).drop("__rn", "__n")
 
     schema = strided.schema
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
-        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
-        y = pdf[value_col].to_numpy(dtype=np.float64)
-        idx = _lttb_indices(x, y, threshold)
-        return pdf.iloc[idx]
+    # mapInPandas over hash-partitioned, partition-sorted data: one pandas
+    # frame per PARTITION (not per group), so the Arrow/pandas construction
+    # cost amortizes over ~groups/partitions instead of paying per series —
+    # an order of magnitude faster when series are small and numerous.
+    prepared = strided.repartition(n_parts, *key_cols).sortWithinPartitions(*key_cols, ts_col)
 
-    return strided.groupBy(*key_cols).applyInPandas(_kernel, schema=schema)
+    def _kernel(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if pdf.empty:
+            return
+        outs = []
+        # Input is sorted by (keys, ts); groupby(sort=False) preserves it.
+        for _, g in pdf.groupby(key_cols, sort=False):
+            x = g[ts_col].astype("int64").to_numpy(dtype=np.float64)
+            y = g[value_col].to_numpy(dtype=np.float64)
+            idx = _lttb_indices(x, y, threshold)
+            outs.append(g.iloc[idx])
+        yield pd.concat(outs, ignore_index=True)
+
+    return prepared.mapInPandas(_kernel, schema=schema)
 
 
 def block_mean(

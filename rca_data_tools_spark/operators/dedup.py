@@ -23,29 +23,48 @@ from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.text import char_ngrams, normalize, tokens
 
-# MinHash family: K salted permutations, banded b x r for candidate generation.
+# MinHash family: K universal-hash permutations, banded b x r for candidates.
 MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
-
-
-def _salt(i: int) -> str:
-    return f"h{i:02d}|"
+MINHASH_P = 1_000_000_007
+# Fixed odd multipliers/offsets for the universal hash family
+# h_i(x) = (A[i]*x + B[i]) mod P over the md5-derived base value.
+MINHASH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393, 2869860233,
+             1540483477, 2654435769, 2166136261, 16777619, 3141592653, 2718281829,
+             1327217885, 2451336121, 1588635695, 3367900313]
+MINHASH_B = [982451653, 57885161, 715827883, 479001599, 100000007, 998244353,
+             805306457, 402653189, 201326611, 1610612741, 122949829, 976369,
+             27644437, 87178291, 479001629, 15485867]
 
 
 def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, shingle) rows — distinct char n-grams of normalized text."""
-    return docs.select(
-        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("sh")
-    ).distinct()
+    """(id, shingle) rows — distinct char n-grams of normalized text.
+
+    char_ngrams already dedupes within the row (array_distinct), so no
+    cross-row distinct — and therefore no shuffle — is needed here."""
+    return docs.select(F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("sh"))
+
+
+def shingle_base_hash(sh: Column | str) -> Column:
+    """One md5 per shingle -> 32-bit base value (mod P). The K permutations
+    derive from this arithmetically — 16x fewer digest computations than
+    salting md5 per permutation, identical replayability in SQL."""
+    c = F.col(sh) if isinstance(sh, str) else sh
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % MINHASH_P
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
-    """Per-doc MinHash signature: k columns h0..h{k-1}, each the lexicographic
-    min of a salted md5 over the doc's shingles. A salted md5 is a uniform
-    pseudo-permutation of shingle space, so min over it is a valid MinHash."""
-    aggs = [F.min(F.md5(F.concat(F.lit(_salt(i)), F.col("sh")))).alias(f"h{i}") for i in range(k)]
-    return sh.groupBy(id_col).agg(*aggs)
+    """Per-doc MinHash signature: k columns h0..h{k-1}, each
+    min_i((A_i*base + B_i) mod P) over the doc's shingles — a classic
+    universal-hash permutation family (Broder 1997)."""
+    base = shingle_base_hash("sh")
+    tagged = sh.withColumn("__base", base)
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("__base") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return tagged.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -102,13 +121,49 @@ def verify_jaccard(
     return out.select("id1", "id2", "jaccard")
 
 
-def minhash_dedup_pairs(
-    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, shingle_n: int = 5
+def estimate_filter(
+    cand: DataFrame, sig: DataFrame, id_col: str, min_estimate: float, k: int = MINHASH_K
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band -> verify."""
-    sh = shingle_table(docs, id_col, text_col, shingle_n)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    return verify_jaccard(cand, sh, id_col, threshold)
+    """Cheap candidate pruning: estimated Jaccard = fraction of agreeing
+    signature components. Banding over-generates on corpora with shared
+    boilerplate; this cuts the candidate set to near-final size before the
+    expensive exact verify, using only the (tiny) signature table."""
+    s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    s2 = sig.select(F.col(id_col).alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
+    return (
+        cand.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .withColumn("est", agree / F.lit(k))
+        .filter(F.col("est") >= min_estimate)
+        .select("id1", "id2")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 5,
+    est_margin: float = 0.25,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline:
+    shingle -> sign -> band -> estimate-filter -> exact verify.
+
+    The estimate filter keeps candidates with sig-estimated Jaccard >=
+    threshold - est_margin (at K=16 the estimate's std is ~0.12, so a 0.25
+    margin keeps true positives with overwhelming probability). The shingle
+    table feeds multiple branches, so it is persisted; the input is
+    repartitioned because document corpora often arrive as few large files
+    and shingling is CPU-bound.
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    sh = shingle_table(spread, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures(sh, id_col).persist()
+    cand = lsh_candidate_pairs(sig, id_col)
+    pruned = estimate_filter(cand, sig, id_col, max(0.0, threshold - est_margin))
+    return verify_jaccard(pruned, sh, id_col, threshold)
 
 
 # --- SimHash ---------------------------------------------------------------

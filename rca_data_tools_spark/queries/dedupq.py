@@ -10,10 +10,12 @@ from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.text import normalize, word_ngrams
 from rca_data_tools_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_BANDS,
     MINHASH_K,
+    MINHASH_P,
     MINHASH_ROWS,
-    _salt,
     minhash_dedup_pairs,
     simhash_fingerprints,
     simhash_neardup_pairs,
@@ -34,16 +36,25 @@ sh AS (
 
 
 def _minhash_oracle() -> str:
+    base = f"(CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % {MINHASH_P})"
     mins = ",\n         ".join(
-        f"MIN(md5('{_salt(i)}' || sh)) AS h{i}" for i in range(MINHASH_K)
+        f"MIN(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(MINHASH_K)
     )
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM sig".format(
             b=b,
-            concat=" || '|' || ".join(f"h{b * MINHASH_ROWS + j}" for j in range(MINHASH_ROWS)),
+            concat=" || '|' || ".join(
+                f"CAST(h{b * MINHASH_ROWS + j} AS VARCHAR)" for j in range(MINHASH_ROWS)
+            ),
         )
         for b in range(MINHASH_BANDS)
     )
+    agree = " + ".join(
+        f"(CASE WHEN g1.h{i} = g2.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+    )
+    K = MINHASH_K
+    min_est = 0.45
     return f"""
 WITH {_SHINGLES_CTE},
 sig AS (
@@ -58,10 +69,15 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
+pruned AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN sig g1 ON g1.doc_id = c.id1 JOIN sig g2 ON g2.doc_id = c.id2
+  WHERE ({agree}) / {K} >= {min_est}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.id1, c.id2, COUNT(*) AS n_inter
-  FROM cand c
+  FROM pruned c
   JOIN sh s1 ON s1.doc_id = c.id1
   JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
   GROUP BY 1, 2
@@ -93,10 +109,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(norm_text) semantics via the normalized string itself (the parquet
     scan prunes to the two needed columns).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Group on the md5 fingerprint, not the text: the shuffle carries 32-byte
+    # keys instead of full documents — the difference between shuffling 100 TB
+    # and shuffling ~30 GB of hashes at corpus scale.
     return (
-        d.withColumn("norm_text", normalize("text"))
-        .groupBy("norm_text")
+        d.withColumn("fp", F.md5(normalize("text")))
+        .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
         .select("doc_id", "group_size")
     )

@@ -114,12 +114,8 @@ def j3_profile_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: gridProfiles slicing, qaqc/dashboard.py:186-210). The
     interval table is broadcast; the fact scan never shuffles."""
     e = load_table(spark, sf_dir, "events")
-    profiles = spark.createDataFrame(
-        [(i, s, e_) for i, s, e_ in PROFILE_WINDOWS], "profile_id int, p_start string, p_end string"
-    ).select(
-        "profile_id",
-        F.col("p_start").cast("timestamp").alias("p_start"),
-        F.col("p_end").cast("timestamp").alias("p_end"),
+    profiles = spark.sql(
+        f"SELECT * FROM VALUES {_PROFILE_VALUES_SQL} AS t(profile_id, p_start, p_end)"
     )
     tagged = range_tag_join(e, profiles, "ts", "p_start", "p_end", "profile_id")
     return tagged.groupBy("profile_id", "event_type").agg(
@@ -154,12 +150,9 @@ def j7_annotation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotation-interval overlap with a plot window; NULL end = ongoing
     (reference: annoInRange, qaqc/dashboard.py:324-338)."""
     w_lo, w_hi = "2024-01-04 00:00:00", "2024-01-25 00:00:00"
-    annos = spark.createDataFrame(ANNOTATIONS, "anno_id int, begin_dt string, end_dt string, annotation string").select(
-        "anno_id",
-        F.col("begin_dt").cast("timestamp").alias("begin_dt"),
-        F.col("end_dt").cast("timestamp").alias("end_dt"),
-        "annotation",
-    )
+    annos = spark.sql(
+        f"SELECT * FROM VALUES {_ANNO_VALUES_SQL} AS t(anno_id, begin_dt, end_dt, annotation)"
+    ).select("anno_id", "begin_dt", F.col("end_dt").cast("timestamp").alias("end_dt"), "annotation")
     endc = F.coalesce(F.col("end_dt"), F.lit("9999-12-31 23:59:59").cast("timestamp"))
     return (
         annos.filter((F.col("begin_dt") < F.lit(w_hi).cast("timestamp")) & (endc > F.lit(w_lo).cast("timestamp")))

@@ -47,7 +47,11 @@ GROUP BY 1, 2
 def j5_gross_range_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast gross-range dimension join + span test + flag histogram."""
     e = load_table(spark, sf_dir, "events")
-    dim = spark.createDataFrame(GROSS_RANGE_ROWS, "event_type string, fail_lo double, fail_hi double, sus_lo double, sus_hi double")
+    # VALUES via SQL keeps the literal dim JVM-side (createDataFrame would
+    # spin up a Python RDD worker just to ship 5 rows).
+    dim = spark.sql(
+        f"SELECT * FROM VALUES {_GR_VALUES_SQL} AS t(event_type, fail_lo, fail_hi, sus_lo, sus_hi)"
+    )
     flagged = gross_range_flags(e, dim, value_col="value", join_keys=["event_type"])
     return flagged.groupBy("event_type", "gross_range_flag").agg(F.count(F.lit(1)).alias("n"))
 

@@ -11,11 +11,11 @@ from rca_data_tools_spark.operators.similarity import brute_force_topk, dec_cosi
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
-# DuckDB-side deterministic dot: per-element float*float is exact in double;
-# decimal list_sum is order-free.
+# DuckDB-side deterministic dot: sequential left fold over doubles, matching
+# Spark's F.aggregate fold order bit-for-bit (IEEE adds, same operand order).
 _DOT = (
-    "CAST(list_sum([CAST(ROUND(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE),12) AS DECIMAL(38,12)) "
-    "FOR x IN list_zip({a}, {b})]) AS DOUBLE)"
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) FOR x IN list_zip({a}, {b})]), (s, x) -> s + x)"
 )
 
 
@@ -109,8 +109,8 @@ def a8_k_of_n_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT vec_id,
-         CAST(list_sum([CAST(ROUND(CAST(x AS DOUBLE), 12) AS DECIMAL(38,12)) FOR x IN embedding]) AS DOUBLE) AS sx,
-         CAST(list_sum([CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE), 12) AS DECIMAL(38,12)) FOR x IN embedding]) AS DOUBLE) AS sxx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST(x AS DOUBLE) FOR x IN embedding]), (s, x) -> s + x) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]), (s, x) -> s + x) AS sxx,
          len(embedding) AS n
   FROM embeddings
 )
@@ -120,14 +120,11 @@ FROM s
 )
 def a9_row_stddev_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row stddev over an array column (reference: PHSEN flat-signal test,
-    calculateFunctions.py:937-947), deterministic decimal-moment form."""
+    calculateFunctions.py:937-947); sequential-fold moments match the oracle
+    bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings")
     arr = to_double_array("embedding")
-    dec = lambda c: F.aggregate(  # noqa: E731
-        c,
-        F.lit(0).cast("decimal(20,12)"),
-        lambda a, x: (a + F.round(x, 12).cast("decimal(20,12)")).cast("decimal(20,12)"),
-    ).cast("double")
+    dec = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
     sx = dec(arr)
     sxx = dec(F.transform(arr, lambda x: x * x))
     n = F.size(arr)
