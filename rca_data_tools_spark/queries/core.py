@@ -246,3 +246,125 @@ def w9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "value")
     )
+
+
+# --- P7: fixed-band extraction ---------------------------------------------
+
+@query(
+    "p7_band_extraction",
+    oracle="""
+SELECT CAST(FLOOR(value / 0.5) AS BIGINT) AS band, COUNT(*) AS n,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM events
+WHERE value >= 10.0 AND value < 20.0
+GROUP BY 1
+""",
+)
+def p7_band_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width band extraction (reference: depth-band series
+    d < press < d+0.5 per configured depth, qaqc/plots.py:340-353) via
+    floor-bucketing — one scan for every band at once instead of one
+    filter per depth."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") >= 10.0) & (F.col("value") < 20.0))
+        .groupBy(F.floor(F.col("value") / 0.5).cast("long").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+    )
+
+
+# --- P10: set-membership filter --------------------------------------------
+
+@query(
+    "p10_isin_filter",
+    oracle="""
+SELECT event_type, user_id, COUNT(*) AS n
+FROM events
+WHERE event_type NOT IN ('error', 'signup')
+GROUP BY 1, 2
+""",
+)
+def p10_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-type style isin filter (reference: skip dark frames SDB/SDF/NDF,
+    advanced_qaqc/calculateFunctions.py:418-420)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(~F.col("event_type").isin("error", "signup"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- J6: multi-way equi-join on time bucket --------------------------------
+
+@query(
+    "j6_multiway_time_join",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hb, {davg_sql('value')} AS click_avg
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), v AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hb, {davg_sql('value')} AS view_avg
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), p AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hb, {davg_sql('value')} AS purchase_avg
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT c.hb AS hour_bucket, click_avg, view_avg, purchase_avg
+FROM c JOIN v ON c.hb = v.hb JOIN p ON c.hb = p.hb
+""",
+)
+def j6_multiway_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join on the time axis (reference: decimated per-variable
+    frames merged back with reduce(pd.merge(on='time')), qaqc/decimate.py:
+    224-226). Each branch aggregates to the hour, then joins on the bucket —
+    all three branches share one underlying scan and the join keys are
+    identically partitioned, so AQE collapses the exchanges."""
+    e = load_table(spark, sf_dir, "events")
+    hb = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hb")
+
+    def branch(etype: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy(hb)
+            .agg(davg("value").alias(out))
+        )
+
+    c = branch("click", "click_avg")
+    v = branch("view", "view_avg")
+    p = branch("purchase", "purchase_avg")
+    return (
+        c.join(v, "hb").join(p, "hb")
+        .select(F.col("hb").alias("hour_bucket"), "click_avg", "view_avg", "purchase_avg")
+    )
+
+
+# --- E2: union + distinct --------------------------------------------------
+
+@query(
+    "e2_union_distinct",
+    oracle="""
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+  UNION
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+)
+""",
+)
+def e2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + dedupe of pre/post window key sets (reference: pre/post-deploy
+    week keys, qaqc/dashboard.py:1383-1387)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def week(lo: str, hi: str) -> DataFrame:
+        return (
+            e.filter((F.col("ts") >= F.lit(lo).cast("timestamp")) & (F.col("ts") < F.lit(hi).cast("timestamp")))
+            .select("user_id")
+            .distinct()
+        )
+
+    return week("2024-01-01 00:00:00", "2024-01-08 00:00:00").union(
+        week("2024-01-22 00:00:00", "2024-01-29 00:00:00")
+    ).distinct()

@@ -130,3 +130,25 @@ def a9_row_stddev_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(arr)
     row_std = F.round(F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))), 6)
     return e.select("vec_id", row_std.alias("row_std"))
+
+
+@query(
+    "a7_array_median",
+    oracle="""
+SELECT vec_id,
+       CAST(list_sort(embedding)[32] AS DOUBLE) AS median_lo,
+       CAST(list_sort(embedding)[33] AS DOUBLE) AS median_hi
+FROM embeddings
+""",
+)
+def a7_array_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median over a fixed-size array (reference: np.nanmedian of wavelength
+    windows, calculateFunctions.py:764-774): sort the array and take the
+    middle elements — exact, JVM-side, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sorted_arr = F.array_sort("embedding")
+    return e.select(
+        "vec_id",
+        F.element_at(sorted_arr, 32).cast("double").alias("median_lo"),
+        F.element_at(sorted_arr, 33).cast("double").alias("median_hi"),
+    )

@@ -1,0 +1,79 @@
+"""Sinks and output lifecycle.
+
+The reference's sink layer is PNG/CSV/JSON files synced to S3 with an
+anti-entropy pass that deletes objects that were present before but not
+regenerated (rca_data_tools/qaqc/plots.py:438-560, qaqc/index.py:20-51).
+Engine-side that maps to:
+
+- partitioned parquet/csv/json writes with overwrite-partition semantics
+  (the incremental-refresh pattern of SURVEY §2.9: each run regenerates one
+  (site, span) partition without touching the rest);
+- a stale-output reconciliation that diffs the previous key listing against
+  the freshly produced keys with a left-anti join (S15);
+- a JSON index sink over a file-listing DataFrame (S13).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", dynamic: bool = True
+) -> None:
+    """Overwrite-partition write: only the partitions present in ``df`` are
+    replaced (dynamic partition overwrite), the at-scale equivalent of the
+    reference's regenerate-one-window refresh."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def stale_outputs(existing: DataFrame, produced: DataFrame, key_col: str = "key") -> DataFrame:
+    """Keys present before but not regenerated — the delete set of the
+    anti-entropy pass (reference: set difference, qaqc/plots.py:467-511).
+    Left-anti join, so it scales to arbitrarily large listings."""
+    return existing.join(produced, key_col, "left_anti")
+
+
+def reconcile_outputs(
+    spark: SparkSession, out_dir: str, produced_keys: DataFrame, key_col: str = "key"
+) -> list[str]:
+    """Delete files under ``out_dir`` whose relative path is not in
+    ``produced_keys``. Returns the deleted keys (driver-side: listings are
+    metadata, not data — they fit)."""
+    listing = []
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            listing.append(os.path.relpath(os.path.join(root, f), out_dir))
+    if not listing:
+        return []
+    existing = spark.createDataFrame([(k,) for k in listing], f"{key_col} string")
+    stale = [r[key_col] for r in stale_outputs(existing, produced_keys, key_col).collect()]
+    for k in stale:
+        os.remove(os.path.join(out_dir, k))
+    return sorted(stale)
+
+
+def write_index_json(df: DataFrame, path: str) -> None:
+    """JSON index sink over a listing DataFrame (reference: qaqc/index.py:20-51)."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def file_listing(spark: SparkSession, base_dir: str, extensions: tuple[str, ...] = ()) -> DataFrame:
+    """Directory listing as a DataFrame (the input shape of S13/S15)."""
+    rows = []
+    for root, _dirs, files in os.walk(base_dir):
+        for f in files:
+            if not extensions or f.endswith(extensions):
+                full = os.path.join(root, f)
+                rows.append((os.path.relpath(full, base_dir), os.path.getsize(full)))
+    return spark.createDataFrame(rows or [], "key string, size bigint")
