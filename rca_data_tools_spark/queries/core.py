@@ -146,12 +146,14 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00
 def p2_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window predicate (reference: ds.sel(time=slice(...)),
     qaqc/dashboard.py:576). On a date-partitioned layout this prunes
-    partitions; here it pushes down to the parquet row groups."""
-    e = load_table(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-17 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    partitions; here it pushes down to the parquet row groups. Bounds are
+    passed to load_table so they land on the raw scan column (the stored
+    nanos long), not on the rebuilt timestamp where pushdown is impossible."""
+    e = load_table(
+        spark, sf_dir, "events",
+        time_filters={"ts": ("2024-01-10 00:00:00", "2024-01-17 00:00:00")},
+    )
+    return e.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 # --- P4/P5: value predicate + null handling --------------------------------
@@ -355,12 +357,12 @@ SELECT user_id FROM (
 )
 def e2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union + dedupe of pre/post window key sets (reference: pre/post-deploy
-    week keys, qaqc/dashboard.py:1383-1387)."""
-    e = load_table(spark, sf_dir, "events")
+    week keys, qaqc/dashboard.py:1383-1387). Each week's bounds push down to
+    the scan via load_table's raw-column time filter."""
 
     def week(lo: str, hi: str) -> DataFrame:
         return (
-            e.filter((F.col("ts") >= F.lit(lo).cast("timestamp")) & (F.col("ts") < F.lit(hi).cast("timestamp")))
+            load_table(spark, sf_dir, "events", time_filters={"ts": (lo, hi)})
             .select("user_id")
             .distinct()
         )

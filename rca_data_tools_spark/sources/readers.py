@@ -52,7 +52,12 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    time_filters: dict | None = None,
+) -> DataFrame:
     """Load one table from a scale-factor directory.
 
     Accepts either ``<sf_dir>/<name>.parquet`` (single file, the test corpus)
@@ -62,6 +67,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are read as epoch-nanos longs via the legacy conf and rebuilt as
     microsecond timestamps with integer division — no precision loss, and the
     cast happens inside codegen, so scan speed is unaffected.
+
+    ``time_filters`` maps column name → ``(lo, hi)`` timestamp strings (either
+    bound may be ``None``), selecting the half-open window ``[lo, hi)``.
+    Passing the bounds here instead of filtering the returned frame matters at
+    scale: a filter written against the *rebuilt* timestamp column sits above
+    a Project and can never reach the parquet scan, but here the bounds are
+    translated to epoch-nanos literals and applied to the raw int64 column, so
+    they arrive as ``PushedFilters`` and prune row groups (and, on a
+    date-partitioned layout, whole partitions). For native-timestamp columns
+    the filter is applied directly and pushes down as-is.
     """
     from pyspark.sql import functions as F
 
@@ -69,10 +84,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
     nanos = _nanos_timestamp_cols(path)
-    if not nanos:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+
+    for col, (lo, hi) in (time_filters or {}).items():
+        if col in nanos:
+            # Foldable expression: constant-folds to a long literal before
+            # predicate pushdown, matching Spark's own literal→timestamp
+            # semantics (session timezone) exactly.
+            def bound(s):
+                return F.unix_micros(F.lit(s).cast("timestamp")) * F.lit(1000)
+
+        else:
+            def bound(s):
+                return F.lit(s).cast("timestamp")
+
+        if lo is not None:
+            df = df.filter(F.col(col) >= bound(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) < bound(hi))
+
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
