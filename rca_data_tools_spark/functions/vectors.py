@@ -67,3 +67,17 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     num = (av * bv).sum(axis=1)
     den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
     return pd.Series(num / den)
+
+
+def array_pop_std_exact(a: Column) -> Column:
+    """Population std via sqrt(E[x^2] - E[x]^2) for integer-valued arrays.
+
+    Both partial sums are integer-exact in doubles (< 2^53), so any engine
+    computes bit-identical results regardless of its fold order — the form
+    the DuckDB oracles replay. For float arrays prefer array_stddev (the
+    two-pass form is numerically safer there)."""
+    n = F.size(a).cast("double")
+    s = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+    ss = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    mean = s / n
+    return F.sqrt(ss / n - mean * mean)
