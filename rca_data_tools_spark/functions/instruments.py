@@ -342,3 +342,86 @@ for _key, _fn in {
     "opt_pressure": opt_pressure,
 }.items():
     REGISTRY.register_column(_key)(_fn)
+
+
+# --- OPTAA optical products — calculateFunctions.py:622-791 ----------------
+
+def _median3(vals: list[Column]) -> Column:
+    """Median of an up-to-3-element window: sort and take the middle
+    (reference: np.nanmedian over win3 index windows,
+    calculateFunctions.py:709-711, 764-774)."""
+    arr = F.sort_array(F.array(*vals))
+    n = len(vals)
+    if n == 3:
+        return F.element_at(arr, 2)
+    if n == 2:
+        return (F.element_at(arr, 1) + F.element_at(arr, 2)) / 2.0
+    return F.element_at(arr, 1)
+
+
+def nearest_index(grid: list[float], target: float) -> int:
+    """Index of the grid wavelength nearest to target — computed at plan
+    time from the (config-sized) wavelength grid, exactly like the
+    reference's argmin over the cal table (calculateFunctions.py:678-689)."""
+    return min(range(len(grid)), key=lambda i: abs(grid[i] - target))
+
+
+def _win3(i: int, n: int) -> list[int]:
+    return list(range(max(i - 1, 0), min(i + 2, n)))
+
+
+def opt_all_optical_products(
+    absorption: Column,
+    attenuation: Column,
+    wl_a: list[float],
+    aw: list[float],
+    cw: list[float],
+    chl_line_height: float = 0.020,
+) -> dict[str, Column]:
+    """Six optical products from per-row absorption/attenuation spectra
+    (reference: opt_calculate_all_optical_products,
+    calculateFunctions.py:622-791): four pigment ratios against chlorophyll
+    absorption at 440 nm, chlorophyll-a via the 676 nm line height over the
+    650-715 nm baseline, and POC from attenuation at 660 nm (x 381).
+
+    The wavelength grids are calibration config (hundreds of floats), so the
+    nearest-index searches happen at plan time and every product compiles to
+    element_at/sort_array expressions — the reference's chunked loop with
+    manual gc (time_chunk=1e6, :728-778) becomes ordinary partitioned scan
+    execution with nothing to tune. Zero-valued a440 yields NULL ratios
+    (reference: np.where(a440 != 0, ..., nan))."""
+    m412 = nearest_index(wl_a, 412.0)
+    m440 = nearest_index(wl_a, 440.0)
+    m490 = nearest_index(wl_a, 490.0)
+    m530 = nearest_index(wl_a, 530.0)
+    m676r = nearest_index(wl_a, 676.0)
+    m650 = nearest_index(aw, 650.0)
+    m676 = nearest_index(aw, 676.0)
+    m715 = nearest_index(aw, 715.0)
+    m660 = nearest_index(cw, 660.0)
+
+    def a_at(i0: int) -> Column:
+        return F.element_at(absorption, i0 + 1)
+
+    a440 = a_at(m440)
+
+    def ratio(num: Column) -> Column:
+        return F.when(a440 != 0, num / a440)
+
+    a650 = _median3([a_at(i) for i in _win3(m650, len(aw))])
+    a676 = _median3([a_at(i) for i in _win3(m676, len(aw))])
+    a715 = _median3([a_at(i) for i in _win3(m715, len(aw))])
+    abl = ((a715 - a650) / (715 - 650)) * (676 - 650) + a650
+    att660 = _median3([F.element_at(attenuation, i + 1) for i in _win3(m660, len(cw))])
+
+    return {
+        "ratio_cdom": ratio(a_at(m412)),
+        "ratio_carotenoids": ratio(a_at(m490)),
+        "ratio_phycobilins": ratio(a_at(m530)),
+        "ratio_qband": ratio(a_at(m676r)),
+        "estimated_chlorophyll": (a676 - abl) / chl_line_height,
+        "estimated_poc": att660 * 381,
+    }
+
+
+REGISTRY.register_column("opt_optical_products")(opt_all_optical_products)

@@ -421,3 +421,120 @@ def instr_sidelobe_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_length_cm_mean=(F.col("event_id") % 500).cast("double"),
     )
     return e.groupBy("user_id").agg(dsum(z).alias("sum_z_ic"), F.count(F.lit(1)).alias("n"))
+
+
+# --- OPTAA optical products & NUTNR nitrate fit ----------------------------
+
+# Synthetic calibration grids (config data): wl_a/aw index the absorption
+# array, cw indexes attenuation — mirroring CC_awlngth/CC_cwlngth cal tables.
+_WL_A = [400.0 + 3.5 * j for j in range(92)]
+_CW = [400.0 + 4.0 * j for j in range(80)]
+
+
+def _opt_oracle() -> str:
+    from rca_data_tools_spark.functions.instruments import _win3, nearest_index
+
+    m = {t: nearest_index(_WL_A, t) for t in (412.0, 440.0, 490.0, 530.0, 676.0)}
+    w650 = _win3(nearest_index(_WL_A, 650.0), len(_WL_A))
+    w676 = _win3(nearest_index(_WL_A, 676.0), len(_WL_A))
+    w715 = _win3(nearest_index(_WL_A, 715.0), len(_WL_A))
+    w660 = _win3(nearest_index(_CW, 660.0), len(_CW))
+
+    def med(arr: str, idxs: list[int]) -> str:
+        elems = ", ".join(f"{arr}[{i + 1}]" for i in idxs)
+        return f"list_sort([{elems}])[2]"
+
+    a = {k: f"light[{v + 1}]" for k, v in m.items()}
+    return f"""
+WITH derived AS (
+  SELECT event_type,
+         list_transform(generate_series(0, 91), j -> ((event_id * (j + 7)) % 1000) / 250.0) AS light,
+         list_transform(generate_series(0, 79), j -> ((event_id * (j + 11)) % 1000) / 200.0) AS att
+  FROM events
+), prods AS (
+  SELECT event_type,
+         CASE WHEN {a[440.0]} != 0 THEN {a[412.0]} / {a[440.0]} END AS ratio_cdom,
+         CASE WHEN {a[440.0]} != 0 THEN {a[490.0]} / {a[440.0]} END AS ratio_carotenoids,
+         CASE WHEN {a[440.0]} != 0 THEN {a[530.0]} / {a[440.0]} END AS ratio_phycobilins,
+         CASE WHEN {a[440.0]} != 0 THEN {a[676.0]} / {a[440.0]} END AS ratio_qband,
+         ({med('light', w676)} - ((({med('light', w715)} - {med('light', w650)}) / 65) * 26 + {med('light', w650)})) / 0.02 AS estimated_chlorophyll,
+         {med('att', w660)} * 381 AS estimated_poc
+  FROM derived
+)
+SELECT event_type,
+       {dsum_sql('ratio_cdom')} AS sum_cdom,
+       {dsum_sql('ratio_carotenoids')} AS sum_carot,
+       {dsum_sql('ratio_phycobilins')} AS sum_phyco,
+       {dsum_sql('ratio_qband')} AS sum_qband,
+       {dsum_sql('estimated_chlorophyll')} AS sum_chl,
+       {dsum_sql('estimated_poc')} AS sum_poc,
+       COUNT(*) AS n
+FROM prods GROUP BY 1
+"""
+
+
+@query("instr_optical_products", oracle=_opt_oracle())
+def instr_optical_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTAA pigment ratios, chlorophyll line height and POC as pure Column
+    array math — the reference's chunked-with-gc loop becomes a plain
+    partitioned projection (reference: opt_calculate_all_optical_products,
+    calculateFunctions.py:622-791)."""
+    from rca_data_tools_spark.functions.instruments import opt_all_optical_products
+
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    light = F.transform(F.sequence(F.lit(0), F.lit(91)), lambda j: ((eid * (j + 7)) % 1000) / 250.0)
+    att = F.transform(F.sequence(F.lit(0), F.lit(79)), lambda j: ((eid * (j + 11)) % 1000) / 200.0)
+    d = e.select("event_type", light.alias("light"), att.alias("att"))
+    prods = opt_all_optical_products(
+        F.col("light"), F.col("att"), wl_a=_WL_A, aw=_WL_A, cw=_CW
+    )
+    p = d.select("event_type", *[c.alias(k) for k, c in prods.items()])
+    return p.groupBy("event_type").agg(
+        dsum("ratio_cdom").alias("sum_cdom"),
+        dsum("ratio_carotenoids").alias("sum_carot"),
+        dsum("ratio_phycobilins").alias("sum_phyco"),
+        dsum("ratio_qband").alias("sum_qband"),
+        dsum("estimated_chlorophyll").alias("sum_chl"),
+        dsum("estimated_poc").alias("sum_poc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# NUTNR synthetic calibration (config data; 40 channels, fit window 217-240).
+NUTNR_CAL = {
+    "wl": [210.0 + j for j in range(40)],
+    "eno3": [0.01 + 0.001 * j for j in range(40)],
+    "eswa": [0.005 + 0.0005 * j for j in range(40)],
+    "di": [50000.0 - 100.0 * j for j in range(40)],
+    "cal_temp": 20.0,
+    "wllower": 217.0,
+    "wlupper": 240.0,
+}
+
+
+@query("calc_nutnr_nitrate")  # per-row least squares -> rows-only; truth in tests/test_spectra.py
+def calc_nutnr_nitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS-corrected nitrate (Sakamoto 2009 / Plant 2023): bromide-component
+    subtraction + 3-term spectral least squares, vectorized to one matmul per
+    Arrow batch (reference: nutnr_plant2023, calculateFunctions.py:267-468;
+    dark frames SDB/SDF/NDF -> NaN, :418-420)."""
+    from rca_data_tools_spark.operators.spectra import nitrate_ts_corrected
+
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    d = e.select(
+        "event_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: (20000 + ((eid * (j + 3)) % 30000)).cast("double"),
+        ).alias("spectral_channels"),
+        (eid % 1000).cast("double").alias("dark_value"),
+        (F.col("value") / 20.0).alias("ctd_t"),
+        (30.0 + F.col("value") / 100.0).alias("ctd_sp"),
+        F.when(F.col("event_type") == "error", "SDB").otherwise("SLB").alias("frame_type"),
+    )
+    out = nitrate_ts_corrected(
+        d, "spectral_channels", "dark_value", "ctd_t", "ctd_sp", "frame_type", **NUTNR_CAL
+    )
+    return out.select("event_id", "dissolved_nitrate", "nutnr_fitting_function", "nutnr_rmse")

@@ -1,0 +1,50 @@
+"""Truth test for the vectorized nitrate spectral fit: the mapInPandas kernel
+(one pinv + batch matmul) must reproduce a straight per-row transcription of
+the reference loop (calculateFunctions.py:425-460) to float precision."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from rca_data_tools_spark.queries import QUERIES
+from rca_data_tools_spark.queries.instrq import NUTNR_CAL
+from rca_data_tools_spark.operators.spectra import nitrate_reference_rowloop
+from tests.conftest import SF_SMOKE
+
+
+def test_nitrate_matches_rowloop_reference(spark):
+    import duckdb
+
+    out = (
+        QUERIES["calc_nutnr_nitrate"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    e = duckdb.sql(f"select * from '{SF_SMOKE}/events.parquet' order by event_id").df()
+    pdf = pd.DataFrame(
+        {
+            "event_id": e.event_id,
+            "spectral_channels": [
+                [float(20000 + (i * (j + 3)) % 30000) for j in range(40)] for i in e.event_id
+            ],
+            "dark_value": (e.event_id % 1000).astype(float),
+            "ctd_t": e.value / 20.0,
+            "ctd_sp": 30.0 + e.value / 100.0,
+            "frame_type": np.where(e.event_type == "error", "SDB", "SLB"),
+        }
+    )
+    truth = nitrate_reference_rowloop(
+        pdf, "spectral_channels", "dark_value", "ctd_t", "ctd_sp", "frame_type", **NUTNR_CAL
+    )
+    m = out.merge(
+        truth[["event_id", "dissolved_nitrate", "nutnr_rmse"]], on="event_id", suffixes=("", "_t")
+    )
+    assert len(m) == len(e)
+    # dark frames -> NaN on both sides
+    assert (m.dissolved_nitrate.isna() == m.dissolved_nitrate_t.isna()).all()
+    assert np.allclose(m.dissolved_nitrate, m.dissolved_nitrate_t, rtol=1e-9, equal_nan=True)
+    assert np.allclose(m.nutnr_rmse, m.nutnr_rmse_t, rtol=1e-9, equal_nan=True)
+    # fit coefficients: 3 per row
+    assert out.nutnr_fitting_function.map(len).eq(3).all()
