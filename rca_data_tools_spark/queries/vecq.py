@@ -152,3 +152,52 @@ def a7_array_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(sorted_arr, 32).cast("double").alias("median_lo"),
         F.element_at(sorted_arr, 33).cast("double").alias("median_hi"),
     )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(vec_id / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id % 29 = 0 AND vec_id < 29 * 16
+), lists AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM embeddings e, cents c
+  ) WHERE r = 1
+), q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM q, cents c
+  ) WHERE r <= 4
+), scored AS (
+  SELECT p.q_id, l.vec_id, ROUND({_cos_sql('p.q_vec', 'l.embedding')}, 6) AS cos_sim
+  FROM lists l JOIN probes p ON l.cid = p.cid
+  WHERE p.q_id <> l.vec_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse quantizer (16 lists),
+    nprobe=4 probed lists per query, exact re-rank within candidates — the
+    classic inverted-file ANN scale path (Jegou et al. 2011), here with a
+    closed-form seed rule so the whole index replays in the oracle."""
+    from rca_data_tools_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, n_lists=16, stride=29, nprobe=4
+    ).select("q_id", "vec_id", "cos_sim", "rank")

@@ -95,3 +95,17 @@ def test_lsh_topk_recall(spark):
         assert qid != nid
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall too low: {recall}"
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF candidates come only from probed lists; recall against brute force
+    is data-dependent (random vectors cluster poorly) but must stay well
+    above the random-candidate floor, and every query gets exactly k rows."""
+    from rca_data_tools_spark.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS
+
+    ivf = QUERIES["ann_ivf_topk"](spark, SF_CORRECTNESS).toPandas()
+    bf = QUERIES["ann_topk_cosine"](spark, SF_CORRECTNESS).toPandas()
+    assert ivf.groupby("q_id").size().eq(5).all()
+    recall = len(set(zip(ivf.q_id, ivf.vec_id)) & set(zip(bf.q_id, bf.vec_id))) / len(bf)
+    assert recall >= 0.3, recall
