@@ -75,3 +75,52 @@ def test_streaming_sessionization_runs(spark, tmp_path):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2
+
+
+def test_streaming_stateful_step_flags(spark, tmp_path):
+    """The applyInPandasWithState step test must equal the batch lag-window
+    formulation even when the data arrives split across micro-batches — i.e.
+    the previous value genuinely survives in GroupState."""
+    import time
+
+    from pyspark.sql.window import Window
+
+    from rca_data_tools_spark.streaming.stateful import streaming_step_flags
+
+    e = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+    )
+    pdf = e.toPandas()
+    src = tmp_path / "step_src"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i, chunk in enumerate([pdf[:third], pdf[third : 2 * third], pdf[2 * third :]]):
+        chunk.to_parquet(
+            str(src / f"part-{i}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    got_df = run_stream_to_memory(
+        spark,
+        str(src),
+        EVENTS_SCHEMA,
+        lambda s: streaming_step_flags(s, threshold=100.0),
+        query_name="t_step_flags",
+        output_mode="update",
+    )
+    got = {(r.user_id, r.ts, r.step_flag) for r in got_df.collect()}
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    batch = e.withColumn(
+        "step_flag",
+        F.when(prev.isNull(), 1).when(F.abs(F.col("value") - prev) > 100.0, 3).otherwise(1),
+    )
+    expect = {(r.user_id, r.ts, r.step_flag) for r in batch.collect()}
+    assert got == expect
+    assert any(f == 3 for _, _, f in got)  # the threshold actually fires
