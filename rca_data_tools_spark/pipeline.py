@@ -1,0 +1,144 @@
+"""Per-(site, span) QA/QC job lifecycle — the engine's equivalent of the
+reference's main entry point.
+
+Reference lifecycle (SURVEY §3.1; rca_data_tools/qaqc/pipeline.py:36-170,
+plots.py:113-435): resolve the site row from the config catalog, validate the
+span, compute the time window (fixed spans 1/7/30/365 days or ±15 d around
+the latest deployment — constants.py:26-32, dashboard.py:559-573), then scan
+-> prune -> decode QC -> flag -> decimate -> render/sink, with an
+anti-entropy pass deleting stale outputs.
+
+Here the same lifecycle is one declarative plan per job: the window lands on
+the scan as a pushed filter (partition pruning on a date-partitioned layout),
+config rows become broadcast dims, and the sink is a dynamic
+overwrite-partition write keyed by (site, span) — the at-scale form of
+"regenerate this window's outputs". Prefect/ECS fan-out (pipeline.py:137-192)
+maps to submitting one job per (site, span); inside a Spark app they are just
+independent plans that can run concurrently on the same session.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.operators.decimate import lttb
+from rca_data_tools_spark.operators.flagging import gross_range_flags
+from rca_data_tools_spark.functions.qc import rollup_flags
+from rca_data_tools_spark.sources.readers import load_table
+from rca_data_tools_spark.sources.sinks import write_partitioned
+
+# Reference span set (qaqc/constants.py:26-32): plot-window length in days;
+# "deploy" is ±15 days around the most recent deployment start.
+SPAN_DAYS = {"day": 1, "week": 7, "month": 30, "year": 365}
+DEPLOY_HALF_WINDOW_DAYS = 15
+# Reference decimation default (qaqc/pipeline.py:41): points per series
+# above which LTTB kicks in.
+DEFAULT_THRESHOLD = 5_000_000
+
+
+@dataclass
+class QAQCJobSpec:
+    """One (site, span) job — the engine's `flow_parameters`
+    (reference: qaqc/pipeline.py:119-134)."""
+
+    site: str  # instrument / series identity, e.g. a refDes
+    span: str  # 'day' | 'week' | 'month' | 'year' | 'deploy'
+    table: str  # fact table name in the sf_dir
+    key_col: str  # series key column (site at scale; user_id in the corpus)
+    ts_col: str
+    value_col: str
+    window_end: str  # anchor timestamp "YYYY-MM-DD HH:MM:SS" (now() in prod)
+    threshold: int = DEFAULT_THRESHOLD
+    extra_cols: list[str] = field(default_factory=list)
+
+
+def span_window(spec: QAQCJobSpec, deploy_start: str | None = None) -> tuple[str, str]:
+    """Resolve the job's [start, end) window. Fixed spans count back from the
+    anchor; 'deploy' brackets the latest deployment start ±15 d
+    (reference: qaqc/dashboard.py:559-573)."""
+    import datetime as dt
+
+    end = dt.datetime.fromisoformat(spec.window_end)
+    if spec.span == "deploy":
+        if deploy_start is None:
+            raise ValueError("deploy span needs the latest deployment start")
+        anchor = dt.datetime.fromisoformat(deploy_start)
+        lo = anchor - dt.timedelta(days=DEPLOY_HALF_WINDOW_DAYS)
+        hi = min(anchor + dt.timedelta(days=DEPLOY_HALF_WINDOW_DAYS), end)
+    else:
+        days = SPAN_DAYS[spec.span]
+        lo, hi = end - dt.timedelta(days=days), end
+    fmt = "%Y-%m-%d %H:%M:%S"
+    return lo.strftime(fmt), hi.strftime(fmt)
+
+
+def latest_deploy_start(deployments: DataFrame, site: str) -> str | None:
+    """Most recent deployment start for a site (reference: desc-sorted
+    history, top-1 — qaqc/dashboard.py:242-246,563)."""
+    row = (
+        deployments.filter(F.col("site") == site)
+        .orderBy(F.col("start").desc())
+        .limit(1)
+        .collect()
+    )
+    return None if not row else row[0]["start"].strftime("%Y-%m-%d %H:%M:%S")
+
+
+def run_qaqc_job(
+    spark: SparkSession,
+    sf_dir: str,
+    spec: QAQCJobSpec,
+    gross_range_dim: DataFrame,
+    out_dir: str | None = None,
+    deploy_start: str | None = None,
+) -> DataFrame:
+    """Execute one job: windowed scan (pushed-down bounds) -> gross-range
+    flags (broadcast dim) -> summary rollup -> LTTB decimation -> optional
+    partitioned sink.
+
+    Returns the decimated, flagged frame; when ``out_dir`` is given it is
+    also written with dynamic partition overwrite under (site, span), so
+    re-running a window replaces exactly that window's output — the
+    reference's regenerate-and-delete-stale contract (qaqc/plots.py:467-511)
+    without an explicit delete pass."""
+    lo, hi = span_window(spec, deploy_start)
+    facts = load_table(spark, sf_dir, spec.table, time_filters={spec.ts_col: (lo, hi)})
+    facts = facts.select(spec.key_col, spec.ts_col, spec.value_col, *spec.extra_cols)
+
+    flagged = gross_range_flags(
+        facts, gross_range_dim, value_col=spec.value_col, join_keys=[spec.key_col]
+    )
+    flagged = flagged.withColumn("rollup_flag", rollup_flags(F.col("gross_range_flag")))
+
+    decimated = lttb(
+        flagged,
+        key_cols=[spec.key_col],
+        ts_col=spec.ts_col,
+        value_col=spec.value_col,
+        threshold=spec.threshold,
+    )
+
+    out = decimated.withColumn("site", F.lit(spec.site)).withColumn("span", F.lit(spec.span))
+    if out_dir is not None:
+        write_partitioned(out, out_dir, ["site", "span"])
+    return out
+
+
+def run_site_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: list[QAQCJobSpec],
+    gross_range_dim: DataFrame,
+    out_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """The fan-out loop (reference: one Prefect flow-run per site x span,
+    qaqc/pipeline.py:172-192, staggered 10 s for ECS; here each job is an
+    independent lazy plan — submit them on one session and the scheduler
+    interleaves stages, no stagger needed)."""
+    return {
+        f"{s.site}/{s.span}": run_qaqc_job(spark, sf_dir, s, gross_range_dim, out_dir)
+        for s in specs
+    }

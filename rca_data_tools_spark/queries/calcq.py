@@ -317,3 +317,53 @@ def w8_cell_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("pipeline_qaqc_job")  # full lifecycle incl. LTTB -> rows-only; e2e in tests/test_pipeline.py
+def pipeline_qaqc_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's main entry end-to-end (SURVEY §3.1): windowed scan with
+    pushed-down bounds -> broadcast gross-range flags -> rollup -> LTTB
+    decimation, as one declarative plan (pipeline.run_qaqc_job)."""
+    from rca_data_tools_spark.pipeline import QAQCJobSpec, run_qaqc_job
+
+    spec = QAQCJobSpec(
+        site="SITE01",
+        span="week",
+        table="events",
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_end="2024-01-20 00:00:00",
+        threshold=50,
+    )
+    dim = spark.createDataFrame(
+        [(u, 0.0, 400.0, 10.0, 300.0) for u in range(150)],
+        "user_id long, fail_lo double, fail_hi double, sus_lo double, sus_hi double",
+    )
+    return run_qaqc_job(spark, sf_dir, spec, dim).select(
+        "user_id", "ts", "value", "gross_range_flag", "rollup_flag", "site", "span"
+    )
+
+
+@query(
+    "hitl_latest_note",
+    oracle="""
+SELECT user_id,
+       arg_max(props, ts ORDER BY ts, event_id) AS latest_note,
+       MAX(ts) AS latest_ts,
+       COUNT(props) AS n_notes
+FROM events
+WHERE props IS NOT NULL
+GROUP BY user_id
+""",
+)
+def hitl_latest_note(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-recent-note selection (reference: HITL tables keep the most
+    recent note column per page, qaqc/notes.py:66-173) — max_by keyed on
+    (ts, event_id) so ties resolve identically in any engine."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return e.groupBy("user_id").agg(
+        F.max_by("props", F.struct("ts", "event_id")).alias("latest_note"),
+        F.max("ts").alias("latest_ts"),
+        F.count("props").alias("n_notes"),
+    )
