@@ -17,3 +17,9 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("rca-tests", shuffle_partitions=8)
     yield s
+
+
+def get_shared_spark():
+    """Module-level accessor for hypothesis tests (fixtures don't compose
+    with @given): same session/config as the `spark` fixture."""
+    return get_spark("rca-tests", shuffle_partitions=8)

@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the operators whose semantics have
+sharp edges: as-of joins (ties, missing keys), positional flag roundtrips,
+interval clipping, and LTTB invariants. The reference ships no property
+tests (SURVEY §5); these are our guard rails against silent semantic drift.
+
+One shared SparkSession; hypothesis generates the data, Spark runs the
+operator, plain python/pandas computes the expected answer.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=15, deadline=None)
+
+_TS0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(offset_s: int) -> dt.datetime:
+    return _TS0 + dt.timedelta(seconds=int(offset_s))
+
+
+# --- as-of join vs pandas merge_asof ----------------------------------------
+
+as_of_data = st.tuples(
+    st.lists(  # left: (key, ts_offset)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    st.lists(  # right: (key, ts_offset, value)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+
+
+@given(as_of_data)
+@settings(**SETTINGS)
+def test_as_of_join_matches_merge_asof(data):
+    from rca_data_tools_spark.operators.interval_join import as_of_join
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    left_rows, right_rows = data
+    # merge_asof requires unique-ish ordering; dedupe right on (key, ts) to
+    # make "latest at same ts" well-defined on both sides
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+
+    left = spark.createDataFrame(
+        [(k, _ts(t)) for k, t in left_rows], "key int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows], "key int, rts timestamp, val int"
+    )
+    got = {
+        (r.key, r.lts, r.val)
+        for r in as_of_join(left, right, "key", "lts", "rts", ["val"]).collect()
+    }
+
+    lp = pd.DataFrame([(k, _ts(t)) for k, t in left_rows], columns=["key", "lts"]).sort_values(
+        "lts", kind="stable"
+    )
+    rp = pd.DataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows], columns=["key", "rts", "val"]
+    ).sort_values("rts", kind="stable")
+    expect_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="key")
+    expect = {
+        (r.key, r.lts.to_pydatetime(), None if pd.isna(r.val) else int(r.val))
+        for r in expect_df.itertuples()
+    }
+    assert got == expect
+
+
+# --- positional flag encode/decode roundtrip --------------------------------
+
+@given(st.lists(st.lists(st.sampled_from([1, 3, 4, 9]), min_size=1, max_size=6), min_size=1, max_size=20)
+       .filter(lambda rows: len({len(r) for r in rows}) == 1))
+@settings(**SETTINGS)
+def test_positional_flags_roundtrip(rows):
+    from rca_data_tools_spark.functions.qc import decode_positional_flags, encode_positional_flags
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    n = len(rows[0])
+    df = spark.createDataFrame([(r,) for r in rows], "flags array<int>")
+    encoded = df.select(
+        encode_positional_flags([F.col("flags")[i] for i in range(n)]).alias("s"), "flags"
+    )
+    decoded = encoded.select(
+        "flags", *[c.alias(f"d{i}") for i, (_, c) in enumerate(decode_positional_flags("s", n))]
+    )
+    for r in decoded.collect():
+        assert [r[f"d{i}"] for i in range(n)] == list(r.flags)
+
+
+# --- interval clipping -------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 500)).map(lambda p: (min(p), max(p))),
+        min_size=1,
+        max_size=25,
+    ),
+    st.tuples(st.integers(100, 300), st.integers(300, 450)),
+)
+@settings(**SETTINGS)
+def test_clip_intervals_properties(intervals, window):
+    from rca_data_tools_spark.operators.interval_join import clip_intervals
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    w_lo, w_hi = _ts(window[0]), _ts(window[1])
+    df = spark.createDataFrame(
+        [(i, _ts(lo), _ts(hi)) for i, (lo, hi) in enumerate(intervals)],
+        "id int, lo timestamp, hi timestamp",
+    )
+    out = clip_intervals(df, "lo", "hi", w_lo.isoformat(sep=" "), w_hi.isoformat(sep=" ")).collect()
+    surviving = {r.id for r in out}
+    for r in out:
+        assert w_lo <= r.lo < r.hi <= w_hi  # clipped inside window, non-empty
+    for i, (lo, hi) in enumerate(intervals):
+        overlaps = _ts(lo) < w_hi and _ts(hi) > w_lo and lo != hi
+        # an interval survives iff it genuinely overlaps the window
+        assert (i in surviving) == (
+            overlaps and max(_ts(lo), w_lo) < min(_ts(hi), w_hi)
+        )
+
+
+# --- LTTB invariants ---------------------------------------------------------
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=3, max_size=400),
+    st.integers(3, 60),
+)
+@settings(**SETTINGS)
+def test_lttb_invariants(values, threshold):
+    from rca_data_tools_spark.operators.decimate import _lttb_indices
+
+    x = np.arange(len(values), dtype=np.float64)
+    y = np.asarray(values, dtype=np.float64)
+    idx = _lttb_indices(x, y, threshold)
+    assert len(idx) == min(len(values), threshold)
+    assert idx[0] == 0 and idx[-1] == len(values) - 1
+    assert (np.diff(idx) > 0).all()  # strictly increasing: order preserved
