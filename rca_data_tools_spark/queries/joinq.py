@@ -261,3 +261,86 @@ def e4_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
     errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
     return signups.intersect(errors)
+
+
+# Profiles with an apex: (start, peak, end) — the reference slices ascent as
+# [start, peak] and descent as [peak, end], choosing by instrument
+# (dashboard.py:186-210, :1116-1121).
+PROFILE_PEAKS = [
+    (1, "2024-01-03 00:00:00", "2024-01-03 06:00:00", "2024-01-03 12:00:00"),
+    (2, "2024-01-08 06:00:00", "2024-01-08 18:00:00", "2024-01-09 00:00:00"),
+    (3, "2024-01-14 00:00:00", "2024-01-14 15:00:00", "2024-01-15 00:00:00"),
+    (4, "2024-01-21 18:00:00", "2024-01-21 21:00:00", "2024-01-22 06:00:00"),
+    (5, "2024-01-28 00:00:00", "2024-01-28 12:00:00", "2024-01-29 12:00:00"),
+]
+_PEAK_VALUES_SQL = ", ".join(
+    f"({i}, TIMESTAMP '{s}', TIMESTAMP '{p}', TIMESTAMP '{e}')" for i, s, p, e in PROFILE_PEAKS
+)
+
+
+@query(
+    "j3_profile_phase_split",
+    oracle=f"""
+WITH profiles(profile_id, p_start, p_peak, p_end) AS (VALUES {_PEAK_VALUES_SQL})
+SELECT p.profile_id,
+       CASE WHEN e.ts <= p.p_peak THEN 'ascent' ELSE 'descent' END AS phase,
+       COUNT(*) AS n,
+       {davg_sql('e.value')} AS avg_value
+FROM events e JOIN profiles p ON e.ts >= p.p_start AND e.ts <= p.p_end
+GROUP BY 1, 2
+""",
+)
+def j3_profile_phase_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction-aware profile slicing: samples tagged with their profile AND
+    cast phase — ascent [start, peak] vs descent (peak, end] — the choice the
+    reference makes per instrument (pco2/ph plot the descent;
+    qaqc/dashboard.py:1116-1121). One broadcast range join, phase is a
+    projection."""
+    e = load_table(spark, sf_dir, "events")
+    profiles = spark.sql(
+        f"SELECT * FROM VALUES {_PEAK_VALUES_SQL} AS t(profile_id, p_start, p_peak, p_end)"
+    )
+    cond = (e["ts"] >= profiles["p_start"]) & (e["ts"] <= profiles["p_end"])
+    tagged = e.join(F.broadcast(profiles), cond).withColumn(
+        "phase", F.when(F.col("ts") <= F.col("p_peak"), "ascent").otherwise("descent")
+    )
+    return tagged.groupBy("profile_id", "phase").agg(
+        F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value")
+    )
+
+
+@query(
+    "f_nested_cal_arrays",
+    oracle="""
+WITH m AS (
+  SELECT event_id,
+         list_transform(generate_series(0, 3),
+           r -> list_transform(generate_series(0, 2), c -> (event_id * (r * 3 + c + 1)) % 100)) AS mat
+  FROM events
+)
+SELECT event_id % 16 AS bucket,
+       SUM(mat[3][3]) AS sum_elem_2_2,
+       SUM(list_sum(list_transform(flatten(mat), x -> CAST(x AS BIGINT)))) AS sum_all,
+       COUNT(*) AS n
+FROM m GROUP BY 1
+""",
+)
+def f_nested_cal_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D per-row arrays — the calibration SheetRef shape (reference:
+    2-D coefficient sheets padded/stacked per cal row, qaqc/utils.py:55-98,
+    :238-284): ArrayType(ArrayType) column, element indexing and full-matrix
+    reduction as pure array expressions."""
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    mat = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda r: F.transform(F.sequence(F.lit(0), F.lit(2)), lambda c: (eid * (r * 3 + c + 1)) % 100),
+    )
+    m = e.select("event_id", mat.alias("mat"))
+    elem22 = F.element_at(F.element_at("mat", 3), 3)
+    sum_all = F.aggregate(F.flatten("mat"), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return m.groupBy((F.col("event_id") % 16).alias("bucket")).agg(
+        F.sum(elem22).alias("sum_elem_2_2"),
+        F.sum(sum_all).alias("sum_all"),
+        F.count(F.lit(1)).alias("n"),
+    )
