@@ -76,3 +76,20 @@ def test_ann_broadcasts_queries(spark, name):
     # query side broadcast, never a shuffled cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Sweep every registered query's physical plan: a CartesianProduct in
+    any of them is an accidental unkeyed join — the kind of plan that dies at
+    scale. (Intended cross products compile to BroadcastNestedLoopJoin with
+    the tiny side broadcast, which is allowed.)"""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = plan_of(spark, name)
+        except Exception as ex:  # a query that cannot even plan is a failure
+            offenders.append((name, f"plan error: {ex}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
