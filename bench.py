@@ -34,8 +34,16 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "text_quality_scores",
     "media_feature_extract",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_orders",
+    "instr_pco2w_flags",
+    "instr_optical_products",
+    "hitl_latest_note",
+    "pipeline_qaqc_job",
 ]
 
 

@@ -154,20 +154,53 @@ def ivf_centroids(
 
 
 def ivf_assign(
-    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int = 1
+    df: DataFrame, centroids, id_col: str, vec_col: str, nprobe: int = 1
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine
-    (round-6 + cid tie-break for cross-engine determinism). Centroids are
-    broadcast — the corpus is scanned once, never shuffled."""
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        "*",
-        F.round(dec_cosine(to_double_array(vec_col), to_double_array("cvec")), 6).alias("__csim"),
+    (round-6 + cid tie-break for cross-engine determinism).
+
+    The quantizer is config-sized, so it collects into plan-time literals and
+    the whole assignment is a projection: an array of (−sim, cid) structs,
+    sort_array (ascending struct order = sim desc, cid asc), slice nprobe,
+    explode. Zero shuffles, zero window state — the corpus is scanned once
+    however large it is; a crossJoin+row_number formulation would shuffle
+    every (vector × centroid) row instead."""
+    import math
+
+    def py_norm(xs: list[float]) -> float:
+        # same sequential left fold as seq_dot -> bit-identical to the SQL
+        acc = 0.0
+        for x in xs:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    rows = centroids if isinstance(centroids, list) else centroids.collect()
+    cents = [
+        (r["cid"], [float(x) for x in r["cvec"]], py_norm([float(x) for x in r["cvec"]]))
+        for r in rows
+    ]
+    vec = to_double_array(vec_col)
+    # row norm computed ONCE per row; centroid norms are plan-time constants —
+    # 16 dots instead of 48 fold passes per row
+    with_norm = df.withColumn("__vnorm", F.sqrt(seq_dot(vec, vec)))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        seq_dot(vec, F.array(*[F.lit(x) for x in cvec]))
+                        / (F.col("__vnorm") * F.lit(cnorm)),
+                        6,
+                    )
+                ).alias("neg"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec, cnorm in cents
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__csim").desc(), F.col("cid"))
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= nprobe)
-        .drop("cvec", "__csim", "__crank")
+    probed = F.slice(F.sort_array(scored), 1, nprobe)
+    return with_norm.select("*", F.explode(probed).alias("__p")).select(
+        *df.columns, F.col("__p.cid").alias("cid")
     )
 
 
@@ -192,9 +225,9 @@ def ivf_topk(
     cid that touches only probed lists — candidates shrink by ~n_lists/nprobe.
     Recall tunes with nprobe; n_lists scales with sqrt(N) in the usual IVF
     sizing. The one shuffle is the per-query top-k window over candidates."""
-    cents = ivf_centroids(corpus, id_col, vec_col, n_lists, stride)
-    lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-    probes = ivf_assign(queries, cents, q_id_col, q_vec_col, nprobe=nprobe)
+    cent_rows = ivf_centroids(corpus, id_col, vec_col, n_lists, stride).collect()
+    lists = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
+    probes = ivf_assign(queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe)
     cand = lists.join(F.broadcast(probes), "cid").filter(F.col(q_id_col) != F.col(id_col))
     sim = F.round(dec_cosine(to_double_array(q_vec_col), to_double_array(vec_col)), 6)
     scored = cand.select(q_id_col, id_col, sim.alias("cos_sim"))
