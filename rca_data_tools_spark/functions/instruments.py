@@ -425,3 +425,66 @@ def opt_all_optical_products(
 
 
 REGISTRY.register_column("opt_optical_products")(opt_all_optical_products)
+
+
+def ph_advanced_flags_df(
+    df, light_col: str, ref_col: str, flag_col: str = "ph_flags"
+):
+    """Staged-projection form of ph_advanced_flags for real workloads.
+
+    The pure-Column form inlines the 23x4 matrix extraction into every mask
+    that references it; higher-order functions run interpreted (outside
+    whole-stage codegen), so each reference re-evaluates the transform —
+    measured ~70x slower at 100k rows. Here every extraction and std is
+    materialized once per projection stage; the multiply-referenced aliases
+    are non-cheap, so Catalyst's CollapseProject keeps the stages separate
+    and each expression evaluates exactly once per row."""
+    lf, rf = F.col(light_col), F.col(ref_col)
+    d = df.withColumns(
+        {
+            "__sig434": ph_matrix_column(lf, 23, 4, 1),
+            "__sig578": ph_matrix_column(lf, 23, 4, 3),
+            "__ref434": ph_matrix_column(lf, 23, 4, 0),
+            "__ref578": ph_matrix_column(lf, 23, 4, 2),
+            "__bsig434": ph_matrix_column(rf, 4, 4, 1),
+            "__bsig578": ph_matrix_column(rf, 4, 4, 3),
+        }
+    )
+    d = d.withColumns(
+        {
+            "__std_s434": array_pop_std_exact(F.col("__sig434")),
+            "__std_s578": array_pop_std_exact(F.col("__sig578")),
+            "__std_r434": array_pop_std_exact(F.col("__ref434")),
+            "__std_r578": array_pop_std_exact(F.col("__ref578")),
+        }
+    )
+    lo_cut = PH_MAX_BITS / 12
+    sat = PH_MAX_BITS - PH_MAX_BITS / 20
+
+    def any_lt(c: str, v: float):
+        return F.exists(F.col(c), lambda x: x < v)
+
+    def any_gt(c: str, v: float):
+        return F.exists(F.col(c), lambda x: x > v)
+
+    d = d.withColumn(
+        flag_col,
+        combine_qc_flags(
+            any_lt("__sig434", lo_cut) | any_lt("__sig578", lo_cut),
+            (F.col("__std_s434") < 180) | (F.col("__std_s578") < 180),
+            (F.col("__std_r434") > 10) | (F.col("__std_r578") > 10),
+            any_gt("__bsig434", sat)
+            | any_lt("__bsig434", lo_cut)
+            | any_gt("__bsig578", sat)
+            | any_lt("__bsig578", lo_cut),
+            any_gt("__sig434", sat)
+            | any_lt("__sig434", 5)
+            | any_gt("__sig578", sat)
+            | any_lt("__sig578", 5),
+            (F.col("__std_s434") < 60) | (F.col("__std_s578") < 60),
+        ),
+    )
+    return d.drop(
+        "__sig434", "__sig578", "__ref434", "__ref578", "__bsig434", "__bsig578",
+        "__std_s434", "__std_s578", "__std_r434", "__std_r578",
+    )

@@ -303,12 +303,15 @@ def instr_ph_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PHSEN six-test flags over the 23x4 light matrix and 4x4 DI blanks,
     population-std in the integer-exact form (reference: ph_advanced_flags,
     calculateFunctions.py:898-979)."""
+    from rca_data_tools_spark.functions.instruments import ph_advanced_flags_df
+
     e = load_table(spark, sf_dir, "events")
     eid = F.col("event_id")
     light = F.transform(F.sequence(F.lit(0), F.lit(91)), lambda j: (eid * (j + 3) + 17 * j) % 4096)
     refl = F.transform(F.sequence(F.lit(0), F.lit(15)), lambda j: (eid * (j + 5) + 13 * j) % 4096)
-    flags = ph_advanced_flags(light, refl)
-    return e.select(flags.alias("flags")).groupBy("flags").agg(F.count(F.lit(1)).alias("n"))
+    d = e.select(light.alias("light"), refl.alias("refl"))
+    flagged = ph_advanced_flags_df(d, "light", "refl", flag_col="flags")
+    return flagged.groupBy("flags").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(
