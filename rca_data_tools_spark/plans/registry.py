@@ -175,3 +175,58 @@ def poly_fit(df: DataFrame, spec: CalcSpec) -> DataFrame:
         return head.assign(coeffs=[coef.tolist()], rmse=rmse, n_points=len(x))
 
     return df.groupBy(*group_cols).applyInPandas(kernel, schema=out_schema)
+
+
+# --- declarative loading (≙ calculateCalls.csv / siteCalculations.csv) -----
+
+def parse_kwargs(raw: str | None) -> dict:
+    """Parse 'a=1.5,b=foo' kwarg strings (the calculateCalls.csv kwargs cell,
+    reference: qaqc/utils.py:312-324): numbers become float/int, bare words
+    stay strings."""
+    out: dict = {}
+    if raw is None or str(raw).strip() in ("", "nan"):
+        return out
+    for part in str(raw).split(","):
+        k, _, v = part.partition("=")
+        v = v.strip()
+        try:
+            out[k.strip()] = int(v)
+        except ValueError:
+            try:
+                out[k.strip()] = float(v)
+            except ValueError:
+                out[k.strip()] = v
+    return out
+
+
+def load_calc_specs_csv(spark, path: str) -> list[CalcSpec]:
+    """calculateCalls.csv rows -> CalcSpec list (reference loader:
+    qaqc/utils.py:327-340; '|'-separated inputs/outputs, optional kwargs).
+    The config is data: changing a calculation never touches code."""
+    rows = (
+        spark.read.option("header", "true").csv(path).collect()
+    )
+    specs = []
+    for r in rows:
+        specs.append(
+            CalcSpec(
+                name=r["calculation"].strip(),
+                kernel=r["function_key"].strip(),
+                inputs=[x.strip() for x in (r["inputs"] or "").split("|") if x.strip()],
+                outputs=[x.strip() for x in (r["returnParam"] or "").split("|") if x.strip()],
+                params=parse_kwargs(r["kwargs"]),
+            )
+        )
+    return specs
+
+
+def load_site_bindings_csv(spark, path: str, during_harvest: bool | None = None) -> dict[str, list[str]]:
+    """siteCalculations.csv -> {stream: [calculation, ...]} with the
+    runDuringHarvest phase filter (reference: qaqc/utils.py:342-350)."""
+    rows = spark.read.option("header", "true").csv(path).collect()
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        if during_harvest is not None and str(r["runDuringHarvest"]).lower() != str(during_harvest).lower():
+            continue
+        out[r["stream"]] = [c.strip() for c in r["calculations"].split("|") if c.strip()]
+    return out

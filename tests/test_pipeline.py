@@ -91,3 +91,29 @@ def test_flag_values_match_direct_computation(spark):
         .alias("gross_range_flag"),
     )
     assert out.exceptAll(expect).count() == 0 and expect.exceptAll(out).count() == 0
+
+
+def test_empty_window_yields_typed_empty_result(spark, tmp_path):
+    """The 'No Data Available' path (reference: qaqc/dashboard.py:657-662,
+    1427-1432): a window with no samples must produce an empty but
+    correctly-typed frame — and the sink must still write the partition
+    structure without error."""
+    spec = QAQCJobSpec(
+        site="SITE01",
+        span="week",
+        table="events",
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_end="1990-01-01 00:00:00",  # far before any data
+        threshold=50,
+    )
+    out_dir = str(tmp_path / "empty_out")
+    out = run_qaqc_job(spark, SF_SMOKE, spec, _dim(spark), out_dir=out_dir)
+    assert out.count() == 0
+    names = dict(out.dtypes)
+    assert names["gross_range_flag"] == "int"
+    assert names["rollup_flag"] == "int"
+    assert names["value"] == "double"
+    # decimation, flagging and the sink all tolerated the empty frame
+    assert os.path.isdir(out_dir)

@@ -61,3 +61,48 @@ def test_profile_regrid_matches_numpy(spark):
     gsrc = grp[grp.day == day].sort_values("hour")
     expect = np.interp(grid, gsrc.hour.to_numpy(), gsrc.value.to_numpy(), left=np.nan, right=np.nan)
     np.testing.assert_allclose(sel.value.to_numpy(), expect, rtol=1e-9, equal_nan=True)
+
+
+def test_calc_specs_load_from_csv_and_run(spark, tmp_path):
+    """calculateCalls.csv-shaped config drives the registry end-to-end:
+    load specs from CSV, apply to a frame, outputs appear (the declarative
+    contract — config is data, not code)."""
+    csv = tmp_path / "calculateCalls.csv"
+    csv.write_text(
+        "calculation,function_key,inputs,kwargs,returnParam\n"
+        "volts,linear_convert,value,scale=0.01,volts\n"
+        "range,range_flag,value,lo=1.0,flag\n"
+    )
+    from rca_data_tools_spark.plans.registry import REGISTRY, load_calc_specs_csv, parse_kwargs
+
+    specs = load_calc_specs_csv(spark, str(csv))
+    assert [s.name for s in specs] == ["volts", "range"]
+    assert specs[0].params == {"scale": 0.01}
+    assert parse_kwargs("a=2,b=1.5,c=x") == {"a": 2, "b": 1.5, "c": "x"}
+
+    df = spark.createDataFrame([(100.0,), (None,)], "value double")
+    # fill kernel-required kwargs not in the csv row
+    specs[0].params.setdefault("offset", 0.0)
+    specs[1].params.setdefault("hi", 400.0)
+    out = REGISTRY.apply(df, specs).collect()
+    by_val = {r.value: r for r in out}
+    assert abs(by_val[100.0].volts - 1.0) < 1e-12
+    assert by_val[None].flag == 9
+
+
+def test_site_bindings_phase_filter(spark, tmp_path):
+    csv = tmp_path / "siteCalculations.csv"
+    csv.write_text(
+        "stream,calculations,runDuringHarvest\n"
+        "streamA,volts|range,True\n"
+        "streamB,range,False\n"
+    )
+    from rca_data_tools_spark.plans.registry import load_site_bindings_csv
+
+    assert load_site_bindings_csv(spark, str(csv)) == {
+        "streamA": ["volts", "range"],
+        "streamB": ["range"],
+    }
+    assert load_site_bindings_csv(spark, str(csv), during_harvest=True) == {
+        "streamA": ["volts", "range"]
+    }
