@@ -367,3 +367,36 @@ def hitl_latest_note(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("latest_ts"),
         F.count("props").alias("n_notes"),
     )
+
+
+@query(
+    "skew_two_stage_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (operators/skew.py): the hot-key groupBy
+    decomposed into (key, salt) partials + a final combine — identical result
+    to the direct groupBy (this oracle IS the direct groupBy), but no single
+    reducer ever sees a whole hot key. The decimal partial keeps the sum
+    order-insensitive across both stages."""
+    from rca_data_tools_spark.operators.skew import two_stage_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = two_stage_agg(
+        e.select("event_type", "value"),
+        keys=["event_type"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_value": (
+                F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")),
+                F.sum("sum_value"),
+            ),
+        },
+        n_salts=16,
+    )
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
