@@ -61,12 +61,18 @@ def climatology_flags(
     Missing bracket or NULL bounds -> flag 9 (qaqc/calculate.py:163-186).
     """
     facts = facts.withColumn("__month", F.month(time_col))
+    # Rename the dimension's join keys so the condition can reference them
+    # unambiguously and they drop cleanly after the join.
+    for k in extra_keys or []:
+        clim = clim.withColumnRenamed(k, f"__clim_{k}")
     cond = facts["__month"] == clim["month"]
     for k in extra_keys or []:
-        cond = cond & (facts[k] == clim[k])
+        cond = cond & (facts[k] == clim[f"__clim_{k}"])
     if depth_col is not None:
         cond = cond & (facts[depth_col] >= clim["depth_lo"]) & (facts[depth_col] < clim["depth_hi"])
-    joined = facts.join(F.broadcast(clim.drop(*(extra_keys or []))), cond, "left")
+    joined = facts.join(F.broadcast(clim), cond, "left").drop(
+        *[f"__clim_{k}" for k in extra_keys or []]
+    )
     out = joined.withColumn(
         flag_col,
         F.when(F.col(value_col).isNull(), F.lit(FLAG_MISSING))
