@@ -53,3 +53,11 @@ def qc_companion_columns(df: DataFrame, param: str) -> list[str]:
         for c in df.columns
         if c.startswith(param) and ("_qc_" in c or "_qartod_" in c)
     ]
+
+
+def resolve_all(df: DataFrame, candidates: list[str]) -> list[Column]:
+    """Every matching candidate column — the multi-match fan-out case where
+    one canonical parameter maps to several physical series in the same store
+    and each gets its own output (reference: qaqc/plots.py:225-232)."""
+    cols = set(df.columns)
+    return [F.col(name) for name in candidates if name in cols]

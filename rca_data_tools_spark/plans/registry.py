@@ -230,3 +230,11 @@ def load_site_bindings_csv(spark, path: str, during_harvest: bool | None = None)
             continue
         out[r["stream"]] = [c.strip() for c in r["calculations"].split("|") if c.strip()]
     return out
+
+
+@REGISTRY.register_column("constant_flag")
+def constant_flag(value: Column, *, flag: int = 1) -> Column:
+    """Constant test array (reference: pco2_test_function — xr.full_like(x, 1),
+    calculateFunctions.py:799-807): a placeholder QC variable shaped like its
+    input, all-pass by default."""
+    return F.when(value.isNotNull() | value.isNull(), F.lit(flag))

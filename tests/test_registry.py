@@ -106,3 +106,16 @@ def test_site_bindings_phase_filter(spark, tmp_path):
     assert load_site_bindings_csv(spark, str(csv), during_harvest=True) == {
         "streamA": ["volts", "range"]
     }
+
+
+def test_constant_flag_and_resolve_all(spark):
+    from rca_data_tools_spark.catalog import resolve_all
+    from rca_data_tools_spark.plans.registry import REGISTRY, CalcSpec
+
+    df = spark.createDataFrame([(1.0,), (None,)], "pco2 double")
+    out = REGISTRY.apply(df, [CalcSpec("t", "constant_flag", ["pco2"], ["test_var"])])
+    assert [r.test_var for r in out.collect()] == [1, 1]
+
+    d2 = spark.createDataFrame([(1.0, 2.0)], "pco2_a double, pco2_b double")
+    cols = resolve_all(d2, ["pco2_a", "pco2_b", "pco2_missing"])
+    assert len(cols) == 2
