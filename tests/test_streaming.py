@@ -124,3 +124,26 @@ def test_streaming_stateful_step_flags(spark, tmp_path):
     expect = {(r.user_id, r.ts, r.step_flag) for r in batch.collect()}
     assert got == expect
     assert any(f == 3 for _, _, f in got)  # the threshold actually fires
+
+
+def test_session_window_equals_batch_sessionization(spark, tmp_path):
+    """session_window's merge semantics must agree with the batch lag+cumsum
+    formulation (sessionize_events): same number of sessions per user and the
+    same event-count multiset, for the same 30-minute gap."""
+    from rca_data_tools_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    batch = (
+        QUERIES["sessionize_events"](spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sort_array(F.collect_list("n_events")).alias("sizes"))
+    )
+    e = load_table(spark, SF_SMOKE, "events")
+    sw = (
+        sessionized_counts(e, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sort_array(F.collect_list("n_events")).alias("sizes"))
+    )
+    b = {r.user_id: (r.n_sessions, list(r.sizes)) for r in batch.collect()}
+    s = {r.user_id: (r.n_sessions, list(r.sizes)) for r in sw.collect()}
+    assert b == s
