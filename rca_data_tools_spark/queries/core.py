@@ -523,3 +523,90 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("sum_qty"))
     )
+
+
+# --- TPC-H Q2-style: correlated minimum (cheapest supplier per part) --------
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem WHERE l_quantity > 0
+), ranked AS (
+  SELECT l_partkey, l_suppkey, ROUND(unit_price, 6) AS unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY ROUND(unit_price, 6), l_suppkey) AS rn
+  FROM unit
+)
+SELECT r.l_partkey, r.l_suppkey, r.unit_price, s.s_name, n.n_name
+FROM ranked r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE r.rn = 1
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated 'MIN over the group, then the row that
+    achieves it' subquery, expressed as a window top-1 (one shuffle on
+    partkey) instead of a self-join against a grouped MIN (two). Supplier and
+    nation decorate via broadcast."""
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    unit = l.select(
+        "l_partkey", "l_suppkey", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = unit.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_suppkey", "unit_price", "s_name", "n_name")
+    )
+
+
+# --- semi + anti join: active-then-churned customers ------------------------
+
+@query(
+    "q_semi_anti_churn",
+    oracle="""
+SELECT c.c_custkey, c.c_name, COUNT(o96.o_orderkey) AS n_orders_1996
+FROM customer c
+JOIN orders o96 ON o96.o_custkey = c.c_custkey
+ AND o96.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+ AND o96.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o97
+  WHERE o97.o_custkey = c.c_custkey
+    AND o97.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o97.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY 1, 2
+""",
+)
+def q_semi_anti_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS shape (TPC-H Q21/Q22 family): customers with 1996
+    orders and none in 1997 — a semi-join (implicit via inner+group) plus an
+    anti-join, both of which Catalyst executes as hash joins without
+    materializing the subquery."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        )
+
+    churned = c.join(
+        year(1997).select(F.col("o_custkey").alias("__k97")),
+        F.col("c_custkey") == F.col("__k97"),
+        "left_anti",
+    )
+    return (
+        churned.join(year(1996), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders_1996"))
+    )
