@@ -109,3 +109,40 @@ def test_ivf_topk_recall_and_shape(spark):
     assert ivf.groupby("q_id").size().eq(5).all()
     recall = len(set(zip(ivf.q_id, ivf.vec_id)) & set(zip(bf.q_id, bf.vec_id))) / len(bf)
     assert recall >= 0.3, recall
+
+
+def test_ivf_refine_improves_quantization(spark):
+    """Spherical-k-means property: average cosine similarity of vectors to
+    their assigned centroid must not decrease after Lloyd refinement."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_refine,
+    )
+    from rca_data_tools_spark.sources.readers import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    cents0 = ivf_centroids(e, "vec_id", "embedding", n_lists=16, stride=29)
+
+    def objective(cents):
+        rows = cents.collect()
+        cmap = {r["cid"]: [float(x) for x in r["cvec"]] for r in rows}
+        a = ivf_assign(e, rows, "vec_id", "embedding", nprobe=1)
+        pdf = a.select("vec_id", "cid", "embedding").toPandas()
+        import numpy as np
+
+        total = 0.0
+        for _, r in pdf.iterrows():
+            v = np.asarray(r.embedding, dtype=float)
+            c = np.asarray(cmap[r.cid], dtype=float)
+            total += float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        return total / len(pdf)
+
+    before = objective(cents0)
+    cents1 = ivf_refine(e, cents0, "vec_id", "embedding", iters=2)
+    after = objective(cents1)
+    assert after >= before - 1e-9, (before, after)
+    assert after > before + 1e-4  # random seeds genuinely improve
