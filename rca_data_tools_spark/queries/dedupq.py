@@ -169,11 +169,27 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(d, "doc_id", "text")
 
 
-@query("dedup_simhash_pairs")  # hamming-block candidates; rows-only (pair set checked in tests)
+def _simhash_pairs_oracle() -> str:
+    # Brute-force O(n^2) self-join is a valid oracle: splitting 64 bits into
+    # four 16-bit blocks guarantees (pigeonhole) that any pair at Hamming <= 3
+    # shares a block, so the banded Spark plan finds the SAME exact pair set.
+    return f"""
+WITH fp AS ({_simhash_oracle()})
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(CAST(a.fp_hi AS BIGINT), CAST(b.fp_hi AS BIGINT)))
+       + bit_count(xor(CAST(a.fp_lo AS BIGINT), CAST(b.fp_lo AS BIGINT))) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.fp_hi AS BIGINT), CAST(b.fp_hi AS BIGINT)))
+      + bit_count(xor(CAST(a.fp_lo AS BIGINT), CAST(b.fp_lo AS BIGINT))) <= 3
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit block candidates + exact Hamming <= 3.
-    Oracle omitted (the blocked self-join is replayed in
-    tests/test_dedup.py against a Python reimplementation)."""
+    The banded self-join is complete at this radius (pigeonhole over four
+    16-bit blocks), so the brute-force oracle matches exactly; also replayed
+    in tests/test_dedup.py against a Python reimplementation."""
     d = load_table(spark, sf_dir, "documents")
     fp = simhash_fingerprints(d, "doc_id", "text")
     return simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
