@@ -1,0 +1,132 @@
+"""Corpus-sampling and sequence-packing queries over the documents table.
+
+The training-data-pipeline operators the reference never needed (it plots
+every point) but a 100 TB corpus build does: deterministic uniform and
+stratified sampling, per-domain caps, fixed-budget sequence packing. All
+hash-deterministic — the same rows survive in Spark and DuckDB, so every
+query here is oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.text import token_count
+from rca_data_tools_spark.operators.sampling import (
+    group_cap,
+    hash_sample,
+    hash_uniform,
+    pack_greedy,
+    rate_threshold,
+    stratified_sample,
+)
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+# DuckDB twin of operators.sampling.hash_uniform (salt "s").
+_U_SQL = "CAST(('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_TOK_SQL = r"len(list_filter(str_split_regex(trim(text), '\s+'), t -> t <> ''))"
+
+_STRATA_RATES = {"en": 0.25, "zh": 0.5}
+_DEFAULT_RATE = 0.9
+
+
+@query(
+    "sample_hash_fraction",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_U_SQL} < {rate_threshold(0.1)}
+""",
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% uniform sample: md5-derived integer < rate * 2^32.
+
+    Pure projection+filter — no shuffle, no RNG state; at 100 TB this is a
+    single scan whose predicate rides inside whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_U_SQL} < CASE
+  WHEN lang = 'zh' THEN {rate_threshold(0.5)}
+  WHEN lang = 'en' THEN {rate_threshold(0.25)}
+  ELSE {rate_threshold(0.9)} END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: downsample English to 25%, Chinese to 50%, keep
+    90% of everything else. The rate map compiles to a literal CASE — zero
+    joins, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "lang", _STRATA_RATES, _DEFAULT_RATE).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "sample_uniform_topk",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+ORDER BY {_U_SQL}, doc_id
+LIMIT 100
+""",
+)
+def sample_uniform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform sample without replacement: the 100 smallest hash
+    values. Spark plans this as TakeOrderedAndProject — per-partition top-k
+    then a driver merge of k-row heads, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("u", hash_uniform(F.col("doc_id"), "s"))
+        .orderBy("u", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "sample_domain_cap",
+    oracle="""
+SELECT doc_id, source, rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents)
+WHERE rank <= 5
+""",
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: keep the 5 longest documents per source
+    (deterministic doc_id tie-break). One shuffle on source."""
+    d = load_table(spark, sf_dir, "documents")
+    return group_cap(d, "source", 5, "n_chars", descending=True, tiebreak_col="doc_id").select(
+        "doc_id", "source", "rank"
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOK_SQL} AS n_tok FROM documents)
+SELECT doc_id, lang, n_tok,
+       CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 128.0) AS BIGINT) AS bin_id
+FROM t
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 128-token training bins per language shard: bin =
+    floor(running-offset / target). One shuffle (shard partition + in-shard
+    sort); shards pack independently, so no global order is ever needed."""
+    d = load_table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    return pack_greedy(d, "lang", "doc_id", "n_tok", target=128).select(
+        "doc_id", "lang", "n_tok", "bin_id"
+    )

@@ -1,0 +1,78 @@
+"""Properties of the deterministic sampling / packing operators: rate
+accuracy, run-to-run and partitioning invariance, cap enforcement, and
+pack-bin budget semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.text import token_count
+from rca_data_tools_spark.operators.sampling import (
+    group_cap,
+    hash_sample,
+    pack_greedy,
+    stratified_sample,
+)
+from rca_data_tools_spark.sources.readers import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def _docs(spark):
+    return load_table(spark, SF_CORRECTNESS, "documents")
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    d = _docs(spark)
+    n = d.count()
+    kept = hash_sample(d, "doc_id", 0.2)
+    k = kept.count()
+    # Binomial(500, 0.2): allow 4 sigma around the mean.
+    sigma = math.sqrt(n * 0.2 * 0.8)
+    assert abs(k - 0.2 * n) < 4 * sigma
+    # Determinism across partitionings: same surviving id set.
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in hash_sample(d.repartition(7), "doc_id", 0.2).collect()}
+    assert ids1 == ids2
+    # Nested rates: a 10% sample is a subset of the 20% sample (same salt).
+    ids_small = {r.doc_id for r in hash_sample(d, "doc_id", 0.1).collect()}
+    assert ids_small <= ids1
+
+
+def test_stratified_rates_differ_by_stratum(spark):
+    d = _docs(spark)
+    kept = stratified_sample(d, "doc_id", "lang", {"en": 0.1}, default_rate=1.0)
+    by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["fr"] == tot["fr"]  # default rate 1.0 keeps everything
+    assert by_lang.get("en", 0) < 0.3 * tot["en"]  # en downsampled hard
+
+
+def test_group_cap_bounds_and_priority(spark):
+    d = _docs(spark)
+    capped = group_cap(d, "source", 3, "n_chars", descending=True, tiebreak_col="doc_id")
+    counts = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+    # The kept rows per source are exactly the 3 longest (pandas replay).
+    pdf = d.select("doc_id", "source", "n_chars").toPandas()
+    for src, grp in pdf.groupby("source"):
+        want = set(
+            grp.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)["doc_id"]
+        )
+        got = {r.doc_id for r in capped.filter(F.col("source") == src).collect()}
+        assert got == want, src
+
+
+def test_pack_greedy_bins_are_contiguous_and_budgeted(spark):
+    d = _docs(spark).withColumn("n_tok", token_count("text"))
+    target = 128
+    packed = pack_greedy(d, "lang", "doc_id", "n_tok", target=target)
+    pdf = packed.select("lang", "doc_id", "n_tok", "bin_id").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        grp = grp.sort_values("doc_id")
+        # bin ids are non-decreasing along the shard order
+        assert grp["bin_id"].is_monotonic_increasing
+        # each doc's bin is its starting offset / target, exactly
+        start = grp["n_tok"].cumsum() - grp["n_tok"]
+        assert (grp["bin_id"] == start // target).all()
