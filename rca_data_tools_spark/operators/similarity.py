@@ -159,13 +159,24 @@ def ivf_assign(
     """Assign each vector to its ``nprobe`` nearest centroids by cosine
     (round-6 + cid tie-break for cross-engine determinism).
 
-    The quantizer is config-sized, so it collects into plan-time literals and
-    the whole assignment is a projection: an array of (−sim, cid) structs,
-    sort_array (ascending struct order = sim desc, cid asc), slice nprobe,
-    explode. Zero shuffles, zero window state — the corpus is scanned once
-    however large it is; a crossJoin+row_number formulation would shuffle
-    every (vector × centroid) row instead."""
+    The quantizer is config-sized, so it collects into plan-time constants and
+    the whole assignment is a single corpus scan through an Arrow-vectorized
+    pandas UDF: each batch is stacked into an (n, dim) float64 matrix and the
+    n_lists dots accumulate with one vectorized multiply-add per dimension.
+    Zero shuffles, zero window state; a crossJoin+row_number formulation
+    would shuffle every (vector × centroid) row instead.
+
+    Determinism contract: the accumulation loops run d = 0..dim-1, so every
+    per-row sum performs the same IEEE adds in the same order as seq_dot's
+    sequential fold — dots, norms, and cosines are bit-identical to the SQL
+    expression and to the DuckDB list_reduce oracle. Ties on the rounded
+    similarity break by ascending cid via a stable argsort, matching the
+    (−sim, cid) struct sort of the expression formulation."""
     import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
 
     def py_norm(xs: list[float]) -> float:
         # same sequential left fold as seq_dot -> bit-identical to the SQL
@@ -175,33 +186,36 @@ def ivf_assign(
         return math.sqrt(acc)
 
     rows = centroids if isinstance(centroids, list) else centroids.collect()
-    cents = [
-        (r["cid"], [float(x) for x in r["cvec"]], py_norm([float(x) for x in r["cvec"]]))
-        for r in rows
-    ]
-    vec = to_double_array(vec_col)
-    # row norm computed ONCE per row; centroid norms are plan-time constants —
-    # 16 dots instead of 48 fold passes per row
-    with_norm = df.withColumn("__vnorm", F.sqrt(seq_dot(vec, vec)))
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -F.round(
-                        seq_dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                        / (F.col("__vnorm") * F.lit(cnorm)),
-                        6,
-                    )
-                ).alias("neg"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec, cnorm in cents
-        ]
+    cents = sorted(
+        (
+            (int(r["cid"]), [float(x) for x in r["cvec"]], py_norm([float(x) for x in r["cvec"]]))
+            for r in rows
+        )
     )
-    probed = F.slice(F.sort_array(scored), 1, nprobe)
-    return with_norm.select("*", F.explode(probed).alias("__p")).select(
-        *df.columns, F.col("__p.cid").alias("cid")
-    )
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    cvecs = np.array([c[1] for c in cents], dtype=np.float64)  # (L, dim)
+    cnorms = np.array([c[2] for c in cents], dtype=np.float64)
+    n_lists, dim = cvecs.shape
+    take = min(nprobe, n_lists)
+
+    def _probe(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.to_numpy())  # (n, dim) float64
+        n = mat.shape[0]
+        dots = np.zeros((n, n_lists))
+        norm2 = np.zeros(n)
+        for d in range(dim):  # sequential over d == the SQL fold's add order
+            col = mat[:, d]
+            dots += col[:, None] * cvecs[:, d][None, :]
+            norm2 += col * col
+        sims = np.round(dots / (np.sqrt(norm2)[:, None] * cnorms[None, :]), 6)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        picked = cids[idx]  # (n, take), tie-broken by ascending cid
+        return pd.Series([r.tolist() for r in picked])
+
+    probe = F.pandas_udf(_probe, ArrayType(LongType()))
+    return df.select("*", F.explode(probe(to_double_array(vec_col))).alias("cid"))
 
 
 def ivf_topk(
