@@ -274,19 +274,63 @@ def a4_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_linear(e, grid, ["user_id"], "ts", "value")
 
 
-@query("w7_profile_regrid")  # np.interp kernel -> rows-only; checked vs SQL interp in tests
+@query(
+    "w7_profile_regrid",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         (epoch_ms(ts) % 86400000) / 3600000.0 AS hour,
+         MIN(value) AS value
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2, 3
+), grid AS (
+  SELECT p.user_id, p.day, CAST(g AS DOUBLE) AS ghour
+  FROM (SELECT DISTINCT user_id, day FROM pts) p,
+       (SELECT unnest(generate_series(0, 23)) AS g)
+), lo AS (
+  SELECT g.user_id, g.day, g.ghour, p.hour AS x_lo, p.value AS y_lo
+  FROM grid g ASOF LEFT JOIN pts p
+    ON g.user_id = p.user_id AND g.day = p.day AND g.ghour >= p.hour
+), hi AS (
+  SELECT g.user_id, g.day, g.ghour, p.hour AS x_hi, p.value AS y_hi
+  FROM grid g ASOF LEFT JOIN pts p
+    ON g.user_id = p.user_id AND g.day = p.day AND g.ghour < p.hour
+)
+SELECT l.user_id, l.day, l.ghour AS hour,
+  CASE
+    WHEN l.x_lo IS NULL THEN CAST(NULL AS DOUBLE)
+    WHEN l.x_lo = l.ghour THEN l.y_lo
+    WHEN h.x_hi IS NULL THEN CAST(NULL AS DOUBLE)
+    ELSE ((h.y_hi - l.y_lo) / (h.x_hi - l.x_lo)) * (l.ghour - l.x_lo) + l.y_lo
+  END AS value
+FROM lo l JOIN hi h USING (user_id, day, ghour)
+""",
+)
 def w7_profile_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-profile 1-D regridding via np.interp in applyInPandas (reference:
     qaqc/dashboard.py:197-226). Here each (user_id, day) is a 'profile' and
-    hour-of-day is the depth axis."""
-    e = load_table(spark, sf_dir, "events").select(
+    hour-of-day is the depth axis.
+
+    Duplicate hours are collapsed (MIN) before the regrid so each profile's x
+    axis is strictly increasing — np.interp's bracketing is order-dependent
+    under duplicate x, which would make the result nondeterministic. With
+    unique x the kernel is exactly reproducible in SQL: the oracle's ASOF
+    joins pick the bracketing samples and the blend uses np.interp's exact
+    operation order ((y1-y0)/(x1-x0))*(g-x0)+y0; outside the sampled
+    range the kernel's NaN surfaces as NULL through Arrow, so the oracle
+    emits NULL there too."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
         "user_id",
         F.to_date("ts").alias("day"),
         ((F.unix_millis("ts") % 86400000) / 3600000.0).alias("hour"),
         "value",
     )
+    pts = e.groupBy("user_id", "day", "hour").agg(F.min("value").alias("value"))
     grid = [float(h) for h in range(24)]
-    return profile_regrid(e, ["user_id", "day"], "hour", "value", grid)
+    return profile_regrid(pts, ["user_id", "day"], "hour", "value", grid)
 
 
 @query(

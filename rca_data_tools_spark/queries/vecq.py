@@ -72,11 +72,69 @@ def ann_threshold_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("q_id", "vec_id", sim.alias("cos_sim")).filter(F.col("cos_sim") >= 0.3)
 
 
-@query("ann_lsh_topk")  # approximate variant; bucket recall is data-dependent -> rows-only check
+def _lsh_oracle_sql(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB replica of the hyperplane-LSH pipeline: the ±1 sign vectors are
+    the same md5-derived plan-time constants the Spark side uses
+    (similarity.hyperplane_projection), baked in as literal lists, and every
+    projection is the same sequential left fold — so buckets, candidates, and
+    the re-rank replay exactly."""
+    import hashlib
+
+    def signs(plane_id: int) -> list[int]:
+        return [
+            1 if int(hashlib.md5(f"p{plane_id}|{d}".encode()).hexdigest()[-1], 16) & 1 else -1
+            for d in range(dim)
+        ]
+
+    def bucket(vec: str, table: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            lst = "[" + ",".join(str(s) for s in signs(table * 100 + p)) + "]"
+            proj = (
+                "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"[CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip({vec}, {lst})]), (s, x) -> s + x)"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    corpus = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket('embedding', t)} AS bkt FROM embeddings"
+        for t in range(n_tables)
+    )
+    queries = " UNION ALL ".join(
+        f"SELECT vec_id AS q_id, {t} AS tbl, {bucket('embedding', t)} AS bkt "
+        "FROM embeddings WHERE vec_id < 10"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH c AS ({corpus}),
+q AS ({queries}),
+cand AS (
+  SELECT DISTINCT q.q_id, c.vec_id
+  FROM c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt
+  WHERE q.q_id <> c.vec_id
+), scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         ROUND({_cos_sql('eq.embedding', 'ec.embedding')}, 6) AS cos_sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.q_id
+  JOIN embeddings ec ON ec.vec_id = cand.vec_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed top-k — the scale path: equi-join on bucket id
-    instead of a full cross join; exact re-rank within buckets. Covered by
-    tests/test_similarity.py (bucket determinism, recall vs brute force)."""
+    instead of a full cross join; exact re-rank within buckets. The md5-seeded
+    hyperplanes are engine-independent constants, so the full approximate
+    pipeline (buckets -> candidates -> re-rank) replays in the oracle; recall
+    vs brute force is covered in tests/test_dedup.py."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")

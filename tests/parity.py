@@ -71,7 +71,8 @@ def compare(name: str, spark_df, oracle: str, sf_dir: str) -> list[str]:
     if len(sc) != len(oc):
         problems.append(f"{name}: row counts differ spark={len(sc)} oracle={len(oc)}")
     if sc != oc:
-        diff_s = [r for r in sc if r not in set(oc)][:3]
-        diff_o = [r for r in oc if r not in set(sc)][:3]
+        oc_set, sc_set = set(oc), set(sc)
+        diff_s = [r for r in sc if r not in oc_set][:3]
+        diff_o = [r for r in oc if r not in sc_set][:3]
         problems.append(f"{name}: values differ; spark-only={diff_s} oracle-only={diff_o}")
     return problems
