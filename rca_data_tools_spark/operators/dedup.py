@@ -199,6 +199,71 @@ def minhash_dedup_pairs(
     return verify_jaccard(pruned, sh, id_col, threshold)
 
 
+def connected_components(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 50
+) -> DataFrame:
+    """Connected components of the near-dup pair graph -> (node, label) with
+    label = smallest node id in the component. Turning pairs into components
+    is the step that makes dedup actionable: keep ``node == label``, drop the
+    rest.
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of (its label, its neighbors' labels, its label's
+    label). The neighbor step alone needs O(diameter) rounds — fatal on
+    chain-shaped dup clusters (doc i ~ doc i+1) — while the pointer jump
+    halves remaining chain length every round, giving O(log diameter)
+    convergence (the hash-to-min idea, Kiveris et al. 2014).
+
+    Scale shape: per round two equi-joins shuffled on the node key + one
+    map-side-combinable groupBy(min); the label table has one row per node
+    that appears in a pair — a tiny fraction of the corpus for near-dup
+    graphs. Each round's labels are localCheckpoint'ed — persist alone caches
+    data but the *logical plan* still grows per round, and Catalyst's
+    re-analysis of the accumulated plan goes super-linear after a few
+    iterations; checkpointing truncates lineage so every round plans against
+    a flat scan (on a cluster, use a reliable checkpoint dir for the same
+    effect with fault tolerance). Convergence is detected from SUM(label) —
+    labels only ever decrease, so the sum is strictly decreasing until
+    fixpoint — one aggregate action per round instead of an old-vs-new
+    join."""
+    fwd = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    rev = pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+        )
+        # pointer jump: label <- label(label); halves chain depth per round
+        lmap = stepped.select(F.col("node").alias("label"), F.col("label").alias("jump"))
+        new_labels = (
+            stepped.join(lmap, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("jump", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    return labels
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def _hex_slice_to_long(md5col, start: int, width: int = 8):

@@ -244,3 +244,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id1", "id2", "jaccard")
     )
+
+
+def _components_oracle() -> str:
+    # Transitive closure by recursive CTE: seed every endpoint with itself,
+    # propagate labels along (undirected) edges to fixpoint, keep the min.
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_pairs_oracle()}),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+@query("dedup_components", oracle=_components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical doc per cluster
+    (the step that turns pairwise dedup into keep/drop decisions: keep
+    doc_id == component). Pairs come from the SimHash radius-3 banding;
+    components via distributed min-label propagation
+    (operators/dedup.py connected_components)."""
+    from rca_data_tools_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    pairs = simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )

@@ -15,10 +15,12 @@ from rca_data_tools_spark.functions.text import (
     lang_scores,
     md5_fingerprint,
     mean_token_length,
+    normalize,
     punct_ratio,
     rolling_hash,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
@@ -149,3 +151,60 @@ def p9_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.col("text").rlike("spark.*hash|merge.*sort") & F.col("source").startswith("src1")
     ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NTOKS_SQL}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok), total
+)
+SELECT doc_id, tok, tf, tfidf, rank FROM (
+  SELECT doc_id, tok, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF terms per document (corpus keyword extraction — the
+    classic text-pipeline scoring pass).
+
+    Scale shape: term frequencies for the queried docs are tiny and
+    broadcast; document frequency is a map-side-combinable groupBy over the
+    (doc, token) distinct pairs; the corpus-size scalar joins as a broadcast
+    literal row, never a driver-side collect."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(normalize("text"))).alias("tok"))
+    tf = (
+        toks.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        dfreq.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "tok", "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "tok", "tf", "tfidf", "rank")
+    )

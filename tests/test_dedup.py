@@ -146,3 +146,52 @@ def test_ivf_refine_improves_quantization(spark):
     after = objective(cents1)
     assert after >= before - 1e-9, (before, after)
     assert after > before + 1e-4  # random seeds genuinely improve
+
+
+def test_connected_components_shapes(spark):
+    """Chain (worst-case diameter), clique, singleton pair, and determinism."""
+    from rca_data_tools_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)]  # 60-node chain
+        + [(100, 101), (100, 102), (101, 102)]  # triangle
+        + [(200, 201)],  # isolated pair
+        "id1 long, id2 long",
+    )
+    lab = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert all(lab[i] == 1 for i in range(1, 61))
+    assert lab[100] == lab[101] == lab[102] == 100
+    assert lab[200] == lab[201] == 200
+    # every node labeled, label is a member of the component
+    assert set(lab) == set(range(1, 61)) | {100, 101, 102, 200, 201}
+
+
+def test_connected_components_matches_networkx_style_union_find(spark):
+    """Randomized graph vs a Python union-find ground truth."""
+    import random
+
+    from rca_data_tools_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in edges:
+        for n in (a, b):
+            truth[n] = find(n)
+
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    lab = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert lab == truth
