@@ -45,6 +45,38 @@ def dec_cosine(a: Column, b: Column) -> Column:
 dec_dot = seq_dot
 
 
+def seq_cosine_udf():
+    """Arrow-vectorized cosine with seq_dot's exact IEEE add order.
+
+    zip_with/aggregate folds are interpreted per element; this UDF stacks
+    each Arrow batch into (n, dim) float64 matrices and accumulates dot and
+    norms with one vectorized multiply-add per dimension — the d-loop runs
+    0..dim-1, so every per-row sum is bit-identical to the sequential fold
+    (and to the DuckDB list_reduce oracle). Rounding stays OUTSIDE the UDF
+    (callers apply F.round on the returned double), so result columns keep
+    Spark's exact HALF_UP decimal semantics."""
+    import numpy as np
+    import pandas as pd
+
+    def _cos(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        mat_a = np.stack(a.to_numpy())
+        mat_b = np.stack(b.to_numpy())
+        n, dim = mat_a.shape
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(dim):  # sequential over d == the SQL fold's add order
+            x, y = mat_a[:, d], mat_b[:, d]
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return F.pandas_udf(_cos, "double")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,7 +92,7 @@ def brute_force_topk(
     tie-break so results are reproducible across engines and retries."""
     joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id_col) != F.col(id_col))
     a, b = to_double_array(q_vec_col), to_double_array(vec_col)
-    sim = dec_cosine(a, b) if deterministic else cosine(a, b)
+    sim = seq_cosine_udf()(a, b) if deterministic else cosine(a, b)
     scored = joined.select(q_id_col, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -132,7 +164,7 @@ def lsh_topk(
         .select(q_id_col, id_col, q_vec_col, vec_col)
         .distinct()
     )
-    sim = dec_cosine(to_double_array(q_vec_col), to_double_array(vec_col))
+    sim = seq_cosine_udf()(to_double_array(q_vec_col), to_double_array(vec_col))
     scored = cand.select(q_id_col, id_col, F.round(sim, 6).alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -243,7 +275,7 @@ def ivf_topk(
     lists = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
     probes = ivf_assign(queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe)
     cand = lists.join(F.broadcast(probes), "cid").filter(F.col(q_id_col) != F.col(id_col))
-    sim = F.round(dec_cosine(to_double_array(q_vec_col), to_double_array(vec_col)), 6)
+    sim = F.round(seq_cosine_udf()(to_double_array(q_vec_col), to_double_array(vec_col)), 6)
     scored = cand.select(q_id_col, id_col, sim.alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
