@@ -274,9 +274,11 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     """64-bit SimHash per doc as two 32-bit halves (fp_hi, fp_lo).
 
     Each distinct token hashes via md5; per bit position the docs' tokens vote
-    +1/-1; the sign of the vote sets the bit. Implemented as explode(32 bits)
-    + aggregate, so it's two shuffles on (id, bit) and (id) — no wide rows.
-    """
+    +1/-1; the sign of the vote sets the bit. The 64 bit-votes are 64
+    aggregate expressions over the (doc, token) rows — ONE map-side-combined
+    shuffle on the doc id and no 32x bit-row explosion (an earlier
+    explode(bits) formulation shuffled 32x the rows through two groupBys);
+    the fingerprint assembly from the votes is a pure projection."""
     toks = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(normalize(text_col)))).alias("tok"))
     md5c = F.md5(F.col("tok"))
     hashed = toks.select(
@@ -284,15 +286,28 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
         _hex_slice_to_long(md5c, 1).alias("h_hi"),
         _hex_slice_to_long(md5c, 9).alias("h_lo"),
     )
-    bits = hashed.select(id_col, "h_hi", "h_lo", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-    vote = lambda h: F.sum(  # noqa: E731
-        F.when(F.expr(f"(({h} >> j) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+
+    def vote(h: str, j: int):
+        return F.sum(
+            F.when(F.expr(f"(({h} >> {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        )
+
+    aggs = [vote("h_hi", j).alias(f"vh{j}") for j in range(32)] + [
+        vote("h_lo", j).alias(f"vl{j}") for j in range(32)
+    ]
+    votes = hashed.groupBy(id_col).agg(*aggs)
+
+    def assemble(prefix: str):
+        acc = F.lit(0).cast("long")
+        for j in range(32):
+            acc = acc + F.when(
+                F.col(f"{prefix}{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return votes.select(
+        F.col(id_col), assemble("vh").alias("fp_hi"), assemble("vl").alias("fp_lo")
     )
-    votes = bits.groupBy(id_col, "j").agg(vote("h_hi").alias("v_hi"), vote("h_lo").alias("v_lo"))
-    bit = lambda v: F.sum(  # noqa: E731
-        F.when(F.col(v) > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(F.lit(0).cast("long"))
-    )
-    return votes.groupBy(id_col).agg(bit("v_hi").alias("fp_hi"), bit("v_lo").alias("fp_lo"))
 
 
 def simhash_neardup_pairs(fp: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
