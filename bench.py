@@ -36,6 +36,7 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_ivf_topk",
     "text_quality_scores",
+    "text_tfidf_topk",
     "media_feature_extract",
     "q7_volume_shipping",
     "q10_returned_items",
