@@ -280,3 +280,49 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+ev AS (SELECT doc_id, sh FROM sh WHERE doc_id < 20),
+tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 20)
+SELECT ev.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+       CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS containment
+FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+GROUP BY 1
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check: for each held-out doc (doc_id < 20), the
+    fraction of its char-5-gram shingles that appear anywhere in the training
+    split (doc_id >= 20) — the asymmetric *containment* score used to detect
+    train/test leakage (Jaccard is symmetric and misses a small doc swallowed
+    by a large corpus).
+
+    Scale shape: the train shingle set aggregates to distinct hash-sized keys
+    (map-side combined); the probe is an equi-join on the shingle key —
+    uniform, skew-free. At 100 TB the train side would compress into a bloom
+    filter broadcast to the eval scan (same semantics, zero shuffle,
+    false-positive rate traded for memory); the join form here is the exact
+    variant. The containment ratio is an exact int/int double division, so no
+    rounding is needed for cross-engine parity."""
+    from rca_data_tools_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text", n=5)
+    ev = sh.filter(F.col("doc_id") < 20)
+    tr = sh.filter(F.col("doc_id") >= 20).select("sh").distinct().withColumn("__hit", F.lit(1))
+    probed = ev.join(tr, "sh", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("containment"),
+    )
