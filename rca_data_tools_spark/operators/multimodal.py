@@ -74,3 +74,70 @@ def extract_media_features(media: DataFrame, id_col: str = "doc_id") -> DataFram
             )
 
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def sample_frames(media: DataFrame, id_col: str = "doc_id", stride: int = 2) -> DataFrame:
+    """Frame sampling over the binary column: the blob divides into
+    ``n_frames`` fixed-size frames (fake geometry from the deterministic
+    stub; a real video decoder would pull keyframes here) and every
+    ``stride``-th frame is emitted as (doc_id, frame_idx, frame_len,
+    frame_md5). The fan-out happens INSIDE the kernel — one input row yields
+    several output rows from the same Arrow batch, the shape a real
+    frame-sampler uses so sampled frames never round-trip through a shuffle.
+
+    The fingerprint is md5 of the frame bytes' uppercase hex, byte-exactly
+    replayable in SQL as md5(substring(hex(blob), off*2+1, len*2)) — DuckDB
+    has no blob substring, so the hex-string view is the cross-engine
+    contract."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for did, b in zip(pdf[id_col], pdf["media_bytes"]):
+                b = bytes(b)
+                n = len(b)
+                n_frames = 1 + (n % 7)
+                fsize = n // n_frames
+                for fi in range(0, n_frames, stride):
+                    chunk = b[fi * fsize : (fi + 1) * fsize]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: computes the real output geometry (aspect-preserving
+    fit into target_w x target_h from the stub's fake source geometry) and
+    passes the payload through untouched — the byte transform itself needs an
+    image library (decode_image raises NotImplementedError). The Spark-side
+    contract (schema, one-row-in-one-row-out mapInPandas, payload column kept
+    binary) is exactly what the real kernel drops into."""
+
+    schema = f"{id_col} bigint, media_bytes binary, src_w int, src_h int, out_w int, out_h int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media_bytes"].map(_fake_features)
+            src_w = [f[1] for f in feats]
+            src_h = [f[2] for f in feats]
+            scale = [min(target_w / w, target_h / h) for w, h in zip(src_w, src_h)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media_bytes": pdf["media_bytes"],  # real kernel: decoded+resized bytes
+                    "src_w": src_w,
+                    "src_h": src_h,
+                    "out_w": [max(1, int(w * s)) for w, s in zip(src_w, scale)],
+                    "out_h": [max(1, int(h * s)) for h, s in zip(src_h, scale)],
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=schema)

@@ -59,3 +59,31 @@ def media_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("bl").alias("total_bytes"))
     )
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), geo AS (
+  SELECT doc_id, hx, n, 1 + (n % 7) AS n_frames, n // (1 + (n % 7)) AS fsize FROM m
+), frames AS (
+  SELECT doc_id, hx, fsize, CAST(f AS INT) AS frame_idx
+  FROM geo, unnest(generate_series(0, n_frames - 1, 2)) AS t(f)
+)
+SELECT doc_id, frame_idx, CAST(fsize AS INT) AS frame_len,
+       md5(substring(hx, frame_idx * fsize * 2 + 1, fsize * 2)) AS frame_md5
+FROM frames
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over the opaque media blob with per-frame
+    md5 fingerprints — the video-pipeline plumbing shape (kernel-side
+    fan-out, no shuffle of frame bytes). The oracle replays the byte slicing
+    on the hex-string view of the same blob."""
+    from rca_data_tools_spark.operators.multimodal import attach_binary, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(d, "doc_id", "text"), stride=2)

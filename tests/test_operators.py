@@ -98,3 +98,40 @@ def test_block_mean_trims_ragged_tail(spark):
     assert len(out) == 2  # 25 rows -> 2 full blocks, tail trimmed
     assert out[0].v == pytest.approx(4.5)
     assert out[1].v == pytest.approx(14.5)
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    """Frame fan-out geometry, fingerprint determinism, resize aspect fit,
+    and the explicit decode stub contract."""
+    import hashlib
+
+    import pytest
+
+    from rca_data_tools_spark.operators.multimodal import (
+        attach_binary,
+        decode_image,
+        resize_stub,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xyz" * 40)], "doc_id long, text string"
+    )
+    media = attach_binary(docs, "doc_id", "text")
+    frames = {(r["doc_id"], r["frame_idx"]): r for r in sample_frames(media, stride=2).collect()}
+    # doc 1: 10 bytes -> n_frames = 1 + 10 % 7 = 4, fsize = 2, sampled idx {0, 2}
+    assert {(d, i) for d, i in frames if d == 1} == {(1, 0), (1, 2)}
+    assert frames[(1, 0)]["frame_len"] == 2
+    assert frames[(1, 0)]["frame_md5"] == hashlib.md5(b"ab".hex().upper().encode()).hexdigest()
+    assert frames[(1, 2)]["frame_md5"] == hashlib.md5(b"ef".hex().upper().encode()).hexdigest()
+    # empty payload: one empty frame, md5 of empty string
+    assert frames[(2, 0)]["frame_len"] == 0
+    assert frames[(2, 0)]["frame_md5"] == hashlib.md5(b"").hexdigest()
+
+    originals = {1: b"abcdefghij", 2: b"", 3: b"xyz" * 40}
+    rs = {r["doc_id"]: r for r in resize_stub(media, 32, 32).collect()}
+    for did, r in rs.items():
+        assert max(r["out_w"], r["out_h"]) <= 32
+        assert bytes(r["media_bytes"]) == originals[did]  # payload rides through untouched
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
