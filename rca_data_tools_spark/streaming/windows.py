@@ -94,3 +94,25 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on ``key_cols``: keep the first arrival of each
+    key, with state bounded by the watermark (dropDuplicatesWithinWatermark —
+    a duplicate arriving later than the watermark delay is admitted again,
+    the documented trade of bounded state for at-most-once-per-window
+    semantics). The batch path uses plain dropDuplicates so the same
+    callable serves both sides of the unified API.
+
+    This is the streaming face of the exact-dedup operator
+    (operators/dedup.py): at ingest time the key would be the same
+    md5(normalized text) fingerprint, so records dedupe before ever landing
+    in the corpus — state carries only fingerprints, never documents."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)

@@ -147,3 +147,27 @@ def test_session_window_equals_batch_sessionization(spark, tmp_path):
     b = {r.user_id: (r.n_sessions, list(r.sizes)) for r in batch.collect()}
     s = {r.user_id: (r.n_sessions, list(r.sizes)) for r in sw.collect()}
     assert b == s
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streamed first-arrival dedup covers the batch dropDuplicates key set;
+    duplicates within the watermark never reach the sink twice."""
+    from rca_data_tools_spark.streaming.windows import streaming_dedup
+
+    src = _events_dir(spark, tmp_path)
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    expect_keys = {
+        r["user_id"] for r in streaming_dedup(batch_df, ["user_id"]).collect()
+    }
+    got_df = run_stream_to_memory(
+        spark,
+        src,
+        EVENTS_SCHEMA,
+        lambda s: streaming_dedup(s, ["user_id"]),
+        query_name="t_dedup",
+        output_mode="append",  # dedup emits rows immediately; no window wait
+    )
+    rows = got_df.collect()
+    got_keys = [r["user_id"] for r in rows]
+    assert set(got_keys) == expect_keys
+    assert len(got_keys) == len(set(got_keys))  # no key emitted twice
