@@ -77,3 +77,34 @@ def file_listing(spark: SparkSession, base_dir: str, extensions: tuple[str, ...]
                 full = os.path.join(root, f)
                 rows.append((os.path.relpath(full, base_dir), os.path.getsize(full)))
     return spark.createDataFrame(rows or [], "key string, size bigint")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) table — the co-located-join
+    layout for fact⋈fact joins that would otherwise shuffle both sides every
+    run (e.g. orders⋈lineitem on the order key at 100 TB): two tables
+    bucketed by the same columns into the same bucket count join with ZERO
+    exchanges, and bucket+sort also removes the sort from sort-merge joins.
+    Buckets are the persistent analog of a repartition the cluster would
+    otherwise redo per query.
+
+    Bucket metadata lives in the session catalog (saveAsTable); the data is
+    external at ``path`` so the repo's file-layout conventions still apply.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -66,3 +66,35 @@ def test_catalog_resolution(spark):
     co = resolve_or_coalesce(df, ["seawater_pressure", "pressure_depth"])
     assert "coalesce" in str(co).lower()
     assert qc_companion_columns(df, "pco2") == ["pco2_qc_executed", "pco2_qartod_results"]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count join
+    without any shuffle: no Exchange operator appears in the physical plan,
+    which is the whole point of the bucketed layout at fact⋈fact scale."""
+    from rca_data_tools_spark.sources.readers import load_table
+    from rca_data_tools_spark.sources.sinks import write_bucketed
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    for name in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 4, str(tmp_path / "ob"), sort_cols=["o_orderkey"])
+    write_bucketed(l, "t_lineitem_b", ["l_orderkey"], 4, str(tmp_path / "lb"), sort_cols=["l_orderkey"])
+    ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+    # force the sort-merge path: broadcast would win on toy sizes and hide
+    # the bucketed layout (at fact⋈fact scale neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        expect = l.join(o, l.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == expect
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("t_orders_b", "t_lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
