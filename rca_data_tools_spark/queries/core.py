@@ -740,3 +740,27 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("total_items"),
         )
     )
+
+
+# --- rollup: multi-level aggregation in one pass ----------------------------
+
+@query(
+    "a14_rollup_counts",
+    oracle=f"""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_key,
+       COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, day_key)
+""",
+)
+def a14_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (type, day), (type), and grand-total rows in one
+    partial-aggregated pass — the multi-level summary the reference computes
+    with repeated groupBys (qaqc/visual_data.py:113-134), expressed as the
+    single-scan grouping-sets plan Spark compiles rollup into."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day_key", F.date_trunc("day", F.col("ts"))
+    )
+    return e.rollup("event_type", "day_key").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
