@@ -764,3 +764,30 @@ def a14_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.rollup("event_type", "day_key").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
     )
+
+
+# --- exact interpolated percentiles per group -------------------------------
+
+@query(
+    "a15_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, [0.25, 0.5, 0.9]) AS pcts,
+       COUNT(value) AS n
+FROM events
+GROUP BY 1
+""",
+)
+def a15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per key (the distributional
+    summary behind the reference's color-limit min/max reductions,
+    qaqc/dashboard.py:842-859, generalized). Spark's percentile and DuckDB's
+    quantile_cont share the p*(n-1) linear-interpolation definition and are
+    bit-identical on doubles (verified at both SFs). At 100 TB swap in
+    percentile_approx for one-pass sketching; this exact form sorts within
+    the aggregation buffer."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("pcts"),
+        F.count("value").alias("n"),
+    )
