@@ -90,15 +90,27 @@ def as_of_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Scalable as-of (backward) join: each left row gets the latest right row
-    with ``right_ts <= left_ts`` (``<`` when strict) for the same key.
+    """Scalable as-of join. ``direction``:
 
-    Implementation: tag + union + single window pass — one hash shuffle on
-    ``key``, no non-equi join, no broadcast requirement. Right rows whose
-    timestamp ties a left timestamp sort first (non-strict) so ``last``
-    picks them up.
+    - ``backward`` (default): latest right row with ``right_ts <= left_ts``
+      (``<`` when strict) — the calibration-lookup shape.
+    - ``forward``: earliest right row with ``right_ts >= left_ts`` (``>``
+      when strict).
+    - ``nearest``: whichever of the two is closer in time; exact-distance
+      ties prefer the backward match. ``strict`` excludes equal timestamps
+      from both candidates.
+
+    Implementation: tag + union + window passes — one hash shuffle on
+    ``key``, no non-equi join, no broadcast requirement (both sides may be
+    arbitrarily large). Tie ordering between a left row and a right row at
+    the same timestamp flips with strict/direction so the frame naturally
+    includes or excludes the equal-timestamp right rows; ``nearest`` reuses
+    the same exchange for both window passes.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction}")
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     r_tagged = (
@@ -115,17 +127,50 @@ def as_of_join(
     cols = l_tagged.columns
     unioned = l_tagged.select(cols).unionByName(r_tagged.select(cols))
 
-    # Right rows order before left rows at equal timestamps unless strict.
-    tie = F.col("__side") if not strict else (F.lit(1) - F.col("__side"))
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), tie.asc())
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
-    )
-    filled = unioned
-    for c in value_cols + [right_ts]:
-        src = F.when(F.col("__side") == 0, F.col(c))
-        filled = filled.withColumn(f"__asof_{c}", F.last(src, ignorenulls=True).over(w))
+    # Tie order between right (side 0) and left (side 1) rows at equal __ts:
+    # backward non-strict / forward strict want rights FIRST; backward strict
+    # / forward non-strict want rights AFTER.
+    rights_first = F.col("__side")
+    rights_after = F.lit(1) - F.col("__side")
+    src = lambda c: F.when(F.col("__side") == 0, F.col(c))  # noqa: E731
+
+    def backward_pass(df, prefix):
+        tie = rights_first if not strict else rights_after
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts").asc(), tie.asc())
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        )
+        for c in value_cols + [right_ts]:
+            df = df.withColumn(f"{prefix}{c}", F.last(src(c), ignorenulls=True).over(w))
+        return df
+
+    def forward_pass(df, prefix):
+        tie = rights_after if not strict else rights_first
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts").asc(), tie.asc())
+            .rowsBetween(1 if strict else 0, Window.unboundedFollowing)
+        )
+        for c in value_cols + [right_ts]:
+            df = df.withColumn(f"{prefix}{c}", F.first(src(c), ignorenulls=True).over(w))
+        return df
+
+    if direction == "backward":
+        filled = backward_pass(unioned, "__asof_")
+    elif direction == "forward":
+        filled = forward_pass(unioned, "__asof_")
+    else:  # nearest: both passes share the exchange; pick the closer match
+        filled = forward_pass(backward_pass(unioned, "__b_"), "__f_")
+        ts_num = F.col("__ts").cast("double")
+        b_ts = F.col(f"__b_{right_ts}").cast("double")
+        f_ts = F.col(f"__f_{right_ts}").cast("double")
+        use_f = b_ts.isNull() | (f_ts.isNotNull() & ((f_ts - ts_num) < (ts_num - b_ts)))
+        for c in value_cols + [right_ts]:
+            filled = filled.withColumn(
+                f"__asof_{c}", F.when(use_f, F.col(f"__f_{c}")).otherwise(F.col(f"__b_{c}"))
+            )
+            filled = filled.drop(f"__b_{c}", f"__f_{c}")
     out = filled.filter(F.col("__side") == 1)
     for c in value_cols + [right_ts]:
         out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)

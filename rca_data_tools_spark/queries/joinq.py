@@ -344,3 +344,89 @@ def f_nested_cal_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sum_all).alias("sum_all"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_ASOF_CTE = """
+clicks AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), clicks_d AS (SELECT user_id, ts AS click_ts, value AS click_value, event_id AS click_event_id FROM clicks WHERE rn = 1),
+errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+"""
+
+
+@query(
+    "j1_asof_forward",
+    oracle=f"""
+WITH {_ASOF_CTE}
+SELECT e.event_id, e.user_id, e.ts,
+       c.click_event_id, c.click_ts, c.click_value
+FROM errors e ASOF LEFT JOIN clicks_d c
+  ON e.user_id = c.user_id AND e.ts <= c.click_ts
+""",
+)
+def j1_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error picks up the NEXT click of the same
+    user — the other direction of the union-window strategy (same single
+    shuffle). Completes the as-of family beyond the reference's
+    backward-only calibration lookup."""
+    errors, clicks_d = _asof_sides(spark, sf_dir)
+    joined = as_of_join(
+        errors, clicks_d, key="user_id", left_ts="ts", right_ts="click_ts",
+        value_cols=["click_event_id", "click_value"], direction="forward",
+    )
+    return joined.select("event_id", "user_id", "ts", "click_event_id", "click_ts", "click_value")
+
+
+@query(
+    "j1_asof_nearest",
+    oracle=f"""
+WITH {_ASOF_CTE},
+b AS (
+  SELECT e.event_id, c.click_event_id, c.click_ts, c.click_value
+  FROM errors e ASOF LEFT JOIN clicks_d c
+    ON e.user_id = c.user_id AND e.ts >= c.click_ts
+), f AS (
+  SELECT e.event_id, c.click_event_id, c.click_ts, c.click_value
+  FROM errors e ASOF LEFT JOIN clicks_d c
+    ON e.user_id = c.user_id AND e.ts <= c.click_ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN use_f THEN f.click_event_id ELSE b.click_event_id END AS click_event_id,
+       CASE WHEN use_f THEN f.click_ts ELSE b.click_ts END AS click_ts,
+       CASE WHEN use_f THEN f.click_value ELSE b.click_value END AS click_value
+FROM errors e
+JOIN b ON b.event_id = e.event_id
+JOIN f ON f.event_id = e.event_id
+CROSS JOIN LATERAL (SELECT (b.click_ts IS NULL OR (f.click_ts IS NOT NULL
+  AND (epoch(f.click_ts) - epoch(e.ts)) < (epoch(e.ts) - epoch(b.click_ts)))) AS use_f) u
+""",
+)
+def j1_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each error picks the closer of its previous and
+    next click (exact-distance ties prefer backward). Both direction passes
+    share one exchange."""
+    errors, clicks_d = _asof_sides(spark, sf_dir)
+    joined = as_of_join(
+        errors, clicks_d, key="user_id", left_ts="ts", right_ts="click_ts",
+        value_cols=["click_event_id", "click_value"], direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "ts", "click_event_id", "click_ts", "click_value")
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks_d = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("event_id", "click_event_id")
+        .withColumnRenamed("value", "click_value")
+        .withColumnRenamed("ts", "click_ts")
+    )
+    return errors, clicks_d

@@ -148,3 +148,71 @@ def test_lttb_invariants(values, threshold):
     assert len(idx) == min(len(values), threshold)
     assert idx[0] == 0 and idx[-1] == len(values) - 1
     assert (np.diff(idx) > 0).all()  # strictly increasing: order preserved
+
+
+@given(as_of_data)
+@settings(**SETTINGS)
+def test_as_of_forward_matches_merge_asof(data):
+    from rca_data_tools_spark.operators.interval_join import as_of_join
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    left_rows, right_rows = data
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+    left = spark.createDataFrame([(k, _ts(t)) for k, t in left_rows], "key int, lts timestamp")
+    right = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows], "key int, rts timestamp, val int"
+    )
+    got = {
+        (r.key, r.lts, r.val)
+        for r in as_of_join(left, right, "key", "lts", "rts", ["val"], direction="forward").collect()
+    }
+    lp = pd.DataFrame([(k, _ts(t)) for k, t in left_rows], columns=["key", "lts"]).sort_values(
+        "lts", kind="stable"
+    )
+    rp = pd.DataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows], columns=["key", "rts", "val"]
+    ).sort_values("rts", kind="stable")
+    expect_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="key", direction="forward")
+    expect = {
+        (r.key, r.lts.to_pydatetime(), None if pd.isna(r.val) else int(r.val))
+        for r in expect_df.itertuples()
+    }
+    assert got == expect
+
+
+@given(as_of_data)
+@settings(**SETTINGS)
+def test_as_of_nearest_prefers_backward_on_ties(data):
+    """Nearest direction vs a per-row Python reference (pandas 'nearest'
+    tie-breaks toward forward in some versions, so compare against our
+    documented semantics directly: closer wins, exact ties go backward)."""
+    from rca_data_tools_spark.operators.interval_join import as_of_join
+    from tests.conftest import get_shared_spark
+
+    spark = get_shared_spark()
+    left_rows, right_rows = data
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+    left = spark.createDataFrame([(k, _ts(t)) for k, t in left_rows], "key int, lts timestamp")
+    right = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in right_rows], "key int, rts timestamp, val int"
+    )
+    got = {
+        (r.key, r.lts, r.val)
+        for r in as_of_join(left, right, "key", "lts", "rts", ["val"], direction="nearest").collect()
+    }
+    expect = set()
+    for k, t in left_rows:
+        prev = max((rt for rk, rt, _ in right_rows if rk == k and rt <= t), default=None)
+        nxt = min((rt for rk, rt, _ in right_rows if rk == k and rt >= t), default=None)
+        if prev is None and nxt is None:
+            pick = None
+        elif prev is None:
+            pick = nxt
+        elif nxt is None:
+            pick = prev
+        else:
+            pick = nxt if (nxt - t) < (t - prev) else prev
+        val = next((v for rk, rt, v in right_rows if rk == k and rt == pick), None)
+        expect.add((k, _ts(t), val))
+    assert got == expect
