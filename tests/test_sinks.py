@@ -98,3 +98,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("t_orders_b", "t_lineitem_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """End-to-end proof of the at-scale layout contract: write events under
+    date= partitions, read through load_table with a time filter, and assert
+    the scan's partition count shrinks to the selected dates only."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "events")
+    root = str(tmp_path / "sfdir")
+    (
+        src.withColumn("date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(f"{root}/events")
+    )
+    n_dates_total = src.select(F.to_date("ts")).distinct().count()
+    assert n_dates_total > 3
+
+    df = load_table(
+        spark, root, "events",
+        time_filters={"ts": ("2024-01-10 00:00:00", "2024-01-13 00:00:00")},
+    )
+    rows = df.count()
+    expect = src.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-13")
+    ).count()
+    assert rows == expect
+    # every surviving file path is one of the selected date partitions
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files
+    for f in files:
+        assert any(f"date=2024-01-1{d}" in f for d in (0, 1, 2)), f
