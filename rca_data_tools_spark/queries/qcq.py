@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rca_data_tools_spark.functions.numeric import dsum, dsum_sql
 from rca_data_tools_spark.functions.qc import qc_test_flags, rollup_flags, span_flag
 from rca_data_tools_spark.operators.flagging import climatology_flags, gross_range_flags
 from rca_data_tools_spark.queries._registry import query
@@ -205,4 +206,56 @@ def a10_bit_or_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.bit_or((F.col("event_id") % 256).cast("int")).alias("tests_executed_mask"),
         F.max(F.when(F.col("value") > 300.0, F.lit(3)).otherwise(F.lit(1))).alias("max_flag"),
+    )
+
+
+@query(
+    "qc_climatology_build",
+    oracle=f"""
+WITH stats AS (
+  SELECT month(ts) AS clim_month,
+         CAST(FLOOR(value / 100.0) AS BIGINT) AS bracket,
+         {dsum_sql('value')} AS s1,
+         {dsum_sql('value * value')} AS s2,
+         COUNT(value) AS n
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT clim_month, bracket, n,
+       s1 / n AS mean_v,
+       s1 / n - 3.0 * SQRT((s2 - s1 * s1 / n) / (n - 1)) AS clim_lo,
+       s1 / n + 3.0 * SQRT((s2 - s1 * s1 / n) / (n - 1)) AS clim_hi
+FROM stats
+WHERE n >= 2
+""",
+)
+def qc_climatology_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology table CONSTRUCTION — the producer side of the monthly
+    mean±3σ brackets the reference only consumes as prebuilt CSV
+    (qaqc/qartod.py:83-106; the mean-3σ/mean+3σ span convention from its
+    climatology dict). One map-side-combined pass builds every (month,
+    bracket) row; mean and σ derive from decimal-exact Σx and Σx² in the
+    identical expression order on both engines, so the bounds are
+    bit-reproducible. At 100 TB this is the same single-shuffle shape as any
+    rollup: no per-month scans, no driver-side loops."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = e.groupBy(
+        F.month("ts").alias("clim_month"),
+        F.floor(F.col("value") / 100.0).cast("long").alias("bracket"),
+    ).agg(
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+        F.count("value").alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return (
+        stats.filter(F.col("n") >= 2)
+        .select(
+            "clim_month", "bracket", "n",
+            mean.alias("mean_v"),
+            (mean - 3.0 * std).alias("clim_lo"),
+            (mean + 3.0 * std).alias("clim_hi"),
+        )
     )
