@@ -93,3 +93,24 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_asof_directions_no_nested_loop(spark):
+    for name in ("j1_asof_forward", "j1_asof_nearest"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_exact_dedup_single_exchange(spark):
+    """Exact dedup's only exchange is the fingerprint groupBy — the
+    shuffle-32-byte-hashes-not-documents claim, plan-verified."""
+    plan = plan_of(spark, "dedup_exact")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2, plan  # fingerprint agg (+ optional repartition)
+
+
+def test_contamination_join_is_equi_shaped(spark):
+    plan = plan_of(spark, "text_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
