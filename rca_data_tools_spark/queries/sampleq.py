@@ -130,3 +130,28 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(d, "lang", "doc_id", "n_tok", target=128).select(
         "doc_id", "lang", "n_tok", "bin_id"
     )
+
+
+@query(
+    "sample_split_assign",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_U_SQL} < {rate_threshold(0.8)} THEN 'train'
+            WHEN {_U_SQL} < {rate_threshold(0.9)} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) from the salted
+    md5 integer — every engine and every rerun lands each doc in the same
+    split, no RNG state, no shuffle; downstream writers partition by the
+    split column so each split lands in its own directory tree."""
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), "s")
+    split = (
+        F.when(u < rate_threshold(0.8), F.lit("train"))
+        .when(u < rate_threshold(0.9), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
