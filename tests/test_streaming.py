@@ -171,3 +171,36 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got_keys = [r["user_id"] for r in rows]
     assert set(got_keys) == expect_keys
     assert len(got_keys) == len(set(got_keys))  # no key emitted twice
+
+
+def test_streaming_gross_range_flag_counts_match_batch(spark, tmp_path):
+    """QC flagging composes with Structured Streaming: the gross-range
+    broadcast dim joins a stream (stream-static join) and the per-flag
+    tumbling counts equal the batch run — the incremental face of the
+    reference's re-run-the-window pipeline."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.flagging import gross_range_flags
+
+    src = _events_dir(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", 0.0, 500.0, 50.0, 450.0), ("error", 0.0, 500.0, 100.0, 400.0)],
+        "event_type string, fail_lo double, fail_hi double, sus_lo double, sus_hi double",
+    )
+
+    def flag_counts(df):
+        flagged = gross_range_flags(df, dim, value_col="value", join_keys=["event_type"])
+        srcd = flagged.withWatermark("ts", "2 hours") if flagged.isStreaming else flagged
+        return (
+            srcd.groupBy(F.window("ts", "6 hours").alias("w"), "gross_range_flag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "gross_range_flag", "n")
+        )
+
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    expect = {tuple(r) for r in flag_counts(batch_df).collect()}
+    got_df = run_stream_to_memory(
+        spark, src, EVENTS_SCHEMA, flag_counts, query_name="t_qc_flags"
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expect and len(got) > 0
