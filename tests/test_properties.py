@@ -216,3 +216,29 @@ def test_as_of_nearest_prefers_backward_on_ties(data):
         val = next((v for rk, rt, v in right_rows if rk == k and rt == pick), None)
         expect.add((k, _ts(t), val))
     assert got == expect
+
+
+def test_results_invariant_to_shuffle_partitioning():
+    """The determinism contract behind the oracle gate: aggregation results
+    are bit-identical regardless of partition count (decimal sums are
+    order-insensitive; ranked outputs tie-break on ids). Run representative
+    queries under 3 and 32 shuffle partitions and compare exact values."""
+    from __spark_entry__ import queries
+    from tests.conftest import SF_CORRECTNESS, get_shared_spark
+    from tests.parity import canonicalize
+
+    spark = get_shared_spark()
+    qs = queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    names = ["q1_pricing_summary", "a3_windowed_mean", "dedup_minhash_lsh", "ann_ivf_topk"]
+    try:
+        results = {}
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in names:
+                df = qs[name](spark, SF_CORRECTNESS)
+                results[(name, parts)] = canonicalize(df.columns, [tuple(r) for r in df.collect()])
+        for name in names:
+            assert results[(name, "3")] == results[(name, "32")], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
