@@ -208,3 +208,52 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "tok", "tf", "tfidf", "rank")
     )
+
+
+@query(
+    "corpus_curation",
+    oracle=rf"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+    LEAST(1.0, length(text) / 500.0) AS len_score,
+    LEAST(1.0, CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+        ELSE 0.0 END * 4.0) AS punct_penalty,
+    LEAST(1.0, CASE WHEN len({_NTOKS_SQL}) > 0
+        THEN len(list_filter({_NTOKS_SQL}, t -> t IN ({_in_list(LANG_MARKERS['en'])}))) / len({_NTOKS_SQL})
+        ELSE 0.0 END * 4.0) AS stop_score
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         ROUND(len_score * 0.4 + (1.0 - punct_penalty) * 0.3 + stop_score * 0.3, 6) AS quality,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
+  FROM m
+), kept AS (
+  SELECT norm_text, MIN(doc_id) AS keep_id
+  FROM scored WHERE quality >= 0.5 AND lang = 'en'
+  GROUP BY norm_text
+)
+SELECT s.doc_id, s.quality
+FROM scored s JOIN kept k ON s.doc_id = k.keep_id
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate (>= 0.5) + language gate
+    (en) + exact-dedup keep (lowest doc_id per normalized text) in one
+    declarative plan — the composition a training-data pipeline actually
+    runs, here as a single Catalyst plan so the quality/lang filters prune
+    BEFORE the dedup shuffle (only surviving fingerprints shuffle)."""
+    from rca_data_tools_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        quality_score("text").alias("quality"),
+        F.md5(normalize("text")).alias("fp"),
+    )
+    gated = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    keep = gated.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        gated.join(keep, gated.doc_id == keep.keep_id, "left_semi")
+        .select("doc_id", "quality")
+    )
