@@ -85,23 +85,50 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFr
     min_i((A_i*base + B_i) mod P) over the doc's shingles — a classic
     universal-hash permutation family (Broder 1997).
 
-    Explode-free: takes the (id, shs) array form and computes each component
-    as array_min(transform(...)) — a narrow, shuffle-free projection. The
-    old exploded groupBy needed a full shuffle of the shingle table (at 100 TB
-    that shuffle IS the job); this needs none."""
+    Explode-free: takes the (id, shs) array form and computes the signature
+    in a narrow, shuffle-free projection. The old exploded groupBy needed a
+    full shuffle of the shingle table (at 100 TB that shuffle IS the job);
+    this needs none.
+
+    The kernel is an Arrow-batched pandas UDF: one hashlib md5 per shingle
+    (bit-identical to the SQL ``substr(md5(x),1,8)`` base the oracle
+    replays), then all K permutations in one vectorized uint64 matmul-shaped
+    pass. The previous formulation — K interpreted ``array_min(transform())``
+    higher-order-function passes per row — re-walked every shingle array 17
+    times outside codegen and was ~4x slower at sf0.1."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     if "shs" not in sh.columns:  # accept the exploded (id, sh) form too
         sh = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
-    bases = F.transform(F.col("shs"), lambda s: shingle_base_hash(s))
-    tagged = sh.withColumn("__bases", bases)
 
-    def perm(i):
-        a, b = MINHASH_A[i], MINHASH_B[i]
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+    A = np.array(MINHASH_A[:k], dtype=np.uint64)[:, None]
+    B = np.array(MINHASH_B[:k], dtype=np.uint64)[:, None]
+    P = np.uint64(MINHASH_P)
 
-    cols = [
-        F.array_min(F.transform(F.col("__bases"), perm(i))).alias(f"h{i}")
-        for i in range(k)
-    ]
+    def _sig(col):
+        out = []
+        for shs in col:
+            if shs is None or len(shs) == 0:  # array_min-over-empty ≙ null
+                out.append(None)
+                continue
+            bases = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_P
+                    for s in shs
+                ),
+                dtype=np.uint64,
+                count=len(shs),
+            )
+            out.append(((A * bases + B) % P).min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    sig_udf = F.pandas_udf(_sig, ArrayType(LongType()))
+    tagged = sh.select(F.col(id_col), sig_udf(F.col("shs")).alias("__sig"))
+    cols = [F.col("__sig").getItem(i).alias(f"h{i}") for i in range(k)]
     return tagged.select(id_col, *cols)
 
 
@@ -213,7 +240,12 @@ def minhash_dedup_pairs(
     sh = shingle_arrays(spread, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sh, id_col).persist()
     cand = lsh_candidate_pairs(sig, id_col)
-    pruned = estimate_filter(cand, sig, id_col, max(0.0, threshold - est_margin))
+    # pruned is broadcast by verify_jaccard; without a persist the broadcast
+    # would re-execute the whole candidate self-join a second time (its plan
+    # contains it). Pair lists are two longs per row — caching is free.
+    pruned = estimate_filter(
+        cand, sig, id_col, max(0.0, threshold - est_margin)
+    ).persist()
     return verify_jaccard(pruned, sh, id_col, threshold)
 
 
