@@ -31,3 +31,17 @@ def test_entry_smoke(spark):
 
     df = entry(spark)
     assert df.count() > 0
+
+
+def test_approx_distinct_tracks_exact(spark):
+    from rca_data_tools_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["l_returnflag"]: r for r in QUERIES["agg_approx_distinct"](spark, sf).collect()}
+    exact = {r["l_returnflag"]: r for r in QUERIES["agg_multi_distinct"](spark, sf).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n_rows"] == e["n_rows"]
+        for col in ("n_supp", "n_part"):
+            assert abs(a[col] - e[col]) <= max(2, 0.05 * e[col]), (k, col, a[col], e[col])
