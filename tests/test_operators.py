@@ -135,3 +135,22 @@ def test_multimodal_frame_sample_and_resize(spark):
         assert bytes(r["media_bytes"]) == originals[did]  # payload rides through untouched
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """frameq's recurrence equals pandas ewm(alpha, adjust=False) bitwise."""
+    import pandas as pd
+
+    from rca_data_tools_spark.queries.frameq import EWMA_ALPHA, _ewma_group
+
+    rng = pd.DataFrame(
+        {
+            "user_id": [1] * 50,
+            "ts": pd.date_range("2024-01-01", periods=50, freq="h"),
+            "event_id": range(50),
+            "value": [((i * 37) % 101) / 7.0 for i in range(50)],
+        }
+    )
+    out = _ewma_group(rng)
+    expected = rng["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+    assert (out["ewma"].to_numpy() == expected.to_numpy()).all()
