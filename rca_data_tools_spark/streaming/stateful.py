@@ -97,3 +97,80 @@ def streaming_step_flags(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithState EWMA (Spark 4 arbitrary-state API) ------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+class EwmaProcessor:
+    """Per-key streaming EWMA via the transformWithState arbitrary-state API
+    (Spark 4): y_i = α·x_i + (1-α)·y_{i-1}, the exact recurrence of the batch
+    operator (queries/frameq.py `_ewma_group`), with the accumulator carried
+    across micro-batches in a ValueState.
+
+    State per key is ONE double — constant regardless of stream length — and
+    lives in the state store (RocksDB in production), so a million instrument
+    keys cost ~8 MB of state. Requires per-key event-time-ordered arrival
+    (true for replayed sensor archives; out-of-order sources need a watermark
+    sort upstream, e.g. a windowed sort-within-watermark stage)."""
+
+    def __init__(self, alpha: float = 0.25):
+        self.alpha = float(alpha)
+
+    def init(self, handle) -> None:
+        self._acc = handle.getValueState("ewma_acc", "acc double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        alpha = self.alpha
+        prev = self._acc.get() if self._acc.exists() else None
+        acc = prev[0] if prev is not None else None
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            x = pdf["value"].to_numpy(dtype="float64")
+            y = x.copy()
+            for i in range(len(x)):
+                acc = x[i] if acc is None else alpha * x[i] + (1.0 - alpha) * acc
+                y[i] = acc
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "ewma": y,
+                }
+            )
+        if acc is not None:
+            self._acc.update((float(acc),))
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_ewma(events: DataFrame, alpha: float = 0.25, key_col: str = "user_id") -> DataFrame:
+    """Streaming face of w_ewma: identical arithmetic, incremental execution.
+    Each micro-batch emits only its own rows; the accumulator survives in the
+    state store. Output mode `append` (each input row produces exactly one
+    output row, never revised)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Subclass dynamically so the module imports even if the API moves.
+    proc = EwmaProcessor(alpha)
+    if not isinstance(proc, StatefulProcessor):
+        EwmaProcessor.__bases__ = (StatefulProcessor,)
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
