@@ -79,6 +79,7 @@ def load_table(
     the filter is applied directly and pushes down as-is.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
@@ -87,6 +88,12 @@ def load_table(
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # timestamp[us] parquet columns without a timezone arrive as
+    # TIMESTAMP_NTZ; the engine's time functions (unix_millis, window, ...)
+    # expect TIMESTAMP. With the session timezone pinned to UTC the cast is a
+    # wall-clock no-op, so normalize here — but only after the raw-column
+    # filters below, which must sit under the Project to reach the scan.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
 
     for col, (lo, hi) in (time_filters or {}).items():
         if col in nanos:
@@ -95,6 +102,10 @@ def load_table(
             # semantics (session timezone) exactly.
             def bound(s):
                 return F.unix_micros(F.lit(s).cast("timestamp")) * F.lit(1000)
+
+        elif col in ntz:
+            def bound(s):
+                return F.lit(s).cast("timestamp_ntz")
 
         else:
             def bound(s):
@@ -107,6 +118,8 @@ def load_table(
 
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
