@@ -772,7 +772,9 @@ def a14_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a15_percentiles",
     oracle="""
 SELECT event_type,
-       quantile_cont(value, [0.25, 0.5, 0.9]) AS pcts,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
        COUNT(value) AS n
 FROM events
 GROUP BY 1
@@ -783,11 +785,14 @@ def a15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary behind the reference's color-limit min/max reductions,
     qaqc/dashboard.py:842-859, generalized). Spark's percentile and DuckDB's
     quantile_cont share the p*(n-1) linear-interpolation definition and are
-    bit-identical on doubles (verified at both SFs). At 100 TB swap in
-    percentile_approx for one-pass sketching; this exact form sorts within
-    the aggregation buffer."""
+    bit-identical on doubles (verified at both SFs). Scalar columns (not an
+    array) so downstream consumers — and the driver's canonicalizer — see
+    hashable cells. At 100 TB swap in percentile_approx for one-pass
+    sketching; this exact form sorts within the aggregation buffer."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("pcts"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
         F.count("value").alias("n"),
     )

@@ -155,8 +155,8 @@ votes AS (
   FROM bits GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(CASE WHEN v_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS fp_hi,
-       SUM(CASE WHEN v_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS fp_lo
+       CAST(SUM(CASE WHEN v_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp_hi,
+       CAST(SUM(CASE WHEN v_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp_lo
 FROM votes GROUP BY doc_id
 """
 
@@ -290,7 +290,7 @@ ev AS (SELECT doc_id, sh FROM sh WHERE doc_id < 20),
 tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 20)
 SELECT ev.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+       CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS containment
 FROM ev LEFT JOIN tr ON ev.sh = tr.sh
