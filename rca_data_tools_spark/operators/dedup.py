@@ -90,14 +90,15 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFr
     full shuffle of the shingle table (at 100 TB that shuffle IS the job);
     this needs none.
 
-    The kernel is an Arrow-batched pandas UDF: one hashlib md5 per shingle
-    (bit-identical to the SQL ``substr(md5(x),1,8)`` base the oracle
-    replays), then all K permutations in one vectorized uint64 matmul-shaped
-    pass. The previous formulation — K interpreted ``array_min(transform())``
-    higher-order-function passes per row — re-walked every shingle array 17
-    times outside codegen and was ~4x slower at sf0.1."""
-    import hashlib
-
+    Two-stage kernel split by what each engine is good at: the base hash is
+    ONE JVM-side ``transform(shs, s -> conv(substr(md5(s),1,8),16,10) % P)``
+    pass — bit-identical to the SQL the DuckDB oracle replays, and ~10x
+    cheaper than a Python ``hashlib.md5`` per shingle, which profiling showed
+    was the whole pipeline's dominant cost — and the K permutations run as
+    one vectorized uint64 matmul-shaped pass in an Arrow-batched pandas UDF
+    over the numeric base arrays (Arrow then ships longs, not strings). The
+    earlier all-HOF formulation (K ``array_min(transform())`` passes) and the
+    all-Python one (hashlib per shingle) were both ~3-4x slower at sf0.1."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
@@ -109,25 +110,22 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFr
     B = np.array(MINHASH_B[:k], dtype=np.uint64)[:, None]
     P = np.uint64(MINHASH_P)
 
-    def _sig(col):
+    def _perms(col):
         out = []
-        for shs in col:
-            if shs is None or len(shs) == 0:  # array_min-over-empty ≙ null
+        for bases in col:
+            if bases is None or len(bases) == 0:  # array_min-over-empty ≙ null
                 out.append(None)
                 continue
-            bases = np.fromiter(
-                (
-                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_P
-                    for s in shs
-                ),
-                dtype=np.uint64,
-                count=len(shs),
-            )
-            out.append(((A * bases + B) % P).min(axis=1).astype(np.int64))
+            b = np.asarray(bases, dtype=np.uint64)
+            out.append(((A * b + B) % P).min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    sig_udf = F.pandas_udf(_sig, ArrayType(LongType()))
-    tagged = sh.select(F.col(id_col), sig_udf(F.col("shs")).alias("__sig"))
+    perm_udf = F.pandas_udf(_perms, ArrayType(LongType()))
+    based = sh.select(
+        F.col(id_col),
+        F.transform("shs", shingle_base_hash).alias("__bases"),
+    )
+    tagged = based.select(F.col(id_col), perm_udf(F.col("__bases")).alias("__sig"))
     cols = [F.col("__sig").getItem(i).alias(f"h{i}") for i in range(k)]
     return tagged.select(id_col, *cols)
 

@@ -81,6 +81,15 @@ def load_table(
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
+    # The NTZ->TIMESTAMP normalization below is instant-preserving only under
+    # a UTC session; a reused non-UTC session would silently shift values.
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    if session_tz != "UTC":
+        raise ValueError(
+            f"load_table requires spark.sql.session.timeZone=UTC (got {session_tz!r}); "
+            "the engine pins UTC so naive-timestamp columns keep their instants."
+        )
+
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
@@ -104,8 +113,13 @@ def load_table(
                 return F.unix_micros(F.lit(s).cast("timestamp")) * F.lit(1000)
 
         elif col in ntz:
+            # Route through TIMESTAMP first so a bound string carrying an
+            # explicit zone offset selects the same instant as the TIMESTAMP
+            # and nanos branches (a direct NTZ cast would drop the offset);
+            # for naive strings under the UTC session the two casts are a
+            # wall-clock no-op.
             def bound(s):
-                return F.lit(s).cast("timestamp_ntz")
+                return F.lit(s).cast("timestamp").cast("timestamp_ntz")
 
         else:
             def bound(s):
