@@ -366,6 +366,134 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey, {dsum_sql('l_extendedprice * l_quantity')} AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, value
+FROM pv
+WHERE value > 0.0005 * (SELECT {dsum_sql('value')} FROM pv)
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's suppliers,
+    kept where above a fraction of the nation's total (partsupp's
+    supplycost*availqty proxied by extendedprice*quantity — no partsupp
+    table in this schema).
+
+    Scale: one shuffle on l_partkey for the grouped value; the fraction
+    threshold is a 1-row broadcast (re-aggregated from the grouped view, not
+    a second fact scan); nation/supplier dims broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+               l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    threshold = pv.agg((dsum("value") * 0.0005).alias("__thr"))
+    return pv.join(F.broadcast(threshold), pv.value > F.col("__thr")).select(
+        "l_partkey", "value"
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding a NOT-IN supplier denylist (negative account balance standing
+    in for the original's complaint-comment filter).
+
+    Scale: the denylist is an anti join against a broadcast-sized dim (never
+    a NOT-IN per-row subquery); the part predicate broadcasts and prunes
+    lineitem before its countDistinct shuffle on the attribute triple."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_promotable_suppliers",
+    oracle=f"""
+WITH sp AS (
+  SELECT l_suppkey,
+         {dsum_sql("CASE WHEN EXTRACT(year FROM l_shipdate) = 1996 THEN l_quantity ELSE 0 END")} AS qty_1996,
+         {dsum_sql('l_quantity')} AS qty_all
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%gear%'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+  AND EXISTS (
+    SELECT 1 FROM sp
+    WHERE sp.l_suppkey = s_suppkey AND qty_1996 > 0.5 * qty_all
+  )
+""",
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN supplier qualification — suppliers in one
+    nation with at least one part family (name-LIKE) whose 1996 shipments
+    exceed half their all-time shipments of that part (availqty > half-
+    shipped proxied via the two-epoch quantity comparison; no partsupp).
+
+    Scale: the correlated half-sum is decorrelated into ONE grouped pass
+    computing both sums (conditional + total) per (supplier, part) — the
+    fact table is read once, not twice — then a semi join qualifies the
+    broadcast-sized supplier dim."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    qty_1996 = F.when(F.year("l_shipdate") == 1996, F.col("l_quantity")).otherwise(0.0)
+    sp = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(qty_1996).alias("qty_1996"), dsum("l_quantity").alias("qty_all"))
+        .filter(F.col("qty_1996") > 0.5 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(sp, s.s_suppkey == sp.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
     "agg_rollup",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
