@@ -170,6 +170,49 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS over the whole corpus — the dedup-family
+    member where both sides are big (vs the broadcast-query top-k flavors):
+    every vector computes its LSH buckets in one scan, candidates come from a
+    bucketed SELF equi-join on (table, bucket), and only collisions pay the
+    exact cosine verify against the threshold.
+
+    Scale shape: the corpus shuffles once on the (tbl, bkt) key — uniform by
+    construction (md5-derived hyperplane signs) — and the quadratic blowup is
+    confined within buckets, ~N²/2^planes per table instead of N²/2. Recall
+    tunes with n_tables up / n_planes down, exactly like minhash banding."""
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(lsh_buckets(to_double_array(vec_col), n_tables, n_planes, dim)).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bkt")
+    a = bucketed.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "tbl", "bkt"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "tbl", "bkt"
+    )
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .distinct()
+    )
+    sim = F.round(seq_cosine_udf()(to_double_array("v1"), to_double_array("v2")), 6)
+    return (
+        cand.select("id1", "id2", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # --- IVF (inverted-file) index ---------------------------------------------
 
 def ivf_centroids(

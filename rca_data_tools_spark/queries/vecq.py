@@ -7,7 +7,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.vectors import array_stddev, k_of_n_above, to_double_array
-from rca_data_tools_spark.operators.similarity import brute_force_topk, dec_cosine, lsh_topk
+from rca_data_tools_spark.operators.similarity import (
+    brute_force_topk,
+    dec_cosine,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
@@ -126,6 +131,69 @@ SELECT q_id, vec_id, cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+
+def _emb_neardup_oracle_sql(
+    threshold: float = 0.4, n_tables: int = 8, n_planes: int = 4, dim: int = 64
+) -> str:
+    """DuckDB replica of the self-join LSH near-dup pipeline: same md5-derived
+    ±1 hyperplanes as the Spark side (baked in as literal lists), same
+    sequential-fold projections, candidates from the bucketed self-join,
+    exact round-6 cosine verify against the threshold."""
+    import hashlib
+
+    def signs(plane_id: int) -> list[int]:
+        return [
+            1 if int(hashlib.md5(f"p{plane_id}|{d}".encode()).hexdigest()[-1], 16) & 1 else -1
+            for d in range(dim)
+        ]
+
+    def bucket(vec: str, table: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            lst = "[" + ",".join(str(s) for s in signs(table * 100 + p)) + "]"
+            proj = (
+                "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"[CAST(x[1] AS DOUBLE)*x[2] FOR x IN list_zip({vec}, {lst})]), (s, x) -> s + x)"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    corpus = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket('embedding', t)} AS bkt FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH c AS ({corpus}),
+cand AS (
+  SELECT DISTINCT c1.vec_id AS id1, c2.vec_id AS id2
+  FROM c c1 JOIN c c2 ON c1.tbl = c2.tbl AND c1.bkt = c2.bkt
+  WHERE c1.vec_id < c2.vec_id
+)
+SELECT cand.id1, cand.id2,
+       ROUND({_cos_sql('e1.embedding', 'e2.embedding')}, 6) AS cos_sim
+FROM cand
+JOIN embeddings e1 ON e1.vec_id = cand.id1
+JOIN embeddings e2 ON e2.vec_id = cand.id2
+WHERE ROUND({_cos_sql('e1.embedding', 'e2.embedding')}, 6) >= {threshold}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_emb_neardup_oracle_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the WHOLE corpus — the dedup
+    family's semantic-similarity member (exact/minhash/simhash catch textual
+    overlap; this catches paraphrase-level duplication). Both sides are the
+    full embeddings table, so unlike the broadcast-query ANN flavors the
+    candidates come from a bucketed LSH self-join: one shuffle on the
+    uniform (table, bucket) key, quadratic work confined within buckets,
+    exact verify only on collisions — minhash-banding economics applied to
+    vectors. The md5-seeded hyperplanes replay in the oracle, so the full
+    approximate pipeline is hash-checked, not just the verify step."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
 
 
 @query("ann_lsh_topk", oracle=_lsh_oracle_sql())

@@ -195,3 +195,32 @@ def test_connected_components_matches_networkx_style_union_find(spark):
     pairs = spark.createDataFrame(edges, "id1 long, id2 long")
     lab = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
     assert lab == truth
+
+
+def test_embedding_neardup_pairs_recall(spark):
+    """Self-join LSH near-dup pairs: every reported pair must be a true
+    threshold pair (verify is exact), and recall of the brute-force pair set
+    should be substantial with 8 tables x 4 planes."""
+    from rca_data_tools_spark.operators.similarity import dec_cosine, lsh_neardup_pairs
+    from rca_data_tools_spark.functions.vectors import to_double_array
+
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    sim = F.round(dec_cosine(to_double_array("v1"), to_double_array("v2")), 6)
+    exact = {
+        (r.id1, r.id2)
+        for r in a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    approx = {
+        (r.id1, r.id2)
+        for r in lsh_neardup_pairs(e, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    assert approx <= exact, "LSH reported a non-threshold pair"
+    assert len(exact) > 0
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"recall too low: {recall}"
