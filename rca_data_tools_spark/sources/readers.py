@@ -104,7 +104,20 @@ def load_table(
     # filters below, which must sit under the Project to reach the scan.
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
 
+    # On the at-scale layout (<table>/date=YYYY-MM-DD/...) a timestamp
+    # predicate alone prunes row groups but NOT partitions — Spark cannot
+    # infer date = to_date(ts). The layout contract is that `date` is the
+    # UTC date of the row's timestamp, so derive the partition predicate
+    # explicitly; it shows up as PartitionFilters in the scan and skips
+    # whole directories before any file is opened.
+    has_date_partition = "date" in df.columns
+
     for col, (lo, hi) in (time_filters or {}).items():
+        if has_date_partition and col != "date":
+            if lo is not None:
+                df = df.filter(F.col("date") >= F.to_date(F.lit(lo).cast("timestamp")))
+            if hi is not None:
+                df = df.filter(F.col("date") <= F.to_date(F.lit(hi).cast("timestamp")))
         if col in nanos:
             # Foldable expression: constant-folds to a long literal before
             # predicate pushdown, matching Spark's own literal→timestamp
