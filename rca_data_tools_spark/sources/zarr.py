@@ -1,0 +1,138 @@
+"""Native Zarr v2 scan (SURVEY §2.1 S1) — no zarr/xarray dependency.
+
+The reference's canonical source is a consolidated Zarr store per instrument
+stream (rca_data_tools/qaqc/dashboard.py:305-313, ``xr.open_zarr(...,
+consolidated=True)``). The engine's primary storage stays Parquet (readers.py)
+— columnar, pushdown-friendly — but raw archives arrive as Zarr, so this
+module scans a v2 store directly into a DataFrame.
+
+Zarr v2 is a deliberately simple format: per-array JSON metadata
+(``<var>/.zarray`` — shape, chunk shape, dtype, compressor, fill_value) plus
+one flat binary file per chunk (``<var>/0``, ``<var>/1.0``, ...), optionally
+consolidated into a single ``.zmetadata`` document. That layout is exactly a
+distributed scan's friend: the chunk grid is the task grid.
+
+Scale shape: the driver reads ONLY the metadata (a few KB); the chunk index
+becomes a small DataFrame, and an Arrow ``mapInPandas`` pass decodes chunks
+executor-side — one task per batch of chunk rows, no driver-side array
+materialization, linear scale-out in chunk count. On an object store the
+same keys are fetched by executors (fsspec-style paths); nothing changes
+structurally.
+
+Supported: C-order arrays, raw / zlib / gzip compressors (stdlib), float and
+int dtypes, 1-D ``(time,)`` and 2-D ``(time, k)`` variables — the reference's
+data model (§1.1: 2-D params become array columns). Blosc-compressed stores
+need the blosc codec, which this runtime lacks; they raise with a clear
+message rather than silently mis-decoding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _load_array_meta(root: str, var: str) -> dict:
+    zmeta = os.path.join(root, ".zmetadata")
+    if os.path.exists(zmeta):
+        with open(zmeta) as f:
+            consolidated = json.load(f)["metadata"]
+        key = f"{var}/.zarray"
+        if key in consolidated:
+            return consolidated[key]
+    with open(os.path.join(root, var, ".zarray")) as f:
+        return json.load(f)
+
+
+def _decode_chunk(path: str, meta: dict) -> np.ndarray:
+    with open(path, "rb") as f:
+        raw = f.read()
+    comp = meta.get("compressor")
+    if comp is None:
+        buf = raw
+    elif comp.get("id") in ("zlib", "gzip"):
+        buf = zlib.decompress(raw, 47)  # wbits=47 accepts both zlib and gzip
+    else:
+        raise NotImplementedError(
+            f"zarr compressor {comp.get('id')!r} needs a codec not present in "
+            "this runtime (supported here: raw, zlib, gzip)"
+        )
+    arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
+    return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
+
+
+def zarr_table(
+    spark: SparkSession,
+    root: str,
+    variables: list[str],
+    index_name: str = "idx",
+) -> DataFrame:
+    """Scan Zarr variables sharing dim-0 (the time dimension) into one
+    DataFrame: ``(idx, var1, var2, ...)`` with 2-D variables as array
+    columns. ``idx`` is the global dim-0 position — join it to the store's
+    time coordinate variable (itself scannable here) to recover timestamps.
+
+    All variables must share the dim-0 chunk size (true for xarray-written
+    stores, which chunk on the time dimension) so each task decodes the SAME
+    chunk row-range of every variable — aligned output with zero shuffles.
+    """
+    metas = {v: _load_array_meta(root, v) for v in variables}
+    shapes = {v: m["shape"] for v, m in metas.items()}
+    n_rows = shapes[variables[0]][0]
+    chunk0 = metas[variables[0]]["chunks"][0]
+    for v, m in metas.items():
+        if m["shape"][0] != n_rows or m["chunks"][0] != chunk0:
+            raise ValueError(
+                f"variable {v!r} has dim-0 shape/chunking {m['shape'][0]}/"
+                f"{m['chunks'][0]}, expected {n_rows}/{chunk0}: all scanned "
+                "variables must share the time-dimension chunk grid"
+            )
+        if len(m["shape"]) > 2:
+            raise ValueError(f"variable {v!r} is {len(m['shape'])}-D; supported: 1-D/2-D")
+        if len(m["shape"]) == 2 and m["chunks"][1] < m["shape"][1]:
+            raise ValueError(
+                f"variable {v!r} chunks its second dimension; expected one "
+                "chunk across it (the reference's wavelength/bin dims are small)"
+            )
+        if m.get("order", "C") != "C":
+            raise ValueError(f"variable {v!r} is not C-order")
+
+    n_chunks = -(-n_rows // chunk0)
+    chunk_index = spark.range(n_chunks).toDF("chunk_id")
+
+    def _scan(batches):
+        for pdf in batches:
+            for chunk_id in pdf["chunk_id"]:
+                cid = int(chunk_id)
+                lo = cid * chunk0
+                hi = min(lo + chunk0, n_rows)
+                out = {index_name: np.arange(lo, hi, dtype=np.int64)}
+                for v in variables:
+                    m = metas[v]
+                    two_d = len(m["shape"]) == 2
+                    fname = f"{cid}.0" if two_d else str(cid)
+                    arr = _decode_chunk(os.path.join(root, v, fname), m)[: hi - lo]
+                    fill = m.get("fill_value")
+                    if fill is not None and np.issubdtype(arr.dtype, np.floating):
+                        # NaN is pandas' null sentinel, so fill values arrive
+                        # in Spark as SQL NULL — the engine-wide missing-data
+                        # convention (P5 null-drop, W6 interpolate-NA).
+                        arr = np.where(arr == fill, np.nan, arr)
+                    if two_d:
+                        k = m["shape"][1]
+                        out[v] = list(arr[:, :k].astype(np.float64))
+                    else:
+                        out[v] = arr.astype(np.float64)
+                yield pd.DataFrame(out)
+
+    fields = [f"{index_name} long"] + [
+        f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
+        for v in variables
+    ]
+    return chunk_index.mapInPandas(_scan, schema=", ".join(fields))

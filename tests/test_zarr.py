@@ -1,0 +1,113 @@
+"""Native Zarr v2 scan: stores are written by hand (JSON metadata + binary
+chunks — no zarr library in the runtime on either side), then scanned
+distributed and compared against the source arrays."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+
+def _write_array(root, name, arr, chunks, compressor=None, fill_value=None):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    n_chunks = -(-arr.shape[0] // chunks[0])
+    for cid in range(n_chunks):
+        block = arr[cid * chunks[0] : (cid + 1) * chunks[0]]
+        if block.shape[0] < chunks[0]:  # zarr pads edge chunks to full shape
+            pad = np.full((chunks[0] - block.shape[0],) + arr.shape[1:], 0, dtype=arr.dtype)
+            block = np.concatenate([block, pad])
+        buf = np.ascontiguousarray(block).tobytes()
+        if compressor is not None and compressor["id"] == "zlib":
+            buf = zlib.compress(buf)
+        fname = str(cid) if arr.ndim == 1 else f"{cid}.0"
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(buf)
+    return meta
+
+
+@pytest.fixture()
+def store(tmp_path):
+    root = str(tmp_path / "inst.zarr")
+    os.makedirs(root)
+    rng = np.random.RandomState(7)
+    n = 25
+    time = np.arange(n, dtype="<i8") * 1_000_000_000
+    temp = rng.uniform(2, 10, n).astype("<f8")
+    temp[4] = -9999.0  # fill sentinel
+    spectra = rng.uniform(0, 1, (n, 3)).astype("<f8")
+    m1 = _write_array(root, "time", time, [10])
+    m2 = _write_array(root, "temp", temp, [10], compressor={"id": "zlib", "level": 1}, fill_value=-9999.0)
+    m3 = _write_array(root, "spectra", spectra, [10, 3], compressor={"id": "zlib", "level": 1})
+    # consolidated metadata document, as the reference's stores have
+    with open(os.path.join(root, ".zmetadata"), "w") as f:
+        json.dump(
+            {"zarr_format": 2, "metadata": {"time/.zarray": m1, "temp/.zarray": m2, "spectra/.zarray": m3}},
+            f,
+        )
+    return root, time, temp, spectra
+
+
+def test_zarr_scan_values_and_fill(spark, store):
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root, time, temp, spectra = store
+    df = zarr_table(spark, root, ["time", "temp", "spectra"])
+    rows = {r["idx"]: r for r in df.collect()}
+    assert len(rows) == 25
+    for i in (0, 9, 10, 24):  # chunk interior, boundary, edge-chunk trim
+        assert rows[i]["time"] == float(time[i])
+        assert rows[i]["spectra"] == pytest.approx(list(spectra[i]))
+    assert rows[4]["temp"] is None  # fill_value -> NULL (NaN nulls via Arrow)
+    assert rows[5]["temp"] == pytest.approx(temp[5])
+
+
+def test_zarr_scan_distributes_chunks(spark, store):
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root, *_ = store
+    df = zarr_table(spark, root, ["temp"])
+    # 25 rows / chunk0=10 -> 3 tasks-worth of chunk rows; the scan is built on
+    # a 3-row chunk index, not a single driver read
+    assert df.count() == 25
+    from pyspark.sql import functions as F
+
+    agg = df.agg(F.count("temp").alias("n_valid")).collect()[0]
+    assert agg["n_valid"] == 24  # one fill -> null? (NaN counts as non-null)
+
+
+def test_zarr_rejects_mismatched_grid_and_unknown_codec(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "bad.zarr")
+    os.makedirs(root)
+    a = np.arange(20, dtype="<f8")
+    _write_array(root, "a", a, [10])
+    _write_array(root, "b", a, [5])
+    with pytest.raises(ValueError, match="chunk grid"):
+        zarr_table(spark, root, ["a", "b"])
+
+    root2 = str(tmp_path / "blosc.zarr")
+    os.makedirs(root2)
+    meta = _write_array(root2, "c", a, [10])
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    with open(os.path.join(root2, "c", ".zarray"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(Exception, match="blosc"):
+        zarr_table(spark, root2, ["c"]).collect()
