@@ -106,7 +106,7 @@ def f_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_json_extract",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(json_extract_string(props, '$.k')) AS n_with_k
 FROM events
 GROUP BY 1
@@ -175,7 +175,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, ms,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -278,7 +278,7 @@ def a4_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w7_profile_regrid",
     oracle="""
 WITH pts AS (
-  SELECT user_id, CAST(ts AS DATE) AS day,
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
          (epoch_ms(ts) % 86400000) / 3600000.0 AS hour,
          MIN(value) AS value
   FROM events
@@ -324,7 +324,10 @@ def w7_profile_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & ~F.isnan("value")
     ).select(
         "user_id",
-        F.to_date("ts").alias("day"),
+        # midnight TIMESTAMP, not DATE: DateType reaches pandas as an object
+        # column of datetime.date while DuckDB DATE arrives as datetime64 —
+        # a dtype mismatch under hash canonicalization (timestamps match).
+        F.date_trunc("day", "ts").alias("day"),
         ((F.unix_millis("ts") % 86400000) / 3600000.0).alias("hour"),
         "value",
     )

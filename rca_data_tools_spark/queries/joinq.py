@@ -234,16 +234,21 @@ def j10_latest_deploy_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e3_set_difference",
     oracle="""
-SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events WHERE event_type = 'click'
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+FROM events WHERE event_type = 'purchase'
 """,
 )
 def e3_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (reference: stale-output anti-entropy, qaqc/plots.py:500)."""
+    """Set difference (reference: stale-output anti-entropy, qaqc/plots.py:500)
+    at (user, day) grain — click-days with no purchase, a non-degenerate set
+    on this corpus (every user has every event type at user grain)."""
     e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    day = F.date_trunc("day", "ts").alias("day")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
     return clicks.exceptAll(purchases)
 
 
@@ -319,8 +324,8 @@ WITH m AS (
   FROM events
 )
 SELECT event_id % 16 AS bucket,
-       SUM(mat[3][3]) AS sum_elem_2_2,
-       SUM(list_sum(list_transform(flatten(mat), x -> CAST(x AS BIGINT)))) AS sum_all,
+       CAST(SUM(mat[3][3]) AS BIGINT) AS sum_elem_2_2,
+       CAST(SUM(list_sum(list_transform(flatten(mat), x -> CAST(x AS BIGINT)))) AS BIGINT) AS sum_all,
        COUNT(*) AS n
 FROM m GROUP BY 1
 """,

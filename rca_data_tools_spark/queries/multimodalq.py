@@ -44,7 +44,7 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(FLOOR(octet_length(encode(text)) / 100) AS BIGINT) AS size_bucket,
        COUNT(*) AS n_docs,
-       SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
+       CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY 1
 """,

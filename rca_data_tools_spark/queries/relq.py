@@ -344,19 +344,30 @@ FROM customer c
 WHERE c_acctbal > (
     SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
 GROUP BY c_mktsegment
 """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no orders —
-    a scalar subquery (global filtered mean, 1-row broadcast) plus an
-    anti join on the orders key, grouped by segment."""
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (every synthetic customer has some order, so the idleness cutoff
+    makes the anti-join set non-degenerate) — a scalar subquery (global
+    filtered mean, 1-row broadcast) plus an anti join on the orders key,
+    grouped by segment. The recency filter prunes the anti-join build side
+    before the shuffle."""
     c = load_table(spark, sf_dir, "customer")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal").alias("__avg_bal")
     )
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("__avg_bal"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
