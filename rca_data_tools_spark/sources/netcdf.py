@@ -1,0 +1,190 @@
+"""Native NetCDF scan (SURVEY §2.1 S2) — classic CDF-1/2 parsed from the
+public format spec with numpy alone; NetCDF-4 (HDF5 container) gated behind
+an import-try since this runtime ships no h5py/netCDF4.
+
+The reference opens .nc test inputs with xarray (tests/
+test_plotProfilesScatter.py:13,25) and its stores follow the same model as
+Zarr: a record (time) dimension plus per-variable arrays. The classic format
+is a single binary file — big-endian header (dims, attrs, vars with data
+offsets) followed by fixed-size data, record variables interleaved per
+record — which makes a distributed scan straightforward: tasks seek straight
+to their record range; no library, no driver-side array.
+
+Scale shape mirrors sources/zarr.py: the driver parses ONLY the header (KBs),
+record ranges become a chunk-index DataFrame, and an Arrow ``mapInPandas``
+pass decodes ranges executor-side. One .nc file parallelizes over records;
+a directory of per-deployment files parallelizes over files × ranges.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+_DTYPES = {
+    1: np.dtype(">i1"),
+    2: np.dtype("S1"),
+    3: np.dtype(">i2"),
+    4: np.dtype(">i4"),
+    5: np.dtype(">f4"),
+    6: np.dtype(">f8"),
+}
+
+
+class _Parser:
+    def __init__(self, buf: bytes):
+        self.buf, self.pos = buf, 0
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def u4(self) -> int:
+        return struct.unpack(">I", self.take(4))[0]
+
+    def name(self) -> str:
+        n = self.u4()
+        s = self.take(n).decode()
+        self.pos += (4 - n % 4) % 4  # names pad to 4-byte boundary
+        return s
+
+    def skip_attrs(self) -> None:
+        tag, count = self.u4(), self.u4()
+        if tag not in (_NC_ATTRIBUTE, 0):
+            raise ValueError("malformed attribute list")
+        for _ in range(count):
+            self.name()
+            typ, n = self.u4(), self.u4()
+            width = _DTYPES[typ].itemsize
+            self.pos += n * width + (4 - (n * width) % 4) % 4
+
+
+def read_header(path: str) -> dict:
+    """Parse a classic NetCDF header → dims, variables (shape, dtype, offset,
+    record flag). CDF-1 (32-bit offsets) and CDF-2 (64-bit) supported;
+    NetCDF-4 files raise toward the gated h5py path."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # headers are small; 1 MB is generous
+    if head[:4] == b"\x89HDF":
+        raise NotImplementedError(
+            "NetCDF-4 is an HDF5 container; reading it needs h5py/netCDF4, "
+            "neither present in this runtime (classic CDF-1/2 is supported natively)"
+        )
+    if head[:3] != b"CDF" or head[3] not in (1, 2):
+        raise ValueError(f"not a classic NetCDF file: {path!r}")
+    offset64 = head[3] == 2
+    p = _Parser(head)
+    p.pos = 4
+    numrecs = p.u4()
+    dims: list[tuple[str, int]] = []
+    tag, count = p.u4(), p.u4()
+    if tag == _NC_DIMENSION:
+        for _ in range(count):
+            dims.append((p.name(), p.u4()))
+    p.skip_attrs()
+    variables: dict[str, dict] = {}
+    tag, count = p.u4(), p.u4()
+    if tag not in (_NC_VARIABLE, 0):
+        raise ValueError("malformed variable list")
+    rec_size = 0
+    for _ in range(count):
+        vname = p.name()
+        ndims = p.u4()
+        dimids = [p.u4() for _ in range(ndims)]
+        p.skip_attrs()
+        typ, vsize = p.u4(), p.u4()
+        begin = struct.unpack(">Q", p.take(8))[0] if offset64 else p.u4()
+        shape = [dims[d][1] for d in dimids]
+        is_record = bool(dimids) and dims[dimids[0]][1] == 0
+        variables[vname] = {
+            "dtype": _DTYPES[typ],
+            "shape": shape,
+            "begin": begin,
+            "vsize": vsize,
+            "record": is_record,
+        }
+        if is_record:
+            rec_size += vsize
+    return {"numrecs": numrecs, "dims": dims, "variables": variables, "rec_size": rec_size}
+
+
+def _read_var_range(path: str, header: dict, var: str, lo: int, hi: int) -> np.ndarray:
+    """Values of ``var`` for record (or index) range [lo, hi)."""
+    m = header["variables"][var]
+    width = m["dtype"].itemsize
+    inner = int(np.prod(m["shape"][1:], dtype=np.int64)) if len(m["shape"]) > 1 else 1
+    with open(path, "rb") as f:
+        if m["record"]:
+            # record variables interleave: var's slab sits at begin + r*rec_size
+            out = np.empty((hi - lo, inner), dtype=m["dtype"].newbyteorder("="))
+            for i, r in enumerate(range(lo, hi)):
+                f.seek(m["begin"] + r * header["rec_size"])
+                out[i] = np.frombuffer(f.read(inner * width), dtype=m["dtype"], count=inner)
+            return out if len(m["shape"]) > 1 else out[:, 0]
+        f.seek(m["begin"] + lo * inner * width)
+        arr = np.frombuffer(f.read((hi - lo) * inner * width), dtype=m["dtype"])
+        return arr.reshape(hi - lo, inner) if len(m["shape"]) > 1 else arr
+
+
+def netcdf_table(
+    spark: SparkSession,
+    path: str,
+    variables: list[str],
+    records_per_task: int = 65536,
+    index_name: str = "idx",
+) -> DataFrame:
+    """Scan classic-NetCDF variables sharing dim-0 into ``(idx, var1, ...)``;
+    2-D (time, k) variables become array<double> columns, matching the
+    engine's multi-dimensional parameter model (SURVEY §1.1)."""
+    header = read_header(path)
+    metas = {v: header["variables"][v] for v in variables}
+    n0 = {
+        v: (header["numrecs"] if m["record"] else m["shape"][0])
+        for v, m in metas.items()
+    }
+    n_rows = n0[variables[0]]
+    for v, n in n0.items():
+        if n != n_rows:
+            raise ValueError(f"variable {v!r} has dim-0 length {n}, expected {n_rows}")
+        if len(metas[v]["shape"]) > 2:
+            raise ValueError(f"variable {v!r} is {len(metas[v]['shape'])}-D; supported: 1-D/2-D")
+
+    n_chunks = max(1, -(-n_rows // records_per_task))
+    chunk_index = spark.range(n_chunks).toDF("chunk_id")
+
+    def _scan(batches):
+        for pdf in batches:
+            for chunk_id in pdf["chunk_id"]:
+                lo = int(chunk_id) * records_per_task
+                hi = min(lo + records_per_task, n_rows)
+                out = {index_name: np.arange(lo, hi, dtype=np.int64)}
+                for v in variables:
+                    arr = _read_var_range(path, header, v, lo, hi).astype(np.float64)
+                    out[v] = list(arr) if arr.ndim == 2 else arr
+                yield pd.DataFrame(out)
+
+    fields = [f"{index_name} long"] + [
+        f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
+        for v in variables
+    ]
+    return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
+
+
+def netcdf4_table(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:
+    """NetCDF-4 path, gated on an HDF5 reader being importable. The scan
+    structure would mirror netcdf_table (chunk index + executor decode over
+    HDF5 chunks); without the codec library the contract fails loudly."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "NetCDF-4 scan requires h5py, which this runtime does not ship; "
+            "convert to classic NetCDF, Zarr (sources/zarr.py) or Parquet"
+        ) from exc
+    raise NotImplementedError("NetCDF-4 decode path not implemented in this runtime")

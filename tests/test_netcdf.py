@@ -1,0 +1,123 @@
+"""Native classic-NetCDF scan: CDF-1 files are written by hand from the
+public format spec (big-endian header + record-interleaved data — no netCDF
+library exists in the runtime on either side), then scanned distributed and
+compared against the source arrays."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+
+def _name(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack(">I", len(b)) + b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _write_classic(path, time, temp, spectra, depth):
+    """CDF-1 file: record dim time (UNLIMITED), fixed dims k=3 and z;
+    record vars time/temp/spectra interleave per record, fixed var depth
+    sits before the record block."""
+    n = len(time)
+    dims = [("time", 0), ("k", 3), ("z", len(depth))]
+    absent = struct.pack(">II", 0, 0)
+    rec_slabs = [8, 8, 24]  # time f8, temp f8, spectra 3*f8
+    rec_size = sum(rec_slabs)
+
+    def var_entry(name, dimids, begin, vsize):
+        return (
+            _name(name)
+            + struct.pack(">I", len(dimids))
+            + b"".join(struct.pack(">I", d) for d in dimids)
+            + absent
+            + struct.pack(">III", 6, vsize, begin)  # NC_DOUBLE
+        )
+
+    # assemble with dummy begins to learn the header length
+    def header(begins):
+        h = b"CDF\x01" + struct.pack(">I", n)
+        h += struct.pack(">II", 0x0A, len(dims))
+        for dname, dsize in dims:
+            h += _name(dname) + struct.pack(">I", dsize)
+        h += absent  # global attrs
+        h += struct.pack(">II", 0x0B, 4)
+        h += var_entry("depth", [2], begins[0], len(depth) * 8)
+        h += var_entry("time", [0], begins[1], 8)
+        h += var_entry("temp", [0], begins[2], 8)
+        h += var_entry("spectra", [0, 1], begins[3], 24)
+        return h
+
+    hlen = len(header([0, 0, 0, 0]))
+    b_depth = hlen
+    base = hlen + len(depth) * 8
+    begins = [b_depth, base, base + 8, base + 16]
+    body = np.asarray(depth, dtype=">f8").tobytes()
+    for r in range(n):
+        body += struct.pack(">d", time[r]) + struct.pack(">d", temp[r])
+        body += np.asarray(spectra[r], dtype=">f8").tobytes()
+    with open(path, "wb") as f:
+        f.write(header(begins) + body)
+    assert rec_size == 40
+
+
+@pytest.fixture()
+def nc_file(tmp_path):
+    rng = np.random.RandomState(11)
+    n = 57
+    time = np.arange(n, dtype=np.float64) * 3600.0
+    temp = rng.uniform(2, 10, n)
+    spectra = rng.uniform(0, 1, (n, 3))
+    depth = np.array([5.0, 10.0, 15.0, 20.0])
+    path = str(tmp_path / "inst.nc")
+    _write_classic(path, time, temp, spectra, depth)
+    return path, time, temp, spectra, depth
+
+
+def test_header_parse(nc_file):
+    from rca_data_tools_spark.sources.netcdf import read_header
+
+    path, time, *_ = nc_file
+    h = read_header(path)
+    assert h["numrecs"] == len(time)
+    assert h["variables"]["temp"]["record"] is True
+    assert h["variables"]["spectra"]["shape"][1:] == [3]
+    assert h["variables"]["depth"]["record"] is False
+    assert h["rec_size"] == 40
+
+
+def test_scan_values_record_and_2d(spark, nc_file):
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    path, time, temp, spectra, depth = nc_file
+    df = netcdf_table(spark, path, ["time", "temp", "spectra"], records_per_task=20)
+    rows = {r["idx"]: r for r in df.collect()}
+    assert len(rows) == 57
+    for i in (0, 19, 20, 56):  # chunk interior and boundaries
+        assert rows[i]["time"] == pytest.approx(time[i])
+        assert rows[i]["temp"] == pytest.approx(temp[i])
+        assert rows[i]["spectra"] == pytest.approx(list(spectra[i]))
+
+
+def test_scan_fixed_var(spark, nc_file):
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    path, *_, depth = nc_file
+    df = netcdf_table(spark, path, ["depth"])
+    got = [r["depth"] for r in df.orderBy("idx").collect()]
+    assert got == pytest.approx(list(depth))
+
+
+def test_netcdf4_and_mismatches_fail_loudly(spark, tmp_path, nc_file):
+    from rca_data_tools_spark.sources.netcdf import netcdf_table, netcdf4_table, read_header
+
+    hdf = tmp_path / "x.nc"
+    hdf.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="HDF5"):
+        read_header(str(hdf))
+    with pytest.raises(NotImplementedError, match="h5py"):
+        netcdf4_table(spark, str(hdf), ["x"])
+    path, *_ = nc_file
+    with pytest.raises(ValueError, match="dim-0"):
+        netcdf_table(spark, path, ["time", "depth"])  # 57 vs 4 rows
