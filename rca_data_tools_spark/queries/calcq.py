@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 from rca_data_tools_spark.functions.numeric import dsum, dsum_sql
 from rca_data_tools_spark.operators.interpolate import profile_regrid, resample_linear, time_grid
 from rca_data_tools_spark.plans.registry import REGISTRY, CalcSpec
+from rca_data_tools_spark.queries._lttb_oracle import lttb_keep_ctes
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
@@ -366,11 +367,36 @@ def w8_cell_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_qaqc_job")  # full lifecycle incl. LTTB -> rows-only; e2e in tests/test_pipeline.py
+_QAQC_FLAG_SQL = """CASE WHEN b.value IS NULL THEN 9
+            WHEN b.value < 0.0 OR b.value > 400.0 THEN 4
+            WHEN b.value < 10.0 OR b.value > 300.0 THEN 3
+            ELSE 1 END"""
+
+
+@query(
+    "pipeline_qaqc_job",
+    oracle=f"""
+WITH RECURSIVE
+{lttb_keep_ctes(
+    "SELECT user_id, ts, value FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-13 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'",
+    threshold=50,
+)}
+SELECT b.user_id, b.ts, b.value,
+       {_QAQC_FLAG_SQL} AS gross_range_flag,
+       CAST(GREATEST(1, {_QAQC_FLAG_SQL}) AS INTEGER) AS rollup_flag,
+       'SITE01' AS site, 'week' AS span
+FROM base b JOIN keep k ON k.user_id = b.user_id AND k.rn = b.rn
+""",
+)
 def pipeline_qaqc_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's main entry end-to-end (SURVEY §3.1): windowed scan with
     pushed-down bounds -> broadcast gross-range flags -> rollup -> LTTB
-    decimation, as one declarative plan (pipeline.run_qaqc_job)."""
+    decimation, as one declarative plan (pipeline.run_qaqc_job). The oracle
+    replays the whole lifecycle: the week window, the constant gross-range
+    spans as CASE flags, the rollup floor, and the LTTB selection via the
+    shared recursive-CTE machinery (_lttb_oracle.py) — so the composite job
+    is hash-checked end-to-end, not rows-only."""
     from rca_data_tools_spark.pipeline import QAQCJobSpec, run_qaqc_job
 
     spec = QAQCJobSpec(

@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 from rca_data_tools_spark.functions.numeric import davg, davg_sql
 from rca_data_tools_spark.operators.decimate import block_mean, lttb
 from rca_data_tools_spark.operators.interpolate import interpolate_na
+from rca_data_tools_spark.queries._lttb_oracle import lttb_keep_ctes
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
@@ -240,80 +241,9 @@ def coarsen_block_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w4_lttb_decimation",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
-raw AS (
-  SELECT user_id, ts, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn0,
-         COUNT(*) OVER (PARTITION BY user_id) AS n0
-  FROM events
-),
--- pre-stride cap at threshold*10 = 500 rows/series (decimate.py:201-213)
-strided AS (
-  SELECT user_id, ts, value
-  FROM raw
-  WHERE rn0 % GREATEST(1, CAST(FLOOR(n0 / 500.0) AS BIGINT)) = 0 OR rn0 = n0 - 1
-),
-base AS (
-  SELECT user_id, ts, value,
-         CAST(epoch_ns(ts) AS DOUBLE) AS x,
-         CAST(value AS DOUBLE) AS y,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn,
-         COUNT(*) OVER (PARTITION BY user_id) AS n
-  FROM strided
-),
-long_series AS (SELECT DISTINCT user_id, n FROM base WHERE n > 50),
--- np.linspace(1, n-1, 49) truncated to int64: edge j = trunc(1 + j*step),
--- step = (n-2)/48, with the endpoint pinned to n-1 exactly as numpy does
-edges AS (
-  SELECT ls.user_id, js.j,
-         CASE WHEN js.j = 48 THEN ls.n - 1
-              ELSE CAST(FLOOR(1.0 + js.j * ((ls.n - 2.0) / 48.0)) AS BIGINT) END AS e,
-         ls.n
-  FROM long_series ls, range(0, 49) js(j)
-),
-buckets AS (
-  SELECT e1.user_id, e1.j AS i, e1.e AS lo, e2.e AS hi,
-         e2.e AS nlo, CASE WHEN e1.j + 2 <= 48 THEN e3.e ELSE e1.n END AS nhi
-  FROM edges e1
-  JOIN edges e2 ON e2.user_id = e1.user_id AND e2.j = e1.j + 1
-  LEFT JOIN edges e3 ON e3.user_id = e1.user_id AND e3.j = e1.j + 2
-  WHERE e1.j <= 47
-),
-cent AS (
-  SELECT bk.user_id, bk.i, bk.lo, bk.hi, AVG(p.x) AS avg_x, AVG(p.y) AS avg_y
-  FROM buckets bk
-  JOIN base p ON p.user_id = bk.user_id AND p.rn >= bk.nlo AND p.rn < bk.nhi
-  GROUP BY 1, 2, 3, 4
-),
--- the sequential recurrence: state (i, a) = "out[i] is row a"; each step
--- picks argmax triangle area vs previous pick and next-bucket centroid,
--- NaN area -> -1, ties -> lowest rn (np.argmax first-hit semantics)
-sel AS (
-  SELECT user_id, 0 AS i, CAST(0 AS BIGINT) AS a FROM long_series
-  UNION ALL
-  SELECT s.user_id, s.i + 1,
-         (SELECT q.rn
-          FROM base q, cent c, base pa
-          WHERE c.user_id = s.user_id AND c.i = s.i
-            AND q.user_id = s.user_id AND q.rn >= c.lo AND q.rn < c.hi
-            AND pa.user_id = s.user_id AND pa.rn = s.a
-          ORDER BY (CASE WHEN isnan(abs((pa.x - c.avg_x) * (q.y - pa.y)
-                                        - (pa.x - q.x) * (c.avg_y - pa.y)))
-                         THEN -1.0
-                         ELSE abs((pa.x - c.avg_x) * (q.y - pa.y)
-                                  - (pa.x - q.x) * (c.avg_y - pa.y)) END) DESC,
-                   q.rn ASC
-          LIMIT 1)
-  FROM sel s WHERE s.i <= 47
-),
-keep AS (
-  SELECT user_id, a AS rn FROM sel
-  UNION ALL
-  SELECT user_id, n - 1 AS rn FROM long_series
-  UNION ALL
-  SELECT user_id, rn FROM base WHERE n <= 50
-)
+{lttb_keep_ctes("SELECT user_id, ts, value FROM events", threshold=50)}
 SELECT b.user_id, b.ts, b.value
 FROM base b JOIN keep k ON k.user_id = b.user_id AND k.rn = b.rn
 """,
