@@ -409,6 +409,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                l.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        # Both the threshold branch and the final join consume pv; without a
+        # persist the 1-row threshold aggregate re-runs the whole fact scan
+        # (plan-audited: 2 lineitem scans -> 1). pv is (partkey, value) —
+        # caching it is cheap at any scale.
+        .persist()
     )
     threshold = pv.agg((dsum("value") * 0.0005).alias("__thr"))
     return pv.join(F.broadcast(threshold), pv.value > F.col("__thr")).select(
