@@ -230,3 +230,76 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ewma_group,
         schema="user_id bigint, event_id bigint, value double, rn bigint, ewma double",
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                OR LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window operator (batch mode here; the same
+    expression runs under readStream with a watermark — streaming/windows.py
+    and tests/test_streaming.py prove batch≡stream equivalence). Sessions
+    close after a 30-minute gap; window end = last event + gap, which the
+    oracle replays with the gaps-and-islands formulation — proving the
+    built-in operator and the classic SQL idiom agree row-for-row."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice case ROLLUP/CUBE can't
+    express (here: pair, status-only, grand total; no flag-only level). One
+    Expand + one exchange, same single-pass economics as rollup; GROUPING()
+    markers disambiguate subtotal rows from real NULL keys."""
+    e = load_table(spark, sf_dir, "lineitem")
+    e.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               {dsum_sql('l_extendedprice')} AS sum_price,
+               COUNT(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """)
