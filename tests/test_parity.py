@@ -45,3 +45,34 @@ def test_approx_distinct_tracks_exact(spark):
         assert a["n_rows"] == e["n_rows"]
         for col in ("n_supp", "n_part"):
             assert abs(a[col] - e[col]) <= max(2, 0.05 * e[col]), (k, col, a[col], e[col])
+
+
+def test_oracle_dtypes_driver_safe(spark):
+    """Guard the dtype traps that caused every round-1/2 red row: the driver
+    canonicalizes with pandas dtype-sensitive hashing, so (a) no oracle may
+    emit HUGEINT (DuckDB SUM-of-integer widens to int128 -> pandas float64,
+    mismatching Spark's int64) and (b) no Spark query may emit DateType
+    (pandas object-of-date vs DuckDB datetime64). DESCRIBE-only on the
+    DuckDB side; schema-only on the Spark side — no query execution."""
+    import duckdb
+
+    from pyspark.sql.types import DateType
+    from rca_data_tools_spark.sources.readers import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_CORRECTNESS}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in ORACLES.items():
+        desc = con.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+        hug = [c for c, typ, *_ in desc if "HUGEINT" in typ]
+        if hug:
+            offenders.append((name, "oracle HUGEINT", hug))
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SF_CORRECTNESS).schema
+        dates = [f.name for f in schema.fields if isinstance(f.dataType, DateType)]
+        if dates:
+            offenders.append((name, "spark DateType", dates))
+    assert not offenders, offenders
