@@ -136,7 +136,60 @@ def combine_flags(*flags: Column) -> Column:
     return F.concat(*[f.cast("int").cast("string") for f in flags])
 
 
-# --- grouped kernel: per-group least-squares (nutnr_plant2023-shaped) ------
+# --- grouped kernels: per-group least-squares (nutnr_plant2023-shaped) -----
+
+
+@REGISTRY.register_grouped("linear_fit")
+def linear_fit(df: DataFrame, spec: CalcSpec) -> DataFrame:
+    """Per-group degree-1 least squares as PURE Column aggregation — one
+    map-side-combinable shuffle, no Python, closed-form covariance solution:
+
+        slope = (n*Σxy - Σx*Σy) / (n*Σx² - (Σx)²)
+        intercept = (Σy - slope*Σx) / n
+        rmse = sqrt((Σy² - 2a·Σxy + a²Σx² - 2b·Σy + 2ab·Σx + b²n) / n)
+
+    All five sums go through the engine's deterministic decimal summation
+    (functions/numeric.dsum), so when x and y are decimal-quantized inputs
+    (e.g. millihour-resolution time, 2-decimal readings) the result is
+    bit-identical across engines and partitionings — the property the DuckDB
+    oracle relies on. This is the preferred fit kernel at scale: the numpy
+    ``poly_fit`` kernel below shuffles whole groups through applyInPandas,
+    this one ships only 5 partial aggregates per group.
+
+    Reference shape: calculateFunctions.py:267-468 (per-group fit, scalar
+    coefficient outputs).
+    """
+    from rca_data_tools_spark.functions.numeric import dsum
+
+    group_cols: list[str] = spec.params["group_cols"]
+    scale: int = spec.params.get("scale", 6)
+    x_col, y_col = spec.inputs
+    x, y = F.col(x_col), F.col(y_col)
+    s = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            dsum(x, scale).alias("sx"),
+            dsum(y, scale).alias("sy"),
+            dsum(x * y, scale).alias("sxy"),
+            dsum(x * x, scale).alias("sxx"),
+            dsum(y * y, scale).alias("syy"),
+        )
+    )
+    nd = F.col("n_points").cast("double")
+    sx, sy, sxy, sxx, syy = (F.col(c) for c in ("sx", "sy", "sxy", "sxx", "syy"))
+    slope = ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).alias("slope")
+    s = s.withColumn("slope", slope)
+    a = F.col("slope")
+    s = s.withColumn("intercept", (sy - a * sx) / nd)
+    b = F.col("intercept")
+    ss_res = (
+        syy - F.lit(2.0) * a * sxy + a * a * sxx
+        - F.lit(2.0) * b * sy + F.lit(2.0) * a * b * sx + b * b * nd
+    )
+    s = s.withColumn("rmse", F.sqrt(F.greatest(ss_res, F.lit(0.0)) / nd))
+    return s.select(*group_cols, "slope", "intercept", "rmse", "n_points")
 
 
 @REGISTRY.register_grouped("poly_fit")
@@ -155,9 +208,11 @@ def poly_fit(df: DataFrame, spec: CalcSpec) -> DataFrame:
     group_cols: list[str] = spec.params["group_cols"]
     deg: int = spec.params.get("deg", 1)
     x_col, y_col = spec.inputs
+    coef_cols = [f"coef_{i}" for i in range(deg + 1)]  # descending powers
     out_schema = ", ".join(
         [f"{c} {t}" for c, t in df.select(*group_cols).dtypes]
-        + ["coeffs array<double>", "rmse double", "n_points bigint"]
+        + [f"{c} double" for c in coef_cols]
+        + ["rmse double", "n_points bigint"]
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -167,12 +222,16 @@ def poly_fit(df: DataFrame, spec: CalcSpec) -> DataFrame:
         x, y = x[mask], y[mask]
         head = pdf.iloc[[0]][group_cols].reset_index(drop=True)
         if len(x) <= deg:
-            return head.assign(coeffs=[[float("nan")] * (deg + 1)], rmse=float("nan"), n_points=len(x))
+            return head.assign(
+                **{c: float("nan") for c in coef_cols}, rmse=float("nan"), n_points=len(x)
+            )
         vand = np.vander(x, deg + 1)
         coef = np.linalg.pinv(vand) @ y
         resid = y - vand @ coef
         rmse = float(np.sqrt(np.mean(resid**2)))
-        return head.assign(coeffs=[coef.tolist()], rmse=rmse, n_points=len(x))
+        return head.assign(
+            **{c: float(coef[i]) for i, c in enumerate(coef_cols)}, rmse=rmse, n_points=len(x)
+        )
 
     return df.groupBy(*group_cols).applyInPandas(kernel, schema=out_schema)
 

@@ -63,15 +63,58 @@ def calc_registry_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("calc_poly_fit")  # per-group numpy pinv -> rows-only; checked in tests/test_registry.py
+@query(
+    "calc_poly_fit",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         FLOOR((epoch_ms(ts) - 1704067200000) / 3600.0) / 1000.0 AS x,
+         value AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n_points,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x*y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x*x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y*y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM pts GROUP BY user_id
+),
+fit AS (
+  SELECT *, (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS slope FROM s
+),
+fit2 AS (
+  SELECT *, (sy - slope*sx) / nd AS intercept FROM fit
+)
+SELECT user_id, slope, intercept,
+       sqrt(greatest(
+         syy - 2*slope*sxy + slope*slope*sxx
+             - 2*intercept*sy + 2*slope*intercept*sx + intercept*intercept*nd,
+         0.0) / nd) AS rmse,
+       n_points
+FROM fit2
+""",
+)
 def calc_poly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group least-squares fit (value ~ time) through the grouped kernel —
-    the nutnr_plant2023 shape (per-row pinv, multi-output;
-    reference: calculateFunctions.py:267-468)."""
+    """Per-group least-squares fit (value ~ time) through the registry's
+    ``linear_fit`` grouped kernel — the nutnr_plant2023 shape (per-group fit,
+    scalar coefficient outputs; reference: calculateFunctions.py:267-468),
+    solved closed-form as pure Column aggregation: one map-side-combinable
+    shuffle of 5 decimal partial sums per group instead of shipping every row
+    through applyInPandas. The regressor is quantized to millihour resolution
+    (FLOOR to an integer count, then /1000) so every product the decimal
+    summation sees is an exact 5/6-decimal value -> both engines round to the
+    identical addend and the whole fit is bit-deterministic (the oracle
+    replays the same expression tree)."""
     e = load_table(spark, sf_dir, "events").withColumn(
-        "t_hours", (F.unix_millis("ts") - F.lit(1704067200000)) / 3600000.0
+        "t_hours",
+        F.floor((F.unix_millis("ts") - F.lit(1704067200000)) / F.lit(3600.0)) / F.lit(1000.0),
     )
-    spec = CalcSpec("fit", "poly_fit", ["t_hours", "value"], [], {"group_cols": ["user_id"], "deg": 1})
+    spec = CalcSpec("fit", "linear_fit", ["t_hours", "value"], [], {"group_cols": ["user_id"]})
     return REGISTRY.apply(e, [spec])
 
 

@@ -505,9 +505,13 @@ def instr_optical_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # NUTNR synthetic calibration (config data; 40 channels, fit window 217-240).
+# ENO3 carries a quadratic term: real nitrate extinction spectra are strongly
+# curved in wavelength, and a curvature-free (exactly linear-in-wl) ENO3 would
+# make the [ENO3, 1/100, WL/1000] design matrix rank-deficient (cond ~ 1e17)
+# so the fit itself would be ill-posed. cond(M) here is ~6e3.
 NUTNR_CAL = {
     "wl": [210.0 + j for j in range(40)],
-    "eno3": [0.01 + 0.001 * j for j in range(40)],
+    "eno3": [0.01 + 0.001 * j + 0.00008 * j * j for j in range(40)],
     "eswa": [0.005 + 0.0005 * j for j in range(40)],
     "di": [50000.0 - 100.0 * j for j in range(40)],
     "cal_temp": 20.0,
@@ -516,12 +520,79 @@ NUTNR_CAL = {
 }
 
 
-@query("calc_nutnr_nitrate")  # per-row least squares -> rows-only; truth in tests/test_spectra.py
+def _nutnr_oracle() -> str:
+    """DuckDB replay of the normal-equations nitrate fit.
+
+    The calibration channel constants (design-matrix rows, f', DI) and the
+    six Gram-inverse entries are computed ONCE here and embedded as exact
+    double literals, so the only live SQL arithmetic is the per-row chain the
+    Spark kernel also executes (log10/exp/fused linear combine) — identical
+    expression trees, diffs bounded by transcendental ulps (~1e-9 after the
+    solve), absorbed by the output rounding (4/3/6 decimals)."""
+    from rca_data_tools_spark.operators.spectra import design_arrays, gram_inverse
+
+    d = design_arrays(
+        wl=NUTNR_CAL["wl"], eno3=NUTNR_CAL["eno3"], eswa=NUTNR_CAL["eswa"],
+        di=NUTNR_CAL["di"], wllower=NUTNR_CAL["wllower"], wlupper=NUTNR_CAL["wlupper"],
+    )
+    M, ESWA, DI, fp = d["M"], d["ESWA"], d["DI"], d["f_prime"]
+    i11, i12, i13, i22, i23, i33 = gram_inverse(M)
+    chan_rows = ",\n    ".join(
+        f"({j}, {M[r,0]!r}, {M[r,1]!r}, {M[r,2]!r}, {ESWA[r]!r}, {fp[r]!r}, {DI[r]!r})"
+        for r, j in enumerate(d["use_idx"].tolist())
+    )
+    return f"""
+WITH chan(j, m1, m2, m3, eswa, fp, di) AS (
+  VALUES
+    {chan_rows}
+),
+rows_in AS (
+  SELECT event_id, CAST(event_id % 1000 AS DOUBLE) AS dark,
+         value/20.0 AS ctd_t, 30.0 + value/100.0 AS ctd_sp,
+         (event_type = 'error') AS is_dark
+  FROM events
+),
+cells AS (
+  SELECT r.event_id, r.is_dark, c.m1, c.m2, c.m3,
+         log10(c.di / (CAST(20000 + ((r.event_id * (c.j + 3)) % 30000) AS DOUBLE) - r.dark))
+           - r.ctd_sp * (c.eswa * exp(c.fp * (r.ctd_t - 20.0))) AS acomp
+  FROM rows_in r CROSS JOIN chan c
+),
+bvec AS (
+  SELECT event_id, is_dark,
+         SUM(m1*acomp) AS b1, SUM(m2*acomp) AS b2, SUM(m3*acomp) AS b3
+  FROM cells GROUP BY 1, 2
+),
+coefs AS (
+  SELECT event_id, is_dark,
+         {i11!r}*b1 + {i12!r}*b2 + {i13!r}*b3 AS c1,
+         {i12!r}*b1 + {i22!r}*b2 + {i23!r}*b3 AS c2,
+         {i13!r}*b1 + {i23!r}*b2 + {i33!r}*b3 AS c3
+  FROM bvec
+),
+resid AS (
+  SELECT ce.event_id, co.is_dark, co.c1, co.c2, co.c3,
+         ce.acomp - (co.c1*ce.m1 + co.c2*ce.m2 + co.c3*ce.m3) AS r
+  FROM cells ce JOIN coefs co ON ce.event_id = co.event_id
+)
+SELECT event_id,
+       CASE WHEN is_dark THEN NULL ELSE ROUND(ANY_VALUE(c1), 4) END AS dissolved_nitrate,
+       CASE WHEN is_dark THEN NULL ELSE ROUND(ANY_VALUE(c1), 4) END AS fit_coef_0,
+       CASE WHEN is_dark THEN NULL ELSE ROUND(ANY_VALUE(c2), 3) END AS fit_coef_1,
+       CASE WHEN is_dark THEN NULL ELSE ROUND(ANY_VALUE(c3), 4) END AS fit_coef_2,
+       CASE WHEN is_dark THEN NULL ELSE ROUND(sqrt(AVG(r*r)), 6) END AS nutnr_rmse
+FROM resid GROUP BY event_id, is_dark
+"""
+
+
+@query("calc_nutnr_nitrate", oracle=_nutnr_oracle())
 def calc_nutnr_nitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS-corrected nitrate (Sakamoto 2009 / Plant 2023): bromide-component
-    subtraction + 3-term spectral least squares, vectorized to one matmul per
+    subtraction + 3-term spectral least squares, vectorized to one pass per
     Arrow batch (reference: nutnr_plant2023, calculateFunctions.py:267-468;
-    dark frames SDB/SDF/NDF -> NaN, :418-420)."""
+    dark frames SDB/SDF/NDF -> NaN, :418-420). Emits the fit as scalar
+    coefficient columns (rounded at 4/3/6 decimals, matching the oracle's
+    replay precision); dark-frame NaNs surface as NULL."""
     from rca_data_tools_spark.operators.spectra import nitrate_ts_corrected
 
     e = load_table(spark, sf_dir, "events")
@@ -538,6 +609,19 @@ def calc_nutnr_nitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", "SDB").otherwise("SLB").alias("frame_type"),
     )
     out = nitrate_ts_corrected(
-        d, "spectral_channels", "dark_value", "ctd_t", "ctd_sp", "frame_type", **NUTNR_CAL
+        d, "spectral_channels", "dark_value", "ctd_t", "ctd_sp", "frame_type",
+        solver="normal", **NUTNR_CAL,
     )
-    return out.select("event_id", "dissolved_nitrate", "nutnr_fitting_function", "nutnr_rmse")
+
+    def scalar(col: str, scale: int):
+        r = F.round(F.col(col), scale)
+        return F.when(~F.isnan(r), r).alias(col)
+
+    return out.select(
+        "event_id",
+        scalar("dissolved_nitrate", 4),
+        scalar("fit_coef_0", 4),
+        scalar("fit_coef_1", 3),
+        scalar("fit_coef_2", 4),
+        scalar("nutnr_rmse", 6),
+    )

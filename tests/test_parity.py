@@ -51,12 +51,15 @@ def test_oracle_dtypes_driver_safe(spark):
     """Guard the dtype traps that caused every round-1/2 red row: the driver
     canonicalizes with pandas dtype-sensitive hashing, so (a) no oracle may
     emit HUGEINT (DuckDB SUM-of-integer widens to int128 -> pandas float64,
-    mismatching Spark's int64) and (b) no Spark query may emit DateType
-    (pandas object-of-date vs DuckDB datetime64). DESCRIBE-only on the
-    DuckDB side; schema-only on the Spark side — no query execution."""
+    mismatching Spark's int64), (b) no Spark query may emit DateType
+    (pandas object-of-date vs DuckDB datetime64), and (c) no Spark query may
+    emit ArrayType — list cells crash the driver's sort_values canonicalizer
+    ("unhashable type: 'list'", the r01 a15 / r02 calc_* failure class).
+    DESCRIBE-only on the DuckDB side; schema-only on the Spark side — no
+    query execution."""
     import duckdb
 
-    from pyspark.sql.types import DateType
+    from pyspark.sql.types import ArrayType, DateType, MapType, StructType
     from rca_data_tools_spark.sources.readers import TABLES
 
     con = duckdb.connect()
@@ -75,4 +78,11 @@ def test_oracle_dtypes_driver_safe(spark):
         dates = [f.name for f in schema.fields if isinstance(f.dataType, DateType)]
         if dates:
             offenders.append((name, "spark DateType", dates))
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            offenders.append((name, "spark nested type (list/map/struct cell)", nested))
     assert not offenders, offenders

@@ -41,7 +41,26 @@ def test_poly_fit_matches_numpy(spark):
     pdf = e.select("user_id", "t_hours", "value").toPandas()
     for uid, grp in pdf.groupby("user_id"):
         coef = np.polyfit(grp.t_hours.to_numpy(), grp.value.to_numpy(), 1)
-        np.testing.assert_allclose(got[uid].coeffs, coef, rtol=1e-6)
+        np.testing.assert_allclose([got[uid].coef_0, got[uid].coef_1], coef, rtol=1e-6)
+        assert got[uid].n_points == len(grp)
+
+
+def test_linear_fit_matches_numpy(spark):
+    """The Column-only closed-form kernel agrees with numpy.polyfit on
+    decimal-quantized inputs (its documented contract)."""
+    e = load_table(spark, SF_CORRECTNESS, "events").withColumn(
+        "t_hours",
+        F.floor((F.unix_millis("ts") - F.lit(1704067200000)) / F.lit(3600.0)) / F.lit(1000.0),
+    )
+    spec = CalcSpec("fit", "linear_fit", ["t_hours", "value"], [], {"group_cols": ["user_id"]})
+    got = {r.user_id: r for r in REGISTRY.apply(e, [spec]).collect()}
+    pdf = e.select("user_id", "t_hours", "value").toPandas()
+    for uid, grp in list(pdf.groupby("user_id"))[:20]:
+        x, y = grp.t_hours.to_numpy(), grp.value.to_numpy()
+        coef = np.polyfit(x, y, 1)
+        np.testing.assert_allclose([got[uid].slope, got[uid].intercept], coef, rtol=1e-6)
+        rmse = float(np.sqrt(np.mean((y - np.polyval(coef, x)) ** 2)))
+        np.testing.assert_allclose(got[uid].rmse, rmse, rtol=1e-5)
         assert got[uid].n_points == len(grp)
 
 

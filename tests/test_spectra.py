@@ -42,9 +42,16 @@ def test_nitrate_matches_rowloop_reference(spark):
         truth[["event_id", "dissolved_nitrate", "nutnr_rmse"]], on="event_id", suffixes=("", "_t")
     )
     assert len(m) == len(e)
-    # dark frames -> NaN on both sides
+    # dark frames -> NULL/NaN on both sides
     assert (m.dissolved_nitrate.isna() == m.dissolved_nitrate_t.isna()).all()
-    assert np.allclose(m.dissolved_nitrate, m.dissolved_nitrate_t, rtol=1e-9, equal_nan=True)
-    assert np.allclose(m.nutnr_rmse, m.nutnr_rmse_t, rtol=1e-9, equal_nan=True)
-    # fit coefficients: 3 per row
-    assert out.nutnr_fitting_function.map(len).eq(3).all()
+    # query output is rounded to 4/6 decimals for the oracle replay — compare
+    # the rowloop truth at that precision
+    assert np.allclose(
+        m.dissolved_nitrate, m.dissolved_nitrate_t.round(4), atol=1e-9, equal_nan=True
+    )
+    assert np.allclose(m.nutnr_rmse, m.nutnr_rmse_t.round(6), atol=1e-9, equal_nan=True)
+    # fit coefficients: scalar columns, coef_0 == nitrate on lit frames
+    lit = m[~m.dissolved_nitrate.isna()]
+    assert (lit.fit_coef_0 == lit.dissolved_nitrate).all()
+    assert out.fit_coef_1.notna().sum() == lit.shape[0]
+    assert out.fit_coef_2.notna().sum() == lit.shape[0]
