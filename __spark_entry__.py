@@ -18,74 +18,73 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round. Round 1
-# checked the first 50 registrations (46 green). This window leads with the
-# queries that have no driver-green row yet — instrument flaggers, ANN,
-# sampling, text, media, calc-registry, scalar-function and TPC-H-extension
-# families — plus two already-green sentinels (regression guards) and the
-# three round-1 rows fixed this round (a15 scalar percentiles, two BIGINT
-# oracle casts) and w4 now that it has a real oracle. The ~28 still-unchecked
-# queries rotate into the round-3 window.
+# checked the first 50 registrations (46 green); round 2 checked the next
+# family block (48 green; cumulative 92/128). This round-3 window carries the
+# 34 queries that have never had a driver row, the two round-2 reds just
+# fixed (calc_nutnr_nitrate / calc_poly_fit — array cells -> scalar columns +
+# real oracles), and 14 spot-recheck sentinels sampled across the families
+# already green in r01/r02. After this round every registered query has a
+# driver-checked row.
 _ROUND_WINDOW = [
-    # sentinels (green in r01; guard regressions)
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    # round-1 reds, fixed this round
-    "a15_percentiles",
-    "dedup_simhash_fingerprints",
-    "text_contamination",
-    # no_oracle in r01; recursive-CTE oracle added this round
-    "w4_lttb_decimation",
-    # instrument flaggers (the reference's advanced-QA/QC surface)
-    "instr_velpt_flags",
-    "instr_flor_flags",
-    "instr_nutnr_flags",
-    "instr_adcp_flags",
-    "instr_pco2w_flags",
-    "instr_ph_flags",
-    "instr_vel3d_flags",
-    "instr_opt_converters",
-    "instr_sidelobe_depth",
-    "instr_optical_products",
+    # round-2 reds, fixed this round (lead with them)
     "calc_nutnr_nitrate",
-    # ANN / similarity
-    "ann_topk_cosine",
-    "ann_threshold_neighbors",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # sampling / packing
-    "sample_hash_fraction",
-    "sample_stratified",
-    "sample_uniform_topk",
-    "sample_domain_cap",
-    "sample_split_assign",
-    "pack_sequences",
-    # text analysis
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_tfidf_topk",
-    "corpus_curation",
-    "p9_regex_filter",
-    # multimodal
-    "media_feature_extract",
-    "media_batch_stats",
-    "media_frame_sample",
-    # calc registry + scalar functions
-    "calc_registry_flags",
     "calc_poly_fit",
-    "f_nested_cal_arrays",
-    "f_string_parse",
-    "f_json_extract",
-    "f_math_conversions",
-    # TPC-H extensions
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q21_sole_late_supplier",
+    # never-checked: TPC-H extensions tail
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotable_suppliers",
+    "q22_idle_customers",
+    # never-checked: aggregation extensions
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_approx_distinct",
+    "skew_two_stage_agg",
+    # never-checked: window family tail
+    "w_moving_stats",
+    "w_ntile_deciles",
+    "w_rank_tail",
+    "w_ewma",
+    "w7_profile_regrid",
+    "w8_cell_aggregation",
+    # never-checked: joins / sets
+    "j10_latest_deploy_window",
+    "j1_asof_forward",
+    "j1_asof_nearest",
+    "j3_profile_phase_split",
+    "join_cross_matrix",
+    "e3_set_difference",
+    "e4_set_intersection",
+    # never-checked: array/calc ops
+    "a4_resample_interpolate",
+    "a7_array_median",
+    "a8_k_of_n_array",
+    "a9_row_stddev_array",
+    "a13_bracket_midpoint",
+    # never-checked: dedup tail
+    "dedup_embedding_cosine",
+    # never-checked: streaming / sessionization / pipeline
+    "sessionize_events",
+    "streaming_tumbling_agg",
+    "streaming_session_window",
+    "hitl_latest_note",
+    "pipeline_qaqc_job",
+    # spot-recheck sentinels (green r01/r02; one per family)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "j1_asof_join",
+    "j4_climatology_flags",
+    "j7_annotation_overlap",
+    "qc_bitmask_decode",
+    "a15_percentiles",
+    "w4_lttb_decimation",
+    "dedup_minhash_lsh",
+    "text_contamination",
+    "ann_topk_cosine",
+    "sample_stratified",
+    "media_batch_stats",
+    "instr_adcp_flags",
 ]
 
 
