@@ -105,7 +105,11 @@ def run_qaqc_job(
     reference's regenerate-and-delete-stale contract (qaqc/plots.py:467-511)
     without an explicit delete pass."""
     lo, hi = span_window(spec, deploy_start)
-    facts = load_table(spark, sf_dir, spec.table, time_filters={spec.ts_col: (lo, hi)})
+    facts = load_table(
+        spark, sf_dir, spec.table,
+        time_filters={spec.ts_col: (lo, hi)},
+        partition_time_col=spec.ts_col,
+    )
     facts = facts.select(spec.key_col, spec.ts_col, spec.value_col, *spec.extra_cols)
 
     flagged = gross_range_flags(

@@ -404,19 +404,26 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    # Per-part values AND the global total from ONE grouping: rollup(l_partkey)
+    # emits the (partkey) groups plus the () grand-total row, and both
+    # consumers below sit over the identical Exchange so Catalyst/AQE can
+    # dedup it (the broadcast dim side is plan-audited ReusedExchange; the
+    # shuffle stage recomputes under AQE's eager broadcast planning — worst
+    # case two pushdown-pruned fact scans). Chosen over .persist(), which held
+    # a cache entry for the session's lifetime in a long-lived multi-query
+    # driver (unbounded across hundreds of queries) for the same worst-case
+    # scan count on a cache miss.
     pv = (
         l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
                l.l_suppkey == s.s_suppkey)
-        .groupBy("l_partkey")
+        .rollup("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
-        # Both the threshold branch and the final join consume pv; without a
-        # persist the 1-row threshold aggregate re-runs the whole fact scan
-        # (plan-audited: 2 lineitem scans -> 1). pv is (partkey, value) —
-        # caching it is cheap at any scale.
-        .persist()
     )
-    threshold = pv.agg((dsum("value") * 0.0005).alias("__thr"))
-    return pv.join(F.broadcast(threshold), pv.value > F.col("__thr")).select(
+    parts = pv.filter(F.col("l_partkey").isNotNull())
+    threshold = pv.filter(F.col("l_partkey").isNull()).select(
+        (F.col("value") * 0.0005).alias("__thr")
+    )
+    return parts.join(F.broadcast(threshold), parts.value > F.col("__thr")).select(
         "l_partkey", "value"
     )
 

@@ -25,6 +25,7 @@ decimal/binary-unit table with the same semantics the reference relies on
 from __future__ import annotations
 
 import datetime as dt
+import math
 import re
 
 import pandas as pd
@@ -165,7 +166,10 @@ def ingest_hitl_sheets(spark: SparkSession, sheets: dict[str, list[dict]]) -> Da
                 del pdf[col]
         for field, series in pdf.items():  # transpose: fields become rows
             for idx, value in enumerate(series):
-                if value is None:
+                # Heterogeneous records (a key missing from some dicts) arrive
+                # as pandas NaN, not None — both mean "absent", neither may
+                # leak through as the literal string 'nan'.
+                if value is None or (isinstance(value, float) and math.isnan(value)):
                     continue
                 rows.append((sheet, str(field), idx, str(value).replace(",", ".")))
     return spark.createDataFrame(rows, HITL_SCHEMA)

@@ -18,6 +18,7 @@ a directory of per-deployment files parallelizes over files × ranges.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -111,6 +112,23 @@ def read_header(path: str) -> dict:
         }
         if is_record:
             rec_size += vsize
+    record_vars = [v for v, m in variables.items() if m["record"]]
+    if len(record_vars) == 1:
+        # Spec special case: with exactly one record variable the record slabs
+        # are packed WITHOUT the per-variable 4-byte padding, so the stride is
+        # the bare slab size, not the padded vsize.
+        m = variables[record_vars[0]]
+        inner = int(np.prod(m["shape"][1:], dtype=np.int64)) if len(m["shape"]) > 1 else 1
+        rec_size = inner * m["dtype"].itemsize
+    if numrecs == 0xFFFFFFFF:
+        # STREAMING sentinel: the writer did not know the record count. Derive
+        # it from the file size and the record stride instead of producing an
+        # absurd row count.
+        if rec_size == 0:
+            numrecs = 0
+        else:
+            first_begin = min(variables[v]["begin"] for v in record_vars)
+            numrecs = max(0, (os.path.getsize(path) - first_begin) // rec_size)
     return {"numrecs": numrecs, "dims": dims, "variables": variables, "rec_size": rec_size}
 
 

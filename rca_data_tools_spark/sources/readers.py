@@ -57,6 +57,7 @@ def load_table(
     sf_dir: str,
     name: str,
     time_filters: dict | None = None,
+    partition_time_col: str = "ts",
 ) -> DataFrame:
     """Load one table from a scale-factor directory.
 
@@ -107,13 +108,14 @@ def load_table(
     # On the at-scale layout (<table>/date=YYYY-MM-DD/...) a timestamp
     # predicate alone prunes row groups but NOT partitions — Spark cannot
     # infer date = to_date(ts). The layout contract is that `date` is the
-    # UTC date of the row's timestamp, so derive the partition predicate
-    # explicitly; it shows up as PartitionFilters in the scan and skips
-    # whole directories before any file is opened.
+    # UTC date of ``partition_time_col`` (default ``ts``) — and ONLY that
+    # column: deriving the partition predicate from a filter on some other
+    # timestamp column (e.g. an ingest-time column on a table partitioned by
+    # observation time) would silently over-prune partitions and drop rows.
     has_date_partition = "date" in df.columns
 
     for col, (lo, hi) in (time_filters or {}).items():
-        if has_date_partition and col != "date":
+        if has_date_partition and col == partition_time_col and col != "date":
             if lo is not None:
                 df = df.filter(F.col("date") >= F.to_date(F.lit(lo).cast("timestamp")))
             if hi is not None:

@@ -19,11 +19,14 @@ materialization, linear scale-out in chunk count. On an object store the
 same keys are fetched by executors (fsspec-style paths); nothing changes
 structurally.
 
-Supported: C-order arrays, raw / zlib / gzip compressors (stdlib), float and
-int dtypes, 1-D ``(time,)`` and 2-D ``(time, k)`` variables — the reference's
-data model (§1.1: 2-D params become array columns). Blosc-compressed stores
-need the blosc codec, which this runtime lacks; they raise with a clear
-message rather than silently mis-decoding.
+Supported: C-order arrays, raw / zlib / gzip compressors (stdlib), blosc
+chunks with lz4/zlib splits and byte-shuffle (pure-numpy shim in blosc.py —
+zarr-python's default codec, so real OOI archives read natively; the
+pure-Python lz4 inner loop is ~100x slower than the C codec, so for repeated
+scans recompress to zlib on ingest), float and int dtypes, 1-D ``(time,)``
+and 2-D ``(time, k)`` variables — the reference's data model (§1.1: 2-D
+params become array columns). Bit-shuffle / zstd / snappy blosc chunks raise
+with a clear message rather than silently mis-decoding.
 """
 
 from __future__ import annotations
@@ -58,10 +61,18 @@ def _decode_chunk(path: str, meta: dict) -> np.ndarray:
         buf = raw
     elif comp.get("id") in ("zlib", "gzip"):
         buf = zlib.decompress(raw, 47)  # wbits=47 accepts both zlib and gzip
+    elif comp.get("id") == "blosc":
+        # zarr-python's default codec; decoded with the pure-numpy shim
+        # (sources/blosc.py — byte-shuffle + lz4/zlib splits). ~100x slower
+        # than the C codec: fine for making real archives readable, but
+        # recompress-to-zlib on ingest is the documented fast path.
+        from rca_data_tools_spark.sources.blosc import blosc_decompress
+
+        buf = blosc_decompress(raw)
     else:
         raise NotImplementedError(
             f"zarr compressor {comp.get('id')!r} needs a codec not present in "
-            "this runtime (supported here: raw, zlib, gzip)"
+            "this runtime (supported here: raw, zlib, gzip, blosc[lz4/zlib])"
         )
     arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
     return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
@@ -120,10 +131,17 @@ def zarr_table(
                     arr = _decode_chunk(os.path.join(root, v, fname), m)[: hi - lo]
                     fill = m.get("fill_value")
                     if fill is not None and np.issubdtype(arr.dtype, np.floating):
+                        # Zarr v2 JSON-encodes non-finite fills as the strings
+                        # "NaN"/"Infinity"/"-Infinity" (spec §fill-value); a
+                        # raw string would make `arr == fill` silently no-op.
+                        if isinstance(fill, str):
+                            fill = float(fill.replace("Infinity", "inf"))
                         # NaN is pandas' null sentinel, so fill values arrive
                         # in Spark as SQL NULL — the engine-wide missing-data
-                        # convention (P5 null-drop, W6 interpolate-NA).
-                        arr = np.where(arr == fill, np.nan, arr)
+                        # convention (P5 null-drop, W6 interpolate-NA). A NaN
+                        # fill is already the sentinel; ±inf needs the rewrite.
+                        if not np.isnan(fill):
+                            arr = np.where(arr == fill, np.nan, arr)
                     if two_d:
                         k = m["shape"][1]
                         out[v] = list(arr[:, :k].astype(np.float64))

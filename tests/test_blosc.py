@@ -1,0 +1,203 @@
+"""Blosc1 chunk decoder: fixtures are encoded by hand from the public chunk
+format (and a minimal greedy LZ4 block encoder written here), since neither
+blosc nor lz4 exist in this runtime on either side. End-to-end: a blosc-lz4
+zarr store written by the test is scanned by the native zarr reader."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from rca_data_tools_spark.sources.blosc import (
+    blosc_decompress,
+    lz4_block_decompress,
+)
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Minimal valid LZ4 block encoder (greedy hash-match, spec-compliant
+    end-of-stream rules: last 5 bytes are literals, no match starts within
+    the last 12 bytes)."""
+    n = len(data)
+    out = bytearray()
+    anchor = 0
+    pos = 0
+    table: dict[bytes, int] = {}
+
+    def emit(lit: bytes, match_len: int = 0, offset: int = 0) -> None:
+        ll, ml = len(lit), match_len - 4 if match_len else 0
+        token = (min(ll, 15) << 4) | (min(ml, 15) if match_len else 0)
+        out.append(token)
+        if ll >= 15:
+            rest = ll - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+        out.extend(lit)
+        if match_len:
+            out.extend(struct.pack("<H", offset))
+            if ml >= 15:
+                rest = ml - 15
+                while rest >= 255:
+                    out.append(255)
+                    rest -= 255
+                out.append(rest)
+
+    while pos + 12 <= n:
+        key = data[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and pos - cand <= 0xFFFF and data[cand : cand + 4] == key:
+            match_len = 4
+            limit = n - 5  # spec: last 5 bytes must be literals
+            while pos + match_len < limit and data[cand + match_len] == data[pos + match_len]:
+                match_len += 1
+            emit(data[anchor:pos], match_len, pos - cand)
+            pos += match_len
+            anchor = pos
+        else:
+            pos += 1
+    emit(data[anchor:])  # final literals-only sequence
+    return bytes(out)
+
+
+def blosc_chunk(
+    data: bytes,
+    typesize: int,
+    codec: int = 1,  # 1 = lz4
+    shuffle: bool = True,
+    blocksize: int | None = None,
+    nsplits_override: int | None = None,
+) -> bytes:
+    """Encode one Blosc1 chunk the way c-blosc lays it out."""
+    from rca_data_tools_spark.sources.blosc import _split_rule, _CODECS
+
+    nbytes = len(data)
+    blocksize = blocksize or nbytes
+    flags = (0x1 if shuffle else 0) | (codec << 5)
+    nblocks = -(-nbytes // blocksize)
+    blocks = []
+    for j in range(nblocks):
+        raw = data[j * blocksize : (j + 1) * blocksize]
+        if shuffle and typesize > 1:
+            n_elem = len(raw) // typesize
+            body = n_elem * typesize
+            arr = np.frombuffer(raw[:body], dtype=np.uint8).reshape(n_elem, typesize)
+            raw = arr.T.tobytes() + raw[body:]
+        last_partial = len(raw) < blocksize
+        nsplits = nsplits_override or (
+            1
+            if last_partial
+            else (typesize if _split_rule(_CODECS[codec], typesize, blocksize) else 1)
+        )
+        neblock = len(raw) // nsplits
+        enc = bytearray()
+        for i in range(nsplits):
+            want = neblock + (len(raw) - neblock * nsplits if i == nsplits - 1 else 0)
+            split = raw[i * neblock : i * neblock + want]
+            if codec == 1:
+                c = lz4_block_compress(split)
+            else:
+                c = zlib.compress(split)
+            if len(c) >= want:  # store uncompressed, as c-blosc does
+                c = split
+            enc += struct.pack("<i", len(c)) + c
+        blocks.append(bytes(enc))
+    header_len = 16 + 4 * nblocks
+    bstarts, off = [], header_len
+    for b in blocks:
+        bstarts.append(off)
+        off += len(b)
+    cbytes = off
+    chunk = struct.pack("<BBBB", 1, 1, flags, typesize)
+    chunk += struct.pack("<iii", nbytes, blocksize, cbytes)
+    chunk += struct.pack(f"<{nblocks}i", *bstarts)
+    return chunk + b"".join(blocks)
+
+
+def test_lz4_roundtrip_random_and_repetitive():
+    rng = np.random.RandomState(3)
+    for data in (
+        rng.bytes(1000),
+        b"abcdefgh" * 200,
+        rng.bytes(13),
+        np.arange(500, dtype="<f8").tobytes(),
+    ):
+        comp = lz4_block_compress(data)
+        assert lz4_block_decompress(comp, len(data)) == data
+
+
+def test_blosc_chunk_shapes():
+    rng = np.random.RandomState(5)
+    arr = (np.sin(np.arange(4096) / 10.0) * 1000).astype("<f8")
+    data = arr.tobytes()
+    # multi-block + shuffle + lz4 splits (the zarr-python default shape)
+    for blocksize in (8192, 5000, len(data)):
+        chunk = blosc_chunk(data, typesize=8, codec=1, shuffle=True, blocksize=blocksize)
+        assert blosc_decompress(chunk) == data
+    # zlib inner codec, no shuffle
+    chunk = blosc_chunk(data, typesize=8, codec=3, shuffle=False, blocksize=4096)
+    assert blosc_decompress(chunk) == data
+    # random (incompressible) data -> stored splits
+    rdata = rng.bytes(2048)
+    chunk = blosc_chunk(rdata, typesize=4, codec=1, shuffle=True, blocksize=1024)
+    assert blosc_decompress(chunk) == rdata
+    # encoder that used the non-default split mode: self-describing fallback
+    chunk = blosc_chunk(data, typesize=8, codec=1, shuffle=True, blocksize=8192, nsplits_override=1)
+    assert blosc_decompress(chunk) == data
+
+
+def test_blosc_memcpy_and_errors():
+    data = b"\x01\x02\x03\x04" * 8
+    chunk = struct.pack("<BBBB", 1, 1, 0x2, 4) + struct.pack("<iii", len(data), len(data), 16 + len(data)) + data
+    assert blosc_decompress(chunk) == data
+    bit = struct.pack("<BBBB", 1, 1, 0x4, 4) + struct.pack("<iii", 4, 4, 20)
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        blosc_decompress(bit)
+    zstd = blosc_chunk(data, typesize=4, codec=1, shuffle=False)
+    zstd = bytearray(zstd)
+    zstd[2] = (zstd[2] & 0x1F) | (4 << 5)  # rewrite codec code to zstd
+    with pytest.raises((NotImplementedError, ValueError)):
+        blosc_decompress(bytes(zstd))
+
+
+def test_zarr_scan_reads_blosc_store(spark, tmp_path):
+    """End-to-end: a blosc-lz4(+shuffle) zarr v2 store scans natively."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "blosc.zarr")
+    os.makedirs(root)
+    n = 25
+    temp = (np.sin(np.arange(n)) * 100).astype("<f8")
+    temp[4] = -9999.0
+    d = os.path.join(root, "temp")
+    os.makedirs(d)
+    meta = {
+        "zarr_format": 2,
+        "shape": [n],
+        "chunks": [10],
+        "dtype": "<f8",
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+        "fill_value": -9999.0,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    for cid in range(3):
+        block = temp[cid * 10 : (cid + 1) * 10]
+        if len(block) < 10:
+            block = np.concatenate([block, np.zeros(10 - len(block))])
+        with open(os.path.join(d, str(cid)), "wb") as f:
+            f.write(blosc_chunk(block.astype("<f8").tobytes(), typesize=8))
+    rows = {r["idx"]: r for r in zarr_table(spark, root, ["temp"]).collect()}
+    assert len(rows) == n
+    assert rows[4]["temp"] is None  # fill -> NULL survives the blosc path
+    for i in (0, 9, 10, 24):
+        assert rows[i]["temp"] == pytest.approx(temp[i])

@@ -100,3 +100,20 @@ def test_ingest_hitl_sheets(spark):
     assert ("Stage1", "Unnamed: 3", 0) not in rows  # Unnamed columns dropped
     assert ("Stage2", "Note", 0) not in rows  # nulls dropped
     assert rows[("Stage2", "Instrument", 0)] == "PHSEND102"
+
+
+def test_ingest_hitl_sheets_skips_missing_keys(spark):
+    """Heterogeneous records (a key absent from some dicts) surface as pandas
+    NaN after the DataFrame build — they must be skipped like None, never
+    emitted as the literal string 'nan'."""
+    sheets = {
+        "Stage1": [
+            {"Instrument": "CTDBPN106", "Note": "ok"},
+            {"Instrument": "ADCPTE101"},  # no Note key -> NaN cell
+        ]
+    }
+    out = ingest_hitl_sheets(spark, sheets)
+    rows = {(r["sheet"], r["field"], r["record_idx"]): r["value"] for r in out.collect()}
+    assert ("Stage1", "Note", 1) not in rows
+    assert rows[("Stage1", "Note", 0)] == "ok"
+    assert rows[("Stage1", "Instrument", 1)] == "ADCPTE101"

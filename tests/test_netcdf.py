@@ -121,3 +121,51 @@ def test_netcdf4_and_mismatches_fail_loudly(spark, tmp_path, nc_file):
     path, *_ = nc_file
     with pytest.raises(ValueError, match="dim-0"):
         netcdf_table(spark, path, ["time", "depth"])  # 57 vs 4 rows
+
+
+def test_streaming_sentinel_numrecs(tmp_path, nc_file):
+    """numrecs == 0xFFFFFFFF (the spec's STREAMING sentinel) must be derived
+    from file size / record stride, not used as a literal row count."""
+    from rca_data_tools_spark.sources.netcdf import read_header
+
+    path, time, *_ = nc_file
+    data = bytearray(open(path, "rb").read())
+    data[4:8] = struct.pack(">I", 0xFFFFFFFF)
+    p2 = str(tmp_path / "streaming.nc")
+    open(p2, "wb").write(bytes(data))
+    h = read_header(p2)
+    assert h["numrecs"] == len(time)
+
+
+def test_single_record_variable_packing(spark, tmp_path):
+    """Spec special case: with exactly ONE record variable the record slabs
+    are packed without per-record 4-byte padding — the stride is the bare
+    slab size even though vsize is padded."""
+    from rca_data_tools_spark.sources.netcdf import netcdf_table, read_header
+
+    n = 9
+    vals = (np.arange(n) * 3).astype(">i2")  # arithmetic before the big-endian cast
+    absent = struct.pack(">II", 0, 0)
+
+    def header(begin):
+        h = b"CDF\x01" + struct.pack(">I", n)
+        h += struct.pack(">II", 0x0A, 1) + _name("time") + struct.pack(">I", 0)
+        h += absent  # global attrs
+        h += struct.pack(">II", 0x0B, 1)
+        h += (
+            _name("v")
+            + struct.pack(">I", 1)
+            + struct.pack(">I", 0)
+            + absent
+            + struct.pack(">III", 3, 4, begin)  # NC_SHORT, padded vsize=4
+        )
+        return h
+
+    hlen = len(header(0))
+    path = str(tmp_path / "packed.nc")
+    with open(path, "wb") as f:
+        f.write(header(hlen) + vals.tobytes())  # stride 2, no padding
+    h = read_header(path)
+    assert h["rec_size"] == 2
+    rows = {r["idx"]: r["v"] for r in netcdf_table(spark, path, ["v"]).collect()}
+    assert rows == {i: float(vals[i]) for i in range(n)}

@@ -144,3 +144,37 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     # pruning actually happened: scanned files live only under the window's dates
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all(("date=2024-01-03" in f) or ("date=2024-01-04" in f) for f in files), files
+
+
+def test_partition_predicate_only_from_contract_column(spark, tmp_path):
+    """A time filter on a column OTHER than the layout's partition time column
+    must NOT derive a date partition predicate — on a table partitioned by
+    observation time, filtering on e.g. an ingest-time column would otherwise
+    silently over-prune partitions and drop rows."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.readers import load_table
+
+    src = (
+        load_table(spark, SF_CORRECTNESS, "events")
+        .select("user_id", "ts", "value")
+        # second timestamp column deliberately offset from the partition time
+        .withColumn("ingest_ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    )
+    sf_dir = tmp_path / "sf"
+    (
+        src.withColumn("date", F.to_date("ts"))
+        .write.partitionBy("date")
+        .parquet(str(sf_dir / "events"))
+    )
+    lo, hi = "2024-01-13 00:00:00", "2024-01-15 00:00:00"
+    df = load_table(spark, str(sf_dir), "events", time_filters={"ingest_ts": (lo, hi)})
+    expect = src.filter(
+        (F.col("ingest_ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ingest_ts") < F.lit(hi).cast("timestamp"))
+    ).count()
+    assert expect > 0
+    assert df.count() == expect  # would drop every row if date were derived
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert not (m and "date" in m.group(1)), plan

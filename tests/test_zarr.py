@@ -103,11 +103,36 @@ def test_zarr_rejects_mismatched_grid_and_unknown_codec(spark, tmp_path):
     with pytest.raises(ValueError, match="chunk grid"):
         zarr_table(spark, root, ["a", "b"])
 
-    root2 = str(tmp_path / "blosc.zarr")
+    root2 = str(tmp_path / "zstd.zarr")
     os.makedirs(root2)
     meta = _write_array(root2, "c", a, [10])
-    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    meta["compressor"] = {"id": "zstd", "level": 1}
     with open(os.path.join(root2, "c", ".zarray"), "w") as f:
         json.dump(meta, f)
-    with pytest.raises(Exception, match="blosc"):
+    with pytest.raises(Exception, match="zstd"):
         zarr_table(spark, root2, ["c"]).collect()
+
+
+def test_zarr_string_encoded_fill_values(spark, tmp_path):
+    """Zarr v2 JSON-encodes non-finite fills as strings ("NaN"/"Infinity"/
+    "-Infinity"); they must still convert to NULL, not silently no-op."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "strfill.zarr")
+    os.makedirs(root)
+    a = np.arange(10, dtype="<f8")
+    a[3] = np.inf
+    b = np.arange(10, dtype="<f8")
+    b[7] = np.nan
+    meta_a = _write_array(root, "a", a, [10])
+    meta_a["fill_value"] = "Infinity"
+    with open(os.path.join(root, "a", ".zarray"), "w") as f:
+        json.dump(meta_a, f)
+    meta_b = _write_array(root, "b", b, [10])
+    meta_b["fill_value"] = "NaN"
+    with open(os.path.join(root, "b", ".zarray"), "w") as f:
+        json.dump(meta_b, f)
+    rows = {r["idx"]: r for r in zarr_table(spark, root, ["a", "b"]).collect()}
+    assert rows[3]["a"] is None
+    assert rows[7]["b"] is None
+    assert rows[2]["a"] == 2.0 and rows[2]["b"] == 2.0
