@@ -70,22 +70,29 @@ def main() -> None:
     )
     warm.mapInPandas(lambda it: it, schema="x double").count()
 
+    # Median-of-N with recorded spread: single runs at this scale swing 30%+
+    # with machine contention (BASELINE.md), so the headline number is the
+    # per-query MEDIAN of n_runs and the line carries each query's min-max
+    # spread so a reader can tell noise from regression.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        best, n = None, 0
-        for _ in range(2):  # best-of-2: absorb cold-cache / GC jitter
+        samples, n = [], 0
+        for _ in range(n_runs):
             # Queries that persist intermediates (minhash) must not distort
             # the next measurement's memory budget.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+        spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
+        print(f"# {name}: median {timings[name]:.3f}s of {samples} rows={n}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -96,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "method": f"per-query median of {n_runs} runs, cache cleared between runs",
+                "spread_min_max": spread,
             }
         )
     )
