@@ -154,3 +154,41 @@ def zarr_table(
         for v in variables
     ]
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
+
+
+def zarr_to_parquet(
+    spark: SparkSession,
+    root: str,
+    variables: list[str],
+    out_path: str,
+    time_var: str | None = None,
+    epoch: str = "1970-01-01",
+    time_unit: str = "s",
+) -> DataFrame:
+    """Ingest conversion: one distributed pass from a Zarr v2 store (any codec
+    the scan supports, including the pure-Python blosc path) into the engine's
+    canonical Parquet layout — after which every read is the vectorized
+    C-speed scan with pushdown/pruning, and the slow codec is paid exactly
+    once. ``time_var`` (a numeric offset-from-epoch coordinate, the xarray
+    convention) is rebuilt into a ``ts`` timestamp column so the output joins
+    the rest of the engine's time machinery directly.
+
+    Returns the re-read DataFrame (from Parquet, post-conversion).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(variables)
+    if time_var and time_var not in cols:
+        cols.insert(0, time_var)
+    df = zarr_table(spark, root, cols)
+    if time_var:
+        unit_us = {"s": 1_000_000, "ms": 1_000, "us": 1}[time_unit]
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                (F.col(time_var) * F.lit(unit_us)).cast("long")
+                + F.unix_micros(F.lit(epoch).cast("timestamp"))
+            ),
+        )
+    df.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

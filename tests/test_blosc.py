@@ -201,3 +201,40 @@ def test_zarr_scan_reads_blosc_store(spark, tmp_path):
     assert rows[4]["temp"] is None  # fill -> NULL survives the blosc path
     for i in (0, 9, 10, 24):
         assert rows[i]["temp"] == pytest.approx(temp[i])
+
+
+def test_zarr_to_parquet_ingest_conversion(spark, tmp_path):
+    """The recompress-on-ingest path: blosc store -> one distributed decode
+    pass -> canonical Parquet with a rebuilt ts column; re-read is the
+    vectorized parquet scan."""
+    from rca_data_tools_spark.sources.zarr import zarr_to_parquet
+
+    root = str(tmp_path / "ingest.zarr")
+    os.makedirs(root)
+    n = 20
+    t = np.arange(n, dtype="<f8") * 3600.0  # seconds since epoch
+    temp = (np.cos(np.arange(n)) * 10).astype("<f8")
+    for name, arr in (("time", t), ("temp", temp)):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        meta = {
+            "zarr_format": 2, "shape": [n], "chunks": [8], "dtype": "<f8",
+            "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+            "fill_value": None, "order": "C", "filters": None,
+        }
+        with open(os.path.join(d, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        for cid in range(3):
+            block = arr[cid * 8 : (cid + 1) * 8]
+            if len(block) < 8:
+                block = np.concatenate([block, np.zeros(8 - len(block))])
+            with open(os.path.join(d, str(cid)), "wb") as f:
+                f.write(blosc_chunk(block.astype("<f8").tobytes(), typesize=8))
+    out = str(tmp_path / "temp.parquet")
+    df = zarr_to_parquet(spark, root, ["temp"], out, time_var="time", time_unit="s")
+    rows = {r["idx"]: r for r in df.collect()}
+    assert len(rows) == n
+    assert rows[3]["temp"] == pytest.approx(temp[3])
+    assert rows[2]["ts"].hour == 2  # 2*3600s since epoch
+    # the converted table is plain parquet: vectorized scan, no codec shim
+    assert spark.read.parquet(out).count() == n

@@ -95,6 +95,19 @@ def test_no_cartesian_product_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """Sweep every registered query's physical plan for BatchEvalPython — the
+    row-at-a-time (pickle-per-row) Python UDF path, 10-100x slower than
+    Arrow. Python is allowed only through the vectorized operators
+    (ArrowEvalPython, MapInPandas, FlatMapGroupsInPandas)."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_asof_directions_no_nested_loop(spark):
     for name in ("j1_asof_forward", "j1_asof_nearest"):
         plan = plan_of(spark, name)
