@@ -257,3 +257,112 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.join(keep, gated.doc_id == keep.keep_id, "left_semi")
         .select("doc_id", "quality")
     )
+
+
+# PII synthesis: the synthetic corpus carries no organic PII, so the queries
+# plant deterministic emails/phones keyed on doc_id (the same synthesize-
+# from-keys pattern as the nitrate spectra) — the redaction semantics under
+# test are real; only the data is manufactured.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=rf"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              WHEN doc_id % 3 = 1
+              THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS raw_text
+  FROM documents
+), red AS (
+  SELECT doc_id, raw_text,
+         len(regexp_extract_all(raw_text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(raw_text, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(raw_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM raw
+)
+SELECT doc_id, n_emails, n_phones,
+       length(redacted) AS redacted_len, md5(redacted) AS redacted_fp
+FROM red
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the curation step every training pipeline runs before
+    release: count + mask emails and phone numbers with anchored regexes.
+    Pure Column expressions (JVM regex, whole-stage codegen) — scan-speed at
+    any corpus size; the redacted text is emitted as an md5 fingerprint so
+    the oracle compares content without shipping megabyte strings."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    raw = (
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.col("text"), F.lit(" contact: user"), doc_id.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            doc_id % 3 == 1,
+            F.concat(F.col("text"), F.lit(" call +1-555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0")),
+        )
+        .otherwise(F.col("text"))
+    )
+    r = d.select("doc_id", raw.alias("raw_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw_text"), _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return r.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw_text"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw_text"), F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+_URL_DOMAINS = ("docs.example", "blog.example", "spam.example", "ads.test", "wiki.example")
+_URL_DENYLIST = ("spam.example", "ads.test")
+
+
+@query(
+    "text_url_filter",
+    oracle=rf"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         'https://' || ['{_URL_DOMAINS[0]}','{_URL_DOMAINS[1]}','{_URL_DOMAINS[2]}','{_URL_DOMAINS[3]}','{_URL_DOMAINS[4]}'][CAST(doc_id % 5 AS INTEGER) + 1]
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), dom AS (
+  SELECT doc_id, source, url,
+         regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+  FROM tagged
+)
+SELECT doc_id, source, domain
+FROM dom
+WHERE domain NOT IN ({_in_list(_URL_DENYLIST)})
+""",
+)
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain filtering, the other standard curation gate: extract the
+    domain from each document's source URL and drop denylisted domains via a
+    broadcast anti-join (a denylist is a config-sized dim; NOT-IN per row
+    would not scale and cannot handle a million-domain list — the anti-join
+    shape does)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.element_at(F.array(*[F.lit(x) for x in _URL_DOMAINS]), (doc_id % 5).cast("int") + 1),
+        F.lit("/p/"),
+        doc_id.cast("string"),
+    )
+    tagged = d.select("doc_id", "source", url.alias("url")).withColumn(
+        "domain", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    )
+    deny = tagged.sparkSession.createDataFrame([(x,) for x in _URL_DENYLIST], "domain string")
+    return tagged.join(F.broadcast(deny), "domain", "left_anti").select(
+        "doc_id", "source", "domain"
+    )
