@@ -366,3 +366,73 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.join(F.broadcast(deny), "domain", "left_anti").select(
         "doc_id", "source", "domain"
     )
+
+
+@query(
+    "text_repetition",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         len(list_distinct(toks)) AS n_distinct,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+              ELSE [] END AS bigrams
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       CASE WHEN n > 0 THEN 1.0 - n_distinct / n ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN n > 0
+            THEN list_max([len(list_filter(toks, x -> x = d)) FOR d IN list_distinct(toks)]) / n
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN len(bigrams) > 0
+            THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM s
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher-rules family): duplicate-token
+    fraction, most-frequent-token share, duplicate-bigram fraction — the
+    standard gates against degenerate/boilerplate documents. Pure Column
+    expressions over token arrays (no explode, no shuffle: distinct/bigram
+    counting happens per row inside the projection), so the corpus is one
+    scan; every fraction is a single integer/integer division and therefore
+    bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda dtok: F.size(F.filter(toks, lambda x: x == dtok)),
+        )
+    )
+    s = d.select(
+        "doc_id",
+        n.alias("n"),
+        n_distinct.alias("n_distinct"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        top_count.alias("top_count"),
+    )
+    nn = F.col("n")
+    return s.select(
+        "doc_id",
+        nn.alias("n_tokens"),
+        F.when(nn > 0, 1.0 - F.col("n_distinct") / nn).otherwise(0.0).alias("dup_token_frac"),
+        F.when(nn > 0, F.col("top_count") / nn).otherwise(0.0).alias("top_token_frac"),
+        F.when(F.col("n_bigrams") > 0, 1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"))
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
