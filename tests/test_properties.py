@@ -242,3 +242,50 @@ def test_results_invariant_to_shuffle_partitioning():
             assert results[(name, "3")] == results[(name, "32")], name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# --- blosc/lz4 codec roundtrips ---------------------------------------------
+# No Spark needed: the codec is plain bytes->bytes; hypothesis drives both the
+# hand-written LZ4 encoder/decoder pair and the full blosc chunk layout
+# (shuffle x codec x blocksize x typesize) through random and structured data.
+
+blosc_payload = st.one_of(
+    st.binary(min_size=0, max_size=4096),
+    # compressible: repeated short patterns (exercises real LZ4 matches)
+    st.tuples(st.binary(min_size=1, max_size=16), st.integers(1, 400)).map(
+        lambda t: t[0] * t[1]
+    ),
+)
+
+
+@given(data=blosc_payload)
+@settings(**SETTINGS)
+def test_lz4_block_roundtrip_property(data):
+    from rca_data_tools_spark.sources.blosc import lz4_block_decompress
+    from tests.test_blosc import lz4_block_compress
+
+    assert lz4_block_decompress(lz4_block_compress(data), len(data)) == data
+
+
+@given(
+    n_elems=st.integers(1, 600),
+    typesize=st.sampled_from([1, 2, 4, 8]),
+    shuffle=st.booleans(),
+    codec=st.sampled_from([1, 3]),  # lz4, zlib
+    blocks=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_blosc_chunk_roundtrip_property(n_elems, typesize, shuffle, codec, blocks, seed):
+    from rca_data_tools_spark.sources.blosc import blosc_decompress
+    from tests.test_blosc import blosc_chunk
+
+    rng = np.random.RandomState(seed)
+    # half structured (compressible), half random bytes
+    if seed % 2:
+        data = (np.arange(n_elems) % 7).astype(f"<u{typesize}" if typesize < 8 else "<f8").tobytes()
+    else:
+        data = rng.bytes(n_elems * typesize)
+    blocksize = max(typesize, (len(data) // blocks) // typesize * typesize) or typesize
+    chunk = blosc_chunk(data, typesize=typesize, codec=codec, shuffle=shuffle, blocksize=blocksize)
+    assert blosc_decompress(chunk) == data
