@@ -169,3 +169,37 @@ def test_single_record_variable_packing(spark, tmp_path):
     assert h["rec_size"] == 2
     rows = {r["idx"]: r["v"] for r in netcdf_table(spark, path, ["v"]).collect()}
     assert rows == {i: float(vals[i]) for i in range(n)}
+
+
+def test_cdf2_64bit_offsets(spark, tmp_path):
+    """CDF-2 ('CDF\\x02'): identical layout but variable begins are 64-bit.
+    Covers the offset64 header branch end-to-end."""
+    from rca_data_tools_spark.sources.netcdf import netcdf_table, read_header
+
+    n = 7
+    vals = (np.arange(n) * 1.5).astype(">f8")
+    absent = struct.pack(">II", 0, 0)
+
+    def header(begin):
+        h = b"CDF\x02" + struct.pack(">I", n)
+        h += struct.pack(">II", 0x0A, 1) + _name("time") + struct.pack(">I", 0)
+        h += absent
+        h += struct.pack(">II", 0x0B, 1)
+        h += (
+            _name("v")
+            + struct.pack(">I", 1)
+            + struct.pack(">I", 0)
+            + absent
+            + struct.pack(">II", 6, 8)  # NC_DOUBLE, vsize 8
+            + struct.pack(">Q", begin)  # 64-bit begin
+        )
+        return h
+
+    hlen = len(header(0))
+    path = str(tmp_path / "cdf2.nc")
+    with open(path, "wb") as f:
+        f.write(header(hlen) + vals.tobytes())
+    h = read_header(path)
+    assert h["variables"]["v"]["begin"] == hlen
+    rows = {r["idx"]: r["v"] for r in netcdf_table(spark, path, ["v"]).collect()}
+    assert rows == {i: float(vals[i]) for i in range(n)}
