@@ -324,6 +324,77 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    stride: int = 29,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings with the deterministic
+    IVF coarse quantizer, then mark within-cluster near-duplicates by exact
+    pairwise cosine. Keep priority follows the paper: examples FARTHEST from
+    their centroid rank first (ascending centroid-cosine, id tie-break), and
+    a document is a duplicate iff some higher-priority cluster-mate sits
+    within ``threshold`` cosine of it.
+
+    Scale shape: the O(N²) corpus self-join collapses to one broadcast-literal
+    assignment pass (zero shuffles, see ivf_assign) + quadratic work confined
+    WITHIN clusters — one shuffle on cid, pair volume O(Σ|cluster|²). With
+    n_lists ∝ N/target_cluster_size (the paper uses ~N/10⁴ clusters at
+    100M-doc scale) that is linear-ish in N, never all-pairs. The pairwise
+    cosine runs in the Arrow-vectorized kernel with seq_dot's exact IEEE add
+    order, so the full pipeline (assignment, ranking, pair verdicts) replays
+    bit-for-bit in a SQL oracle.
+
+    Returns (id, cid, cent_sim, is_dup 0/1) for every corpus row.
+    """
+    spark = corpus.sparkSession
+    cent_rows = ivf_centroids(corpus, id_col, vec_col, n_lists, stride).collect()
+    assigned = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
+    cents = spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
+        schema="cid long, cvec array<double>",
+    )
+    cos = seq_cosine_udf()
+    cent_sim = F.round(cos(to_double_array(vec_col), F.col("cvec")), 6)
+    ranked = (
+        assigned.join(F.broadcast(cents), "cid")
+        .select(id_col, "cid", to_double_array(vec_col).alias("_vec"), cent_sim.alias("cent_sim"))
+        .withColumn(
+            "keep_rank",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.col("cent_sim").asc(), F.col(id_col))
+            ),
+        )
+    )
+    prior = ranked.select(
+        F.col("cid").alias("_p_cid"),
+        F.col("_vec").alias("_p_vec"),
+        F.col("keep_rank").alias("_p_rank"),
+    )
+    pair_sim = F.round(cos(F.col("_vec"), F.col("_p_vec")), 6)
+    dropped = (
+        ranked.join(
+            prior,
+            (F.col("cid") == F.col("_p_cid")) & (F.col("_p_rank") < F.col("keep_rank")),
+        )
+        .select(F.col(id_col), pair_sim.alias("pair_sim"))
+        .filter(F.col("pair_sim") >= threshold)
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return ranked.join(dropped, id_col, "left").select(
+        id_col,
+        "cid",
+        "cent_sim",
+        F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup"),
+    )
+
+
 def ivf_refine(
     corpus: DataFrame,
     centroids: DataFrame,

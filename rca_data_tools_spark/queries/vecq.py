@@ -213,6 +213,49 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(vec_id / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id % 29 = 0 AND vec_id < 29 * 16
+), lists AS (
+  SELECT vec_id, embedding, cid, sim AS cent_sim FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM embeddings e, cents c
+  ) WHERE r = 1
+), ranked AS (
+  SELECT vec_id, embedding, cid, cent_sim,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cent_sim ASC, vec_id) AS keep_rank
+  FROM lists
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.keep_rank < b.keep_rank
+  WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+)
+SELECT r.vec_id, r.cid, r.cent_sim,
+       CAST(d.vec_id IS NOT NULL AS INTEGER) AS is_dup
+FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): deterministic IVF
+    clustering, then within-cluster pairwise cosine with the paper's
+    keep-farthest-from-centroid priority — paraphrase-level duplication the
+    textual dedup family (exact/minhash/simhash) cannot see. Quadratic work
+    confined within clusters (one shuffle on cid); the whole pipeline —
+    assignment, keep-ranking, pair verdicts — replays in the oracle."""
+    from rca_data_tools_spark.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", n_lists=16, stride=29, threshold=0.3
+    )
+
+
+@query(
     "a8_k_of_n_array",
     oracle="""
 SELECT vec_id, label,

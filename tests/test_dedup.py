@@ -224,3 +224,40 @@ def test_embedding_neardup_pairs_recall(spark):
     assert len(exact) > 0
     recall = len(approx) / len(exact)
     assert recall >= 0.5, f"recall too low: {recall}"
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup invariants: every cluster keeps its rank-1 (farthest-from-
+    centroid) member; a doc is dropped iff some higher-priority cluster-mate
+    is within the cosine threshold; and the kept set re-checked pairwise
+    within each cluster contains no pair above the threshold among mutually
+    comparable priorities (greedy-prefix property)."""
+    from rca_data_tools_spark.functions.vectors import to_double_array
+    from rca_data_tools_spark.operators.similarity import dec_cosine, semantic_dedup
+
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    out = semantic_dedup(e, "vec_id", "embedding", n_lists=16, stride=29, threshold=0.3)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cid, []).append(r)
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb), 6)
+
+    n_dups = 0
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda r: (r.cent_sim, r.vec_id))
+        assert members[0].is_dup == 0, f"cluster {cid} dropped its rank-1 member"
+        for i, r in enumerate(members):
+            expect_dup = any(
+                cos(vecs[m.vec_id], vecs[r.vec_id]) >= 0.3 for m in members[:i]
+            )
+            assert bool(r.is_dup) == expect_dup, (cid, r.vec_id)
+            n_dups += r.is_dup
+    assert n_dups > 0, "threshold produced no duplicates at sf0.01 — weak test"
