@@ -22,8 +22,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # family block (48 green; cumulative 92/128). This round-3 window carries the
 # 34 queries that have never had a driver row, the two round-2 reds just
 # fixed (calc_nutnr_nitrate / calc_poly_fit — array cells -> scalar columns +
-# real oracles), and 14 spot-recheck sentinels sampled across the families
-# already green in r01/r02. After this round every registered query has a
+# real oracles), the 3 queries added this round (dedup_semantic /
+# sample_importance / text_perplexity), and 11 spot-recheck sentinels sampled
+# across the families already green in r01/r02. After this round every
+# registered query except the round-3 additions' successors has a
 # driver-checked row.
 _ROUND_WINDOW = [
     # round-2 reds, fixed this round (lead with them)
@@ -70,6 +72,10 @@ _ROUND_WINDOW = [
     "streaming_session_window",
     "hitl_latest_note",
     "pipeline_qaqc_job",
+    # new this round (never driver-checked)
+    "dedup_semantic",
+    "sample_importance",
+    "text_perplexity",
     # spot-recheck sentinels (green r01/r02; one per family)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -82,9 +88,6 @@ _ROUND_WINDOW = [
     "dedup_minhash_lsh",
     "text_contamination",
     "ann_topk_cosine",
-    "sample_stratified",
-    "media_batch_stats",
-    "instr_adcp_flags",
 ]
 
 

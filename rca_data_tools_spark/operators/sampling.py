@@ -31,6 +31,7 @@ __all__ = [
     "stratified_sample",
     "group_cap",
     "pack_greedy",
+    "importance_weights",
 ]
 
 # 2^32: hash_uniform yields an integer in [0, 2^32); rate predicates compare
@@ -129,3 +130,60 @@ def pack_greedy(
     return df.withColumn(
         "bin_id", F.floor((cum - F.col(length_col)) / F.lit(target)).cast("long")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 128,
+    scale: int = 6,
+) -> DataFrame:
+    """DSIR-shaped importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hash every token into ``n_buckets`` features, build add-1-smoothed unigram
+    models of the TARGET slice (rows where ``target_pred``) and the full
+    SOURCE corpus, and score each document by its mean per-token
+    log-likelihood ratio ln(p_target/p_source) — the importance weight used
+    to resample a generic corpus toward a target domain.
+
+    Scale shape: one exploded-token pass feeds ONE map-side-combinable
+    groupBy onto ``n_buckets`` keys (target counts ride along as a
+    conditional sum — no second corpus scan); the resulting feature-weight
+    table is dim-sized and broadcast back onto the token stream, so the
+    per-doc aggregation is the only data-sized shuffle. Hash features are
+    md5-derived — engine-independent, no vocabulary state — and the weight
+    sum is an exact decimal fold, so the ranking replays bit-for-bit in SQL.
+
+    Returns (id, n_feats, importance) for every document with ≥1 token.
+    """
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.functions.text import normalize, tokens
+
+    feat = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    ).alias("feat")
+    feats = docs.select(
+        id_col, target_pred.alias("is_tgt"), F.explode(tokens(normalize(text_col))).alias("tok")
+    ).select(id_col, "is_tgt", feat)
+    counts = feats.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("src_n"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    wtot = Window.partitionBy(F.lit(1))  # dim-sized: <= n_buckets rows
+    logr = F.round(
+        F.log((F.col("tgt_n") + F.lit(1.0)) / (F.col("tgt_tot") + F.lit(float(n_buckets))))
+        - F.log((F.col("src_n") + F.lit(1.0)) / (F.col("src_tot") + F.lit(float(n_buckets)))),
+        scale,
+    )
+    wts = (
+        counts.withColumn("src_tot", F.sum("src_n").over(wtot))
+        .withColumn("tgt_tot", F.sum("tgt_n").over(wtot))
+        .select("feat", logr.alias("logr"))
+    )
+    scored = feats.join(F.broadcast(wts), "feat").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        (dsum("logr", scale) / F.count(F.lit(1))).alias("_imp"),
+    )
+    return scored.select(id_col, "n_feats", F.round("_imp", scale).alias("importance"))

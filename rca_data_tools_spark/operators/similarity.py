@@ -369,6 +369,11 @@ def semantic_dedup(
                 Window.partitionBy("cid").orderBy(F.col("cent_sim").asc(), F.col(id_col))
             ),
         )
+        # The ranked assignment feeds three consumers (pair left side, pair
+        # right side, final output join); without a checkpoint Catalyst
+        # re-runs the scan + Arrow assignment pass for each. Lazy local
+        # checkpoint -> one materialization, reused.
+        .localCheckpoint(eager=False)
     )
     prior = ranked.select(
         F.col("cid").alias("_p_cid"),

@@ -132,6 +132,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_TOKS_SQL = (
+    r"list_filter(str_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),"
+    r" '\s+'), t -> t <> '')"
+)
+
+
+@query(
+    "sample_importance",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 128 AS feat
+  FROM (SELECT doc_id, lang, UNNEST({_NORM_TOKS_SQL}) AS t FROM documents)
+), counts AS (
+  SELECT feat, COUNT(*) AS src_n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+  FROM f GROUP BY 1
+), w AS (
+  SELECT feat,
+         ROUND(ln((tgt_n + 1.0) / (SUM(tgt_n) OVER () + 128.0))
+             - ln((src_n + 1.0) / (SUM(src_n) OVER () + 128.0)), 6) AS logr
+  FROM counts
+), scored AS (
+  SELECT f.doc_id, COUNT(*) AS n_feats,
+         CAST(SUM(CAST(ROUND(w.logr, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS imp
+  FROM f JOIN w ON f.feat = w.feat GROUP BY 1
+)
+SELECT doc_id, n_feats, ROUND(imp, 6) AS importance
+FROM scored
+ORDER BY importance DESC, doc_id
+LIMIT 100
+""",
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling toward a target domain (here: English
+    documents): hashed-token unigram models of target vs source, per-doc mean
+    log-likelihood ratio, top-100 by importance. One exploded-token pass, one
+    dim-sized (128-bucket) count shuffle, broadcast weights back — the only
+    data-sized shuffle is the per-doc aggregation (see
+    operators/sampling.importance_weights)."""
+    from rca_data_tools_spark.operators.sampling import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = importance_weights(
+        d, "doc_id", "text", target_pred=(F.col("lang") == "en"), n_buckets=128
+    )
+    return scored.orderBy(F.col("importance").desc(), "doc_id").limit(100)
+
+
 @query(
     "sample_split_assign",
     oracle=f"""

@@ -22,6 +22,7 @@ from rca_data_tools_spark.functions.text import (
     token_count,
     tokens,
 )
+from rca_data_tools_spark.functions.numeric import dsum
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
@@ -435,4 +436,94 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_bigrams") > 0, 1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"))
         .otherwise(0.0)
         .alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "text_perplexity",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS_SQL} AS toks FROM documents
+  WHERE len({_NTOKS_SQL}) >= 2
+), bg AS (
+  SELECT doc_id, UNNEST([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+  FROM t
+), bgc AS (
+  SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1
+), hist AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+  FROM bgc GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab
+  FROM (SELECT UNNEST({_NTOKS_SQL}) AS tok FROM documents)
+), scored AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         -(CAST(SUM(CAST(ROUND(ln((bgc.c12 + 1.0) / (hist.c1 + v.vocab)), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE)) / COUNT(*) AS nll
+  FROM bg
+  JOIN bgc ON bg.bigram = bgc.bigram
+  JOIN hist ON split_part(bg.bigram, ' ', 1) = hist.w1
+  CROSS JOIN v
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams, ROUND(nll, 6) AS nll,
+       CASE NTILE(3) OVER (ORDER BY ROUND(nll, 6) ASC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM scored
+""",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): score every
+    document under an add-1-smoothed bigram language model estimated from the
+    corpus itself (the KenLM stand-in this container can express exactly),
+    then split the corpus into head/middle/tail fluency buckets — the
+    standard quality triage before sampling training data.
+
+    Scale shape: one exploded-bigram pass feeds two map-side-combinable count
+    aggregations (bigram and history tables — the LM); scoring re-joins the
+    bigram stream to those tables on the bigram/history keys (shuffle joins
+    on uniform hash keys, the honest LM-scoring shape) and reduces per doc.
+    The final NTILE over doc-level rows is exact here; at 100 TB the bucket
+    boundaries come from approx_percentile cutoffs broadcast as literals
+    instead of a global window. The smoothed log-probs round to 6 decimals
+    into an exact decimal fold, so scores and buckets replay bit-for-bit in
+    the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize("text"))
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = t.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    hist = bgc.groupBy(F.substring_index("bigram", " ", 1).alias("w1")).agg(
+        F.sum("c12").alias("c1")
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("vocab"))
+    )
+    logp = F.round(F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))), 6)
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(hist, F.substring_index(F.col("bigram"), " ", 1) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-dsum(logp, 6) / F.count(F.lit(1))).alias("_nll"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    nll = F.round("_nll", 6)
+    tile = F.ntile(3).over(Window.orderBy(nll.asc(), F.col("doc_id")))
+    bucket = (
+        F.when(tile == 1, F.lit("head")).when(tile == 2, F.lit("middle")).otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", nll.alias("nll"), bucket.alias("ppl_bucket")
     )

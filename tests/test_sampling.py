@@ -76,3 +76,56 @@ def test_pack_greedy_bins_are_contiguous_and_budgeted(spark):
         # each doc's bin is its starting offset / target, exactly
         start = grp["n_tok"].cumsum() - grp["n_tok"]
         assert (grp["bin_id"] == start // target).all()
+
+
+def test_importance_weights_favor_target_vocabulary(spark):
+    """DSIR weights: documents made of tokens that appear ONLY in the target
+    slice must outrank documents made of tokens that appear only outside it,
+    and shared-vocabulary docs must land between them."""
+    from rca_data_tools_spark.operators.sampling import importance_weights
+
+    rows = []
+    # target slice (is_tgt True): vocabulary A
+    for i in range(20):
+        rows.append((i, "tgt", "alpha beta gamma delta alpha beta"))
+    # source-only docs: vocabulary B
+    for i in range(20, 40):
+        rows.append((i, "src", "omega psi chi phi omega psi"))
+    # probe docs (scored, outside the target slice)
+    rows.append((100, "src", "alpha beta gamma delta"))  # pure target vocab
+    rows.append((101, "src", "omega psi chi phi"))  # pure source vocab
+    rows.append((102, "src", "alpha beta omega psi"))  # mixed
+    d = spark.createDataFrame(rows, ["doc_id", "grp", "text"])
+    out = {
+        r.doc_id: r.importance
+        for r in importance_weights(
+            d, "doc_id", "text", target_pred=(F.col("grp") == "tgt"), n_buckets=64
+        ).collect()
+    }
+    assert out[100] > out[102] > out[101]
+    # rerun-stable (hash features, no RNG)
+    out2 = {
+        r.doc_id: r.importance
+        for r in importance_weights(
+            d, "doc_id", "text", target_pred=(F.col("grp") == "tgt"), n_buckets=64
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_perplexity_buckets_separate_fluent_from_shuffled(spark):
+    """The bigram-LM score must rank high-frequency-pattern documents as more
+    fluent (lower NLL) than documents of rare bigrams, and the head/middle/
+    tail split must cover the corpus in equal-sized buckets."""
+    from rca_data_tools_spark.queries import QUERIES
+
+    out = QUERIES["text_perplexity"](spark, SF_CORRECTNESS).collect()
+    n = len(out)
+    assert n > 0
+    by_bucket: dict[str, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.nll)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(len(v) for v in by_bucket.values()) - min(len(v) for v in by_bucket.values()) <= 1
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"]) + 1e-9
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"]) + 1e-9
