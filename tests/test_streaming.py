@@ -204,3 +204,92 @@ def test_streaming_gross_range_flag_counts_match_batch(spark, tmp_path):
     )
     got = {tuple(r) for r in got_df.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join must emit exactly the batch
+    join's row set: 'error' events joined to same-user 'click' events within
+    the preceding hour, both sides fed as independent file streams."""
+    from rca_data_tools_spark.streaming.joins import stream_interval_join
+
+    ldir = str(tmp_path / "left")
+    rdir = str(tmp_path / "right")
+    ev = load_table(spark, SF_SMOKE, "events")
+    left_b = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right_b = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    left_b.write.mode("overwrite").parquet(ldir)
+    right_b.write.mode("overwrite").parquet(rdir)
+
+    l_schema = spark.read.parquet(ldir).schema
+    r_schema = spark.read.parquet(rdir).schema
+    expect = {
+        (r.event_id, r.r_event_id)
+        for r in stream_interval_join(
+            spark.read.schema(l_schema).parquet(ldir),
+            spark.read.schema(r_schema).parquet(rdir),
+        ).collect()
+    }
+    assert expect, "batch join produced no pairs — fixture too sparse"
+
+    ls = spark.readStream.schema(l_schema).option("maxFilesPerTrigger", 1).parquet(ldir)
+    rs = spark.readStream.schema(r_schema).option("maxFilesPerTrigger", 1).parquet(rdir)
+    q = (
+        stream_interval_join(ls, rs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == expect
+
+
+def test_foreachbatch_partitioned_sink_incremental_refresh(spark, tmp_path):
+    """The foreachBatch dynamic-overwrite sink must (a) land the full drained
+    stream partitioned on disk, and (b) on a second run with revised data,
+    overwrite ONLY the partitions present in the new batch."""
+    from rca_data_tools_spark.streaming.joins import stream_to_partitioned_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_to_partitioned_sink(stream, out, ["day"], str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    assert first.count() == ev.count()
+
+    # revision: one day's rows, values nulled — must replace only that day
+    days = sorted(r.day for r in first.select("day").distinct().collect())
+    target_day = days[0]
+    rev_src = str(tmp_path / "src2")
+    ev.filter(F.col("day") == target_day).withColumn(
+        "value", F.lit(None).cast("double")
+    ).write.mode("overwrite").parquet(rev_src)
+    stream2 = spark.readStream.schema(schema).parquet(rev_src)
+    q2 = stream_to_partitioned_sink(stream2, out, ["day"], str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+
+    after = spark.read.parquet(out)
+    assert after.count() == ev.count()
+    assert after.filter((F.col("day") == target_day) & F.col("value").isNotNull()).count() == 0
+    untouched = after.filter((F.col("day") != target_day) & F.col("value").isNotNull()).count()
+    assert untouched == ev.filter((F.col("day") != target_day) & F.col("value").isNotNull()).count()
