@@ -261,6 +261,10 @@ def ivf_assign(
         return math.sqrt(acc)
 
     rows = centroids if isinstance(centroids, list) else centroids.collect()
+    if not rows:
+        # Empty quantizer (empty corpus / no seeds): no list to assign to —
+        # an empty-but-well-typed assignment, not an error.
+        return df.withColumn("cid", F.lit(None).cast("long")).where(F.lit(False))
     cents = sorted(
         (
             (int(r["cid"]), [float(x) for x in r["cvec"]], py_norm([float(x) for x in r["cvec"]]))

@@ -46,8 +46,18 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         f = path if os.path.isfile(path) else next(iter(sorted(glob.glob(os.path.join(path, "*.parquet")))), None)
         if f is None:
             return []
-        schema = pq.read_schema(f)
-        return [fld.name for fld in schema if str(fld.type) == "timestamp[ns]"]
+        pf = pq.ParquetFile(f)
+        # Arrow reports BOTH real TIMESTAMP(NANOS) columns and legacy INT96
+        # timestamps (Spark's own default parquet output) as timestamp[ns].
+        # Only the INT64-backed NANOS kind trips Spark's vectorized reader —
+        # INT96 scans natively — so require the physical type to match, or a
+        # Spark-written table would be mis-rebuilt as epoch-nanos longs.
+        ns_cols = {fld.name for fld in pf.schema_arrow if str(fld.type) == "timestamp[ns]"}
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
+        return [n for n in sorted(ns_cols) if phys.get(n) == "INT64"]
     except Exception:
         return []
 
