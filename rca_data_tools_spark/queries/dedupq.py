@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rca_data_tools_spark.functions.text import normalize, word_ngrams
+from rca_data_tools_spark.functions.text import normalize, tokens, word_ngrams
 from rca_data_tools_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -326,3 +326,97 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("containment"),
     )
+
+
+@query(
+    "dedup_exact_spans",
+    oracle=rf"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(range(CAST(floor(len(ws) / 8) AS BIGINT))) AS i
+  FROM norm
+), spans AS (
+  SELECT doc_id, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span FROM idx
+), freq AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY span
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM spans s JOIN freq f ON s.span = f.span
+GROUP BY 1
+""",
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-span boilerplate signal (RefinedWeb / CCNet line
+    dedup adapted to unstructured text): segment each doc into non-overlapping
+    8-word spans and, per doc, report how many of its spans appear verbatim in
+    at least one OTHER document (span doc-frequency >= 2).
+
+    Reference analogy: the set-difference/overlap lifecycle ops
+    (qaqc/plots.py:500,543) at span rather than file granularity.
+
+    Scale shape: the explode fans out to ~tokens/8 spans per doc; the
+    doc-frequency aggregation and the frequency join both shuffle on
+    md5(span) — 32-byte keys, map-side combined — never on document text.
+    Two shuffles total on uniform hash keys; no skew (spans are near-unique
+    outside boilerplate, and boilerplate keys partial-aggregate map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize("text"))
+    n_span = F.floor(F.size(toks) / F.lit(8))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_span - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i * F.lit(8)) + F.lit(1), 8)),
+    )
+    exploded = (
+        d.select("doc_id", F.explode(F.when(n_span > 0, spans)).alias("span"))
+        .withColumn("fp", F.md5("span"))
+        .select("doc_id", "fp")
+    )
+    freq = exploded.groupBy("fp").agg(F.count_distinct("doc_id").alias("df"))
+    joined = exploded.join(freq, "fp")
+    n_dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        n_dup.cast("bigint").alias("n_dup"),
+        (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+    )
+
+
+@query(
+    "contamination_bloom",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20)
+SELECT tr.doc_id, COUNT(*) AS n_shared
+FROM tr JOIN ev ON tr.sh = ev.sh
+GROUP BY 1
+""",
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse contamination probe with a Bloom pre-filter: which TRAINING
+    docs share char-5-gram shingles with the (small) eval set, and how many.
+
+    The eval shingle set is sketched into a 64 Kbit / 4-hash Bloom filter
+    (functions/bloom.py) built distributed and collected as a bounded bitmap;
+    the training scan probes it with pure codegen'd bit arithmetic, and only
+    the survivors reach the exact broadcast join that removes false
+    positives. The final result is EXACT — the oracle is the plain join —
+    the Bloom stage only bounds how many of the 100-TB-side rows ever reach
+    a join. This is the scale path promised in text_contamination's
+    docstring, implemented rather than documented."""
+    from rca_data_tools_spark.functions.bloom import bloom_build, bloom_might_contain
+    from rca_data_tools_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(d, "doc_id", "text", n=5)
+    ev = sh.filter(F.col("doc_id") < 20).select("sh").distinct()
+    words = bloom_build(ev, "sh")
+    tr = sh.filter(F.col("doc_id") >= 20)
+    candidates = tr.filter(bloom_might_contain(words, F.col("sh")))
+    exact = candidates.join(F.broadcast(ev), "sh")
+    return exact.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))

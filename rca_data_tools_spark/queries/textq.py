@@ -21,6 +21,7 @@ from rca_data_tools_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    word_ngrams,
 )
 from rca_data_tools_spark.functions.numeric import dsum
 from rca_data_tools_spark.queries._registry import query
@@ -526,4 +527,50 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", "n_bigrams", nll.alias("nll"), bucket.alias("ppl_bucket")
+    )
+
+
+@query(
+    "text_ngram_freq",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(greatest(1, len(ws) - 2) AS BIGINT))) AS i
+  FROM norm
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+3)], ' ') AS gram
+  FROM idx
+)
+SELECT gram, COUNT(*) AS doc_freq
+FROM grams
+GROUP BY gram
+ORDER BY doc_freq DESC, gram
+LIMIT 20
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-phrase census: the 20 word-3-grams present in
+    the most documents (document frequency, counted once per doc). The
+    cross-document complement of text_repetition's intra-document signal —
+    the table a curation pipeline uses to spot boilerplate phrases worth
+    stripping before training.
+
+    Scale shape: word_ngrams dedupes per row (array_distinct) so the explode
+    emits each (doc, gram) once; the DF count is a map-side-combined hash agg
+    on the gram key; top-20 is TakeOrderedAndProject (per-partition heaps +
+    driver merge of 20-row heads), never a global sort. Ties at the cut are
+    broken by the gram string so the result is deterministic on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(F.explode(word_ngrams("text", 3)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram"))
+        .limit(20)
     )
