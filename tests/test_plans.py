@@ -191,3 +191,48 @@ def test_partition_predicate_only_from_contract_column(spark, tmp_path):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert not (m and "date" in m.group(1)), plan
+
+
+# Shuffle budget per headline query, measured from the current (audited)
+# plans. These are CEILINGS, not snapshots: a future edit that introduces an
+# extra Exchange in a headline plan fails here before it ships — the
+# structural version of a perf-regression gate (at 100 TB an extra fact-table
+# shuffle dwarfs any constant-factor change).
+EXCHANGE_BUDGET = {
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_nation_revenue": 1,
+    "j4_climatology_flags": 2,
+    "j5_gross_range_flags": 1,
+    "j1_asof_join": 2,
+    "qc_bitmask_decode": 1,
+    "a2_pivot_counts": 2,
+    "a3_windowed_mean": 1,
+    "w9_topk_per_group": 1,
+    "w1_lag_step_flags": 1,
+    "w4_lttb_decimation": 1,
+    "sessionize_events": 1,
+    "dedup_exact": 2,
+    "dedup_minhash_lsh": 2,
+    "ann_topk_cosine": 1,
+    "ann_ivf_topk": 1,
+    "text_quality_scores": 0,
+    "text_tfidf_topk": 5,
+    "media_feature_extract": 0,
+    "q7_volume_shipping": 1,
+    "q10_returned_items": 1,
+    "q18_large_orders": 2,
+    "instr_pco2w_flags": 2,
+    "instr_optical_products": 1,
+    "hitl_latest_note": 1,
+    "pipeline_qaqc_job": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_headline_shuffle_budget(spark, name):
+    plan = plan_of(spark, name)
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n <= EXCHANGE_BUDGET[name], (
+        f"{name}: {n} exchanges, budget {EXCHANGE_BUDGET[name]}\n{plan}"
+    )
