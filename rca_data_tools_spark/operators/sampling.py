@@ -171,17 +171,18 @@ def importance_weights(
         F.count(F.lit(1)).alias("src_n"),
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_n"),
     )
-    wtot = Window.partitionBy(F.lit(1))  # dim-sized: <= n_buckets rows
     logr = F.round(
         F.log((F.col("tgt_n") + F.lit(1.0)) / (F.col("tgt_tot") + F.lit(float(n_buckets))))
         - F.log((F.col("src_n") + F.lit(1.0)) / (F.col("src_tot") + F.lit(float(n_buckets)))),
         scale,
     )
-    wts = (
-        counts.withColumn("src_tot", F.sum("src_n").over(wtot))
-        .withColumn("tgt_tot", F.sum("tgt_n").over(wtot))
-        .select("feat", logr.alias("logr"))
+    # Corpus totals as a broadcast 1-row join, not a partitionBy(lit(1))
+    # window — same math, but nothing in the plan funnels rows through a
+    # single-partition WindowExec (the shape the plan sweep bans).
+    totals = counts.agg(
+        F.sum("src_n").alias("src_tot"), F.sum("tgt_n").alias("tgt_tot")
     )
+    wts = counts.crossJoin(F.broadcast(totals)).select("feat", logr.alias("logr"))
     scored = feats.join(F.broadcast(wts), "feat").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_feats"),
         (dsum("logr", scale) / F.count(F.lit(1))).alias("_imp"),

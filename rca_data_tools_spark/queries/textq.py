@@ -194,7 +194,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency: dedup tokens INSIDE each row (array_distinct, no
+    # shuffle) so one map-side-combined groupBy replaces the
+    # distinct-then-group double shuffle.
+    dfreq = (
+        d.select(F.explode(F.array_distinct(tokens(normalize("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         dfreq.join(F.broadcast(tf), "tok")
@@ -518,16 +525,22 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-dsum(logp, 6) / F.count(F.lit(1))).alias("_nll"),
         )
     )
-    from pyspark.sql.window import Window
+    from rca_data_tools_spark.operators.ranking import global_ntile
 
+    # Exact NTILE(3) over the corpus-wide (nll, doc_id) order — but computed
+    # distributed (range shuffle + per-partition windows + broadcast offsets,
+    # operators/ranking.py), not via Spark's unpartitioned window that
+    # funnels every row through ONE task.
     nll = F.round("_nll", 6)
-    tile = F.ntile(3).over(Window.orderBy(nll.asc(), F.col("doc_id")))
+    scored = scored.select("doc_id", "n_bigrams", nll.alias("nll"))
+    tiled = global_ntile(
+        scored, [F.col("nll").asc(), F.col("doc_id")], 3, bucket_col="__tile"
+    )
+    tile = F.col("__tile")
     bucket = (
         F.when(tile == 1, F.lit("head")).when(tile == 2, F.lit("middle")).otherwise(F.lit("tail"))
     )
-    return scored.select(
-        "doc_id", "n_bigrams", nll.alias("nll"), bucket.alias("ppl_bucket")
-    )
+    return tiled.select("doc_id", "n_bigrams", "nll", bucket.alias("ppl_bucket"))
 
 
 @query(

@@ -213,11 +213,11 @@ EXCHANGE_BUDGET = {
     "w4_lttb_decimation": 1,
     "sessionize_events": 1,
     "dedup_exact": 2,
-    "dedup_minhash_lsh": 2,
+    "dedup_minhash_lsh": 3,  # 2 measured cold; +1 when session state shifts AQE choices
     "ann_topk_cosine": 1,
     "ann_ivf_topk": 1,
     "text_quality_scores": 0,
-    "text_tfidf_topk": 5,
+    "text_tfidf_topk": 4,
     "media_feature_extract": 0,
     "q7_volume_shipping": 1,
     "q10_returned_items": 1,
@@ -236,3 +236,27 @@ def test_headline_shuffle_budget(spark, name):
     assert n <= EXCHANGE_BUDGET[name], (
         f"{name}: {n} exchanges, budget {EXCHANGE_BUDGET[name]}\n{plan}"
     )
+
+
+def test_no_single_partition_window_anywhere(spark):
+    """Sweep every registered query for a WindowExec fed by an Exchange
+    SinglePartition — the plan Spark silently produces for an unpartitioned
+    window function, which funnels the whole input through one task. Global
+    rankings must go through operators/ranking.py instead. (Scalar aggregates
+    also plan a SinglePartition exchange — those are 1-row and fine — so the
+    check requires a Window node directly above the exchange, allowing an
+    interposed Sort.)"""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, SF_CORRECTNESS)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:
+            offenders.append((name, f"plan error: {ex}"))
+            continue
+        if re.search(
+            r"Window[^\n]*\n(?:[^\n]*Sort[^\n]*\n)?[^\n]*Exchange SinglePartition",
+            plan,
+        ):
+            offenders.append((name, "single-partition Window"))
+    assert not offenders, offenders
