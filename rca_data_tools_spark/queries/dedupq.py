@@ -224,8 +224,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.5, candidates = pairs sharing any
     gram (inverted-index join, never a cross product)."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", F.explode(word_ngrams("text", 3)).alias("g")).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # word_ngrams dedupes inside the row (array_distinct), so the exploded
+    # (doc_id, g) stream is already distinct — no .distinct() shuffle — and
+    # each doc's gram-set size is just the array length — no groupBy shuffle.
+    gram_arr = word_ngrams("text", 3)
+    grams = d.select("doc_id", F.explode(gram_arr).alias("g"))
+    sizes = d.select("doc_id", F.size(gram_arr).alias("n"))
     a = grams.select(F.col("doc_id").alias("id1"), "g")
     b = grams.select(F.col("doc_id").alias("id2"), "g")
     inter = (
