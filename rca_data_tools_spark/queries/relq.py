@@ -318,6 +318,12 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+    # One explicit hash partitioning on l_orderkey serves the whole rest of
+    # the plan: HashPartitioning(l_orderkey) satisfies the clustering needs
+    # of the (l_orderkey, l_suppkey) agg (subset rule), the l_orderkey agg,
+    # AND the qualifying self-join — 1 shuffle of the joined fact instead of
+    # 3 separate ones.
+    j = j.repartition("l_orderkey")
     per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("any_late"), F.sum("late").alias("n_late_lines")
     )

@@ -13,6 +13,10 @@ from tests.conftest import SF_CORRECTNESS
 
 
 def plan_of(spark, name: str) -> str:
+    # Cold plans only: queries with persisted fragments (e.g. the MinHash
+    # pipeline) otherwise plan against InMemoryTableScan when an earlier test
+    # already ran them, shifting Exchange counts run-order-dependently.
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF_CORRECTNESS)
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
@@ -213,7 +217,7 @@ EXCHANGE_BUDGET = {
     "w4_lttb_decimation": 1,
     "sessionize_events": 1,
     "dedup_exact": 2,
-    "dedup_minhash_lsh": 3,  # 2 measured cold; +1 when session state shifts AQE choices
+    "dedup_minhash_lsh": 2,
     "ann_topk_cosine": 1,
     "ann_ivf_topk": 1,
     "text_quality_scores": 0,
