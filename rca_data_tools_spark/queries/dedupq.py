@@ -424,3 +424,60 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = tr.filter(bloom_might_contain(words, F.col("sh")))
     exact = candidates.join(F.broadcast(ev), "sh")
     return exact.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+
+
+@query(
+    "dedup_strip_boilerplate",
+    oracle=rf"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(range(CAST(floor(len(ws) / 8) AS BIGINT))) AS i
+  FROM norm
+), spans AS (
+  SELECT doc_id, i, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span FROM idx
+), freq AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY span
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_kept,
+       string_agg(s.span, ' ' ORDER BY s.i) AS kept_text
+FROM spans s JOIN freq f ON s.span = f.span
+WHERE f.df < 2
+GROUP BY s.doc_id
+""",
+)
+def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The output side of span dedup: rebuild each document keeping only the
+    8-word spans that appear in NO other document (doc-frequency 1) — the
+    RefinedWeb-style boilerplate strip, producing the cleaned training text
+    rather than just the signal.
+
+    Scale shape: same two md5-keyed shuffles as dedup_exact_spans plus one
+    per-doc reassembly agg; order inside the rebuilt text is restored
+    JVM-side by array_sort over (pos, span) structs, so no collect_list
+    ordering assumption is made (collect_list is partition-order-dependent;
+    the sort makes the result deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize("text"))
+    n_span = F.floor(F.size(toks) / F.lit(8))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_span - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i * F.lit(8)) + F.lit(1), 8)),
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(F.when(n_span > 0, spans)).alias("pos", "span")
+    ).withColumn("fp", F.md5("span"))
+    freq = exploded.groupBy("fp").agg(F.count_distinct("doc_id").alias("df"))
+    kept = exploded.join(freq, "fp").filter(F.col("df") < 2)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "span"))),
+            lambda x: x["span"],
+        ),
+        " ",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        rebuilt.alias("kept_text"),
+    )
