@@ -516,3 +516,50 @@ def skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+@query(
+    "calc_griddata_surface",
+    oracle="""
+WITH g AS (
+  SELECT CAST(i AS DOUBLE) / 20.0 AS c
+  FROM unnest(generate_series(1, 19)) AS t(i)
+)
+SELECT a.c AS gx, b.c AS gy, ROUND(2 * a.c - 3 * b.c + 7.0, 6) AS v
+FROM g a, g b
+""",
+)
+def calc_griddata_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D scattered->grid linear interpolation (reference:
+    scipy.griddata(method='linear') over the (time, depth) mesh,
+    qaqc/dashboard.py:944-967) — the full engine path: Bowyer-Watson
+    Delaunay + barycentric interpolation per group inside applyInPandas
+    (operators/griddata.py).
+
+    Oracle design: the scattered values are sampled from the affine field
+    v = 2x - 3y + 7, and linear barycentric interpolation reproduces an
+    affine field EXACTLY at every in-hull point for ANY valid triangulation
+    — so the interpolated 19x19 grid hash-matches the closed-form plane in
+    SQL, without the oracle having to reproduce triangulation tie-breaks.
+    The four unit-square corners are included in the point set so the hull
+    covers the whole grid. Non-planar correctness (data-point reproduction,
+    hull masking) is covered in tests/test_griddata.py."""
+    from rca_data_tools_spark.operators.griddata import grid_surface
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    u = lambda salt: (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(2**32))
+    )
+    pts = e.select(u("gx").alias("x"), u("gy").alias("y"))
+    corners = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)], "x double, y double"
+    )
+    allpts = (
+        pts.unionByName(corners)
+        .withColumn("v", F.lit(2.0) * F.col("x") - F.lit(3.0) * F.col("y") + F.lit(7.0))
+        .withColumn("surface", F.lit(1))
+    )
+    grid = [i / 20.0 for i in range(1, 20)]
+    out = grid_surface(allpts, ["surface"], "x", "y", "v", grid, grid)
+    return out.select("gx", "gy", "v")
