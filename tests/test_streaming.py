@@ -293,3 +293,78 @@ def test_foreachbatch_partitioned_sink_incremental_refresh(spark, tmp_path):
     assert after.filter((F.col("day") == target_day) & F.col("value").isNotNull()).count() == 0
     untouched = after.filter((F.col("day") != target_day) & F.col("value").isNotNull()).count()
     assert untouched == ev.filter((F.col("day") != target_day) & F.col("value").isNotNull()).count()
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart recovery: run a windowed aggregation to a parquet
+    sink with a checkpoint, stop, land MORE source files, restart the same
+    query from the checkpoint, and verify the final sink equals the batch
+    answer over ALL data — no lost and no double-counted windows. This is
+    the incremental-refresh semantics the reference approximates by
+    re-running flows (SURVEY §2.9), expressed as Spark's native
+    exactly-once source->state->sink contract."""
+    src_dir = str(tmp_path / "src")
+    sink_dir = str(tmp_path / "sink")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    events = load_table(spark, SF_SMOKE, "events")
+    # Split by TIME (first half of the range, then the rest): a restart picks
+    # up later data, as in production. A value-based split would instead land
+    # pre-watermark events in run 2, which append-mode correctly DROPS as
+    # late — finalized windows are immutable.
+    mid = events.agg(
+        F.expr("percentile_approx(unix_timestamp(ts), 0.5)")
+    ).collect()[0][0]
+    split_expr = F.unix_timestamp("ts") <= F.lit(mid)
+    first = events.filter(split_expr)
+    second = events.filter(~split_expr)
+    first.write.mode("overwrite").parquet(src_dir)
+
+    def agg(s):
+        return (
+            s.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .select(
+                F.col("w.start").alias("w_start"),
+                "event_type",
+                "n",
+                F.round("total", 6).alias("total"),
+            )
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+        q = (
+            agg(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # processes the first half, then stops (availableNow)
+    second.write.mode("append").parquet(src_dir)
+    run_once()  # restarts from the checkpoint, processes only the new files
+
+    got = {tuple(r) for r in spark.read.parquet(sink_dir).collect()}
+    # Batch answer over everything; append-mode emits each window once the
+    # watermark passes its end. The boundary window (open at run 1's end,
+    # extended in run 2) is the recovery case: its run-1 partial state must
+    # survive the restart and merge with run-2 rows — a lost checkpoint shows
+    # up as a split or double-counted boundary window.
+    batch = agg(spark.read.schema(EVENTS_SCHEMA).parquet(src_dir))
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("w_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts)
+    )
+    expect = {tuple(r) for r in closed.collect()}
+    assert expect and expect <= got, (len(expect), len(got))
+    # nothing double-counted: sink has at most one row per (window, type)
+    import collections
+
+    keys = collections.Counter((r[0], r[1]) for r in got)
+    assert max(keys.values()) == 1
