@@ -563,3 +563,56 @@ def calc_griddata_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = [i / 20.0 for i in range(1, 20)]
     out = grid_surface(allpts, ["surface"], "x", "y", "v", grid, grid)
     return out.select("gx", "gy", "v")
+
+
+@query(
+    "calc_anomaly_surface",
+    oracle=f"""
+WITH obs AS (
+  SELECT month(ts) AS m,
+         CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day_cell,
+         CAST(user_id % 10 AS BIGINT) AS ybin,
+         {dsum_sql('value')} AS s1,
+         COUNT(value) AS n
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+), clim AS (
+  SELECT m, ybin, {dsum_sql('s1')} AS cs1, SUM(n) AS cn
+  FROM obs GROUP BY 1, 2
+)
+SELECT o.day_cell, o.ybin, o.n AS n_obs,
+       o.s1 / o.n AS obs_mean,
+       o.s1 / o.n - c.cs1 / c.cn AS anomaly
+FROM obs o JOIN clim c ON o.m = c.m AND o.ybin = c.ybin
+""",
+)
+def calc_anomaly_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly surface: per-(day, bin) observed mean minus that month's
+    climatology mean for the same bin — the reference dashboard's difference
+    plot ``zi - clim_zi`` (qaqc/dashboard.py:833, climatology surface
+    :825-833) as engine-side data.
+
+    Scale shape: ONE fact scan. The day-level cell aggregation is the only
+    data-sized shuffle; the monthly climatology is a re-aggregation OF the
+    day cells (Σ of their decimal-exact sums — exact under re-ordering, so
+    the derived climatology is bit-identical to a direct monthly pass), and
+    it joins back broadcast (month x bin is config-sized). The reference
+    recomputes the climatology surface from raw on every run; deriving it
+    from the already-aggregated cells is the 100 TB formulation."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = e.groupBy(
+        F.month("ts").alias("m"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day_cell"),
+        (F.col("user_id") % 10).cast("long").alias("ybin"),
+    ).agg(dsum("value").alias("s1"), F.count("value").alias("n"))
+    clim = obs.groupBy("m", "ybin").agg(
+        dsum("s1").alias("cs1"), F.sum("n").alias("cn")
+    )
+    joined = obs.join(F.broadcast(clim), ["m", "ybin"])
+    obs_mean = F.col("s1") / F.col("n")
+    return joined.select(
+        "day_cell", "ybin", F.col("n").alias("n_obs"),
+        obs_mean.alias("obs_mean"),
+        (obs_mean - F.col("cs1") / F.col("cn")).alias("anomaly"),
+    )
