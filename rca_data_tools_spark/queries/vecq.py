@@ -370,3 +370,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, q, id_col="vec_id", vec_col="embedding", k=5, n_lists=16, stride=29, nprobe=4
     ).select("q_id", "vec_id", "cos_sim", "rank")
+
+
+@query(
+    "embed_gram_entries",
+    oracle="""
+WITH prods AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+           * CAST(embedding[CAST(j AS INT)] AS DOUBLE) AS p
+  FROM embeddings, unnest(range(1, 65)) AS t(i), unnest(range(1, 65)) AS u(j)
+  WHERE i <= j
+)
+SELECT i, j,
+       CAST(SUM(CAST(ROUND(p, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g
+FROM prods GROUP BY 1, 2
+""",
+)
+def embed_gram_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-PCA accumulation stage, oracle-checked: the 64x64 Gram
+    matrix of the embedding corpus as long-form upper-triangle entries
+    (1-based i <= j). operators/pca.py reduces each Arrow batch to ONE
+    scaled-int64 partial matrix, sums the partials exactly, and only the
+    d x d result reaches the driver — so this hash-match proves the
+    partitioning-invariant accumulation against DuckDB's row-at-a-time
+    replay. The eigendecomposition/projection stages built on this matrix
+    are rotation/sign-sensitive (not SQL-expressible) and are verified in
+    tests/test_pca.py instead."""
+    from rca_data_tools_spark.operators.pca import gram_matrix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(e, "embedding", dim=64)
+    rows = [
+        (i + 1, j + 1, float(g[i, j])) for i in range(64) for j in range(i, 64)
+    ]
+    return spark.createDataFrame(rows, "i bigint, j bigint, g double")
