@@ -222,9 +222,11 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas so each key's series runs as one Arrow-batched numpy loop
     while keys distribute across the cluster. The oracle is a recursive CTE
     evaluating the same double arithmetic — results hash-match bit-exactly.
-    At 100 TB: state per task is one float per key; skewed keys (a sensor
-    with billions of points) would serialize — chunk by (key, epoch) with
-    carried-in seed state if that ever binds."""
+    At 100 TB: state per task is one float per key; for a skewed key (a
+    sensor with billions of points) use operators/scan.chunked_ewma — the
+    two-pass Blelloch-style chunked scan that parallelizes the same
+    recurrence across time buckets (fp-reassociation tolerance ~1e-12, so
+    the bit-exact oracle query stays on this serial kernel)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     return e.groupBy("user_id").applyInPandas(
         _ewma_group,
