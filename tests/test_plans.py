@@ -264,3 +264,37 @@ def test_no_single_partition_window_anywhere(spark):
         ):
             offenders.append((name, "single-partition Window"))
     assert not offenders, offenders
+
+
+# Queries where a BroadcastNestedLoopJoin is the INTENDED plan: non-equi
+# predicates against a broadcast side that is 1-row (scalar thresholds,
+# corpus totals), dim-sized (profile intervals, time grids), or an explicit
+# cross matrix. Everything else must stay equi-shaped.
+BNLJ_ALLOWED = {
+    "a4_resample_interpolate",   # time-grid crossJoin (grid is dim-sized)
+    "ann_threshold_neighbors",   # broadcast query vectors
+    "ann_topk_cosine",           # broadcast query vectors
+    "j3_profile_phase_split",    # profile-interval range join (dim broadcast)
+    "j3_profile_range_join",     # same
+    "join_cross_matrix",         # explicit cross product, small side broadcast
+    "q11_important_parts",       # 1-row threshold, value > thr
+    "q22_idle_customers",        # 1-row avg-balance threshold
+    "sample_importance",         # 1-row vocab scalar
+    "text_tfidf_topk",           # 1-row corpus size
+}
+
+
+def test_bnlj_only_where_intended(spark):
+    """Any BroadcastNestedLoopJoin outside the whitelist is an accidental
+    non-equi join — at scale that is an O(rows x rows) comparison loop even
+    with a broadcast side. New entries here require justification."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = plan_of(spark, name)
+        except Exception as ex:
+            offenders.append((name, f"plan error: {ex}"))
+            continue
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders.append((name, "unexpected BNLJ"))
+    assert not offenders, offenders
