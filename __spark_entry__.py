@@ -19,14 +19,13 @@ from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round. Round 1
 # checked the first 50 registrations (46 green); round 2 checked the next
-# family block (48 green; cumulative 92/128). This round-3 window carries the
-# 34 queries that have never had a driver row, the two round-2 reds just
-# fixed (calc_nutnr_nitrate / calc_poly_fit — array cells -> scalar columns +
-# real oracles), the 3 queries added this round (dedup_semantic /
-# sample_importance / text_perplexity), and 11 spot-recheck sentinels sampled
-# across the families already green in r01/r02. After this round every
-# registered query except the round-3 additions' successors has a
-# driver-checked row.
+# family block (48 green; cumulative 92/141 green). This round-3 window
+# carries ALL 49 registered queries without a driver-green row: the two
+# round-2 reds (calc_nutnr_nitrate / calc_poly_fit — array cells -> scalar
+# columns + real oracles, fixed), the 34-query rotation tail the round-2
+# verdict listed, and the 13 queries added after the r02 snapshot. One
+# spot-recheck sentinel (q1) fills the last slot. After this round every
+# registered query has a driver-checked row.
 _ROUND_WINDOW = [
     # round-2 reds, fixed this round (lead with them)
     "calc_nutnr_nitrate",
@@ -64,30 +63,30 @@ _ROUND_WINDOW = [
     "a8_k_of_n_array",
     "a9_row_stddev_array",
     "a13_bracket_midpoint",
-    # never-checked: dedup tail
+    # never-checked: dedup / text tail (incl. post-r02 additions)
     "dedup_embedding_cosine",
+    "dedup_semantic",
+    "dedup_exact_spans",
+    "dedup_strip_boilerplate",
+    "contamination_bloom",
+    "text_pii_redaction",
+    "text_url_filter",
+    "text_repetition",
+    "text_perplexity",
+    "text_ngram_freq",
+    "sample_importance",
+    "embed_gram_entries",
+    # never-checked: calc surfaces (post-r02 additions)
+    "calc_griddata_surface",
+    "calc_anomaly_surface",
     # never-checked: streaming / sessionization / pipeline
     "sessionize_events",
     "streaming_tumbling_agg",
     "streaming_session_window",
     "hitl_latest_note",
     "pipeline_qaqc_job",
-    # new this round (never driver-checked)
-    "dedup_semantic",
-    "sample_importance",
-    "text_perplexity",
-    # spot-recheck sentinels (green r01/r02; one per family)
+    # spot-recheck sentinel (green r01/r02)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "j1_asof_join",
-    "j4_climatology_flags",
-    "j7_annotation_overlap",
-    "qc_bitmask_decode",
-    "a15_percentiles",
-    "w4_lttb_decimation",
-    "dedup_minhash_lsh",
-    "text_contamination",
-    "ann_topk_cosine",
 ]
 
 
