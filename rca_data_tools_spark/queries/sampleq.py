@@ -204,3 +204,41 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+# A-ES weighted reservoir key (Efraimidis-Spirakis 2006): each row draws
+# u ~ U(0,1) from the salted md5 integer and competes with key ln(u)/w —
+# the k largest keys are a weighted-without-replacement sample. ln(u)/w is
+# the log of the classic u^(1/w) key, monotone in it, and numerically safer.
+# Rounded to 9 decimals on BOTH sides so the rank boundary is exact; doc_id
+# breaks residual ties deterministically.
+_UW_SQL = "CAST(('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       ROUND(ln(({_UW_SQL} + 0.5) / 4294967296.0) / n_chars, 9) AS sel_key
+FROM documents
+ORDER BY sel_key DESC, doc_id ASC
+LIMIT 25
+""",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: top-25 docs by A-ES key with
+    weight = n_chars (longer docs proportionally likelier).
+
+    Scale shape: the key is a pure codegen'd projection (md5 + ln), and the
+    top-k is TakeOrderedAndProject — per-partition heaps, no shuffle, no
+    single-partition window, no RNG state; identical winners at any
+    parallelism or engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (hash_uniform(F.col("doc_id"), "w") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "n_chars", key.alias("sel_key"))
+        .orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )

@@ -281,6 +281,7 @@ BNLJ_ALLOWED = {
     "q22_idle_customers",        # 1-row avg-balance threshold
     "sample_importance",         # 1-row vocab scalar
     "text_tfidf_topk",           # 1-row corpus size
+    "text_bm25_topk",            # 1-row (n_docs, sum_dl) corpus stats
 }
 
 
