@@ -1,0 +1,389 @@
+"""Minimal native HDF5 reader — enough of the public HDF5 file format
+(HDF5 File Format Specification v2/v3, hdfgroup.org) to scan the NetCDF-4
+files the reference opens with xarray (see sources/netcdf.py), with numpy +
+stdlib zlib only.
+
+Supported subset (what netCDF-4/libhdf5 writes by default for a classic-
+model file at offset 0):
+
+- superblock version 0 (the libhdf5 default), 8-byte offsets/lengths
+- root group via symbol-table entry -> v1 group B-tree -> SNOD nodes ->
+  local heap link names (one flat group; nested groups traverse recursively)
+- object headers version 1, with continuation blocks
+- messages: dataspace (v1/v2), datatype (fixed-point and IEEE float,
+  little/big endian), data layout v3 (contiguous and chunked), filter
+  pipeline v1/v2 (deflate id=1, shuffle id=2), symbol table, continuation
+- chunked data through the v1 chunk B-tree (any nesting level), with
+  per-chunk filter masks; partial edge chunks clipped
+
+Anything outside the subset raises loudly with the feature name — the same
+honest-contract style as sources/zarr.py (blosc) and sources/netcdf.py
+(NetCDF-4 gate, which now routes here instead of failing when the file is
+HDF5).
+
+Scale shape mirrors sources/zarr.py: the DRIVER parses only the metadata
+(superblock, headers, chunk B-tree — KBs); the chunk map (address, nbytes,
+filter mask, offsets) is dimension-sized and ships to executors inside the
+plan, where an Arrow ``mapInPandas`` pass seeks and decodes chunk ranges.
+The array data itself never touches the driver.
+"""
+
+from __future__ import annotations
+
+import mmap
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_SIGNATURE = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# filter ids from the spec / registered filters
+_DEFLATE, _SHUFFLE, _FLETCHER32 = 1, 2, 3
+
+
+@dataclass
+class Dataset:
+    name: str
+    dtype: np.dtype
+    shape: tuple[int, ...]
+    layout: str  # 'contiguous' | 'chunked' | 'compact'
+    data_address: int = _UNDEF  # contiguous
+    data_size: int = 0
+    compact: bytes | None = None
+    chunk_shape: tuple[int, ...] = ()
+    # [(chunk_offset_tuple, address, nbytes, filter_mask)]
+    chunks: list[tuple[tuple[int, ...], int, int, int]] = field(default_factory=list)
+    filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
+
+
+class H5File:
+    """Driver-side metadata parse of one HDF5 file. ``datasets`` maps
+    path-less names (flat) and 'group/name' (nested) to :class:`Dataset`."""
+
+    def __init__(self, path: str):
+        self.path = path
+        # mmap, not read(): the driver touches only metadata pages (KBs) of a
+        # file that may be tens of GB; executors reopen and seek for data.
+        self._fh = open(path, "rb")
+        self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        if self._buf[:8] != _SIGNATURE:
+            raise ValueError(f"not an HDF5 file: {path!r}")
+        self.datasets: dict[str, Dataset] = {}
+        self._parse_superblock()
+
+    # -- low-level --------------------------------------------------------
+    def _u(self, pos: int, n: int) -> int:
+        return int.from_bytes(self._buf[pos : pos + n], "little")
+
+    def _parse_superblock(self) -> None:
+        b = self._buf
+        version = b[8]
+        if version == 0:
+            if b[13] != 8 or b[14] != 8:
+                raise NotImplementedError(
+                    "HDF5: only 8-byte offsets/lengths supported "
+                    f"(got {b[13]}/{b[14]})"
+                )
+            # 24-byte fixed part then base/freespace/eof/driver addresses,
+            # then the root group symbol table entry
+            root_entry = 24 + 4 * 8
+            ohdr = self._u(root_entry + 8, 8)
+        elif version in (2, 3):
+            raise NotImplementedError(
+                "HDF5 superblock v2/v3 uses version-2 object headers, which "
+                "this minimal reader does not parse (netCDF-4 default files "
+                "use superblock v0)"
+            )
+        else:
+            raise NotImplementedError(f"HDF5 superblock version {version}")
+        self._walk_group(ohdr, prefix="")
+
+    # -- object headers ---------------------------------------------------
+    def _messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (type, data) messages of a v1 object header, following
+        continuation blocks."""
+        b = self._buf
+        if b[addr] != 1:
+            raise NotImplementedError(
+                f"HDF5 object header version {b[addr]} (only v1 supported; "
+                "v2 headers come with superblock v2/v3 files)"
+            )
+        nmsgs = self._u(addr + 2, 2)
+        hdr_size = self._u(addr + 8, 4)
+        blocks = [(addr + 16, hdr_size)]
+        msgs: list[tuple[int, bytes]] = []
+        while blocks and len(msgs) < nmsgs:
+            pos, remaining = blocks.pop(0)
+            while remaining >= 8 and len(msgs) < nmsgs:
+                mtype = self._u(pos, 2)
+                msize = self._u(pos + 2, 2)
+                data = b[pos + 8 : pos + 8 + msize]
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == 0x0010:  # continuation
+                    caddr = int.from_bytes(data[0:8], "little")
+                    clen = int.from_bytes(data[8:16], "little")
+                    blocks.append((caddr, clen))
+                    msgs.append((mtype, data))
+                else:
+                    msgs.append((mtype, data))
+        return msgs
+
+    def _walk_group(self, ohdr_addr: int, prefix: str) -> None:
+        msgs = self._messages(ohdr_addr)
+        stab = [d for t, d in msgs if t == 0x0011]
+        if not stab:
+            raise NotImplementedError(
+                "HDF5 group without a symbol-table message (new-style "
+                "link-message groups come with superblock v2/v3 files)"
+            )
+        btree_addr = int.from_bytes(stab[0][0:8], "little")
+        heap_addr = int.from_bytes(stab[0][8:16], "little")
+        heap_data = self._local_heap(heap_addr)
+        for name_off, child_ohdr in self._group_btree_entries(btree_addr):
+            name = self._heap_name(heap_data, name_off)
+            child_msgs = self._messages(child_ohdr)
+            if any(t == 0x0011 for t, _ in child_msgs):
+                self._walk_group(child_ohdr, prefix=f"{prefix}{name}/")
+            else:
+                ds = self._dataset_from_messages(prefix + name, child_msgs)
+                if ds is not None:
+                    self.datasets[prefix + name] = ds
+
+    def _local_heap(self, addr: int) -> int:
+        b = self._buf
+        if b[addr : addr + 4] != b"HEAP":
+            raise ValueError("HDF5: bad local heap signature")
+        return self._u(addr + 8 + 8 + 8, 8)  # data segment address
+
+    def _heap_name(self, data_addr: int, offset: int) -> str:
+        b = self._buf
+        start = data_addr + offset
+        end = b.find(b"\x00", start)
+        if end < 0:
+            raise ValueError("HDF5: unterminated link name in local heap")
+        return b[start:end].decode()
+
+    def _group_btree_entries(self, addr: int) -> list[tuple[int, int]]:
+        """(link name heap offset, object header address) leaf entries of a
+        v1 group B-tree, any depth."""
+        b = self._buf
+        if b[addr : addr + 4] != b"TREE":
+            raise ValueError("HDF5: bad B-tree signature")
+        node_type, level = b[addr + 4], b[addr + 5]
+        n = self._u(addr + 6, 2)
+        if node_type != 0:
+            raise ValueError("HDF5: expected group B-tree (type 0)")
+        pos = addr + 8 + 16  # skip siblings
+        out: list[tuple[int, int]] = []
+        # keys (length-size) and children (offset-size) alternate: k0 c0 k1 …
+        children = []
+        for _ in range(n):
+            pos += 8  # key
+            children.append(self._u(pos, 8))
+            pos += 8
+        for child in children:
+            if level > 0:
+                out.extend(self._group_btree_entries(child))
+            else:
+                out.extend(self._snod_entries(child))
+        return out
+
+    def _snod_entries(self, addr: int) -> list[tuple[int, int]]:
+        b = self._buf
+        if b[addr : addr + 4] != b"SNOD":
+            raise ValueError("HDF5: bad symbol node signature")
+        n = self._u(addr + 6, 2)
+        out = []
+        pos = addr + 8
+        for _ in range(n):
+            name_off = self._u(pos, 8)
+            ohdr = self._u(pos + 8, 8)
+            out.append((name_off, ohdr))
+            pos += 40
+        return out
+
+    # -- dataset metadata -------------------------------------------------
+    def _dataset_from_messages(self, name, msgs) -> Dataset | None:
+        shape = dtype = None
+        layout = None
+        ds = Dataset(name=name, dtype=np.dtype("f8"), shape=(), layout="contiguous")
+        for mtype, data in msgs:
+            if mtype == 0x0001:
+                shape = self._parse_dataspace(data)
+            elif mtype == 0x0003:
+                dtype = self._parse_datatype(data)
+            elif mtype == 0x0008:
+                layout = self._parse_layout(data, ds)
+            elif mtype == 0x000B:
+                ds.filters = self._parse_filters(data)
+        if shape is None or dtype is None or layout is None:
+            return None  # not a dataset (e.g. named datatype)
+        ds.shape, ds.dtype, ds.layout = shape, dtype, layout
+        if layout == "chunked":
+            ndims = len(ds.chunk_shape)
+            if ds.data_address != _UNDEF:
+                ds.chunks = self._chunk_btree_entries(ds.data_address, ndims)
+        for fid, _ in ds.filters:
+            if fid not in (_DEFLATE, _SHUFFLE):
+                raise NotImplementedError(
+                    f"HDF5 filter id {fid} on {name!r} not supported "
+                    "(supported: deflate, shuffle)"
+                )
+        return ds
+
+    def _parse_dataspace(self, d: bytes) -> tuple[int, ...]:
+        version, rank, flags = d[0], d[1], d[2]
+        if version == 1:
+            pos = 8
+        elif version == 2:
+            pos = 4
+        else:
+            raise NotImplementedError(f"HDF5 dataspace version {version}")
+        return tuple(
+            int.from_bytes(d[pos + 8 * i : pos + 8 * i + 8], "little")
+            for i in range(rank)
+        )
+
+    def _parse_datatype(self, d: bytes) -> np.dtype:
+        cls = d[0] & 0x0F
+        bits0 = d[1]
+        size = int.from_bytes(d[4:8], "little")
+        order = ">" if (bits0 & 1) else "<"
+        if cls == 0:  # fixed-point
+            signed = "i" if (bits0 & 0x08) else "u"
+            return np.dtype(f"{order}{signed}{size}")
+        if cls == 1:  # floating-point (IEEE sizes only)
+            if size not in (4, 8):
+                raise NotImplementedError(f"HDF5 float size {size}")
+            return np.dtype(f"{order}f{size}")
+        raise NotImplementedError(
+            f"HDF5 datatype class {cls} (fixed-point and float supported)"
+        )
+
+    def _parse_layout(self, d: bytes, ds: Dataset) -> str:
+        version = d[0]
+        if version != 3:
+            raise NotImplementedError(f"HDF5 data layout version {version}")
+        lclass = d[1]
+        if lclass == 1:  # contiguous
+            ds.data_address = int.from_bytes(d[2:10], "little")
+            ds.data_size = int.from_bytes(d[10:18], "little")
+            return "contiguous"
+        if lclass == 2:  # chunked
+            dimensionality = d[2]
+            ds.data_address = int.from_bytes(d[3:11], "little")
+            dims = [
+                int.from_bytes(d[11 + 4 * i : 15 + 4 * i], "little")
+                for i in range(dimensionality)
+            ]
+            ds.chunk_shape = tuple(dims[:-1])  # last entry = element size
+            return "chunked"
+        if lclass == 0:  # compact
+            size = int.from_bytes(d[2:4], "little")
+            ds.compact = d[4 : 4 + size]
+            return "compact"
+        raise NotImplementedError(f"HDF5 layout class {lclass}")
+
+    def _parse_filters(self, d: bytes) -> list[tuple[int, tuple[int, ...]]]:
+        version, nfilters = d[0], d[1]
+        if version not in (1, 2):
+            raise NotImplementedError(f"HDF5 filter pipeline version {version}")
+        pos = 8 if version == 1 else 2
+        out: list[tuple[int, tuple[int, ...]]] = []
+        for _ in range(nfilters):
+            fid = int.from_bytes(d[pos : pos + 2], "little")
+            name_len = int.from_bytes(d[pos + 2 : pos + 4], "little")
+            ncdv = int.from_bytes(d[pos + 6 : pos + 8], "little")
+            pos += 8
+            if version == 1 or name_len:
+                pos += name_len + ((8 - name_len % 8) % 8 if name_len else 0)
+            cdv = tuple(
+                int.from_bytes(d[pos + 4 * i : pos + 4 * i + 4], "little")
+                for i in range(ncdv)
+            )
+            pos += 4 * ncdv
+            if version == 1 and ncdv % 2 == 1:
+                pos += 4  # odd client data padded to 8
+            out.append((fid, cdv))
+        return out
+
+    def _chunk_btree_entries(
+        self, addr: int, ndims: int
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        b = self._buf
+        if b[addr : addr + 4] != b"TREE":
+            raise ValueError("HDF5: bad chunk B-tree signature")
+        node_type, level = b[addr + 4], b[addr + 5]
+        n = self._u(addr + 6, 2)
+        if node_type != 1:
+            raise ValueError("HDF5: expected chunk B-tree (type 1)")
+        key_size = 8 + 8 * (ndims + 1)  # size(4) + mask(4) + offsets
+        pos = addr + 8 + 16
+        out = []
+        for _ in range(n):
+            nbytes = self._u(pos, 4)
+            mask = self._u(pos + 4, 4)
+            offs = tuple(
+                self._u(pos + 8 + 8 * i, 8) for i in range(ndims)
+            )  # drop trailing elem-0 coordinate
+            child = self._u(pos + key_size, 8)
+            if level > 0:
+                out.extend(self._chunk_btree_entries(child, ndims))
+            else:
+                out.append((offs, child, nbytes, mask))
+            pos += key_size + 8
+        return out
+
+
+def decode_chunk(
+    raw: bytes,
+    dtype: np.dtype,
+    chunk_shape: tuple[int, ...],
+    filters: list[tuple[int, tuple[int, ...]]],
+    filter_mask: int,
+) -> np.ndarray:
+    """Reverse the filter pipeline (last applied, first reversed) and view as
+    the chunk array. Runs executor-side on raw chunk bytes."""
+    data = raw
+    for idx in range(len(filters) - 1, -1, -1):
+        fid, cdv = filters[idx]
+        if filter_mask & (1 << idx):
+            continue  # filter skipped for this chunk at write time
+        if fid == _DEFLATE:
+            data = zlib.decompress(data)
+        elif fid == _SHUFFLE:
+            elem = cdv[0] if cdv else dtype.itemsize
+            arr = np.frombuffer(data, dtype=np.uint8)
+            n = len(arr) // elem
+            data = arr.reshape(elem, n).T.tobytes()
+        else:  # pragma: no cover - gated at metadata parse
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return np.frombuffer(data, dtype=dtype).reshape(chunk_shape)
+
+
+def read_dataset(h5: "H5File", name: str) -> np.ndarray:
+    """Whole-array read (driver-side helper for tests/small dims; the
+    distributed path in sources/netcdf.py reads row ranges per task)."""
+    ds = h5.datasets[name]
+    buf = h5._buf
+    if ds.layout == "compact":
+        return np.frombuffer(ds.compact, dtype=ds.dtype).reshape(ds.shape)
+    if ds.layout == "contiguous":
+        if ds.data_address == _UNDEF:
+            return np.zeros(ds.shape, dtype=ds.dtype)  # never allocated
+        raw = buf[ds.data_address : ds.data_address + ds.data_size]
+        return np.frombuffer(raw, dtype=ds.dtype).reshape(ds.shape)
+    out = np.zeros(ds.shape, dtype=ds.dtype)
+    for offs, addr, nbytes, mask in ds.chunks:
+        chunk = decode_chunk(
+            buf[addr : addr + nbytes], ds.dtype, ds.chunk_shape, ds.filters, mask
+        )
+        sel = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(offs, ds.chunk_shape, ds.shape)
+        )
+        clip = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        out[sel] = chunk[clip]
+    return out

@@ -1,6 +1,7 @@
 """Native NetCDF scan (SURVEY §2.1 S2) — classic CDF-1/2 parsed from the
-public format spec with numpy alone; NetCDF-4 (HDF5 container) gated behind
-an import-try since this runtime ships no h5py/netCDF4.
+public format spec with numpy alone; NetCDF-4 (HDF5 container) served by the
+native minimal HDF5 reader in sources/hdf5.py (superblock v0 / v1 headers /
+deflate+shuffle chunked datasets; anything beyond raises loudly).
 
 The reference opens .nc test inputs with xarray (tests/
 test_plotProfilesScatter.py:13,25) and its stores follow the same model as
@@ -69,13 +70,14 @@ class _Parser:
 def read_header(path: str) -> dict:
     """Parse a classic NetCDF header → dims, variables (shape, dtype, offset,
     record flag). CDF-1 (32-bit offsets) and CDF-2 (64-bit) supported;
-    NetCDF-4 files raise toward the gated h5py path."""
+    NetCDF-4 files raise toward the native HDF5 path."""
     with open(path, "rb") as f:
         head = f.read(1 << 20)  # headers are small; 1 MB is generous
     if head[:4] == b"\x89HDF":
         raise NotImplementedError(
-            "NetCDF-4 is an HDF5 container; reading it needs h5py/netCDF4, "
-            "neither present in this runtime (classic CDF-1/2 is supported natively)"
+            "NetCDF-4 is an HDF5 container — use netcdf4_table (native "
+            "minimal HDF5 reader, sources/hdf5.py); netcdf_table also "
+            "routes there automatically"
         )
     if head[:3] != b"CDF" or head[3] not in (1, 2):
         raise ValueError(f"not a classic NetCDF file: {path!r}")
@@ -159,7 +161,14 @@ def netcdf_table(
 ) -> DataFrame:
     """Scan classic-NetCDF variables sharing dim-0 into ``(idx, var1, ...)``;
     2-D (time, k) variables become array<double> columns, matching the
-    engine's multi-dimensional parameter model (SURVEY §1.1)."""
+    engine's multi-dimensional parameter model (SURVEY §1.1). NetCDF-4 files
+    (HDF5 containers) route to :func:`netcdf4_table` automatically."""
+    with open(path, "rb") as f:
+        if f.read(4) == b"\x89HDF":
+            return netcdf4_table(
+                spark, path, variables,
+                records_per_task=records_per_task, index_name=index_name,
+            )
     header = read_header(path)
     metas = {v: header["variables"][v] for v in variables}
     n0 = {
@@ -194,15 +203,106 @@ def netcdf_table(
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
 
 
-def netcdf4_table(spark: SparkSession, path: str, variables: list[str]) -> DataFrame:
-    """NetCDF-4 path, gated on an HDF5 reader being importable. The scan
-    structure would mirror netcdf_table (chunk index + executor decode over
-    HDF5 chunks); without the codec library the contract fails loudly."""
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "NetCDF-4 scan requires h5py, which this runtime does not ship; "
-            "convert to classic NetCDF, Zarr (sources/zarr.py) or Parquet"
-        ) from exc
-    raise NotImplementedError("NetCDF-4 decode path not implemented in this runtime")
+def netcdf4_table(
+    spark: SparkSession,
+    path: str,
+    variables: list[str],
+    records_per_task: int = 65536,
+    index_name: str = "idx",
+) -> DataFrame:
+    """NetCDF-4 scan via the native minimal HDF5 reader (sources/hdf5.py):
+    same ``(idx, var1, ...)`` contract as :func:`netcdf_table`, 2-D variables
+    as array<double> columns.
+
+    Scale shape: the driver mmap-parses only HDF5 metadata (superblock,
+    object headers, chunk B-trees — KBs); the dim-sized chunk map ships in
+    the plan, and each task reopens the file and decodes exactly the chunks
+    overlapping its row range (deflate/shuffle reversed executor-side).
+    Contiguous variables are sliced by direct seek, like the classic path.
+    Unsupported HDF5 features (superblock v2/v3, v2 headers, filters beyond
+    deflate+shuffle) raise loudly at plan time, never silently mis-read.
+    """
+    from rca_data_tools_spark.sources.hdf5 import _UNDEF, H5File, decode_chunk
+
+    h5 = H5File(path)
+    metas: dict[str, dict] = {}
+    for v in variables:
+        if v not in h5.datasets:
+            raise KeyError(
+                f"variable {v!r} not in {path!r} (has: {sorted(h5.datasets)})"
+            )
+        ds = h5.datasets[v]
+        if len(ds.shape) > 2:
+            raise ValueError(f"variable {v!r} is {len(ds.shape)}-D; supported: 1-D/2-D")
+        if ds.layout == "chunked" and len(ds.shape) == 2:
+            if ds.chunk_shape[1] < ds.shape[1]:
+                raise ValueError(
+                    f"variable {v!r} chunks its second dimension; expected one "
+                    "chunk across it (the reference's wavelength/bin dims are small)"
+                )
+        # plain picklable metadata — never close over H5File (it holds a mmap)
+        metas[v] = {
+            "dtype": ds.dtype,
+            "shape": ds.shape,
+            "layout": ds.layout,
+            "addr": ds.data_address,
+            "compact": ds.compact,
+            "chunk_shape": ds.chunk_shape,
+            "chunks": ds.chunks,
+            "filters": ds.filters,
+        }
+    n_rows = metas[variables[0]]["shape"][0]
+    for v, m in metas.items():
+        if m["shape"][0] != n_rows:
+            raise ValueError(
+                f"variable {v!r} has dim-0 length {m['shape'][0]}, expected {n_rows}"
+            )
+
+    n_chunks = max(1, -(-n_rows // records_per_task))
+    chunk_index = spark.range(n_chunks).toDF("chunk_id")
+
+    def _rows(f, m: dict, lo: int, hi: int) -> np.ndarray:
+        shape, dtype = m["shape"], m["dtype"]
+        inner = int(shape[1]) if len(shape) == 2 else 1
+        rowbytes = inner * dtype.itemsize
+        if m["layout"] == "compact":
+            arr = np.frombuffer(m["compact"], dtype=dtype).reshape(-1, inner)
+            return arr[lo:hi]
+        if m["layout"] == "contiguous":
+            if m["addr"] == _UNDEF:  # never-allocated dataset reads as zeros
+                return np.zeros((hi - lo, inner), dtype=dtype)
+            f.seek(m["addr"] + lo * rowbytes)
+            return np.frombuffer(f.read((hi - lo) * rowbytes), dtype=dtype).reshape(
+                hi - lo, inner
+            )
+        c0 = m["chunk_shape"][0]
+        out = np.zeros((hi - lo, inner), dtype=dtype)
+        for offs, addr, nbytes, mask in m["chunks"]:
+            o0 = offs[0]
+            if o0 >= hi or o0 + c0 <= lo:
+                continue
+            f.seek(addr)
+            chunk = decode_chunk(
+                f.read(nbytes), dtype, m["chunk_shape"], m["filters"], mask
+            ).reshape(c0, -1)
+            a, b = max(lo, o0), min(hi, min(o0 + c0, shape[0]))
+            out[a - lo : b - lo] = chunk[a - o0 : b - o0, :inner]
+        return out
+
+    def _scan(batches):
+        with open(path, "rb") as f:
+            for pdf in batches:
+                for chunk_id in pdf["chunk_id"]:
+                    lo = int(chunk_id) * records_per_task
+                    hi = min(lo + records_per_task, n_rows)
+                    out = {index_name: np.arange(lo, hi, dtype=np.int64)}
+                    for v in variables:
+                        arr = _rows(f, metas[v], lo, hi).astype(np.float64)
+                        out[v] = list(arr) if len(metas[v]["shape"]) == 2 else arr[:, 0]
+                    yield pd.DataFrame(out)
+
+    fields = [f"{index_name} long"] + [
+        f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
+        for v in variables
+    ]
+    return chunk_index.mapInPandas(_scan, schema=", ".join(fields))

@@ -1,0 +1,306 @@
+"""Native minimal-HDF5 scan: fixture files are written by hand from the
+public HDF5 File Format Specification (superblock v0, v1 object headers,
+symbol-table group, contiguous + chunked/deflate/shuffle datasets — no HDF5
+library exists in this runtime on either side), then parsed and scanned
+distributed and compared against the source arrays."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+UNDEF = b"\xff" * 8
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _msg(mtype: int, data: bytes) -> bytes:
+    data = _pad8(data)
+    return struct.pack("<HHB3x", mtype, len(data), 0) + data
+
+
+def _object_header(msgs: list[bytes]) -> bytes:
+    body = b"".join(msgs)
+    return struct.pack("<BxHII4x", 1, len(msgs), 1, len(body)) + body
+
+
+def _dataspace(shape: tuple[int, ...]) -> bytes:
+    return struct.pack("<BBB5x", 1, len(shape), 0) + b"".join(
+        struct.pack("<Q", s) for s in shape
+    )
+
+
+def _datatype(dtype: np.dtype) -> bytes:
+    if dtype.kind in "iu":
+        bits0 = (0x08 if dtype.kind == "i" else 0) | (1 if dtype.byteorder == ">" else 0)
+        head = struct.pack("<BBBBI", 0x10, bits0, 0, 0, dtype.itemsize)
+        return head + struct.pack("<HH", 0, dtype.itemsize * 8)
+    if dtype.kind == "f":
+        bits0 = 1 if dtype.byteorder == ">" else 0
+        head = struct.pack("<BBBBI", 0x11, bits0 | 0x20, 0x0F, 0, dtype.itemsize)
+        if dtype.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        return head + props
+    raise AssertionError(dtype)
+
+
+def _layout_contiguous(addr: int, size: int) -> bytes:
+    return struct.pack("<BB", 3, 1) + struct.pack("<QQ", addr, size)
+
+
+def _layout_chunked(btree_addr: int, chunk_shape: tuple[int, ...], elem: int) -> bytes:
+    dims = list(chunk_shape) + [elem]
+    return (
+        struct.pack("<BBB", 3, 2, len(dims))
+        + struct.pack("<Q", btree_addr)
+        + b"".join(struct.pack("<I", d) for d in dims)
+    )
+
+
+def _filter_pipeline(filters: list[tuple[int, tuple[int, ...]]]) -> bytes:
+    out = struct.pack("<BB6x", 1, len(filters))
+    for fid, cdv in filters:
+        out += struct.pack("<HHHH", fid, 0, 0, len(cdv))
+        out += b"".join(struct.pack("<I", v) for v in cdv)
+        if len(cdv) % 2 == 1:
+            out += b"\x00" * 4
+    return out
+
+
+def _chunk_btree(
+    entries: list[tuple[tuple[int, ...], int, int, int]], ndims: int
+) -> bytes:
+    """Level-0 chunk B-tree: (offsets, addr, nbytes, mask) per chunk, plus
+    the spec's trailing final key."""
+    out = b"TREE" + struct.pack("<BBH", 1, 0, len(entries)) + UNDEF + UNDEF
+
+    def key(offs, nbytes, mask):
+        return struct.pack("<II", nbytes, mask) + b"".join(
+            struct.pack("<Q", o) for o in list(offs) + [0]
+        )
+
+    for offs, addr, nbytes, mask in entries:
+        out += key(offs, nbytes, mask) + struct.pack("<Q", addr)
+    last = entries[-1]
+    out += key([o + 1 for o in last[0]], 0, 0)  # final (upper bound) key
+    return out
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray(96)  # superblock written last
+
+    def append(self, b: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += b
+        return addr
+
+    def finish(self, root_ohdr: int) -> bytes:
+        sb = (
+            b"\x89HDF\r\n\x1a\n"
+            + struct.pack("<BBBBB", 0, 0, 0, 0, 0)  # versions sb/fs/root/res/shm
+            + struct.pack("<BBB", 8, 8, 0)  # offsets, lengths, reserved
+            + struct.pack("<HH", 4, 16)  # leaf k, internal k
+            + struct.pack("<I", 0)  # consistency flags
+            + struct.pack("<Q", 0)  # base address
+            + UNDEF  # free space
+            + struct.pack("<Q", len(self.buf))  # EOF
+            + UNDEF  # driver info
+            + struct.pack("<QQ", 0, root_ohdr)  # root symtab entry head
+            + struct.pack("<II", 0, 0)
+            + b"\x00" * 16
+        )
+        assert len(sb) == 96, len(sb)
+        self.buf[:96] = sb
+        return bytes(self.buf)
+
+
+def write_h5(path, datasets: dict[str, dict]) -> None:
+    """datasets: name -> {'array': np.ndarray, 'chunks': shape|None,
+    'filters': [('deflate', level)|('shuffle',)]}."""
+    w = _Writer()
+    # local heap: names start at offset 8, 8-aligned
+    names = sorted(datasets)
+    heap_data = bytearray(b"\x00" * 8)
+    name_offs = {}
+    for n in names:
+        name_offs[n] = len(heap_data)
+        heap_data += n.encode() + b"\x00"
+        heap_data += b"\x00" * ((8 - len(heap_data) % 8) % 8)
+    heap_data_addr = w.append(bytes(heap_data))
+    heap_addr = w.append(
+        b"HEAP" + struct.pack("<B3x", 0) + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+    )
+
+    ohdr_addrs = {}
+    for n in names:
+        spec = datasets[n]
+        arr = np.ascontiguousarray(spec["array"])
+        msgs = [_msg(0x0001, _dataspace(arr.shape)), _msg(0x0003, _datatype(arr.dtype))]
+        if spec.get("chunks") is None:
+            raw = arr.tobytes()
+            addr = w.append(raw)
+            msgs.append(_msg(0x0008, _layout_contiguous(addr, len(raw))))
+        else:
+            cshape = tuple(spec["chunks"])
+            filters = []
+            for f in spec.get("filters", ()):
+                if f[0] == "shuffle":
+                    filters.append((2, (arr.dtype.itemsize,)))
+                elif f[0] == "deflate":
+                    filters.append((1, (f[1],)))
+            entries = []
+            grid = [range(0, s, c) for s, c in zip(arr.shape, cshape)]
+            import itertools
+
+            for offs in itertools.product(*grid):
+                sel = tuple(slice(o, o + c) for o, c in zip(offs, cshape))
+                chunk = np.zeros(cshape, dtype=arr.dtype)
+                part = arr[sel]
+                chunk[tuple(slice(0, s) for s in part.shape)] = part
+                data = chunk.tobytes()
+                for fid, cdv in filters:  # forward application order
+                    if fid == 2:
+                        elem = cdv[0]
+                        a = np.frombuffer(data, dtype=np.uint8)
+                        data = a.reshape(len(a) // elem, elem).T.tobytes()
+                    else:
+                        data = zlib.compress(data, cdv[0])
+                addr = w.append(data)
+                entries.append((offs, addr, len(data), 0))
+            btree_addr = w.append(_chunk_btree(entries, len(cshape)))
+            msgs.append(
+                _msg(0x0008, _layout_chunked(btree_addr, cshape, arr.dtype.itemsize))
+            )
+            if filters:
+                msgs.append(_msg(0x000B, _filter_pipeline(filters)))
+        ohdr_addrs[n] = w.append(_object_header(msgs))
+
+    # symbol node + group B-tree + root object header
+    snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
+    for n in names:
+        snod += struct.pack("<QQII", name_offs[n], ohdr_addrs[n], 0, 0) + b"\x00" * 16
+    snod_addr = w.append(snod)
+    btree = (
+        b"TREE"
+        + struct.pack("<BBH", 0, 0, 1)
+        + UNDEF
+        + UNDEF
+        + struct.pack("<Q", name_offs[names[0]])
+        + struct.pack("<Q", snod_addr)
+        + struct.pack("<Q", name_offs[names[-1]])
+    )
+    btree_addr = w.append(btree)
+    root = _object_header([_msg(0x0011, struct.pack("<QQ", btree_addr, heap_addr))])
+    root_addr = w.append(root)
+    with open(path, "wb") as f:
+        f.write(w.finish(root_addr))
+
+
+@pytest.fixture()
+def h5_file(tmp_path):
+    rng = np.random.RandomState(7)
+    time = np.arange(100, dtype="<f8") * 10.0
+    temp = rng.randn(100).astype("<f8")
+    counts = (rng.rand(100) * 1000).astype("<i4")
+    spectra = rng.randn(100, 5).astype("<f8")
+    path = str(tmp_path / "deploy.nc")
+    write_h5(
+        path,
+        {
+            "time": {"array": time, "chunks": None},
+            "temp": {"array": temp, "chunks": (32,), "filters": [("shuffle",), ("deflate", 6)]},
+            "counts": {"array": counts, "chunks": (40,), "filters": [("deflate", 4)]},
+            "spectra": {"array": spectra, "chunks": (32, 5), "filters": [("shuffle",), ("deflate", 6)]},
+        },
+    )
+    return path, {"time": time, "temp": temp, "counts": counts, "spectra": spectra}
+
+
+def test_metadata_parse(h5_file):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    path, arrays = h5_file
+    h5 = H5File(path)
+    assert sorted(h5.datasets) == sorted(arrays)
+    assert h5.datasets["time"].layout == "contiguous"
+    assert h5.datasets["temp"].layout == "chunked"
+    assert h5.datasets["temp"].chunk_shape == (32,)
+    assert [f for f, _ in h5.datasets["temp"].filters] == [2, 1]
+    assert h5.datasets["counts"].dtype == np.dtype("<i4")
+    assert h5.datasets["spectra"].shape == (100, 5)
+    # 100 rows / chunk0 32 -> 4 chunks along dim0
+    assert len(h5.datasets["temp"].chunks) == 4
+
+
+def test_whole_array_read(h5_file):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    path, arrays = h5_file
+    h5 = H5File(path)
+    for name, expect in arrays.items():
+        np.testing.assert_array_equal(read_dataset(h5, name), expect)
+
+
+def test_distributed_scan(spark, h5_file):
+    from rca_data_tools_spark.sources.netcdf import netcdf4_table
+
+    path, arrays = h5_file
+    df = netcdf4_table(
+        spark, path, ["time", "temp", "counts", "spectra"], records_per_task=17
+    )
+    rows = df.orderBy("idx").collect()
+    assert len(rows) == 100
+    got_t = np.array([r["time"] for r in rows])
+    np.testing.assert_allclose(got_t, arrays["time"])
+    np.testing.assert_allclose(np.array([r["temp"] for r in rows]), arrays["temp"])
+    np.testing.assert_allclose(
+        np.array([r["counts"] for r in rows]), arrays["counts"].astype("f8")
+    )
+    np.testing.assert_allclose(
+        np.array([list(r["spectra"]) for r in rows]), arrays["spectra"]
+    )
+
+
+def test_netcdf_table_routes_hdf5(spark, h5_file):
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    path, arrays = h5_file
+    df = netcdf_table(spark, path, ["time", "temp"])
+    assert df.count() == 100
+
+
+def test_unknown_filter_raises(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    path = str(tmp_path / "bad.nc")
+    arr = np.arange(10, dtype="<f8")
+    write_h5(path, {"x": {"array": arr, "chunks": (4,), "filters": [("deflate", 1)]}})
+    # patch the filter id to fletcher32 (unsupported)
+    data = bytearray(open(path, "rb").read())
+    idx = data.find(struct.pack("<HHHH", 1, 0, 0, 1))
+    assert idx > 0
+    data[idx : idx + 2] = struct.pack("<H", 3)
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(NotImplementedError, match="filter id 3"):
+        H5File(path)
+
+
+def test_big_endian_and_missing_variable(tmp_path, spark):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+    from rca_data_tools_spark.sources.netcdf import netcdf4_table
+
+    path = str(tmp_path / "be.nc")
+    arr = np.arange(20, dtype=">f4")
+    write_h5(path, {"v": {"array": arr, "chunks": None}})
+    h5 = H5File(path)
+    np.testing.assert_array_equal(read_dataset(h5, "v"), arr)
+    with pytest.raises(KeyError, match="not in"):
+        netcdf4_table(spark, path, ["nope"])
