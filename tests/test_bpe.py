@@ -129,3 +129,23 @@ def test_spark_apply_matches_trainer(spark):
             seq = apply_merge(seq, l, r)
         assert got[word][0] == seq, word
         assert got[word][1] == len(seq_symbols(seq)), word
+
+
+def test_property_matches_reference_on_random_corpora():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abcxyz", min_size=1, max_size=8)
+    corpora = st.lists(
+        st.tuples(words, st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda wf: wf[0],
+    )
+
+    @given(corpora, st.integers(min_value=1, max_value=10))
+    @settings(max_examples=200, deadline=None)
+    def check(wf, k):
+        assert train_merges(wf, k) == _naive_bpe(wf, k)
+
+    check()
