@@ -9,7 +9,7 @@ query here is oracle-checked exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.text import token_count
@@ -241,4 +241,85 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", key.alias("sel_key"))
         .orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
         .limit(25)
+    )
+
+
+@query(
+    "sample_shuffle_order",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, lang, {_U_SQL.replace("md5('s'", "md5('sh'")} AS uv
+  FROM documents
+)
+SELECT doc_id, lang,
+       uv % 16 AS shard,
+       ROW_NUMBER() OVER (PARTITION BY uv % 16 ORDER BY uv, doc_id) AS pos
+FROM u
+""",
+)
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training order: every doc gets
+    a (shard, pos) address from its salted md5 integer — rerun-stable, engine
+    -independent, no RNG state.
+
+    Scale shape: shard count is the parallelism knob (16 here; thousands at
+    100 TB) — one hash shuffle on shard, per-shard row_number windows run in
+    parallel, and a training loader streams shards independently. Never a
+    single-partition global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), "sh")
+    w = Window.partitionBy(u % 16).orderBy(u, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "lang",
+        (u % 16).alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+# DoReMi-style domain mixture reweighting: per-domain resampling factor that
+# moves the corpus from its observed source mix to a target mix.
+_TARGET_MIX = {"web": 0.40, "books": 0.30, "code": 0.20, "wiki": 0.10}
+
+
+@query(
+    "sample_domain_mix",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+total AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT c.source, c.n_docs,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.n_total, 6) AS actual_share,
+       ROUND(CASE c.source
+         {' '.join(f"WHEN '{s}' THEN {w}" for s, w in _TARGET_MIX.items())}
+         ELSE 0.0 END / (CAST(c.n_docs AS DOUBLE) / t.n_total), 6) AS resample_weight
+FROM counts c CROSS JOIN total t
+""",
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain resampling weights toward a target corpus mixture
+    (the DoReMi/Pile recipe: weight = target_share / actual_share; a
+    downstream keep-rate or repetition factor applies it).
+
+    Scale shape: one map-side-combined count per source (dim-sized), the
+    1-row total crossed in as a broadcast scalar (the whitelisted 1-row
+    BNLJ pattern, same as q11/q22), and the weight arithmetic is a literal
+    CASE. One fact scan, one tiny shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    target = F.create_map(
+        *[x for s, w in _TARGET_MIX.items() for x in (F.lit(s), F.lit(w))]
+    )
+    joined = counts.crossJoin(F.broadcast(total))
+    share = F.col("n_docs").cast("double") / F.col("n_total")
+    weight = F.coalesce(target[F.col("source")], F.lit(0.0)) / share
+    return joined.select(
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("actual_share"),
+        F.round(weight, 6).alias("resample_weight"),
     )

@@ -282,6 +282,7 @@ BNLJ_ALLOWED = {
     "sample_importance",         # 1-row vocab scalar
     "text_tfidf_topk",           # 1-row corpus size
     "text_bm25_topk",            # 1-row (n_docs, sum_dl) corpus stats
+    "sample_domain_mix",         # 1-row corpus total
 }
 
 
