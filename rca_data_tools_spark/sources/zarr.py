@@ -1,4 +1,4 @@
-"""Native Zarr v2 scan (SURVEY §2.1 S1) — no zarr/xarray dependency.
+"""Native Zarr v2 + v3 scan (SURVEY §2.1 S1) — no zarr/xarray dependency.
 
 The reference's canonical source is a consolidated Zarr store per instrument
 stream (rca_data_tools/qaqc/dashboard.py:305-313, ``xr.open_zarr(...,
@@ -27,6 +27,11 @@ scans recompress to zlib on ingest), float and int dtypes, 1-D ``(time,)``
 and 2-D ``(time, k)`` variables — the reference's data model (§1.1: 2-D
 params become array columns). Bit-shuffle / zstd / snappy blosc chunks raise
 with a clear message rather than silently mis-decoding.
+
+Zarr v3 stores (zarr.json array documents) are normalized onto the same
+decode path: regular chunk grids, `bytes` (either endian) + gzip/zlib/blosc
+codecs, default or v2-style chunk key encodings. Sharding, transpose,
+crc32c, and other codecs raise loudly.
 """
 
 from __future__ import annotations
@@ -41,6 +46,81 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Zarr v3 data_type names -> numpy kind+size (endianness comes from the
+# `bytes` codec configuration).
+_V3_DTYPES = {
+    "float64": "f8", "float32": "f4",
+    "int64": "i8", "int32": "i4", "int16": "i2", "int8": "i1",
+    "uint64": "u8", "uint32": "u4", "uint16": "u2", "uint8": "u1",
+}
+
+
+def _normalize_v3_meta(meta: dict) -> dict:
+    """Map a v3 array document (zarr.json) onto the v2-shaped meta dict the
+    scan uses, so one decode path serves both format versions."""
+    if meta.get("node_type") != "array":
+        raise ValueError("zarr v3 metadata is not an array node")
+    grid = meta["chunk_grid"]
+    if grid.get("name") != "regular":
+        raise NotImplementedError(f"zarr v3 chunk grid {grid.get('name')!r}")
+    codecs = meta.get("codecs", [])
+    endian, compressor = "little", None
+    for c in codecs:
+        name = c.get("name")
+        conf = c.get("configuration", {}) or {}
+        if name == "bytes":
+            endian = conf.get("endian", "little")
+        elif name in ("gzip", "zlib"):
+            compressor = {"id": "zlib"}
+        elif name == "blosc":
+            # v3 blosc chunks carry the same blosc1 frame the shim decodes
+            compressor = {"id": "blosc"}
+        elif name == "crc32c":
+            raise NotImplementedError(
+                "zarr v3 crc32c checksum codec not supported by this scan"
+            )
+        elif name == "sharding_indexed":
+            raise NotImplementedError(
+                "zarr v3 sharding not supported by this scan (read the inner "
+                "store, or re-chunk without shards on ingest)"
+            )
+        elif name == "transpose":
+            raise NotImplementedError("zarr v3 transpose codec not supported")
+        else:
+            raise NotImplementedError(f"zarr v3 codec {name!r} not supported")
+    if meta["data_type"] not in _V3_DTYPES:
+        raise NotImplementedError(f"zarr v3 data_type {meta['data_type']!r}")
+    dtype = ("<" if endian == "little" else ">") + _V3_DTYPES[meta["data_type"]]
+    cke = meta.get("chunk_key_encoding", {"name": "default"})
+    return {
+        "zarr_format": 3,
+        "shape": meta["shape"],
+        "chunks": grid["configuration"]["chunk_shape"],
+        "dtype": dtype,
+        "order": "C",
+        "fill_value": meta.get("fill_value"),
+        "compressor": compressor,
+        "chunk_key": {
+            "name": cke.get("name", "default"),
+            "separator": (cke.get("configuration") or {}).get(
+                "separator", "/" if cke.get("name", "default") == "default" else "."
+            ),
+        },
+    }
+
+
+def _chunk_key(meta: dict, indices: tuple[int, ...]) -> str:
+    """Chunk file name for grid position ``indices`` in either format:
+    v2 dot-joined ('0', '1.0'); v3 default 'c/0/0' or v2-style encoding."""
+    if meta.get("zarr_format") == 3:
+        ck = meta["chunk_key"]
+        sep = ck["separator"]
+        if ck["name"] == "default":
+            return "c" + "".join(f"{sep}{i}" for i in indices)
+        return sep.join(str(i) for i in indices)  # "v2" encoding
+    return ".".join(str(i) for i in indices)
+
+
 def _load_array_meta(root: str, var: str) -> dict:
     zmeta = os.path.join(root, ".zmetadata")
     if os.path.exists(zmeta):
@@ -49,8 +129,17 @@ def _load_array_meta(root: str, var: str) -> dict:
         key = f"{var}/.zarray"
         if key in consolidated:
             return consolidated[key]
-    with open(os.path.join(root, var, ".zarray")) as f:
-        return json.load(f)
+    v2_path = os.path.join(root, var, ".zarray")
+    if os.path.exists(v2_path):
+        with open(v2_path) as f:
+            return json.load(f)
+    v3_path = os.path.join(root, var, "zarr.json")
+    if os.path.exists(v3_path):
+        with open(v3_path) as f:
+            return _normalize_v3_meta(json.load(f))
+    raise FileNotFoundError(
+        f"no zarr v2 (.zarray) or v3 (zarr.json) metadata for {var!r} under {root!r}"
+    )
 
 
 def _decode_chunk(path: str, meta: dict) -> np.ndarray:
@@ -127,7 +216,7 @@ def zarr_table(
                 for v in variables:
                     m = metas[v]
                     two_d = len(m["shape"]) == 2
-                    fname = f"{cid}.0" if two_d else str(cid)
+                    fname = _chunk_key(m, (cid, 0) if two_d else (cid,))
                     arr = _decode_chunk(os.path.join(root, v, fname), m)[: hi - lo]
                     fill = m.get("fill_value")
                     if fill is not None and np.issubdtype(arr.dtype, np.floating):

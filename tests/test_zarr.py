@@ -136,3 +136,101 @@ def test_zarr_string_encoded_fill_values(spark, tmp_path):
     assert rows[3]["a"] is None
     assert rows[7]["b"] is None
     assert rows[2]["a"] == 2.0 and rows[2]["b"] == 2.0
+
+
+def _write_array_v3(root, name, arr, chunks, codec=None, fill_value=None,
+                    key_encoding="default", endian="little"):
+    """Hand-written Zarr v3 array per the public v3 spec: zarr.json metadata
+    + c/<i>[/<j>] chunk files (default key encoding)."""
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    codecs = [{"name": "bytes", "configuration": {"endian": endian}}]
+    if codec == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    dtype_name = {"f8": "float64", "f4": "float32", "i8": "int64", "i4": "int32"}[
+        arr.dtype.str[1:]
+    ]
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": dtype_name,
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": key_encoding,
+                               "configuration": {"separator": "/" if key_encoding == "default" else "."}},
+        "fill_value": fill_value,
+        "codecs": codecs,
+    }
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    n_chunks = -(-arr.shape[0] // chunks[0])
+    for cid in range(n_chunks):
+        block = arr[cid * chunks[0] : (cid + 1) * chunks[0]]
+        if block.shape[0] < chunks[0]:
+            pad = np.full((chunks[0] - block.shape[0],) + arr.shape[1:], 0, dtype=arr.dtype)
+            block = np.concatenate([block, pad])
+        buf = np.ascontiguousarray(block).tobytes()
+        if codec == "gzip":
+            buf = zlib.compress(buf)
+        if key_encoding == "default":
+            key = f"c/{cid}" if arr.ndim == 1 else f"c/{cid}/0"
+            os.makedirs(os.path.dirname(os.path.join(d, key)), exist_ok=True)
+        else:
+            key = str(cid) if arr.ndim == 1 else f"{cid}.0"
+        with open(os.path.join(d, key), "wb") as f:
+            f.write(buf)
+
+
+def test_zarr_v3_scan(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "v3.zarr")
+    os.makedirs(root)
+    rng = np.random.RandomState(3)
+    n = 23
+    time = np.arange(n, dtype="<i8")
+    temp = rng.uniform(2, 10, n).astype("<f8")
+    temp[5] = -7.5  # fill sentinel
+    spectra = rng.uniform(0, 1, (n, 4)).astype("<f8")
+    _write_array_v3(root, "time", time, [10])
+    _write_array_v3(root, "temp", temp, [10], codec="gzip", fill_value=-7.5)
+    _write_array_v3(root, "spectra", spectra, [10, 4], codec="gzip")
+    df = zarr_table(spark, root, ["time", "temp", "spectra"])
+    rows = df.orderBy("idx").collect()
+    assert len(rows) == n
+    np.testing.assert_allclose([r["time"] for r in rows], time)
+    got_temp = [r["temp"] for r in rows]
+    assert got_temp[5] is None  # fill -> NULL
+    np.testing.assert_allclose(
+        [g for i, g in enumerate(got_temp) if i != 5],
+        [t for i, t in enumerate(temp) if i != 5],
+    )
+    np.testing.assert_allclose([list(r["spectra"]) for r in rows], spectra)
+
+
+def test_zarr_v3_v2_style_keys_and_unsupported_codec(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr import _load_array_meta, zarr_table
+
+    root = str(tmp_path / "v3b.zarr")
+    os.makedirs(root)
+    vals = np.arange(12, dtype="<f8")
+    _write_array_v3(root, "v", vals, [5], key_encoding="v2")
+    df = zarr_table(spark, root, ["v"])
+    np.testing.assert_allclose(
+        [r["v"] for r in df.orderBy("idx").collect()], vals
+    )
+    # sharding raises loudly at metadata parse
+    d = os.path.join(root, "sharded")
+    os.makedirs(d)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump(
+            {
+                "zarr_format": 3, "node_type": "array", "shape": [4],
+                "data_type": "float64",
+                "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+                "codecs": [{"name": "sharding_indexed", "configuration": {}}],
+            },
+            f,
+        )
+    with pytest.raises(NotImplementedError, match="sharding"):
+        _load_array_meta(root, "sharded")
