@@ -1,0 +1,97 @@
+"""Count-Min sketch as a DataFrame aggregation (Cormode & Muthukrishnan
+2005) — the classic streaming frequency sketch, built deterministically so
+any engine (including the DuckDB oracle) reproduces it cell-for-cell.
+
+Design: d independent hash rows × w buckets. Each row of each hash table
+accumulates the count of every key mapping into it; a key's estimate is the
+MIN over its d cells — always an overestimate, with error ≤ εN at
+probability 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+Hashing is the engine's salted-md5 integer (operators/sampling.hash_uniform
+family): bucket_i(key) = md5('cms{i}|' || key) first 8 hex digits as int,
+mod w — no RNG state, bit-identical across engines and reruns.
+
+Scale shape (the whole point of a sketch): the ONLY corpus-sized operation
+is the initial map-side-combined key count; everything after runs on
+dimension-sized data (distinct keys → d·w cells). The d×w cell table is tiny
+(KBs) and broadcast for estimation. At 100 TB this is one shuffle of
+(key, count) partials — and the cell table the reducers produce is the same
+few KB regardless of corpus size. Sketches from disjoint corpus shards merge
+by cell-wise addition (the groupBy(i, bucket) SUM already IS that merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_bucket(key: Column, i: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic bucket of `key` in hash row `i`."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{i}|"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the (i, bucket, c) cell table from a corpus of key occurrences.
+
+    One corpus-sized map-side-combined groupBy(key), then dim-sized
+    explode × re-aggregate into d·w cells.
+    """
+    keyc = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rows = keyc.select(
+        "key",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        cms_bucket(F.col("key"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return rows.groupBy("cell.i", "cell.bucket").agg(F.sum("cnt").alias("c"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    cells: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query estimates for every key in `keys`: MIN over the key's d
+    cells. `cells` is d·w rows — broadcast; the probe is d equi-joins'
+    worth of rows expressed as one explode + broadcast join + min."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        cms_bucket(F.col(key_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", "cell.i", "cell.bucket")
+    joined = probes.join(F.broadcast(cells), ["i", "bucket"])
+    others = [c for c in keys.columns]
+    return joined.groupBy(*others).agg(F.min("c").alias("cms_estimate"))

@@ -18,3 +18,4 @@ from rca_data_tools_spark.queries import relq  # noqa: F401, E402
 from rca_data_tools_spark.queries import frameq  # noqa: F401, E402
 from rca_data_tools_spark.queries import bpeq  # noqa: F401, E402
 from rca_data_tools_spark.queries import retrq  # noqa: F401, E402
+from rca_data_tools_spark.queries import sketchq  # noqa: F401, E402

@@ -1,0 +1,45 @@
+"""Count-Min sketch invariants: overestimation, exactness without
+collisions, shard mergeability."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.operators.sketch import cms_build, cms_estimate
+
+
+def test_overestimates_never_under(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [f"u{i % 37}" for i in range(1000)]})
+    )
+    cells = cms_build(df, "k", depth=4, width=16)  # force collisions
+    keys = df.groupBy(F.col("k").alias("key")).agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(keys, cells, "key", depth=4, width=16).collect()
+    assert est
+    for r in est:
+        assert r["cms_estimate"] >= r["exact"], r
+
+
+def test_exact_when_width_exceeds_keys(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2}))
+    cells = cms_build(df, "k", depth=4, width=4096)
+    keys = df.groupBy(F.col("k").alias("key")).agg(F.count(F.lit(1)).alias("exact"))
+    for r in cms_estimate(keys, cells, "key", depth=4, width=4096).collect():
+        assert r["cms_estimate"] == r["exact"], r
+
+
+def test_shard_merge_is_cellwise_sum(spark):
+    full = spark.createDataFrame(
+        pd.DataFrame({"rid": range(200), "k": [f"u{i % 9}" for i in range(200)]})
+    )
+    s1 = full.filter(F.col("rid") % 2 == 0)
+    s2 = full.filter(F.col("rid") % 2 == 1)
+    merged = (
+        cms_build(s1, "k").unionByName(cms_build(s2, "k"))
+        .groupBy("i", "bucket").agg(F.sum("c").alias("c"))
+    )
+    direct = cms_build(full, "k")
+    a = {(r["i"], r["bucket"]): r["c"] for r in merged.collect()}
+    b = {(r["i"], r["bucket"]): r["c"] for r in direct.collect()}
+    assert a == b
