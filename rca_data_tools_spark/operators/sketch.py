@@ -95,3 +95,61 @@ def cms_estimate(
     joined = probes.join(F.broadcast(cells), ["i", "bucket"])
     others = [c for c in keys.columns]
     return joined.groupBy(*others).agg(F.min("c").alias("cms_estimate"))
+
+
+HLL_M = 64  # registers (b = 6 index bits); alpha_64 = 0.709
+_HLL_WBITS = 26  # 32-bit hash minus 6 index bits
+
+
+def hll_register_rows(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-(group, register) max patterns for a deterministic HyperLogLog
+    (Flajolet et al. 2007): salted-md5 32-bit hash, low 6 bits pick the
+    register, rho = leading-zero rank of the remaining 26 bits.
+
+    Unlike the engine's HLL++ (whose sketch layout is engine-private), every
+    step here is a plain Column expression, so the DuckDB oracle replays the
+    register table bit-for-bit and the estimate is hash-checkable.
+
+    Scale shape: one map-side-combined groupBy to (groups x 64) rows —
+    constant-size state per group; shard sketches merge by register-wise MAX.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    idx = h % HLL_M
+    w = F.floor(h / HLL_M)
+    rho = F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_WBITS + 1)
+    )
+    return df.groupBy(F.col(group_col).alias("grp"), idx.alias("idx")).agg(
+        F.max(rho).alias("r")
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Group cardinality estimates from the register rows.
+
+    Exact integer harmonic-sum trick: sum of 2^-r scaled by 2^27 is an
+    integer (r <= 27, so every exponent 27-r is >= 0), so the only floating-
+    point steps are one division and the final alpha multiply / small-range
+    log — identical IEEE expression trees on both engines, rounded to 4
+    decimals.
+    """
+    scale = 1 << (_HLL_WBITS + 1)
+    per = regs.groupBy("grp").agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("r")).cast("long")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")  # registers never touched
+    z_num = F.col("s_present") + v * F.lit(scale)
+    raw = (F.lit(0.709) * F.lit(HLL_M) * F.lit(HLL_M) * F.lit(float(scale))) / z_num
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v)
+    ).otherwise(raw)
+    return per.select("grp", F.round(est, 4).alias("hll_estimate"))

@@ -71,3 +71,59 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cms_estimate").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+_H32 = "CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_W = "CAST(FLOOR(h / 64) AS BIGINT)"
+_RAW = "(0.709::DOUBLE * 64 * 64 * 134217728.0::DOUBLE / (s_present + (64 - n_regs) * 134217728))"
+
+_HLL_ORACLE = f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type, {_H32} AS h FROM events
+),
+regs AS MATERIALIZED (
+  SELECT event_type, h % 64 AS idx,
+         MAX(CASE WHEN {_W} > 0 THEN 27 - LENGTH(bin({_W})) ELSE 27 END) AS r
+  FROM h GROUP BY 1, 2
+),
+per AS MATERIALIZED (
+  SELECT event_type,
+         SUM(CAST(POWER(2, 27 - r) AS BIGINT))::BIGINT AS s_present,
+         COUNT(*)::BIGINT AS n_regs
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN {_RAW} <= 160.0::DOUBLE AND (64 - n_regs) > 0
+              THEN 64.0::DOUBLE * LN(64.0::DOUBLE / (64 - n_regs))
+              ELSE {_RAW} END AS e
+  FROM per
+),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT ex.event_type, ex.n_exact, ROUND(est.e, 4) AS hll_estimate
+FROM ex JOIN est USING (event_type)
+"""
+
+
+@query("sketch_hll_cardinality", oracle=_HLL_ORACLE)
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality: exact count alongside a
+    DETERMINISTIC HyperLogLog estimate (64 registers, salted-md5 hashing).
+
+    The engine's built-in approx_count_distinct is HLL++ with an
+    engine-private sketch, so it can only be bounds-tested; this HLL is a
+    plain Column plan, so the register table AND the estimate replay in the
+    oracle and hash-match. Scale shape: one map-side-combined groupBy to
+    (groups x 64) register rows — constant state per group, register-wise
+    MAX merges shard sketches.
+    """
+    from rca_data_tools_spark.operators.sketch import hll_estimate, hll_register_rows
+
+    e = load_table(spark, sf_dir, "events")
+    est = hll_estimate(hll_register_rows(e, "event_type", "user_id"))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(
+        F.broadcast(est.withColumnRenamed("grp", "event_type")), "event_type"
+    ).select("event_type", "n_exact", "hll_estimate")

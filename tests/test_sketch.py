@@ -43,3 +43,42 @@ def test_shard_merge_is_cellwise_sum(spark):
     a = {(r["i"], r["bucket"]): r["c"] for r in merged.collect()}
     b = {(r["i"], r["bucket"]): r["c"] for r in direct.collect()}
     assert a == b
+
+
+def test_hll_tracks_exact_within_error_bound(spark):
+    import pandas as pd
+
+    from rca_data_tools_spark.operators.sketch import hll_estimate, hll_register_rows
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["a"] * 3000 + ["b"] * 500,
+             "k": [f"k{i}" for i in range(3000)] + [f"x{i % 40}" for i in range(500)]}
+        )
+    )
+    regs = hll_register_rows(df, "g", "k")
+    est = {r["grp"]: r["hll_estimate"] for r in hll_estimate(regs).collect()}
+    # m=64 -> typical rel. error 1.04/sqrt(64) = 13%; assert a loose 3-sigma
+    assert abs(est["a"] - 3000) / 3000 < 0.40, est
+    assert abs(est["b"] - 40) / 40 < 0.40, est
+
+
+def test_hll_shard_merge_is_registerwise_max(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.sketch import hll_register_rows
+
+    full = spark.createDataFrame(
+        pd.DataFrame({"rid": range(400), "g": ["a"] * 400,
+                      "k": [f"k{i % 123}" for i in range(400)]})
+    )
+    s1, s2 = full.filter(F.col("rid") % 2 == 0), full.filter(F.col("rid") % 2 == 1)
+    merged = (
+        hll_register_rows(s1, "g", "k").unionByName(hll_register_rows(s2, "g", "k"))
+        .groupBy("grp", "idx").agg(F.max("r").alias("r"))
+    )
+    direct = hll_register_rows(full, "g", "k")
+    a = {(r["grp"], r["idx"]): r["r"] for r in merged.collect()}
+    b = {(r["grp"], r["idx"]): r["r"] for r in direct.collect()}
+    assert a == b
