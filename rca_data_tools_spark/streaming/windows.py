@@ -116,3 +116,51 @@ def streaming_dedup(
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
     return events.dropDuplicates(key_cols)
+
+
+def streaming_hll_registers(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed distinct-cardinality sketch build as ONE streaming
+    aggregation: per (window, key, register) MAX of the HLL rank.
+
+    HLL's merge operator IS max, so the watermarked streaming agg maintains
+    the exact sketch incrementally — bounded state of 64 registers per
+    (window, key), evicted by the watermark; batch and stream produce the
+    identical register table (tested), and operators.sketch.hll_estimate
+    turns either into cardinality estimates downstream.
+    """
+    from rca_data_tools_spark.operators.sketch import HLL_M, _HLL_WBITS
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    idx = h % HLL_M
+    w = F.floor(h / HLL_M)
+    rho = F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_WBITS + 1)
+    )
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.col(key_col),
+            idx.alias("idx"),
+        )
+        .agg(F.max(rho).alias("r"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "idx",
+            "r",
+        )
+    )

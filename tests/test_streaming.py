@@ -368,3 +368,40 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 
     keys = collections.Counter((r[0], r[1]) for r in got)
     assert max(keys.values()) == 1
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The HLL sketch builds incrementally as one watermarked streaming
+    max-agg (merge operator = MAX); stream and batch register tables are
+    identical, hence identical estimates."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.sketch import hll_estimate
+    from rca_data_tools_spark.sources.readers import load_table
+    from rca_data_tools_spark.streaming.windows import (
+        run_stream_to_memory,
+        streaming_hll_registers,
+    )
+
+    src_dir = str(tmp_path / "src")
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "event_type", "user_id")
+    events.write.parquet(src_dir)
+    got = run_stream_to_memory(
+        spark, src_dir, events.schema, streaming_hll_registers,
+        query_name="hll_regs",
+    ).orderBy("window_start", "event_type", "idx")
+    expect = streaming_hll_registers(events).orderBy(
+        "window_start", "event_type", "idx"
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+    # and the estimates derived from the streamed registers are sane
+    regs = got.groupBy("event_type", "idx").agg(F.max("r").alias("r")).withColumnRenamed("event_type", "grp")
+    ests = {r["grp"]: r["hll_estimate"] for r in hll_estimate(regs).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    for k, n in exact.items():
+        assert abs(ests[k] - n) / max(n, 1) < 0.4, (k, ests[k], n)
