@@ -636,3 +636,106 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("c", " ").alias("chunk_text"),
         )
     )
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    oracle=rf"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+    LEAST(1.0, length(text) / 500.0) AS len_score,
+    LEAST(1.0, CASE WHEN length(text) > 0
+        THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+        ELSE 0.0 END * 4.0) AS punct_penalty,
+    LEAST(1.0, CASE WHEN len({_NTOKS_SQL}) > 0
+        THEN len(list_filter({_NTOKS_SQL}, t -> t IN ({_in_list(LANG_MARKERS['en'])}))) / len({_NTOKS_SQL})
+        ELSE 0.0 END * 4.0) AS stop_score
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         ROUND(len_score * 0.4 + (1.0 - punct_penalty) * 0.3 + stop_score * 0.3, 6) AS quality,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
+  FROM m
+), kept AS (
+  SELECT norm_text, MIN(doc_id) AS keep_id
+  FROM scored WHERE quality >= 0.5 AND lang = 'en'
+  GROUP BY norm_text
+), survivors AS (
+  SELECT s.doc_id, s.lang,
+         list_filter(str_split(s.norm_text, ' '), t -> t <> '') AS ws
+  FROM scored s JOIN kept k ON s.doc_id = k.keep_id
+), chunks AS (
+  SELECT doc_id, lang,
+         doc_id % 8 AS shard_id,
+         ch.k AS chunk_id,
+         len(ch.c) AS n_tokens
+  FROM (
+    SELECT doc_id, lang,
+           unnest([{{'k': k, 'c': ws[k*40+1 : k*40+50]}}
+                   FOR k IN range(CAST(ceil(len(ws) / 40.0) AS BIGINT))]) AS ch
+    FROM survivors
+  )
+), packed AS (
+  SELECT lang, shard_id, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, shard_id
+                       ORDER BY doc_id * 1000 + chunk_id) - n_tokens) / 256.0) AS BIGINT) AS bin_id
+  FROM chunks
+)
+SELECT lang, shard_id, bin_id,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       SUM(n_tokens)::BIGINT AS bin_tokens
+FROM packed GROUP BY 1, 2, 3
+""",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data analogue of pipeline_qaqc_job: quality gate -> language
+    gate -> exact dedup -> overlapping chunking -> fixed-budget sequence
+    packing -> per-shard bin stats, all ONE declarative Catalyst plan.
+
+    Scale shape: gates prune before the dedup shuffle; chunking is a flat
+    projection; packing runs per (lang, hash-shard) so bins pack in parallel
+    with no global order (operators/sampling.pack_greedy); the final agg is
+    map-side combined. Two data-sized shuffles total (dedup fingerprints,
+    shard packing) — each of 32-byte-hash or chunk-stat rows, never raw text.
+    """
+    from rca_data_tools_spark.operators.sampling import pack_greedy
+    from rca_data_tools_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        quality_score("text").alias("quality"),
+        normalize("text").alias("norm_text"),
+    )
+    gated = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    keep = gated.groupBy(F.md5("norm_text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    survivors = gated.join(
+        keep, gated.doc_id == keep.keep_id, "left_semi"
+    ).select(
+        "doc_id", "lang",
+        F.filter(F.split("norm_text", " "), lambda t: t != "").alias("ws"),
+    )
+    n = F.size("ws")
+    ks = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / F.lit(40.0)).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = survivors.select(
+        "doc_id", "lang",
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.explode(ks).alias("chunk_id"),
+        F.col("ws"),
+    ).select(
+        "doc_id", "lang", "shard_id", "chunk_id",
+        F.size(F.slice(F.col("ws"), F.col("chunk_id") * 40 + 1, 50)).alias("n_tokens"),
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("ordk"),
+        F.concat_ws("|", "lang", "shard_id").alias("shard"),
+    )
+    packed = pack_greedy(chunks, "shard", "ordk", "n_tokens", 256)
+    return packed.groupBy("lang", "shard_id", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
