@@ -56,6 +56,9 @@ class Dataset:
     # [(chunk_offset_tuple, address, nbytes, filter_mask)]
     chunks: list[tuple[tuple[int, ...], int, int, int]] = field(default_factory=list)
     filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
+    # scalar numeric attributes (e.g. netCDF-4's _FillValue); non-scalar or
+    # non-numeric attributes are skipped, never mis-read
+    attrs: dict[str, float] = field(default_factory=dict)
 
 
 class H5File:
@@ -219,6 +222,10 @@ class H5File:
                 layout = self._parse_layout(data, ds)
             elif mtype == 0x000B:
                 ds.filters = self._parse_filters(data)
+            elif mtype == 0x000C:
+                parsed = self._parse_attribute(data)
+                if parsed is not None:
+                    ds.attrs[parsed[0]] = parsed[1]
         if shape is None or dtype is None or layout is None:
             return None  # not a dataset (e.g. named datatype)
         ds.shape, ds.dtype, ds.layout = shape, dtype, layout
@@ -233,6 +240,38 @@ class H5File:
                     "(supported: deflate, shuffle)"
                 )
         return ds
+
+    def _parse_attribute(self, d: bytes) -> tuple[str, float] | None:
+        """Scalar numeric attribute (name, value) — the netCDF-4 _FillValue
+        shape. Returns None (skip) for anything outside the subset: v3
+        encodings, shared datatypes, non-scalar dataspaces, non-numeric
+        types."""
+        version = d[0]
+        if version not in (1, 2):
+            return None
+        name_size = int.from_bytes(d[2:4], "little")
+        dt_size = int.from_bytes(d[4:6], "little")
+        sp_size = int.from_bytes(d[6:8], "little")
+        if version == 2 and d[1] & 0x01:  # shared datatype
+            return None
+        pad = (lambda n: n + ((8 - n % 8) % 8)) if version == 1 else (lambda n: n)
+        pos = 8
+        name = d[pos : pos + name_size].split(b"\x00")[0].decode(errors="replace")
+        pos += pad(name_size)
+        try:
+            dtype = self._parse_datatype(d[pos : pos + dt_size])
+        except NotImplementedError:
+            return None
+        pos += pad(dt_size)
+        space = d[pos : pos + sp_size]
+        pos += pad(sp_size)
+        rank = space[1] if len(space) > 1 else 255
+        if rank != 0:  # only scalar attributes
+            return None
+        value = np.frombuffer(d[pos : pos + dtype.itemsize], dtype=dtype)
+        if len(value) != 1:
+            return None
+        return name, float(value[0])
 
     def _parse_dataspace(self, d: bytes) -> tuple[int, ...]:
         version, rank, flags = d[0], d[1], d[2]

@@ -250,6 +250,9 @@ def netcdf4_table(
             "chunk_shape": ds.chunk_shape,
             "chunks": ds.chunks,
             "filters": ds.filters,
+            # netCDF-4 missing-data convention: _FillValue -> SQL NULL,
+            # same contract as the Zarr scan's fill handling
+            "fill": ds.attrs.get("_FillValue"),
         }
     n_rows = metas[variables[0]]["shape"][0]
     for v, m in metas.items():
@@ -298,6 +301,9 @@ def netcdf4_table(
                     out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                     for v in variables:
                         arr = _rows(f, metas[v], lo, hi).astype(np.float64)
+                        fill = metas[v]["fill"]
+                        if fill is not None and not np.isnan(fill):
+                            arr = np.where(arr == fill, np.nan, arr)
                         out[v] = list(arr) if len(metas[v]["shape"]) == 2 else arr[:, 0]
                     yield pd.DataFrame(out)
 

@@ -64,6 +64,17 @@ def _layout_chunked(btree_addr: int, chunk_shape: tuple[int, ...], elem: int) ->
     )
 
 
+def _attribute(name: str, value, dtype: np.dtype) -> bytes:
+    """v1 attribute message with a scalar numeric value (_FillValue shape)."""
+    nb = name.encode() + b"\x00"
+    dt = _datatype(dtype)
+    sp = struct.pack("<BBB5x", 1, 0, 0)  # scalar dataspace: rank 0
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(sp))
+    body += _pad8(nb) + _pad8(dt) + _pad8(sp)
+    body += np.array([value], dtype=dtype).tobytes()
+    return body
+
+
 def _filter_pipeline(filters: list[tuple[int, tuple[int, ...]]]) -> bytes:
     out = struct.pack("<BB6x", 1, len(filters))
     for fid, cdv in filters:
@@ -144,6 +155,8 @@ def write_h5(path, datasets: dict[str, dict]) -> None:
         spec = datasets[n]
         arr = np.ascontiguousarray(spec["array"])
         msgs = [_msg(0x0001, _dataspace(arr.shape)), _msg(0x0003, _datatype(arr.dtype))]
+        if spec.get("fill") is not None:
+            msgs.append(_msg(0x000C, _attribute("_FillValue", spec["fill"], arr.dtype)))
         if spec.get("chunks") is None:
             raw = arr.tobytes()
             addr = w.append(raw)
@@ -304,3 +317,26 @@ def test_big_endian_and_missing_variable(tmp_path, spark):
     np.testing.assert_array_equal(read_dataset(h5, "v"), arr)
     with pytest.raises(KeyError, match="not in"):
         netcdf4_table(spark, path, ["nope"])
+
+
+def test_fillvalue_attribute_to_null(spark, tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+    from rca_data_tools_spark.sources.netcdf import netcdf4_table
+
+    path = str(tmp_path / "fill.nc")
+    vals = np.arange(30, dtype="<f8")
+    vals[7] = -9999.0
+    vals[21] = -9999.0
+    write_h5(
+        path,
+        {"v": {"array": vals, "chunks": (8,), "filters": [("deflate", 1)], "fill": -9999.0}},
+    )
+    h5 = H5File(path)
+    assert h5.datasets["v"].attrs == {"_FillValue": -9999.0}
+    rows = netcdf4_table(spark, path, ["v"], records_per_task=9).orderBy("idx").collect()
+    got = [r["v"] for r in rows]
+    assert got[7] is None and got[21] is None
+    np.testing.assert_allclose(
+        [g for i, g in enumerate(got) if i not in (7, 21)],
+        [v for i, v in enumerate(vals) if i not in (7, 21)],
+    )
