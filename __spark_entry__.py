@@ -20,12 +20,16 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round. Round 1
 # checked the first 50 registrations (46 green); round 2 checked the next
 # family block (48 green; cumulative 92/141 green). This round-3 window
-# carries ALL 49 registered queries without a driver-green row: the two
-# round-2 reds (calc_nutnr_nitrate / calc_poly_fit — array cells -> scalar
-# columns + real oracles, fixed), the 34-query rotation tail the round-2
-# verdict listed, and the 13 queries added after the r02 snapshot. One
-# spot-recheck sentinel (q1) fills the last slot. After this round every
-# registered query has a driver-checked row.
+# carries ALL 49 queries that entered the registry before this round and
+# lack a driver-green row: the two round-2 reds (calc_nutnr_nitrate /
+# calc_poly_fit — array cells -> scalar columns + real oracles, fixed), the
+# 34-query rotation tail the round-2 verdict listed, and the 13 queries
+# added after the r02 snapshot. One spot-recheck sentinel (q1) fills the
+# last slot. The 11 queries ADDED DURING round 3 (bpe_*, text_bm25_topk,
+# sketch_*, embed_kmeans_clusters, text_chunk_windows,
+# pipeline_pretrain_corpus, sample_weighted_topk / _shuffle_order /
+# _domain_mix) do not fit this window — they are local-parity-green and
+# form the round-4 rotation.
 _ROUND_WINDOW = [
     # round-2 reds, fixed this round (lead with them)
     "calc_nutnr_nitrate",

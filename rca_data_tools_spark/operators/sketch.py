@@ -92,13 +92,37 @@ def cms_estimate(
             )
         ).alias("cell"),
     ).select("*", "cell.i", "cell.bucket")
-    joined = probes.join(F.broadcast(cells), ["i", "bucket"])
+    # LEFT join + zero-fill: a probed key whose bucket received no mass has a
+    # true cell count of 0 — an inner join would silently drop that probe and
+    # overestimate unseen keys (min over only the nonzero cells).
+    joined = probes.join(F.broadcast(cells), ["i", "bucket"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
     others = [c for c in keys.columns]
     return joined.groupBy(*others).agg(F.min("c").alias("cms_estimate"))
 
 
 HLL_M = 64  # registers (b = 6 index bits); alpha_64 = 0.709
 _HLL_WBITS = 26  # 32-bit hash minus 6 index bits
+
+
+def hll_hash_cols(key_col: str) -> tuple[Column, Column]:
+    """(register index, rho) expressions for one key column — the single
+    definition shared by the batch build and the streaming build, so the two
+    register tables cannot silently diverge."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    idx = h % HLL_M
+    w = F.floor(h / HLL_M)
+    rho = F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(_HLL_WBITS + 1)
+    )
+    return idx, rho
 
 
 def hll_register_rows(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
@@ -113,18 +137,7 @@ def hll_register_rows(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     Scale shape: one map-side-combined groupBy to (groups x 64) rows —
     constant-size state per group; shard sketches merge by register-wise MAX.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll|"), F.col(key_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    idx = h % HLL_M
-    w = F.floor(h / HLL_M)
-    rho = F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
-        F.lit(_HLL_WBITS + 1)
-    )
+    idx, rho = hll_hash_cols(key_col)
     return df.groupBy(F.col(group_col).alias("grp"), idx.alias("idx")).agg(
         F.max(rho).alias("r")
     )

@@ -54,8 +54,19 @@ s0 AS MATERIALIZED (SELECT word, freq,
     FROM (SELECT freq, str_split(trim(seq), '  ') AS sym FROM s{k - 1})
   ) GROUP BY 1, 2
 ),
-m{k} AS MATERIALIZED (SELECT {k} AS merge_rank, l, r, cnt
+t{k} AS MATERIALIZED (SELECT l, r, cnt
          FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+m{k} AS MATERIALIZED (
+  -- Never empty: when training exhausts merges early (no adjacent pairs
+  -- left), emit a chr(1) sentinel whose replace pattern cannot match any
+  -- real symbol, so later apply stages are no-ops instead of being
+  -- annihilated by a cross join with zero rows. Sentinels carry cnt = 0 and
+  -- are filtered out of the merge-table result.
+  SELECT {k} AS merge_rank,
+         COALESCE((SELECT l FROM t{k}), chr(1)) AS l,
+         COALESCE((SELECT r FROM t{k}), chr(1)) AS r,
+         COALESCE((SELECT cnt FROM t{k}), 0) AS cnt
+),
 s{k} AS MATERIALIZED (SELECT word, freq,
          replace(seq, ' ' || m.l || '  ' || m.r || ' ',
                       ' ' || m.l || m.r || ' ') AS seq
@@ -72,6 +83,7 @@ _TRAIN_ORACLE = f"""
 WITH {_train_ctes()}
 SELECT merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS freq
 FROM ({_MERGES_UNION})
+WHERE cnt > 0
 ORDER BY merge_rank
 """
 

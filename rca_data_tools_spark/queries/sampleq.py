@@ -24,8 +24,13 @@ from rca_data_tools_spark.operators.sampling import (
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
-# DuckDB twin of operators.sampling.hash_uniform (salt "s").
-_U_SQL = "CAST(('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+# DuckDB twin of operators.sampling.hash_uniform, parameterized by salt so
+# oracles can never silently diverge from the Spark side's salt argument.
+def _u_sql(salt: str, key: str = "doc_id") -> str:
+    return f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+_U_SQL = _u_sql("s")
 _TOK_SQL = r"len(list_filter(str_split_regex(trim(text), '\s+'), t -> t <> ''))"
 
 _STRATA_RATES = {"en": 0.25, "zh": 0.5}
@@ -212,7 +217,7 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the log of the classic u^(1/w) key, monotone in it, and numerically safer.
 # Rounded to 9 decimals on BOTH sides so the rank boundary is exact; doc_id
 # breaks residual ties deterministically.
-_UW_SQL = "CAST(('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_UW_SQL = _u_sql("w")
 
 
 @query(
@@ -248,7 +253,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_shuffle_order",
     oracle=f"""
 WITH u AS (
-  SELECT doc_id, lang, {_U_SQL.replace("md5('s'", "md5('sh'")} AS uv
+  SELECT doc_id, lang, {_u_sql("sh")} AS uv
   FROM documents
 )
 SELECT doc_id, lang,

@@ -334,11 +334,19 @@ class H5File:
         out: list[tuple[int, tuple[int, ...]]] = []
         for _ in range(nfilters):
             fid = int.from_bytes(d[pos : pos + 2], "little")
-            name_len = int.from_bytes(d[pos + 2 : pos + 4], "little")
-            ncdv = int.from_bytes(d[pos + 6 : pos + 8], "little")
-            pos += 8
-            if version == 1 or name_len:
-                pos += name_len + ((8 - name_len % 8) % 8 if name_len else 0)
+            pos += 2
+            # v2 omits the Name Length field entirely for filter ids < 256
+            # (spec: "Filters with IDs less than 256 ... do not store the
+            # Name Length or Name fields"); v1 always stores it.
+            if version == 1 or fid >= 256:
+                name_len = int.from_bytes(d[pos : pos + 2], "little")
+                pos += 2
+            else:
+                name_len = 0
+            ncdv = int.from_bytes(d[pos + 2 : pos + 4], "little")
+            pos += 4  # flags + ncdv
+            if name_len:
+                pos += name_len + ((8 - name_len % 8) % 8 if version == 1 else 0)
             cdv = tuple(
                 int.from_bytes(d[pos + 4 * i : pos + 4 * i + 4], "little")
                 for i in range(ncdv)

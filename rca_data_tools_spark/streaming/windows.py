@@ -135,20 +135,9 @@ def streaming_hll_registers(
     identical register table (tested), and operators.sketch.hll_estimate
     turns either into cardinality estimates downstream.
     """
-    from rca_data_tools_spark.operators.sketch import HLL_M, _HLL_WBITS
+    from rca_data_tools_spark.operators.sketch import hll_hash_cols
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll|"), F.col(id_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    idx = h % HLL_M
-    w = F.floor(h / HLL_M)
-    rho = F.when(w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))).otherwise(
-        F.lit(_HLL_WBITS + 1)
-    )
+    idx, rho = hll_hash_cols(id_col)
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(

@@ -149,3 +149,34 @@ def test_property_matches_reference_on_random_corpora():
         assert train_merges(wf, k) == _naive_bpe(wf, k)
 
     check()
+
+
+def test_oracle_survives_early_merge_exhaustion(spark, tmp_path):
+    """A corpus whose vocabulary fully merges before N_MERGES must not
+    annihilate the oracle's later apply stages (sentinel no-op merges), and
+    the merge table must still match the early-stopping Python trainer."""
+    import duckdb
+    import pandas as pd
+
+    from rca_data_tools_spark.queries import ORACLES, QUERIES
+
+    sf = str(tmp_path)
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["ab ab ab", "ab a", "b ab"],
+         "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [8, 4, 4]}
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for name in ("bpe_train_merges", "bpe_apply_tokens"):
+        sdf = (
+            QUERIES[name](spark, sf).toPandas().sort_values("doc_id" if "apply" in name else "merge_rank").reset_index(drop=True)
+        )
+        odf = con.execute(ORACLES[name]).df().sort_values("doc_id" if "apply" in name else "merge_rank").reset_index(drop=True)
+        assert len(sdf) == len(odf) and len(sdf) > 0, (name, len(sdf), len(odf))
+        for c in sdf.columns:
+            assert list(sdf[c].astype(str)) == list(odf[c].astype(str)), (name, c)

@@ -340,3 +340,24 @@ def test_fillvalue_attribute_to_null(spark, tmp_path):
         [g for i, g in enumerate(got) if i not in (7, 21)],
         [v for i, v in enumerate(vals) if i not in (7, 21)],
     )
+
+
+def test_filter_pipeline_v2_short_layout(tmp_path):
+    """Version-2 filter pipelines omit the Name Length field for ids < 256
+    (and pad nothing); both layouts must parse to the same filters."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    h5 = H5File.__new__(H5File)  # parser methods only
+    # v2, 2 filters: shuffle(id=2, cdv=[8]) then deflate(id=1, cdv=[6])
+    v2 = struct.pack("<BB", 2, 2)
+    v2 += struct.pack("<HHH", 2, 0, 1) + struct.pack("<I", 8)
+    v2 += struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)
+    assert h5._parse_filters(v2) == [(2, (8,)), (1, (6,))]
+    # v1 equivalent (from the fixture writer) parses identically
+    v1 = _filter_pipeline([(2, (8,)), (1, (6,))])
+    assert h5._parse_filters(v1) == [(2, (8,)), (1, (6,))]
+    # v2 with a registered (id >= 256) filter carrying a name
+    name = b"myfilt"
+    v2n = struct.pack("<BB", 2, 1)
+    v2n += struct.pack("<HHHH", 300, len(name), 0, 2) + name + struct.pack("<II", 7, 9)
+    assert h5._parse_filters(v2n) == [(300, (7, 9))]
