@@ -285,3 +285,62 @@ def subperiod_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").alias("iso_week"),
         F.month("ts").alias("month_key"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "w_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT m.event_type, ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+       COUNT(*) AS n,
+       SUM(CASE WHEN abs(e.value - m.med) > 4.4478 * d.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY m.event_type, m.med, d.mad
+""",
+)
+def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier census: median absolute deviation with the
+    standard 3-sigma-equivalent cut (|x - med| > 3 * 1.4826 * MAD = 4.4478
+    * MAD) — the robust alternative to the mean/stddev spike tests, immune
+    to the outliers it is hunting.
+
+    Scale shape: two map-side-combined aggregations onto the (few) series
+    keys, each broadcast back onto the fact scan — the fact table never
+    shuffles. The exact median sorts inside the aggregation buffer; at
+    100 TB swap percentile -> percentile_approx (same plan shape). Spark's
+    percentile and DuckDB's quantile_cont share the p*(n-1) interpolation
+    and are bit-identical on doubles (a15 precedent).
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    full = with_med.join(F.broadcast(mad), "event_type")
+    return full.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > F.lit(4.4478) * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    ).select(
+        "event_type",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n",
+        "n_outliers",
+    )
