@@ -616,3 +616,93 @@ def calc_anomaly_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs_mean.alias("obs_mean"),
         (obs_mean - F.col("cs1") / F.col("cn")).alias("anomaly"),
     )
+
+
+# --- tidal harmonic fit (M2 constituent) ------------------------------------
+# omega in rad/hour for the principal lunar semidiurnal period (12.4206 h).
+_M2_OMEGA = 2.0 * 3.141592653589793 / 12.4206
+
+_TIDAL_ORACLE = f"""
+WITH b AS (
+  SELECT user_id,
+         ROUND(cos({_M2_OMEGA!r} * (CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0)), 6) AS cw,
+         ROUND(sin({_M2_OMEGA!r} * (CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0)), 6) AS sw,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         {dsum_sql('cw')} AS sc, {dsum_sql('sw')} AS ss,
+         {dsum_sql('cw * cw', 12)} AS scc, {dsum_sql('cw * sw', 12)} AS scs,
+         {dsum_sql('sw * sw', 12)} AS sss,
+         {dsum_sql('y')} AS sy, {dsum_sql('cw * y', 12)} AS scy,
+         {dsum_sql('sw * y', 12)} AS ssy
+  FROM b GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n,
+         (scc * (sss * n - ss * ss) - scs * (scs * n - ss * sc) + sc * (scs * ss - sss * sc)) AS det,
+         (scy * (sss * n - ss * ss) - scs * (ssy * n - ss * sy) + sc * (ssy * ss - sss * sy)) AS det_a,
+         (scc * (ssy * n - ss * sy) - scy * (scs * n - ss * sc) + sc * (scs * sy - ssy * sc)) AS det_b,
+         (scc * (sss * sy - ssy * ss) - scs * (scs * sy - ssy * sc) + scy * (scs * ss - sss * sc)) AS det_c
+  FROM s
+)
+SELECT user_id, n,
+       ROUND(SQRT((det_a / det) * (det_a / det) + (det_b / det) * (det_b / det)), 4) AS m2_amp,
+       ROUND(DEGREES(ATAN2(det_b / det, det_a / det)), 2) AS m2_phase_deg,
+       ROUND(det_c / det, 4) AS mean_level
+FROM f
+WHERE ABS(det) > 1e-9
+"""
+
+
+@query("calc_tidal_harmonic", oracle=_TIDAL_ORACLE)
+def calc_tidal_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series harmonic analysis at the M2 tidal frequency: least-squares
+    fit of y = a*cos(wt) + b*sin(wt) + c per user series, reported as
+    amplitude / phase / mean level — the constituent decomposition an ocean
+    observatory runs on pressure/level series (the reference's domain).
+
+    Exactness: the closed-form 3x3 normal equations solve entirely in
+    IEEE-correctly-rounded ops (+,-,*,/,sqrt) over decimal-exact sums of
+    round-6 basis values, so both engines produce bit-identical fits; the
+    only libm calls (cos/sin/atan2) are rounded before use / at output.
+    Scale shape: one map-side-combined aggregation onto the series keys —
+    nine running sums — then scalar algebra on the dim-sized result. The
+    fact table never shuffles; adding constituents adds columns, not passes.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t_hours = F.unix_micros(F.col("ts")).cast("double") / F.lit(3600000000.0)
+    cw = F.round(F.cos(F.lit(_M2_OMEGA) * t_hours), 6)
+    sw = F.round(F.sin(F.lit(_M2_OMEGA) * t_hours), 6)
+    b = e.select("user_id", cw.alias("cw"), sw.alias("sw"), F.col("value").alias("y"))
+    s = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("cw").alias("sc"), dsum("sw").alias("ss"),
+        dsum(F.col("cw") * F.col("cw"), 12).alias("scc"),
+        dsum(F.col("cw") * F.col("sw"), 12).alias("scs"),
+        dsum(F.col("sw") * F.col("sw"), 12).alias("sss"),
+        dsum("y").alias("sy"),
+        dsum(F.col("cw") * F.col("y"), 12).alias("scy"),
+        dsum(F.col("sw") * F.col("y"), 12).alias("ssy"),
+    )
+    scc, scs, sss = F.col("scc"), F.col("scs"), F.col("sss")
+    sc, ss, sy = F.col("sc"), F.col("ss"), F.col("sy")
+    scy, ssy, n = F.col("scy"), F.col("ssy"), F.col("n")
+    det = scc * (sss * n - ss * ss) - scs * (scs * n - ss * sc) + sc * (scs * ss - sss * sc)
+    det_a = scy * (sss * n - ss * ss) - scs * (ssy * n - ss * sy) + sc * (ssy * ss - sss * sy)
+    det_b = scc * (ssy * n - ss * sy) - scy * (scs * n - ss * sc) + sc * (scs * sy - ssy * sc)
+    det_c = scc * (sss * sy - ssy * ss) - scs * (scs * sy - ssy * sc) + scy * (scs * ss - sss * sc)
+    f = s.select(
+        "user_id", "n",
+        det.alias("det"), det_a.alias("det_a"),
+        det_b.alias("det_b"), det_c.alias("det_c"),
+    ).filter(F.abs(F.col("det")) > 1e-9)
+    a_, b_ = F.col("det_a") / F.col("det"), F.col("det_b") / F.col("det")
+    return f.select(
+        "user_id", "n",
+        F.round(F.sqrt(a_ * a_ + b_ * b_), 4).alias("m2_amp"),
+        F.round(F.degrees(F.atan2(b_, a_)), 2).alias("m2_phase_deg"),
+        F.round(F.col("det_c") / F.col("det"), 4).alias("mean_level"),
+    )
