@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rca_data_tools_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from rca_data_tools_spark.queries._registry import query
@@ -795,4 +796,81 @@ def a15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.count("value").alias("n"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id ASC) AS rk
+  FROM c
+)
+SELECT event_type, user_id AS mode_user, cnt AS mode_count
+FROM r WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group (mode), with an explicit deterministic
+    tie-break (highest count, then lowest key) — never an engine-native
+    mode() whose tie behavior is unspecified.
+
+    Scale shape: one map-side-combined (group, value) count, then a window
+    over the dim-sized count table partitioned by group. The fact table
+    shuffles once, on the composite count key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS bin_min,
+       ROUND(MAX(value), 6) AS bin_max
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per series (bin width 10): the
+    distribution summary behind dashboard color scaling, as one
+    map-side-combined aggregation — bins are computed in the projection, so
+    a 100 TB histogram is one scan plus a tiny shuffle of (series, bin)
+    partials.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
     )

@@ -153,3 +153,41 @@ def streaming_hll_registers(
             "r",
         )
     )
+
+
+def streaming_cms_cells(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed Count-Min sketch build as ONE streaming aggregation: per
+    (window, hash-row, bucket) SUM of occurrences.
+
+    CMS's merge operator IS cell-wise addition, so the watermarked streaming
+    sum maintains the exact sketch incrementally — bounded d*w cells per
+    window, evicted by the watermark; batch and stream produce the identical
+    cell table (tested) and operators.sketch.cms_estimate serves point
+    queries downstream.
+    """
+    from rca_data_tools_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    cms_bucket(F.col(key_col), i, CMS_WIDTH).alias("bucket"),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("cell")
+    return (
+        src.select(F.col(ts_col), cells)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "cell.i", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "i", "bucket", "c")
+    )

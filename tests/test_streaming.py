@@ -405,3 +405,22 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     }
     for k, n in exact.items():
         assert abs(ests[k] - n) / max(n, 1) < 0.4, (k, ests[k], n)
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """CMS builds incrementally as one watermarked streaming count-agg
+    (merge operator = cell-wise SUM); stream and batch cell tables match."""
+    from rca_data_tools_spark.sources.readers import load_table
+    from rca_data_tools_spark.streaming.windows import (
+        run_stream_to_memory,
+        streaming_cms_cells,
+    )
+
+    src_dir = str(tmp_path / "src")
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "user_id")
+    events.write.parquet(src_dir)
+    got = run_stream_to_memory(
+        spark, src_dir, events.schema, streaming_cms_cells, query_name="cms_cells"
+    ).orderBy("window_start", "i", "bucket")
+    expect = streaming_cms_cells(events).orderBy("window_start", "i", "bucket")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
