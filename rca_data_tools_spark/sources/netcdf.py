@@ -312,3 +312,46 @@ def netcdf4_table(
         for v in variables
     ]
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
+
+
+def netcdf_dataset_table(
+    spark: SparkSession,
+    paths: list[str] | str,
+    variables: list[str],
+    records_per_task: int = 65536,
+    index_name: str = "idx",
+    file_col: str = "file_id",
+) -> DataFrame:
+    """Scan a collection of NetCDF files (classic or NetCDF-4, mixed is
+    fine) as one DataFrame with a ``file_id`` provenance column — the
+    reference's per-deployment file layout (one .nc per deployment) read as
+    a single table.
+
+    Scale shape: each file contributes its own chunk-index plan (metadata
+    parsed driver-side per file, KBs each), unioned lazily — tasks fan out
+    over files x record-ranges, so a directory of a thousand deployments
+    parallelizes like a partitioned table. Schema mismatches fail loudly at
+    plan time via the per-file variable checks.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    if isinstance(paths, str):
+        found = sorted(
+            p for p in _glob.glob(os.path.join(paths, "*.nc"))
+        ) or sorted(_glob.glob(paths))
+        if not found:
+            raise FileNotFoundError(f"no .nc files under {paths!r}")
+        paths = found
+    parts = []
+    for i, p in enumerate(paths):
+        df = netcdf_table(
+            spark, p, variables,
+            records_per_task=records_per_task, index_name=index_name,
+        )
+        parts.append(df.select(F.lit(i).alias(file_col), "*"))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

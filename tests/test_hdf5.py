@@ -361,3 +361,22 @@ def test_filter_pipeline_v2_short_layout(tmp_path):
     v2n = struct.pack("<BB", 2, 1)
     v2n += struct.pack("<HHHH", 300, len(name), 0, 2) + name + struct.pack("<II", 7, 9)
     assert h5._parse_filters(v2n) == [(300, (7, 9))]
+
+
+def test_mixed_format_directory_scan(spark, tmp_path, h5_file):
+    """A directory mixing classic CDF-1 and NetCDF-4 files reads as one
+    table with file provenance."""
+    import shutil
+
+    from rca_data_tools_spark.sources.netcdf import netcdf_dataset_table
+
+    h5_path, arrays = h5_file
+    d = tmp_path / "deployments"
+    d.mkdir()
+    shutil.copy(h5_path, d / "deploy2.nc")
+    shutil.copy(h5_path, d / "deploy1.nc")
+    df = netcdf_dataset_table(spark, str(d), ["time", "temp"], records_per_task=33)
+    assert df.count() == 200
+    assert df.select("file_id").distinct().count() == 2
+    one = df.filter("file_id = 0").orderBy("idx").collect()
+    np.testing.assert_allclose([r["time"] for r in one], arrays["time"])
