@@ -739,3 +739,76 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=rf"""
+WITH pres AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest({_NTOKS_SQL}) AS w FROM documents
+  )
+),
+df AS MATERIALIZED (SELECT w, COUNT(*) AS dfreq FROM pres GROUP BY w),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_xy
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT p.w1, p.w2, p.c_xy,
+       ROUND(LN((p.c_xy * (SELECT n_docs FROM n))
+                / (CAST(d1.dfreq AS DOUBLE) * d2.dfreq)), 6) AS pmi
+FROM pairs p
+JOIN df d1 ON d1.w = p.w1
+JOIN df d2 ON d2.w = p.w2
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 20
+""",
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word pairs by pointwise mutual information over document-level
+    co-occurrence — collocation mining for corpus analysis.
+
+    Scale shape: the presence table dedupes to (doc, word) with map-side
+    partial distinct; the pair join is per-doc quadratic ONLY in the
+    (vocabulary-capped) distinct words of each document — at corpus scale
+    the standard cap is a broadcast top-V vocabulary filter before the
+    join. df and N are dim-sized; the top-20 is TakeOrdered on the rounded
+    PMI with deterministic pair tie-breaks.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # config-sized scalar, embedded as a plan literal
+    pres = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    df_ = pres.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    a = pres.toDF("doc_id", "w1")
+    b = pres.toDF("doc_id", "w2")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    d1 = F.broadcast(df_.toDF("w1", "df1"))
+    d2 = F.broadcast(df_.toDF("w2", "df2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") * F.lit(n_docs))
+            / (F.col("df1").cast("double") * F.col("df2"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(d1, "w1")
+        .join(d2, "w2")
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
