@@ -1,0 +1,133 @@
+"""Command-line entry point: ``python -m rca_data_tools_spark <cmd>``.
+
+The reference is operated through flow/CLI entry points (qaqc/flow.py
+``qaqc_pipeline_flow``, qaqc/index.py ``main``); this is the engine's
+equivalent operational surface:
+
+  list                         registered queries (one per SURVEY §2 op)
+  query NAME [--sf-dir D]      run one registered query, print rows
+  qaqc --site S --span P       run a QA/QC job lifecycle to a partitioned sink
+  index --out-dir D            write the JSON output index (reference index.py)
+  convert-zarr SRC OUT         one-pass Zarr (v2/v3) -> Parquet ingest
+  bench                        the headline benchmark (same as bench.py)
+
+Every command builds the standard session (AQE, UTC, Arrow — session.py) and
+runs a declarative plan; nothing here is logic, only wiring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rca_data_tools_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    q = sub.add_parser("query", help="run one registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    j = sub.add_parser("qaqc", help="run one (site, span) QA/QC job")
+    j.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    j.add_argument("--site", default="SITE01")
+    j.add_argument("--span", default="week", choices=["day", "week", "month", "year", "deploy"])
+    j.add_argument("--table", default="events")
+    j.add_argument("--key-col", default="user_id")
+    j.add_argument("--ts-col", default="ts")
+    j.add_argument("--value-col", default="value")
+    j.add_argument("--window-end", default=None)
+    j.add_argument("--threshold", type=int, default=5_000_000)
+    j.add_argument("--out-dir", default=None)
+
+    ix = sub.add_parser("index", help="write the output-directory JSON index")
+    ix.add_argument("--out-dir", required=True)
+
+    cz = sub.add_parser("convert-zarr", help="Zarr store -> Parquet ingest")
+    cz.add_argument("src")
+    cz.add_argument("out")
+    cz.add_argument("--variables", nargs="+", required=True)
+    cz.add_argument("--time-var", default=None)
+
+    sub.add_parser("bench", help="run the headline benchmark")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        sys.path.insert(0, ".")
+        import bench
+
+        bench.main()
+        return 0
+
+    from rca_data_tools_spark.queries import QUERIES
+    from rca_data_tools_spark.session import get_spark
+
+    if args.cmd == "list":
+        for name in QUERIES:
+            print(name)
+        return 0
+
+    spark = get_spark("rca-cli")
+    if args.cmd == "query":
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "qaqc":
+        from pyspark.sql import functions as F
+
+        from rca_data_tools_spark.pipeline import QAQCJobSpec, run_qaqc_job
+        from rca_data_tools_spark.sources.readers import load_table
+
+        spec = QAQCJobSpec(
+            site=args.site, span=args.span, table=args.table,
+            key_col=args.key_col, ts_col=args.ts_col, value_col=args.value_col,
+            window_end=args.window_end, threshold=args.threshold,
+        )
+        # default gross-range dim: per-key fail span from observed min/max
+        # padded 10% (a stand-in for the QARTOD config CSVs; pass real spans
+        # through sources/readers.read_csv in production)
+        keys = load_table(spark, args.sf_dir, args.table).groupBy(args.key_col).agg(
+            F.min(args.value_col).alias("lo"), F.max(args.value_col).alias("hi")
+        )
+        span_pad = (F.col("hi") - F.col("lo")) * 0.1
+        dim = keys.select(
+            args.key_col,
+            (F.col("lo") - span_pad).alias("fail_lo"),
+            (F.col("hi") + span_pad).alias("fail_hi"),
+            F.col("lo").alias("sus_lo"),
+            F.col("hi").alias("sus_hi"),
+        )
+        out = run_qaqc_job(spark, args.sf_dir, spec, dim, out_dir=args.out_dir)
+        print(f"rows: {out.count()}"
+              + (f" -> {args.out_dir} (site={args.site}/span={args.span})" if args.out_dir else ""))
+        return 0
+
+    if args.cmd == "index":
+        from rca_data_tools_spark.sources.sinks import file_listing, write_index_json
+
+        write_index_json(file_listing(spark, args.out_dir), args.out_dir)
+        print(f"index written under {args.out_dir}")
+        return 0
+
+    if args.cmd == "convert-zarr":
+        from rca_data_tools_spark.sources.zarr import zarr_to_parquet
+
+        df = zarr_to_parquet(
+            spark, args.src, args.variables, args.out, time_var=args.time_var
+        )
+        print(f"rows: {df.count()} -> {args.out}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
