@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rca_data_tools_spark.functions.numeric import dsum, dsum_sql
 from rca_data_tools_spark.functions.qc import qc_test_flags, rollup_flags, span_flag
@@ -258,4 +259,51 @@ def qc_climatology_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean - 3.0 * std).alias("clim_lo"),
             (mean + 3.0 * std).alias("clim_hi"),
         )
+    )
+
+
+@query(
+    "qc_flag_transitions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < 5.0 OR value > 200.0 THEN 4
+              WHEN value < 15.0 OR value > 150.0 THEN 3
+              ELSE 1 END AS flag
+  FROM events
+),
+seq AS (
+  SELECT user_id, flag,
+         LAG(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_flag
+  FROM flagged
+)
+SELECT prev_flag, flag, COUNT(*) AS n
+FROM seq WHERE prev_flag IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def qc_flag_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC flag transition matrix: per-series lag over the QARTOD-style
+    good(1)/suspect(3)/fail(4) state, counted into a (prev, next) matrix —
+    the stability diagnostic behind alarm-fatigue tuning (how often series
+    flip states vs dwell).
+
+    Scale shape: one window partitioned by series (parallel across keys,
+    (ts, event_id) total order so ranks are partition-independent), then a
+    map-side-combined count onto at most 9 matrix cells.
+    """
+    e = load_table(spark, sf_dir, "events")
+    flag = (
+        F.when((F.col("value") < 5.0) | (F.col("value") > 200.0), 4)
+        .when((F.col("value") < 15.0) | (F.col("value") > 150.0), 3)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "ts", "event_id", flag.alias("flag")).withColumn(
+        "prev_flag", F.lag("flag").over(w)
+    )
+    return (
+        seq.filter(F.col("prev_flag").isNotNull())
+        .groupBy("prev_flag", "flag")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
