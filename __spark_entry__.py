@@ -25,13 +25,13 @@ from rca_data_tools_spark.sources.readers import load_table
 # calc_poly_fit — array cells -> scalar columns + real oracles, fixed), the
 # 34-query rotation tail the round-2 verdict listed, and the 13 queries
 # added after the r02 snapshot. One spot-recheck sentinel (q1) fills the
-# last slot. The 15 queries ADDED DURING round 3 (bpe_*, text_bm25_topk,
+# last slot. The 17 queries ADDED DURING round 3 (bpe_*, text_bm25_topk,
 # sketch_*, embed_kmeans_clusters, text_chunk_windows,
 # pipeline_pretrain_corpus, sample_weighted_topk / _shuffle_order /
 # _domain_mix, w_mad_outliers, calc_tidal_harmonic, agg_mode,
-# agg_histogram) do not fit this window — they are local-parity-green
-# (fresh-process driver-sim: 62/62 hash-match) and form the round-4
-# rotation.
+# agg_histogram, text_pmi_cooccurrence, qc_flag_transitions) do not fit
+# this window — each is hash-green in a fresh-process driver-sim against
+# DuckDB at sf0.01 — and they form the round-4 rotation.
 _ROUND_WINDOW = [
     # round-2 reds, fixed this round (lead with them)
     "calc_nutnr_nitrate",
