@@ -17,82 +17,68 @@ from pyspark.sql import DataFrame, SparkSession
 from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
-# The driver verifies the first 50 entries of queries() per round. Round 1
-# checked the first 50 registrations (46 green); round 2 checked the next
-# family block (48 green; cumulative 92/141 green). This round-3 window
-# carries ALL 49 queries that entered the registry before this round and
-# lack a driver-green row: the two round-2 reds (calc_nutnr_nitrate /
-# calc_poly_fit — array cells -> scalar columns + real oracles, fixed), the
-# 34-query rotation tail the round-2 verdict listed, and the 13 queries
-# added after the r02 snapshot. One spot-recheck sentinel (q1) fills the
-# last slot. The 17 queries ADDED DURING round 3 (bpe_*, text_bm25_topk,
-# sketch_*, embed_kmeans_clusters, text_chunk_windows,
-# pipeline_pretrain_corpus, sample_weighted_topk / _shuffle_order /
-# _domain_mix, w_mad_outliers, calc_tidal_harmonic, agg_mode,
-# agg_histogram, text_pmi_cooccurrence, qc_flag_transitions) do not fit
-# this window — each is hash-green in a fresh-process driver-sim against
-# DuckDB at sf0.01 — and they form the round-4 rotation.
+# The driver verifies the first 50 entries of queries() per round. Rounds
+# 1-3 accumulated driver-green rows for 140 of the 158 registered queries
+# (CORRECTNESS_r0{1,2,3}.json). This round-4 window carries the 17 queries
+# that were ADDED during round 3 and therefore missed its window (all were
+# hash-green in fresh-process driver-sims against DuckDB at sf0.01 and
+# re-verified by the round-3 judge), any queries added during round 4, and
+# spot-recheck sentinels drawn from the OLDEST green rows (r01-heavy, per
+# the round-3 verdict's ask) so regressions in long-green plans surface.
 _ROUND_WINDOW = [
-    # round-2 reds, fixed this round (lead with them)
-    "calc_nutnr_nitrate",
-    "calc_poly_fit",
-    # never-checked: TPC-H extensions tail
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q20_promotable_suppliers",
-    "q22_idle_customers",
-    # never-checked: aggregation extensions
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_multi_distinct",
-    "agg_approx_distinct",
-    "skew_two_stage_agg",
-    # never-checked: window family tail
-    "w_moving_stats",
-    "w_ntile_deciles",
-    "w_rank_tail",
-    "w_ewma",
-    "w7_profile_regrid",
-    "w8_cell_aggregation",
-    # never-checked: joins / sets
-    "j10_latest_deploy_window",
-    "j1_asof_forward",
-    "j1_asof_nearest",
-    "j3_profile_phase_split",
-    "join_cross_matrix",
-    "e3_set_difference",
-    "e4_set_intersection",
-    # never-checked: array/calc ops
-    "a4_resample_interpolate",
-    "a7_array_median",
-    "a8_k_of_n_array",
-    "a9_row_stddev_array",
-    "a13_bracket_midpoint",
-    # never-checked: dedup / text tail (incl. post-r02 additions)
-    "dedup_embedding_cosine",
-    "dedup_semantic",
-    "dedup_exact_spans",
-    "dedup_strip_boilerplate",
-    "contamination_bloom",
-    "text_pii_redaction",
-    "text_url_filter",
-    "text_repetition",
-    "text_perplexity",
-    "text_ngram_freq",
-    "sample_importance",
-    "embed_gram_entries",
-    # never-checked: calc surfaces (post-r02 additions)
-    "calc_griddata_surface",
-    "calc_anomaly_surface",
-    # never-checked: streaming / sessionization / pipeline
-    "sessionize_events",
-    "streaming_tumbling_agg",
-    "streaming_session_window",
-    "hitl_latest_note",
-    "pipeline_qaqc_job",
-    # spot-recheck sentinel (green r01/r02)
-    "q1_pricing_summary",
+    # round-3 additions: the only registered queries without a driver row
+    "bpe_train_merges",
+    "bpe_apply_tokens",
+    "text_bm25_topk",
+    "sketch_cms_heavyhitters",
+    "sketch_hll_cardinality",
+    "embed_kmeans_clusters",
+    "text_chunk_windows",
+    "pipeline_pretrain_corpus",
+    "sample_weighted_topk",
+    "sample_shuffle_order",
+    "sample_domain_mix",
+    "w_mad_outliers",
+    "calc_tidal_harmonic",
+    "agg_mode",
+    "agg_histogram",
+    "text_pmi_cooccurrence",
+    "qc_flag_transitions",
+    # round-4 additions (registered this round; local driver-sim green)
+    "streaming_hll_registers",
+    "streaming_cms_cells",
+    "streaming_join_enriched",
+    "dedup_lsh_capped",
+    "graph_degree_stats",
+    "text_minhash_containment",
+    # spot-recheck sentinels: oldest r01 greens first (verdict's shortlist)
+    "j4_climatology_flags",
+    "j1_asof_join",
+    "qc_bitmask_decode",
+    "w4_lttb_decimation",
+    "dedup_minhash_lsh",
+    "instr_velpt_flags",
+    "instr_flor_flags",
+    "instr_nutnr_flags",
+    "instr_adcp_flags",
+    "instr_pco2w_flags",
+    "instr_ph_flags",
+    "instr_vel3d_flags",
+    "instr_opt_converters",
+    "instr_sidelobe_depth",
+    "instr_optical_products",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "p2_time_slice",
+    "a2_pivot_counts",
+    "w9_topk_per_group",
+    "j6_multiway_time_join",
+    "j5_gross_range_flags",
+    "w5_positional_flags",
+    "a10_bit_or_rollup",
+    "dedup_exact",
+    "w1_lag_step_flags",
+    "text_tfidf_topk",
 ]
 
 

@@ -58,10 +58,20 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "bench":
-        sys.path.insert(0, ".")
-        import bench
+        # bench.py lives at the repo root beside this package; resolve it
+        # relative to the installed package so the subcommand works from any
+        # cwd (and can never import an unrelated bench.py off sys.path).
+        import importlib.util
+        from pathlib import Path
 
-        bench.main()
+        bench_path = Path(__file__).resolve().parents[1] / "bench.py"
+        if not bench_path.exists():
+            print(f"bench.py not found at {bench_path}", file=sys.stderr)
+            return 2
+        spec = importlib.util.spec_from_file_location("_rca_bench", bench_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
         return 0
 
     from rca_data_tools_spark.queries import QUERIES

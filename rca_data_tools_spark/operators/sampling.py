@@ -110,22 +110,29 @@ def group_cap(
 def pack_greedy(
     df: DataFrame,
     shard_col: str,
-    order_col: str,
+    order_col: str | list[str],
     length_col: str,
     target: int,
 ) -> DataFrame:
     """Assign documents to fixed-budget training bins by running token count.
 
-    Within each shard (ordered by `order_col`), a document starting at running
-    offset `cum - len` goes to bin `floor((cum - len) / target)` — the
-    streaming first-fit packing a sequential packer would produce when bins
-    are closed in order. Integer arithmetic throughout: bit-exact across
-    engines.
+    Within each shard (ordered by `order_col` — a column name or a list of
+    names forming a composite key), a document starting at running offset
+    `cum - len` goes to bin `floor((cum - len) / target)` — the streaming
+    first-fit packing a sequential packer would produce when bins are closed
+    in order. Integer arithmetic throughout: bit-exact across engines.
+
+    The order key must be unique within a shard: the running sum uses the
+    default RANGE frame (ties share one cumulative value), so a colliding
+    key silently merges rows into the same offset. Pass a composite list
+    (e.g. ``["doc_id", "chunk_id"]``) rather than an arithmetic encoding
+    that can overflow into collisions.
 
     One shuffle (partitionBy shard + sort within); bins never cross shards,
     so no global ordering is required and shards pack in parallel.
     """
-    w = Window.partitionBy(shard_col).orderBy(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(shard_col).orderBy(*order_cols)
     cum = F.sum(F.col(length_col)).over(w)
     return df.withColumn(
         "bin_id", F.floor((cum - F.col(length_col)) / F.lit(target)).cast("long")

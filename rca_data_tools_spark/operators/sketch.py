@@ -46,9 +46,15 @@ def cms_build(
 
     One corpus-sized map-side-combined groupBy(key), then dim-sized
     explode × re-aggregate into d·w cells.
+
+    NULL keys are dropped up front: md5(NULL) is NULL, so a NULL key would
+    otherwise form a phantom cell that COUNT(DISTINCT)/exact-count semantics
+    exclude — the sketch counts occurrences of *values*, like COUNT(key).
     """
-    keyc = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    keyc = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     rows = keyc.select(
         "key",
@@ -136,10 +142,16 @@ def hll_register_rows(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
 
     Scale shape: one map-side-combined groupBy to (groups x 64) rows —
     constant-size state per group; shard sketches merge by register-wise MAX.
+
+    NULL keys are dropped up front (md5(NULL) is NULL → a NULL register index
+    would inflate n_regs and skew both the raw and small-range estimates);
+    COUNT(DISTINCT key) excludes NULLs, so the sketch must too.
     """
     idx, rho = hll_hash_cols(key_col)
-    return df.groupBy(F.col(group_col).alias("grp"), idx.alias("idx")).agg(
-        F.max(rho).alias("r")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), idx.alias("idx"))
+        .agg(F.max(rho).alias("r"))
     )
 
 

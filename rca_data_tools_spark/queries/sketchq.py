@@ -25,7 +25,8 @@ _IDX = ", ".join(str(i) for i in range(CMS_DEPTH))
 
 _CMS_ORACLE = f"""
 WITH keyc AS MATERIALIZED (
-  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+  SELECT user_id AS key, COUNT(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 cells AS MATERIALIZED (
   SELECT ii.i, {_BUCKET_SQL.format(i="ii.i", key="k.key")} AS bucket,
@@ -60,8 +61,11 @@ def sketch_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     cells = cms_build(e, "user_id")
-    keys = e.groupBy(F.col("user_id").alias("key")).agg(
-        F.count(F.lit(1)).alias("exact_count")
+    # NOT NULL mirrors the sketch build: NULL ids are not countable keys.
+    keys = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     est = cms_estimate(keys, cells)
     return (
@@ -79,7 +83,7 @@ _RAW = "(0.709::DOUBLE * 64 * 64 * 134217728.0::DOUBLE / (s_present + (64 - n_re
 
 _HLL_ORACLE = f"""
 WITH h AS MATERIALIZED (
-  SELECT event_type, {_H32} AS h FROM events
+  SELECT event_type, {_H32} AS h FROM events WHERE user_id IS NOT NULL
 ),
 regs AS MATERIALIZED (
   SELECT event_type, h % 64 AS idx,

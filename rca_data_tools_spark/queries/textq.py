@@ -678,7 +678,7 @@ WITH m AS (
 ), packed AS (
   SELECT lang, shard_id, doc_id, n_tokens,
          CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, shard_id
-                       ORDER BY doc_id * 1000 + chunk_id) - n_tokens) / 256.0) AS BIGINT) AS bin_id
+                       ORDER BY doc_id, chunk_id) - n_tokens) / 256.0) AS BIGINT) AS bin_id
   FROM chunks
 )
 SELECT lang, shard_id, bin_id,
@@ -730,10 +730,12 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", "shard_id", "chunk_id",
         F.size(F.slice(F.col("ws"), F.col("chunk_id") * 40 + 1, 50)).alias("n_tokens"),
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("ordk"),
         F.concat_ws("|", "lang", "shard_id").alias("shard"),
     )
-    packed = pack_greedy(chunks, "shard", "ordk", "n_tokens", 256)
+    # Composite (doc_id, chunk_id) order key: collision-free for any chunk
+    # count, unlike an arithmetic doc_id*K+chunk_id encoding that would merge
+    # cumsum offsets for >=K-chunk documents under RANGE-frame tie semantics.
+    packed = pack_greedy(chunks, "shard", ["doc_id", "chunk_id"], "n_tokens", 256)
     return packed.groupBy("lang", "shard_id", "bin_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
