@@ -80,6 +80,38 @@ def shingle_base_hash(sh: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % MINHASH_P
 
 
+def shingle_hashes(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, bases, h60) from the (id, shs) array form — ONE md5 digest per
+    shingle feeding both downstream consumers.
+
+    ``bases`` (first 8 hex chars mod P) is the signature base the K
+    permutations run over — bit-identical to hashing each path separately —
+    and ``h60`` (first 15 hex chars = 60 bits, always inside a signed long)
+    is the exact-verify key, so verify's set intersection runs on longs
+    instead of shingle strings. 60-bit hashing is collision-free for any
+    realistic document (P(collision in a 10^4-shingle doc) ~ 10^8/2^61 ~
+    5e-11), so Jaccard over h60 equals Jaccard over the shingles themselves
+    and the string-based SQL oracle still matches.
+
+    This is the 'hash shingles to longs before exact verify' scale fix: the
+    10x study measured exact verify as the dominant stage on dup-dense
+    corpora, and the cost is per-element set hashing inside array_intersect
+    — longs hash and compare several times cheaper than strings, and the
+    persisted arrays shrink to 16 bytes per shingle.
+    """
+    digs = F.transform("shs", lambda s: F.md5(s))
+    return sh.withColumn("digs", digs).select(
+        F.col(id_col),
+        F.transform(
+            "digs",
+            lambda d: F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % MINHASH_P,
+        ).alias("bases"),
+        F.transform(
+            "digs", lambda d: F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+        ).alias("h60"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: k columns h0..h{k-1}, each
     min_i((A_i*base + B_i) mod P) over the doc's shingles — a classic
@@ -103,7 +135,8 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFr
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
-    if "shs" not in sh.columns:  # accept the exploded (id, sh) form too
+    if "shs" not in sh.columns and "bases" not in sh.columns:
+        # accept the exploded (id, sh) form too
         sh = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
 
     A = np.array(MINHASH_A[:k], dtype=np.uint64)[:, None]
@@ -121,27 +154,24 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFr
         return pd.Series(out)
 
     perm_udf = F.pandas_udf(_perms, ArrayType(LongType()))
-    based = sh.select(
-        F.col(id_col),
-        F.transform("shs", shingle_base_hash).alias("__bases"),
-    )
+    if "bases" in sh.columns:  # pre-hashed form (shingle_hashes): reuse as-is
+        based = sh.select(F.col(id_col), F.col("bases").alias("__bases"))
+    else:
+        based = sh.select(
+            F.col(id_col),
+            F.transform("shs", shingle_base_hash).alias("__bases"),
+        )
     tagged = based.select(F.col(id_col), perm_udf(F.col("__bases")).alias("__sig"))
     cols = [F.col("__sig").getItem(i).alias(f"h{i}") for i in range(k)]
     return tagged.select(id_col, *cols)
 
 
-def lsh_candidate_pairs(
+def lsh_banded(
     sig: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> DataFrame:
-    """Band the signature and emit candidate pairs sharing any band hash.
-
-    Band signature = md5 of the band's concatenated minhashes; the self-join
-    is an equi-join on (band_id, band_sig). A groupBy+collect_list pair
-    expansion would be one shuffle fewer, but a boilerplate-heavy bucket then
-    materializes its O(m²) pairs inside a single row/task; the self-join
-    spreads the same quadratic work across the cluster, which is the shape
-    that survives skew at corpus scale (measured 3x faster at sf0.1 too).
-    """
+    """(id, band_id, band_sig) rows: band signature = md5 of the band's
+    concatenated minhashes. The shared banding step behind candidate
+    generation and bucket-size routing."""
     r = k // bands
     band_structs = [
         F.struct(
@@ -150,9 +180,24 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b")).select(
         id_col, "b.band_id", "b.band_sig"
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band hash.
+
+    The self-join is an equi-join on (band_id, band_sig). A
+    groupBy+collect_list pair expansion would be one shuffle fewer, but a
+    boilerplate-heavy bucket then materializes its O(m²) pairs inside a
+    single row/task; the self-join spreads the same quadratic work across the
+    cluster, which is the shape that survives skew at corpus scale (measured
+    3x faster at sf0.1 too).
+    """
+    banded = lsh_banded(sig, id_col, k, bands)
     a = banded.withColumnRenamed(id_col, "id1")
     c = banded.withColumnRenamed(id_col, "id2")
     return (
@@ -168,16 +213,21 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold.
 
-    Takes the (id, shs) array form: each side of a candidate pair picks up its
-    shingle array via one equi-join, then the intersection is a per-row
-    array_intersect in codegen. Candidate pairs are the small side (LSH plus
-    the estimate filter has already cut them to near-final size), so both
-    joins broadcast the pair list — the big shingle side is never shuffled.
+    Takes the hashed (id, h60) array form from shingle_hashes — the
+    intersection then runs on 60-bit longs, several times cheaper per element
+    than string hashing and the dominant-stage fix the 10x dup-dense study
+    called for — or falls back to the (id, shs) string-array / exploded
+    forms. Each side of a candidate pair picks up its array via one
+    equi-join, then the intersection is a per-row array_intersect in codegen.
+    Candidate pairs are the small side (LSH plus the estimate filter has
+    already cut them to near-final size), so both joins broadcast the pair
+    list — the big shingle side is never shuffled.
     """
-    if "shs" not in sh.columns:
+    set_col = "h60" if "h60" in sh.columns else "shs"
+    if set_col not in sh.columns:
         sh = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shs").alias("shs1"))
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shs").alias("shs2"))
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col(set_col).alias("shs1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col(set_col).alias("shs2"))
     n_inter = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))
     jac = F.round(n_inter / (F.size("shs1") + F.size("shs2") - n_inter), 6)
     return (
@@ -231,12 +281,16 @@ def minhash_dedup_pairs(
     projection (array form), so the only shuffles left are the band-bucket
     self-join and the final distinct — both on uniform md5-derived keys.
     The input is repartitioned because document corpora often arrive as few
-    large files and shingling is CPU-bound; the shingle arrays feed both the
-    signature and the verify branches, so they are persisted.
+    large files and shingling is CPU-bound; the per-shingle hash arrays
+    (ONE md5 digest each, split into the 32-bit signature base and the
+    60-bit verify key — shingle_hashes) feed both the signature and the
+    verify branches, so they are persisted instead of the raw shingles.
     """
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    sh = shingle_arrays(spread, id_col, text_col, shingle_n).persist()
-    sig = minhash_signatures(sh, id_col).persist()
+    hashed = shingle_hashes(
+        shingle_arrays(spread, id_col, text_col, shingle_n), id_col
+    ).persist()
+    sig = minhash_signatures(hashed, id_col).persist()
     cand = lsh_candidate_pairs(sig, id_col)
     # pruned is broadcast by verify_jaccard; without a persist the broadcast
     # would re-execute the whole candidate self-join a second time (its plan
@@ -244,7 +298,73 @@ def minhash_dedup_pairs(
     pruned = estimate_filter(
         cand, sig, id_col, max(0.0, threshold - est_margin)
     ).persist()
-    return verify_jaccard(pruned, sh, id_col, threshold)
+    return verify_jaccard(pruned, hashed, id_col, threshold)
+
+
+LSH_BUCKET_CAP = 256
+
+
+def minhash_dedup_components(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 5,
+    est_margin: float = 0.25,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Mega-bucket-capped near-dup dedup -> (node, label) components.
+
+    The uncapped pipeline's one super-linear stage is pairwise verification
+    inside band buckets: a boilerplate cluster of m near-identical documents
+    lands in one bucket and costs O(m²) candidate pairs — quadratic in the
+    DATA, not the plan (SCALING.md). This variant routes any band bucket
+    larger than ``bucket_cap`` straight to the component graph as m-1 star
+    edges (member -> bucket-min member), skipping pairwise work entirely;
+    only buckets of m <= cap go through estimate-filter + exact verify.
+    Total pair work is bounded by cap²·n_buckets + Σ small m², i.e. LINEAR
+    in corpus size for any fixed cap.
+
+    The trade, stated honestly: star-edge members join a component WITHOUT
+    exact verification. A bucket that large means >= r (=K/bands) minhashes
+    agree across all m documents — for true Jaccard j the per-band collision
+    probability is j^r, so a 256-document all-pairs-colliding bucket is
+    boilerplate with near-1 Jaccard in practice, and the canonical-doc output
+    (keep node == label) is unchanged on every corpus we can test (see
+    tests/test_dedup.py pathological-cluster case).
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    hashed = shingle_hashes(
+        shingle_arrays(spread, id_col, text_col, shingle_n), id_col
+    ).persist()
+    sig = minhash_signatures(hashed, id_col).persist()
+    banded = lsh_banded(sig, id_col)
+    # bucket stats shuffle on the same (band_id, band_sig) key the self-join
+    # would use; the join back is key-colocated (no extra exchange under AQE)
+    sizes = banded.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("m"), F.min(id_col).alias("hub")
+    )
+    tagged = banded.join(sizes, ["band_id", "band_sig"]).persist()
+    small = tagged.filter(F.col("m") <= bucket_cap)
+    star = (
+        tagged.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("hub")))
+        .select(F.col("hub").alias("id1"), F.col(id_col).alias("id2"))
+        .distinct()
+    )
+    a = small.select(F.col(id_col).alias("id1"), "band_id", "band_sig")
+    c = small.select(F.col(id_col).alias("id2"), "band_id", "band_sig")
+    cand = (
+        a.join(c, ["band_id", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    pruned = estimate_filter(
+        cand, sig, id_col, max(0.0, threshold - est_margin)
+    ).persist()
+    verified = verify_jaccard(pruned, hashed, id_col, threshold).select("id1", "id2")
+    edges = verified.unionByName(star)
+    return connected_components(edges)
 
 
 def connected_components(

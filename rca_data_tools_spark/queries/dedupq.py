@@ -35,7 +35,9 @@ sh AS (
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_prefix() -> str:
+    """Shared oracle CTEs: shingles -> 16 minhashes -> banded signatures.
+    Every minhash-family oracle builds on these (sh, sig, bands)."""
     base = f"(CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) % {MINHASH_P})"
     mins = ",\n         ".join(
         f"MIN(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
@@ -50,13 +52,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    agree = " + ".join(
-        f"(CASE WHEN g1.h{i} = g2.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
-    )
-    K = MINHASH_K
-    min_est = 0.45
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sig AS (
   SELECT doc_id,
          {mins}
@@ -64,7 +60,20 @@ sig AS (
 ),
 bands AS (
 {band_selects}
-),
+)"""
+
+
+def _minhash_agree() -> str:
+    return " + ".join(
+        f"(CASE WHEN g1.h{i} = g2.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+    )
+
+
+def _minhash_oracle() -> str:
+    K = MINHASH_K
+    min_est = 0.45
+    return f"""
+WITH {_minhash_prefix()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -72,7 +81,7 @@ cand AS (
 pruned AS (
   SELECT c.id1, c.id2
   FROM cand c JOIN sig g1 ON g1.doc_id = c.id1 JOIN sig g2 ON g2.doc_id = c.id2
-  WHERE ({agree}) / {K} >= {min_est}
+  WHERE ({_minhash_agree()}) / {K} >= {min_est}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -481,3 +490,171 @@ def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         rebuilt.alias("kept_text"),
     )
+
+
+_LSH_CAP = 8  # query-face cap: sf0.01 has band buckets of 17 and 10, so both
+# routes (pairwise verify / star-to-components) are exercised by the driver.
+
+
+def _capped_oracle() -> str:
+    K = MINHASH_K
+    return f"""
+WITH RECURSIVE {_minhash_prefix()},
+bsizes AS (
+  SELECT band_id, band_sig, COUNT(*) AS m, MIN(doc_id) AS hub
+  FROM bands GROUP BY 1, 2
+),
+tagged AS (
+  SELECT b.doc_id, b.band_id, b.band_sig, s.m, s.hub
+  FROM bands b JOIN bsizes s ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+),
+star AS (
+  SELECT DISTINCT hub AS id1, doc_id AS id2
+  FROM tagged WHERE m > {_LSH_CAP} AND doc_id <> hub
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM tagged a JOIN tagged b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  WHERE a.m <= {_LSH_CAP}
+),
+pruned AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN sig g1 ON g1.doc_id = c.id1 JOIN sig g2 ON g2.doc_id = c.id2
+  WHERE ({_minhash_agree()}) / {K} >= 0.45
+),
+shsizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+  FROM pruned c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.id1, i.id2
+  FROM inter i JOIN shsizes z1 ON z1.doc_id = i.id1 JOIN shsizes z2 ON z2.doc_id = i.id2
+  WHERE ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) >= 0.7
+),
+pairs AS (SELECT id1, id2 FROM verified UNION SELECT id1, id2 FROM star),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+@query("dedup_lsh_capped", oracle=_capped_oracle())
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-bucket-capped MinHash+LSH dedup -> connected components: band
+    buckets larger than the cap skip O(m²) pairwise verification and connect
+    as m-1 star edges to the bucket minimum instead; small buckets go through
+    estimate-filter + exact Jaccard >= 0.7 as usual. The cap bounds total
+    pair work to cap²·n_buckets — linear in corpus size — which is the
+    SCALING.md mitigation for the one super-linear stage the 10x dup-dense
+    study measured (operators/dedup.py minhash_dedup_components).
+
+    The oracle replays the full routing: bucket sizes, star edges, the
+    pairwise path, and the transitive closure via a recursive CTE."""
+    from rca_data_tools_spark.operators.dedup import minhash_dedup_components
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_components(
+        d, "doc_id", "text", threshold=0.7, bucket_cap=_LSH_CAP
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH {_minhash_prefix()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.sh = s1.sh
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       ROUND(i.n_inter / z1.n, 6) AS c_fwd,
+       ROUND(i.n_inter / z2.n, 6) AS c_rev
+FROM inter i JOIN sizes z1 ON z1.doc_id = i.id1 JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE GREATEST(ROUND(i.n_inter / z1.n, 6), ROUND(i.n_inter / z2.n, 6)) >= 0.5
+"""
+
+
+@query("text_minhash_containment", oracle=_containment_oracle())
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/|A| (and /|B|) over LSH candidate pairs —
+    the quote/sub-document duplication signal Jaccard misses when a small
+    document is swallowed by a large one (Broder's containment measure).
+    Candidates come from the same banding as near-dup detection; pairs where
+    either direction's containment >= 0.5 survive.
+
+    Scale shape: identical to the verify stage of minhash dedup — candidate
+    pairs broadcast against the hashed shingle arrays, intersections on
+    60-bit longs in codegen; the shingle corpus is never shuffled."""
+    from rca_data_tools_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_arrays,
+        shingle_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spread = d.repartition(spark.sparkContext.defaultParallelism)
+    hashed = shingle_hashes(
+        shingle_arrays(spread, "doc_id", "text", 5), "doc_id"
+    ).persist()
+    sig = minhash_signatures(hashed, "doc_id")
+    cand = lsh_candidate_pairs(sig, "doc_id").persist()
+    s1 = hashed.select(F.col("doc_id").alias("id1"), F.col("h60").alias("a1"))
+    s2 = hashed.select(F.col("doc_id").alias("id2"), F.col("h60").alias("a2"))
+    n_inter = F.size(F.array_intersect(F.col("a1"), F.col("a2")))
+    c_fwd = F.round(n_inter / F.size("a1"), 6)
+    c_rev = F.round(n_inter / F.size("a2"), 6)
+    return (
+        s1.join(F.broadcast(cand), "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", c_fwd.alias("c_fwd"), c_rev.alias("c_rev"))
+        .filter(F.greatest("c_fwd", "c_rev") >= 0.5)
+    )
+
+
+def _degree_oracle() -> str:
+    return f"""
+WITH pairs AS ({_simhash_pairs_oracle()}),
+deg AS (
+  SELECT id, COUNT(*) AS degree
+  FROM (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs)
+  GROUP BY id
+)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+@query("graph_degree_stats", oracle=_degree_oracle())
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph (SimHash radius-3): how
+    many documents have k near-duplicates. The shape of this histogram is
+    the dedup-planning diagnostic — a heavy tail means boilerplate clusters
+    (route to components / mega-bucket cap), a flat head means pairwise
+    verify is safe.
+
+    Scale shape: pairs come from the banded SimHash join; degrees are one
+    map-side-combined groupBy on the node id; the histogram is dim-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    pairs = simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+    nodes = pairs.select(F.col("id1").alias("id")).unionAll(
+        pairs.select(F.col("id2").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

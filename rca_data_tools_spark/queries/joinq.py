@@ -435,3 +435,49 @@ def _asof_sides(spark: SparkSession, sf_dir: str):
         .withColumnRenamed("ts", "click_ts")
     )
     return errors, clicks_d
+
+
+@query(
+    "streaming_join_enriched",
+    oracle="""
+SELECT a.event_id,
+       COUNT(*) AS n_prior,
+       CAST(SUM(CAST(ROUND(b.value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_prior
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+ AND b.ts <= a.ts
+ AND b.event_id <> a.event_id
+GROUP BY 1
+""",
+)
+def streaming_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (streaming/joins.py
+    stream_interval_join) run through the unified API on batch frames: each
+    event enriched with the count and decimal-exact sum of the same user's
+    OTHER events in the preceding hour. The streaming form watermarks both
+    sides and bounds state to lookback + watermark per key; called on batch
+    it is this exact plan, which is how tests/test_streaming.py proves
+    stream ≡ batch — and this face gives the driver a hash row for it.
+
+    Scale shape: the join shuffles both sides on the equality key once; the
+    range predicate prunes within co-partitioned groups, and the aggregate
+    is map-side combined on the already-shuffled key."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.streaming.joins import stream_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    joined = stream_interval_join(left, right).filter(
+        F.col("r_event_id") != F.col("event_id")
+    )
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        dsum("r_value").alias("sum_prior"),
+    )

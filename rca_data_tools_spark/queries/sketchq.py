@@ -131,3 +131,58 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(
         F.broadcast(est.withColumnRenamed("grp", "event_type")), "event_type"
     ).select("event_type", "n_exact", "hll_estimate")
+
+
+_WSTART = "CAST(to_timestamp(CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP)"
+
+_STREAM_HLL_ORACLE = f"""
+WITH h AS MATERIALIZED (
+  SELECT {_WSTART} AS window_start, event_type, {_H32} AS h
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT window_start, event_type, h % 64 AS idx,
+       MAX(CASE WHEN {_W} > 0 THEN 27 - LENGTH(bin({_W})) ELSE 27 END) AS r
+FROM h GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_hll_registers", oracle=_STREAM_HLL_ORACLE)
+def streaming_hll_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed streaming HyperLogLog register build run through Spark's
+    unified API on a batch frame — byte-identical logic to the readStream
+    version (streaming/windows.py streaming_hll_registers; batch ≡ stream is
+    proven in tests/test_streaming.py). HLL's merge operator IS max, so the
+    watermarked streaming agg maintains the exact sketch incrementally —
+    bounded 64 registers per (window, key), evicted by the watermark — and
+    this face gives the driver a hash row for the register table itself."""
+    from rca_data_tools_spark.streaming.windows import streaming_hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    return streaming_hll_registers(e, window_duration="1 hour")
+
+
+_STREAM_CMS_ORACLE = f"""
+WITH cells AS MATERIALIZED (
+  SELECT {_WSTART} AS window_start, ii.i,
+         {_BUCKET_SQL.format(i="ii.i", key="user_id")} AS bucket
+  FROM events, (SELECT unnest([{_IDX}]) AS i) ii
+  WHERE user_id IS NOT NULL
+)
+SELECT window_start, i, bucket, COUNT(*) AS c
+FROM cells GROUP BY 1, 2, 3
+"""
+
+
+@query("streaming_cms_cells", oracle=_STREAM_CMS_ORACLE)
+def streaming_cms_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed streaming Count-Min cell build run through the unified
+    API on a batch frame — same logic as the readStream version
+    (streaming/windows.py streaming_cms_cells; batch ≡ stream proven in
+    tests/test_streaming.py). CMS's merge operator IS cell-wise addition, so
+    the watermarked streaming sum maintains the exact sketch incrementally —
+    bounded d·w cells per window — and this face hash-checks the cell table
+    the streaming job would hand to cms_estimate."""
+    from rca_data_tools_spark.streaming.windows import streaming_cms_cells
+
+    e = load_table(spark, sf_dir, "events")
+    return streaming_cms_cells(e, window_duration="1 hour")

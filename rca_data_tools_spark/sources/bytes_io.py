@@ -1,0 +1,179 @@
+"""Byte-range reader / key-value store abstractions for the native scans.
+
+The reference reads its archives straight from object storage (consolidated
+Zarr on S3 via fsspec mappers — rca_data_tools/qaqc/dashboard.py:305-313);
+the engine's native readers (sources/zarr.py, sources/hdf5.py,
+sources/netcdf.py) were written against local files. This module factors the
+file access they share behind two tiny interfaces so the SAME metadata
+parsers and chunk decoders serve any byte source:
+
+- :class:`ByteRangeReader` — positional reads over one binary file
+  (HDF5/NetCDF): ``pread(offset, size)`` + ``size()``. Exactly the shape of
+  an object-store ranged GET, which is why the native readers can become
+  object-store capable without touching their format logic.
+- :class:`KeyValueStore` — keyed blob access for directory-shaped formats
+  (Zarr: one blob per chunk/metadata key).
+
+Implementations here are local-file (mmap-backed, lazily opened, picklable —
+executors reopen after deserialization) and in-memory (tests, and the proof
+that the readers never assume a real file). An S3/HTTP implementation is a
+~20-line subclass issuing ranged GETs (boto3 ``get_object(Range=...)`` or
+fsspec ``cat_file(start, end)``); it is not shipped because this runtime has
+no network stack, but every reader accepts one via the same argument.
+
+Scale notes: drivers parse metadata through a reader (KBs of tiny reads —
+mmap makes those page-cache hits); executors deserialize the picklable
+reader and issue one ``pread`` per chunk, which maps 1:1 onto ranged GETs at
+deployment. Nothing in the interface assumes seekability-with-state, so
+concurrent tasks share nothing.
+"""
+
+from __future__ import annotations
+
+import mmap
+import os
+
+
+class ByteRangeReader:
+    """Positional binary reads. Subclasses implement :meth:`pread` and
+    :meth:`size`; instances must be picklable (executors reopen them)."""
+
+    def pread(self, offset: int, size: int) -> bytes:
+        raise NotImplementedError
+
+    def size(self) -> int:
+        raise NotImplementedError
+
+    # convenience: buf[a:b] slicing, the idiom the format parsers use
+    def __getitem__(self, sl: slice) -> bytes:
+        start = sl.start or 0
+        stop = self.size() if sl.stop is None else sl.stop
+        return self.pread(start, max(0, stop - start))
+
+    def find_nul(self, start: int, max_scan: int = 1 << 16) -> int:
+        """Offset of the first NUL byte at/after ``start`` (string tables)."""
+        pos = start
+        end = min(self.size(), start + max_scan)
+        while pos < end:
+            block = self.pread(pos, min(4096, end - pos))
+            if not block:
+                break
+            hit = block.find(b"\x00")
+            if hit >= 0:
+                return pos + hit
+            pos += len(block)
+        return -1
+
+    def close(self) -> None:
+        pass
+
+
+class LocalFileReader(ByteRangeReader):
+    """mmap-backed local file. Lazily opened; pickles as just the path, so
+    shipping it inside a Spark plan is free and each task reopens its own
+    handle (no shared file-descriptor state across tasks)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = None
+        self._buf = None
+
+    def _ensure(self):
+        if self._buf is None:
+            self._fh = open(self.path, "rb")
+            self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        return self._buf
+
+    def pread(self, offset: int, size: int) -> bytes:
+        return self._ensure()[offset : offset + size]
+
+    def size(self) -> int:
+        return os.path.getsize(self.path)
+
+    def close(self) -> None:
+        if self._buf is not None:
+            self._buf.close()
+            self._fh.close()
+            self._buf = self._fh = None
+
+    def __getstate__(self):
+        return {"path": self.path}
+
+    def __setstate__(self, state):
+        self.path = state["path"]
+        self._fh = None
+        self._buf = None
+
+
+class MemoryReader(ByteRangeReader):
+    """In-memory bytes — tests, and the stand-in for any remote range
+    source (the contract is identical: hand back an arbitrary range)."""
+
+    def __init__(self, data: bytes):
+        self.data = bytes(data)
+
+    def pread(self, offset: int, size: int) -> bytes:
+        return self.data[offset : offset + size]
+
+    def size(self) -> int:
+        return len(self.data)
+
+
+def as_reader(source: "str | bytes | ByteRangeReader") -> ByteRangeReader:
+    """Coerce a path / raw bytes / reader into a ByteRangeReader."""
+    if isinstance(source, ByteRangeReader):
+        return source
+    if isinstance(source, (bytes, bytearray)):
+        return MemoryReader(bytes(source))
+    return LocalFileReader(source)
+
+
+class KeyValueStore:
+    """Keyed blob access for directory-shaped stores (Zarr). Instances must
+    be picklable; ``get`` raising KeyError/FileNotFoundError marks a missing
+    key (Zarr: an absent chunk means all-fill-value)."""
+
+    def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, key: str) -> bool:
+        raise NotImplementedError
+
+
+class LocalDirStore(KeyValueStore):
+    """A directory tree as a store: key 'var/0.0' -> root/var/0.0."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, *key.split("/"))
+
+    def get(self, key: str) -> bytes:
+        with open(self._path(key), "rb") as f:
+            return f.read()
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+
+class MemoryStore(KeyValueStore):
+    """Dict-backed store — tests and remote-store stand-in."""
+
+    def __init__(self, blobs: dict[str, bytes]):
+        self.blobs = dict(blobs)
+
+    def get(self, key: str) -> bytes:
+        return self.blobs[key]
+
+    def exists(self, key: str) -> bool:
+        return key in self.blobs
+
+
+def as_store(source: "str | dict | KeyValueStore") -> KeyValueStore:
+    """Coerce a directory path / dict / store into a KeyValueStore."""
+    if isinstance(source, KeyValueStore):
+        return source
+    if isinstance(source, dict):
+        return MemoryStore(source)
+    return LocalDirStore(source)

@@ -138,6 +138,9 @@ def streaming_hll_registers(
     from rca_data_tools_spark.operators.sketch import hll_hash_cols
 
     idx, rho = hll_hash_cols(id_col)
+    # NULL ids are not countable keys (matches the batch build and
+    # COUNT(DISTINCT) semantics — operators/sketch.hll_register_rows).
+    events = events.filter(F.col(id_col).isNotNull())
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(
@@ -173,6 +176,9 @@ def streaming_cms_cells(
     """
     from rca_data_tools_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_bucket
 
+    # NULL keys would form a phantom cell (md5(NULL) is NULL) — drop them,
+    # matching the batch build (operators/sketch.cms_build).
+    events = events.filter(F.col(key_col).isNotNull())
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     cells = F.explode(
         F.array(

@@ -261,3 +261,47 @@ def test_semantic_dedup_keep_rule(spark):
             assert bool(r.is_dup) == expect_dup, (cid, r.vec_id)
             n_dups += r.is_dup
     assert n_dups > 0, "threshold produced no duplicates at sf0.01 — weak test"
+
+
+def test_megabucket_cap_bounds_pairs_and_preserves_components(spark):
+    """A pathological boilerplate cluster (40 near-identical docs) must NOT
+    cost O(m²) pairwise verification under the bucket cap, and the final
+    component labels — hence the canonical keep/drop decisions — must be
+    identical to the uncapped pipeline's."""
+    from rca_data_tools_spark.operators.dedup import (
+        lsh_banded,
+        minhash_dedup_components,
+        minhash_signatures,
+        shingle_arrays,
+        shingle_hashes,
+    )
+
+    base = " ".join(f"boilerplate sentence {i} repeated across every clone" for i in range(12))
+    rows = [(i, base + f" tail{i % 3}") for i in range(40)]  # clone cluster
+    rows += [(100 + i, f"unique document number {i} " * 15 + f"suffix {i}") for i in range(10)]
+    rows += [(300, "a genuine near duplicate pair first version " * 10),
+             (301, "a genuine near duplicate pair first versionX " * 10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 8
+    capped = {r.node: r.label for r in minhash_dedup_components(d, "doc_id", "text", bucket_cap=cap).collect()}
+    uncapped = {r.node: r.label for r in minhash_dedup_components(d, "doc_id", "text", bucket_cap=10**9).collect()}
+    assert capped == uncapped
+    assert capped, "corpus should produce components"
+    # the clone cluster collapsed to one component rooted at its min id
+    assert all(capped.get(i) == 0 for i in range(40))
+
+    # pair-work bound: under the cap, no candidate pair may come from a
+    # bucket above the cap, so the clone cluster's 780 pairs never form
+    hashed = shingle_hashes(shingle_arrays(d, "doc_id", "text", 5), "doc_id")
+    sig = minhash_signatures(hashed, "doc_id")
+    banded = lsh_banded(sig, "doc_id")
+    sizes = banded.groupBy("band_id", "band_sig").count()
+    tagged = banded.join(sizes, ["band_id", "band_sig"])
+    small = tagged.filter(F.col("count") <= cap)
+    a = small.select(F.col("doc_id").alias("id1"), "band_id", "band_sig")
+    b = small.select(F.col("doc_id").alias("id2"), "band_id", "band_sig")
+    n_capped_pairs = (
+        a.join(b, ["band_id", "band_sig"]).filter("id1 < id2").select("id1", "id2").distinct().count()
+    )
+    assert n_capped_pairs < 100, n_capped_pairs  # vs >= 780 uncapped
