@@ -44,8 +44,14 @@ class ByteRangeReader:
     def size(self) -> int:
         raise NotImplementedError
 
-    # convenience: buf[a:b] slicing, the idiom the format parsers use
-    def __getitem__(self, sl: slice) -> bytes:
+    # convenience: buf[a:b] slicing and buf[i] int indexing — the idioms the
+    # format parsers use, so a reader drops in where an mmap/bytes buffer was
+    def __getitem__(self, sl):
+        if isinstance(sl, int):
+            b = self.pread(sl, 1)
+            if not b:
+                raise IndexError(f"byte offset {sl} out of range")
+            return b[0]
         start = sl.start or 0
         stop = self.size() if sl.stop is None else sl.stop
         return self.pread(start, max(0, stop - start))

@@ -30,11 +30,12 @@ The array data itself never touches the driver.
 
 from __future__ import annotations
 
-import mmap
 import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
+
+from rca_data_tools_spark.sources.bytes_io import as_reader
 
 _SIGNATURE = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
@@ -65,14 +66,16 @@ class H5File:
     """Driver-side metadata parse of one HDF5 file. ``datasets`` maps
     path-less names (flat) and 'group/name' (nested) to :class:`Dataset`."""
 
-    def __init__(self, path: str):
-        self.path = path
-        # mmap, not read(): the driver touches only metadata pages (KBs) of a
-        # file that may be tens of GB; executors reopen and seek for data.
-        self._fh = open(path, "rb")
-        self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
-        if self._buf[:8] != _SIGNATURE:
-            raise ValueError(f"not an HDF5 file: {path!r}")
+    def __init__(self, source):
+        """``source`` is a local path or any ByteRangeReader
+        (sources/bytes_io.py). Locally the reader is mmap-backed, so the
+        metadata parse touches only the pages it reads (KBs of a file that
+        may be tens of GB); on an object store the same ``pread`` calls
+        become ranged GETs — the parse logic is source-agnostic."""
+        self._buf = as_reader(source)
+        self.path = getattr(self._buf, "path", "<byte-range source>")
+        if self._buf[0:8] != _SIGNATURE:
+            raise ValueError(f"not an HDF5 file: {self.path!r}")
         self.datasets: dict[str, Dataset] = {}
         self._parse_superblock()
 
@@ -162,12 +165,11 @@ class H5File:
         return self._u(addr + 8 + 8 + 8, 8)  # data segment address
 
     def _heap_name(self, data_addr: int, offset: int) -> str:
-        b = self._buf
         start = data_addr + offset
-        end = b.find(b"\x00", start)
+        end = self._buf.find_nul(start)
         if end < 0:
             raise ValueError("HDF5: unterminated link name in local heap")
-        return b[start:end].decode()
+        return self._buf[start:end].decode()
 
     def _group_btree_entries(self, addr: int) -> list[tuple[int, int]]:
         """(link name heap offset, object header address) leaf entries of a

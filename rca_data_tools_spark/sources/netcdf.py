@@ -27,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rca_data_tools_spark.sources.bytes_io import as_reader
+
 _NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
 _DTYPES = {
     1: np.dtype(">i1"),
@@ -67,12 +69,15 @@ class _Parser:
             self.pos += n * width + (4 - (n * width) % 4) % 4
 
 
-def read_header(path: str) -> dict:
+def read_header(source) -> dict:
     """Parse a classic NetCDF header → dims, variables (shape, dtype, offset,
     record flag). CDF-1 (32-bit offsets) and CDF-2 (64-bit) supported;
-    NetCDF-4 files raise toward the native HDF5 path."""
-    with open(path, "rb") as f:
-        head = f.read(1 << 20)  # headers are small; 1 MB is generous
+    NetCDF-4 files raise toward the native HDF5 path. ``source`` is a path
+    or any ByteRangeReader (sources/bytes_io.py) — the parser never assumes
+    a local file."""
+    rd = as_reader(source)
+    head = rd.pread(0, 1 << 20)  # headers are small; 1 MB is generous
+    path = getattr(rd, "path", "<byte-range source>")
     if head[:4] == b"\x89HDF":
         raise NotImplementedError(
             "NetCDF-4 is an HDF5 container — use netcdf4_table (native "
@@ -130,26 +135,26 @@ def read_header(path: str) -> dict:
             numrecs = 0
         else:
             first_begin = min(variables[v]["begin"] for v in record_vars)
-            numrecs = max(0, (os.path.getsize(path) - first_begin) // rec_size)
+            numrecs = max(0, (rd.size() - first_begin) // rec_size)
     return {"numrecs": numrecs, "dims": dims, "variables": variables, "rec_size": rec_size}
 
 
-def _read_var_range(path: str, header: dict, var: str, lo: int, hi: int) -> np.ndarray:
-    """Values of ``var`` for record (or index) range [lo, hi)."""
+def _read_var_range(rd, header: dict, var: str, lo: int, hi: int) -> np.ndarray:
+    """Values of ``var`` for record (or index) range [lo, hi), via positional
+    reads on a ByteRangeReader (one ranged GET per slab on object stores)."""
     m = header["variables"][var]
     width = m["dtype"].itemsize
     inner = int(np.prod(m["shape"][1:], dtype=np.int64)) if len(m["shape"]) > 1 else 1
-    with open(path, "rb") as f:
-        if m["record"]:
-            # record variables interleave: var's slab sits at begin + r*rec_size
-            out = np.empty((hi - lo, inner), dtype=m["dtype"].newbyteorder("="))
-            for i, r in enumerate(range(lo, hi)):
-                f.seek(m["begin"] + r * header["rec_size"])
-                out[i] = np.frombuffer(f.read(inner * width), dtype=m["dtype"], count=inner)
-            return out if len(m["shape"]) > 1 else out[:, 0]
-        f.seek(m["begin"] + lo * inner * width)
-        arr = np.frombuffer(f.read((hi - lo) * inner * width), dtype=m["dtype"])
-        return arr.reshape(hi - lo, inner) if len(m["shape"]) > 1 else arr
+    if m["record"]:
+        # record variables interleave: var's slab sits at begin + r*rec_size
+        out = np.empty((hi - lo, inner), dtype=m["dtype"].newbyteorder("="))
+        for i, r in enumerate(range(lo, hi)):
+            raw = rd.pread(m["begin"] + r * header["rec_size"], inner * width)
+            out[i] = np.frombuffer(raw, dtype=m["dtype"], count=inner)
+        return out if len(m["shape"]) > 1 else out[:, 0]
+    raw = rd.pread(m["begin"] + lo * inner * width, (hi - lo) * inner * width)
+    arr = np.frombuffer(raw, dtype=m["dtype"])
+    return arr.reshape(hi - lo, inner) if len(m["shape"]) > 1 else arr
 
 
 def netcdf_table(
@@ -162,14 +167,18 @@ def netcdf_table(
     """Scan classic-NetCDF variables sharing dim-0 into ``(idx, var1, ...)``;
     2-D (time, k) variables become array<double> columns, matching the
     engine's multi-dimensional parameter model (SURVEY §1.1). NetCDF-4 files
-    (HDF5 containers) route to :func:`netcdf4_table` automatically."""
-    with open(path, "rb") as f:
-        if f.read(4) == b"\x89HDF":
-            return netcdf4_table(
-                spark, path, variables,
-                records_per_task=records_per_task, index_name=index_name,
-            )
-    header = read_header(path)
+    (HDF5 containers) route to :func:`netcdf4_table` automatically.
+
+    ``path`` may be a local path or any picklable ByteRangeReader
+    (sources/bytes_io.py) — executors deserialize it and issue positional
+    reads, so an object-store reader plugs in without touching this scan."""
+    rd = as_reader(path)
+    if rd.pread(0, 4) == b"\x89HDF":
+        return netcdf4_table(
+            spark, rd, variables,
+            records_per_task=records_per_task, index_name=index_name,
+        )
+    header = read_header(rd)
     metas = {v: header["variables"][v] for v in variables}
     n0 = {
         v: (header["numrecs"] if m["record"] else m["shape"][0])
@@ -192,7 +201,7 @@ def netcdf_table(
                 hi = min(lo + records_per_task, n_rows)
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
-                    arr = _read_var_range(path, header, v, lo, hi).astype(np.float64)
+                    arr = _read_var_range(rd, header, v, lo, hi).astype(np.float64)
                     out[v] = list(arr) if arr.ndim == 2 else arr
                 yield pd.DataFrame(out)
 
@@ -224,12 +233,14 @@ def netcdf4_table(
     """
     from rca_data_tools_spark.sources.hdf5 import _UNDEF, H5File, decode_chunk
 
-    h5 = H5File(path)
+    rd = as_reader(path)
+    h5 = H5File(rd)
+    display = getattr(rd, "path", "<byte-range source>")
     metas: dict[str, dict] = {}
     for v in variables:
         if v not in h5.datasets:
             raise KeyError(
-                f"variable {v!r} not in {path!r} (has: {sorted(h5.datasets)})"
+                f"variable {v!r} not in {display!r} (has: {sorted(h5.datasets)})"
             )
         ds = h5.datasets[v]
         if len(ds.shape) > 2:
@@ -264,7 +275,7 @@ def netcdf4_table(
     n_chunks = max(1, -(-n_rows // records_per_task))
     chunk_index = spark.range(n_chunks).toDF("chunk_id")
 
-    def _rows(f, m: dict, lo: int, hi: int) -> np.ndarray:
+    def _rows(r, m: dict, lo: int, hi: int) -> np.ndarray:
         shape, dtype = m["shape"], m["dtype"]
         inner = int(shape[1]) if len(shape) == 2 else 1
         rowbytes = inner * dtype.itemsize
@@ -274,38 +285,36 @@ def netcdf4_table(
         if m["layout"] == "contiguous":
             if m["addr"] == _UNDEF:  # never-allocated dataset reads as zeros
                 return np.zeros((hi - lo, inner), dtype=dtype)
-            f.seek(m["addr"] + lo * rowbytes)
-            return np.frombuffer(f.read((hi - lo) * rowbytes), dtype=dtype).reshape(
-                hi - lo, inner
-            )
+            raw = r.pread(m["addr"] + lo * rowbytes, (hi - lo) * rowbytes)
+            return np.frombuffer(raw, dtype=dtype).reshape(hi - lo, inner)
         c0 = m["chunk_shape"][0]
         out = np.zeros((hi - lo, inner), dtype=dtype)
         for offs, addr, nbytes, mask in m["chunks"]:
             o0 = offs[0]
             if o0 >= hi or o0 + c0 <= lo:
                 continue
-            f.seek(addr)
             chunk = decode_chunk(
-                f.read(nbytes), dtype, m["chunk_shape"], m["filters"], mask
+                r.pread(addr, nbytes), dtype, m["chunk_shape"], m["filters"], mask
             ).reshape(c0, -1)
             a, b = max(lo, o0), min(hi, min(o0 + c0, shape[0]))
             out[a - lo : b - lo] = chunk[a - o0 : b - o0, :inner]
         return out
 
     def _scan(batches):
-        with open(path, "rb") as f:
-            for pdf in batches:
-                for chunk_id in pdf["chunk_id"]:
-                    lo = int(chunk_id) * records_per_task
-                    hi = min(lo + records_per_task, n_rows)
-                    out = {index_name: np.arange(lo, hi, dtype=np.int64)}
-                    for v in variables:
-                        arr = _rows(f, metas[v], lo, hi).astype(np.float64)
-                        fill = metas[v]["fill"]
-                        if fill is not None and not np.isnan(fill):
-                            arr = np.where(arr == fill, np.nan, arr)
-                        out[v] = list(arr) if len(metas[v]["shape"]) == 2 else arr[:, 0]
-                    yield pd.DataFrame(out)
+        # rd deserializes per task (LocalFileReader reopens; a remote reader
+        # would issue ranged GETs) — one pread per chunk/slab, no shared state
+        for pdf in batches:
+            for chunk_id in pdf["chunk_id"]:
+                lo = int(chunk_id) * records_per_task
+                hi = min(lo + records_per_task, n_rows)
+                out = {index_name: np.arange(lo, hi, dtype=np.int64)}
+                for v in variables:
+                    arr = _rows(rd, metas[v], lo, hi).astype(np.float64)
+                    fill = metas[v]["fill"]
+                    if fill is not None and not np.isnan(fill):
+                        arr = np.where(arr == fill, np.nan, arr)
+                    out[v] = list(arr) if len(metas[v]["shape"]) == 2 else arr[:, 0]
+                yield pd.DataFrame(out)
 
     fields = [f"{index_name} long"] + [
         f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"

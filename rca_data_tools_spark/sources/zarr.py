@@ -37,13 +37,14 @@ crc32c, and other codecs raise loudly.
 from __future__ import annotations
 
 import json
-import os
 import zlib
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+
+from rca_data_tools_spark.sources.bytes_io import as_store
 
 
 # Zarr v3 data_type names -> numpy kind+size (endianness comes from the
@@ -121,30 +122,28 @@ def _chunk_key(meta: dict, indices: tuple[int, ...]) -> str:
     return ".".join(str(i) for i in indices)
 
 
-def _load_array_meta(root: str, var: str) -> dict:
-    zmeta = os.path.join(root, ".zmetadata")
-    if os.path.exists(zmeta):
-        with open(zmeta) as f:
-            consolidated = json.load(f)["metadata"]
+def _load_array_meta(store, var: str) -> dict:
+    """Array metadata for ``var`` from a KeyValueStore — or a directory path
+    / blob dict, coerced — (consolidated .zmetadata preferred: ONE store read
+    for the whole dataset, the reason the reference opens consolidated
+    stores on S3)."""
+    store = as_store(store)
+    if store.exists(".zmetadata"):
+        consolidated = json.loads(store.get(".zmetadata"))["metadata"]
         key = f"{var}/.zarray"
         if key in consolidated:
             return consolidated[key]
-    v2_path = os.path.join(root, var, ".zarray")
-    if os.path.exists(v2_path):
-        with open(v2_path) as f:
-            return json.load(f)
-    v3_path = os.path.join(root, var, "zarr.json")
-    if os.path.exists(v3_path):
-        with open(v3_path) as f:
-            return _normalize_v3_meta(json.load(f))
+    if store.exists(f"{var}/.zarray"):
+        return json.loads(store.get(f"{var}/.zarray"))
+    if store.exists(f"{var}/zarr.json"):
+        return _normalize_v3_meta(json.loads(store.get(f"{var}/zarr.json")))
     raise FileNotFoundError(
-        f"no zarr v2 (.zarray) or v3 (zarr.json) metadata for {var!r} under {root!r}"
+        f"no zarr v2 (.zarray) or v3 (zarr.json) metadata for {var!r} in store"
     )
 
 
-def _decode_chunk(path: str, meta: dict) -> np.ndarray:
-    with open(path, "rb") as f:
-        raw = f.read()
+def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
+    raw = store.get(key)
     comp = meta.get("compressor")
     if comp is None:
         buf = raw
@@ -181,8 +180,14 @@ def zarr_table(
     All variables must share the dim-0 chunk size (true for xarray-written
     stores, which chunk on the time dimension) so each task decodes the SAME
     chunk row-range of every variable — aligned output with zero shuffles.
+
+    ``root`` may be a local directory, a dict of blobs, or any picklable
+    KeyValueStore (sources/bytes_io.py) — an object-store implementation
+    plugs in without touching the scan (one GET per chunk key, exactly the
+    reference's fsspec-mapper access pattern).
     """
-    metas = {v: _load_array_meta(root, v) for v in variables}
+    store = as_store(root)
+    metas = {v: _load_array_meta(store, v) for v in variables}
     shapes = {v: m["shape"] for v, m in metas.items()}
     n_rows = shapes[variables[0]][0]
     chunk0 = metas[variables[0]]["chunks"][0]
@@ -217,7 +222,7 @@ def zarr_table(
                     m = metas[v]
                     two_d = len(m["shape"]) == 2
                     fname = _chunk_key(m, (cid, 0) if two_d else (cid,))
-                    arr = _decode_chunk(os.path.join(root, v, fname), m)[: hi - lo]
+                    arr = _decode_chunk(store, f"{v}/{fname}", m)[: hi - lo]
                     fill = m.get("fill_value")
                     if fill is not None and np.issubdtype(arr.dtype, np.floating):
                         # Zarr v2 JSON-encodes non-finite fills as the strings
