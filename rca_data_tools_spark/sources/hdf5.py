@@ -54,6 +54,9 @@ class Dataset:
     data_size: int = 0
     compact: bytes | None = None
     chunk_shape: tuple[int, ...] = ()
+    # how the chunk map is found: v1 B-tree (v3 layouts / v4 index 5 never
+    # reaches here), a v4 single-chunk record, or v4 implicit addressing
+    chunk_index: str = "btree1"
     # [(chunk_offset_tuple, address, nbytes, filter_mask)]
     chunks: list[tuple[tuple[int, ...], int, int, int]] = field(default_factory=list)
     filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
@@ -97,24 +100,33 @@ class H5File:
             root_entry = 24 + 4 * 8
             ohdr = self._u(root_entry + 8, 8)
         elif version in (2, 3):
-            raise NotImplementedError(
-                "HDF5 superblock v2/v3 uses version-2 object headers, which "
-                "this minimal reader does not parse (netCDF-4 default files "
-                "use superblock v0)"
-            )
+            # v2/v3 layout (spec II.A.2): offsets size(9), lengths size(10),
+            # consistency flags(11), then base / extension / EOF / root group
+            # object header addresses and a trailing checksum (not verified —
+            # this reader trusts its source like the v0 path does).
+            if b[9] != 8 or b[10] != 8:
+                raise NotImplementedError(
+                    "HDF5: only 8-byte offsets/lengths supported "
+                    f"(got {b[9]}/{b[10]})"
+                )
+            ohdr = self._u(12 + 24, 8)
         else:
             raise NotImplementedError(f"HDF5 superblock version {version}")
         self._walk_group(ohdr, prefix="")
 
     # -- object headers ---------------------------------------------------
     def _messages(self, addr: int) -> list[tuple[int, bytes]]:
-        """All (type, data) messages of a v1 object header, following
-        continuation blocks."""
+        """All (type, data) messages of a v1 or v2 object header, following
+        continuation blocks. The two framings differ (v1: 2-byte types,
+        message count, 8-byte alignment; v2: 'OHDR' signature, 1-byte types,
+        run-to-end-of-chunk, trailing checksums) but both yield the same
+        (type, data) message stream, so everything downstream is shared."""
+        if self._buf[addr : addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
         b = self._buf
         if b[addr] != 1:
             raise NotImplementedError(
-                f"HDF5 object header version {b[addr]} (only v1 supported; "
-                "v2 headers come with superblock v2/v3 files)"
+                f"HDF5 object header version {b[addr]} (v1 and v2 supported)"
             )
         nmsgs = self._u(addr + 2, 2)
         hdr_size = self._u(addr + 8, 4)
@@ -137,26 +149,138 @@ class H5File:
                     msgs.append((mtype, data))
         return msgs
 
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        """Version-2 object header (spec IV.A.1.b): 'OHDR' + version + flags,
+        optional time / phase-change fields, variable-width chunk-0 size,
+        then 1-byte-type messages packed to the end of the chunk (no message
+        count). Trailing lookup3 checksums are not verified (same trust
+        model as the rest of this reader). Continuation blocks carry an
+        'OCHK' signature and their own checksum."""
+        b = self._buf
+        if b[addr + 4] != 2:
+            raise NotImplementedError(
+                f"HDF5 v2 object header version {b[addr + 4]}"
+            )
+        flags = b[addr + 5]
+        pos = addr + 6
+        if flags & 0x20:  # access/mod/change/birth times stored
+            pos += 16
+        if flags & 0x10:  # non-default attribute phase change
+            pos += 4
+        size_width = 1 << (flags & 0x03)
+        chunk0 = self._u(pos, size_width)
+        pos += size_width
+        tracked = bool(flags & 0x04)  # attribute creation order tracked:
+        # each message header then carries a 2-byte creation-order field
+        msg_hdr = 4 + (2 if tracked else 0)
+        blocks = [(pos, chunk0)]
+        msgs: list[tuple[int, bytes]] = []
+        while blocks:
+            p, remaining = blocks.pop(0)
+            while remaining >= msg_hdr:
+                mtype = b[p]
+                msize = self._u(p + 1, 2)
+                # p+3 is the message flags byte; bit 1 = shared message
+                if b[p + 3] & 0x02:
+                    raise NotImplementedError(
+                        "HDF5 shared message in v2 object header"
+                    )
+                data = b[p + msg_hdr : p + msg_hdr + msize]
+                p += msg_hdr + msize
+                remaining -= msg_hdr + msize
+                if mtype == 0x10:  # continuation: OCHK + messages + checksum
+                    caddr = int.from_bytes(data[0:8], "little")
+                    clen = int.from_bytes(data[8:16], "little")
+                    if b[caddr : caddr + 4] != b"OCHK":
+                        raise ValueError("HDF5: bad OCHK signature")
+                    blocks.append((caddr + 4, clen - 8))
+                msgs.append((mtype, data))
+            # leftover < msg_hdr bytes is the documented gap; checksum follows
+        return msgs
+
     def _walk_group(self, ohdr_addr: int, prefix: str) -> None:
         msgs = self._messages(ohdr_addr)
-        stab = [d for t, d in msgs if t == 0x0011]
-        if not stab:
+        children = self._group_children(msgs)
+        if children is None:
             raise NotImplementedError(
-                "HDF5 group without a symbol-table message (new-style "
-                "link-message groups come with superblock v2/v3 files)"
+                "HDF5 group with neither a symbol-table message nor link "
+                "messages (unsupported group storage)"
             )
-        btree_addr = int.from_bytes(stab[0][0:8], "little")
-        heap_addr = int.from_bytes(stab[0][8:16], "little")
-        heap_data = self._local_heap(heap_addr)
-        for name_off, child_ohdr in self._group_btree_entries(btree_addr):
-            name = self._heap_name(heap_data, name_off)
+        for name, child_ohdr in children:
             child_msgs = self._messages(child_ohdr)
-            if any(t == 0x0011 for t, _ in child_msgs):
+            if self._group_children(child_msgs) is not None:
                 self._walk_group(child_ohdr, prefix=f"{prefix}{name}/")
             else:
                 ds = self._dataset_from_messages(prefix + name, child_msgs)
                 if ds is not None:
                     self.datasets[prefix + name] = ds
+
+    def _group_children(self, msgs) -> "list[tuple[str, int]] | None":
+        """(name, object header address) children if ``msgs`` describe a
+        group — old-style (symbol table 0x0011) or new-style (link messages
+        0x0006, the 1.8+ format that comes with superblock v2/v3) — else
+        None (the object is a dataset or named type)."""
+        stab = [d for t, d in msgs if t == 0x0011]
+        if stab:
+            btree_addr = int.from_bytes(stab[0][0:8], "little")
+            heap_addr = int.from_bytes(stab[0][8:16], "little")
+            heap_data = self._local_heap(heap_addr)
+            return [
+                (self._heap_name(heap_data, off), child)
+                for off, child in self._group_btree_entries(btree_addr)
+            ]
+        link_info = [d for t, d in msgs if t == 0x0002]
+        links = [d for t, d in msgs if t == 0x0006]
+        if link_info:
+            self._check_link_info(link_info[0])
+        if links:
+            return [self._parse_link(d) for d in links]
+        if link_info:
+            return []  # an empty new-style group
+        return None
+
+    @staticmethod
+    def _check_link_info(d: bytes) -> None:
+        """Link Info message (0x0002): compact storage keeps links as header
+        messages (fractal heap address undefined); dense storage moves them
+        into a fractal heap, which this reader does not parse."""
+        if d[0] != 0:
+            raise NotImplementedError(f"HDF5 link info version {d[0]}")
+        pos = 2 + (8 if d[1] & 0x01 else 0)
+        heap_addr = int.from_bytes(d[pos : pos + 8], "little")
+        if heap_addr != _UNDEF:
+            raise NotImplementedError(
+                "HDF5 dense link storage (fractal heap) not supported — "
+                "groups with more than ~8 links written in the 1.8+ format; "
+                "convert with nccopy/h5repack to the earliest format, or "
+                "ingest via convert-zarr"
+            )
+
+    @staticmethod
+    def _parse_link(d: bytes) -> tuple[str, int]:
+        """Link message (0x0006), hard links only."""
+        if d[0] != 1:
+            raise NotImplementedError(f"HDF5 link message version {d[0]}")
+        flags = d[1]
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = d[pos]
+            pos += 1
+        if ltype != 0:
+            raise NotImplementedError(
+                f"HDF5 link type {ltype} (only hard links supported)"
+            )
+        if flags & 0x04:  # creation order
+            pos += 8
+        if flags & 0x10:  # charset
+            pos += 1
+        len_size = 1 << (flags & 0x03)
+        name_len = int.from_bytes(d[pos : pos + len_size], "little")
+        pos += len_size
+        name = d[pos : pos + name_len].decode()
+        pos += name_len
+        return name, int.from_bytes(d[pos : pos + 8], "little")
 
     def _local_heap(self, addr: int) -> int:
         b = self._buf
@@ -233,7 +357,24 @@ class H5File:
         ds.shape, ds.dtype, ds.layout = shape, dtype, layout
         if layout == "chunked":
             ndims = len(ds.chunk_shape)
-            if ds.data_address != _UNDEF:
+            chunk_bytes = int(np.prod(ds.chunk_shape, dtype=np.int64)) * dtype.itemsize
+            if ds.chunk_index == "single":
+                ds.chunks = [
+                    (offs, addr, chunk_bytes if nb == -1 else nb, mask)
+                    for offs, addr, nb, mask in ds.chunks
+                ]
+            elif ds.chunk_index == "implicit":
+                if ds.data_address != _UNDEF:
+                    grids = [
+                        range(0, s, c) for s, c in zip(shape, ds.chunk_shape)
+                    ]
+                    import itertools
+
+                    ds.chunks = [
+                        (offs, ds.data_address + i * chunk_bytes, chunk_bytes, 0)
+                        for i, offs in enumerate(itertools.product(*grids))
+                    ]
+            elif ds.data_address != _UNDEF:
                 ds.chunks = self._chunk_btree_entries(ds.data_address, ndims)
         for fid, _ in ds.filters:
             if fid not in (_DEFLATE, _SHUFFLE):
@@ -249,15 +390,16 @@ class H5File:
         encodings, shared datatypes, non-scalar dataspaces, non-numeric
         types."""
         version = d[0]
-        if version not in (1, 2):
+        if version not in (1, 2, 3):
             return None
         name_size = int.from_bytes(d[2:4], "little")
         dt_size = int.from_bytes(d[4:6], "little")
         sp_size = int.from_bytes(d[6:8], "little")
-        if version == 2 and d[1] & 0x01:  # shared datatype
+        if version in (2, 3) and d[1] & 0x01:  # shared datatype
             return None
         pad = (lambda n: n + ((8 - n % 8) % 8)) if version == 1 else (lambda n: n)
-        pos = 8
+        # v3 (the version v2 object headers carry) adds one name-charset byte
+        pos = 9 if version == 3 else 8
         name = d[pos : pos + name_size].split(b"\x00")[0].decode(errors="replace")
         pos += pad(name_size)
         try:
@@ -306,6 +448,8 @@ class H5File:
 
     def _parse_layout(self, d: bytes, ds: Dataset) -> str:
         version = d[0]
+        if version == 4:
+            return self._parse_layout_v4(d, ds)
         if version != 3:
             raise NotImplementedError(f"HDF5 data layout version {version}")
         lclass = d[1]
@@ -327,6 +471,61 @@ class H5File:
             ds.compact = d[4 : 4 + size]
             return "compact"
         raise NotImplementedError(f"HDF5 layout class {lclass}")
+
+    def _parse_layout_v4(self, d: bytes, ds: Dataset) -> str:
+        """Version-4 data layout (1.10+ format): contiguous/compact match
+        v3; chunked datasets carry one of five chunk index types. Single
+        Chunk and Implicit resolve here to the shared chunk-map shape; the
+        B-tree-backed and array-backed indexes (written for datasets that
+        grow along an unlimited dimension) raise with a conversion hint."""
+        lclass = d[1]
+        if lclass == 1:  # contiguous — identical body to v3
+            ds.data_address = int.from_bytes(d[2:10], "little")
+            ds.data_size = int.from_bytes(d[10:18], "little")
+            return "contiguous"
+        if lclass == 0:  # compact — identical body to v3
+            size = int.from_bytes(d[2:4], "little")
+            ds.compact = d[4 : 4 + size]
+            return "compact"
+        if lclass != 2:
+            raise NotImplementedError(f"HDF5 layout v4 class {lclass}")
+        flags = d[2]
+        ndims = d[3]
+        enc = d[4]  # bytes per encoded dimension size
+        pos = 5
+        dims = []
+        for _ in range(ndims):
+            dims.append(int.from_bytes(d[pos : pos + enc], "little"))
+            pos += enc
+        ds.chunk_shape = tuple(dims)
+        index_type = d[pos]
+        pos += 1
+        if index_type == 1:  # single chunk
+            if flags & 0x02:  # filtered: size + filter mask precede address
+                nbytes = int.from_bytes(d[pos : pos + 8], "little")
+                mask = int.from_bytes(d[pos + 8 : pos + 12], "little")
+                pos += 12
+            else:
+                nbytes, mask = 0, 0
+            addr = int.from_bytes(d[pos : pos + 8], "little")
+            ds.data_address = addr
+            ds.chunk_index = "single"
+            if addr != _UNDEF:
+                # unfiltered single chunks store no size; -1 is resolved to
+                # prod(chunk_shape)*itemsize once the datatype is known
+                ds.chunks = [((0,) * ndims, addr, nbytes or -1, mask)]
+            return "chunked"
+        if index_type == 2:  # implicit: chunks contiguous, unfiltered
+            addr = int.from_bytes(d[pos : pos + 8], "little")
+            ds.data_address = addr
+            ds.chunk_index = "implicit"
+            return "chunked"
+        names = {3: "fixed array", 4: "extensible array", 5: "version-2 B-tree"}
+        raise NotImplementedError(
+            f"HDF5 layout v4 chunk index {names.get(index_type, index_type)!r} "
+            "not supported — repack with h5repack -L (compact/earliest "
+            "format) or ingest via convert-zarr"
+        )
 
     def _parse_filters(self, d: bytes) -> list[tuple[int, tuple[int, ...]]]:
         version, nfilters = d[0], d[1]

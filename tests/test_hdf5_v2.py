@@ -1,0 +1,315 @@
+"""Superblock v2/v3 + version-2 object header coverage for the native HDF5
+reader: the 1.8+ format newer libnetcdf defaults can emit (VERDICT round-3
+ask #3). Fixtures are hand-written from the public HDF5 File Format
+Specification — OHDR headers, link-message groups, v3 attributes, OCHK
+continuations, and v4 data layouts (single-chunk / implicit indexes) — then
+parsed and scanned distributed. Unsupported 1.8+ structures (dense link
+storage, array/B-tree-v2 chunk indexes, soft links) must raise loudly."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tests.test_hdf5 import (
+    UNDEF,
+    _chunk_btree,
+    _dataspace,
+    _datatype,
+    _filter_pipeline,
+    _layout_chunked,
+    _layout_contiguous,
+)
+
+_SB_SIZE = 48
+
+
+def _msg2(mtype: int, data: bytes) -> bytes:
+    """v2 message framing: 1-byte type, 2-byte size, 1-byte flags, no pad."""
+    return struct.pack("<BHB", mtype, len(data), 0) + data
+
+
+def _ohdr2(msgs: list[bytes], flags: int = 0x01) -> bytes:
+    """Version-2 object header, 2-byte chunk-0 size, trailing checksum
+    (zeros — the reader documents that it does not verify lookup3)."""
+    body = b"".join(msgs)
+    assert flags & 0x03 == 0x01
+    return b"OHDR" + struct.pack("<BBH", 2, flags, len(body)) + body + b"\x00" * 4
+
+
+def _link_info(heap_addr: bytes = UNDEF) -> bytes:
+    # version 0, flags 0, fractal heap addr, name-index v2 B-tree addr
+    return struct.pack("<BB", 0, 0) + heap_addr + UNDEF
+
+
+def _link_msg(name: str, ohdr_addr: int) -> bytes:
+    nb = name.encode()
+    return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", ohdr_addr)
+
+
+def _soft_link_msg(name: str) -> bytes:
+    nb = name.encode()
+    target = b"/elsewhere"
+    return (
+        struct.pack("<BBBB", 1, 0x08, 1, len(nb))  # flags: link-type present
+        + nb
+        + struct.pack("<H", len(target))
+        + target
+    )
+
+
+def _attribute3(name: str, value, dtype: np.dtype) -> bytes:
+    nb = name.encode() + b"\x00"
+    dt = _datatype(dtype)
+    sp = struct.pack("<BBB5x", 1, 0, 0)  # scalar: rank 0
+    return (
+        struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(sp), 0)
+        + nb + dt + sp
+        + np.array([value], dtype=dtype).tobytes()
+    )
+
+
+def _layout_v4_single(addr: int, chunk_shape, nbytes: int | None = None, mask: int = 0) -> bytes:
+    """v4 chunked layout, Single Chunk index; filtered iff nbytes given."""
+    flags = 0x02 if nbytes is not None else 0x00
+    out = struct.pack("<BBBBB", 4, 2, flags, len(chunk_shape), 8)
+    out += b"".join(struct.pack("<Q", c) for c in chunk_shape)
+    out += b"\x01"
+    if nbytes is not None:
+        out += struct.pack("<QI", nbytes, mask)
+    return out + struct.pack("<Q", addr)
+
+
+def _layout_v4_implicit(addr: int, chunk_shape) -> bytes:
+    out = struct.pack("<BBBBB", 4, 2, 0, len(chunk_shape), 8)
+    out += b"".join(struct.pack("<Q", c) for c in chunk_shape)
+    return out + b"\x02" + struct.pack("<Q", addr)
+
+
+def _layout_v4_fixed_array(addr: int, chunk_shape) -> bytes:
+    out = struct.pack("<BBBBB", 4, 2, 0, len(chunk_shape), 8)
+    out += b"".join(struct.pack("<Q", c) for c in chunk_shape)
+    return out + b"\x03" + b"\x00" + struct.pack("<Q", addr)  # page bits + addr
+
+
+class _WriterV3:
+    """Appends blocks after a reserved v3 superblock, written at finish."""
+
+    def __init__(self):
+        self.buf = bytearray(_SB_SIZE)
+
+    def append(self, b: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += b
+        return addr
+
+    def finish(self, root_ohdr: int) -> bytes:
+        sb = (
+            b"\x89HDF\r\n\x1a\n"
+            + struct.pack("<BBBB", 3, 8, 8, 0)  # version, offsets, lengths, flags
+            + struct.pack("<Q", 0)  # base address
+            + UNDEF  # superblock extension
+            + struct.pack("<Q", len(self.buf))  # EOF
+            + struct.pack("<Q", root_ohdr)
+            + b"\x00" * 4  # checksum (not verified)
+        )
+        assert len(sb) == _SB_SIZE, len(sb)
+        self.buf[:_SB_SIZE] = sb
+        return bytes(self.buf)
+
+
+def write_h5_v2(path: str, datasets: dict[str, dict], group: str | None = None) -> None:
+    """1.8+-format file: v3 superblock, OHDR headers everywhere, link-message
+    root group (compact storage). datasets: name -> {'array', 'chunks',
+    'filters', 'fill', 'v4': 'single'|'single_raw'|'implicit', 'split': bool}."""
+    w = _WriterV3()
+    links = []
+    for name, spec in sorted(datasets.items()):
+        arr = np.ascontiguousarray(spec["array"])
+        msgs = [_msg2(0x01, _dataspace(arr.shape)), _msg2(0x03, _datatype(arr.dtype))]
+        if spec.get("fill") is not None:
+            msgs.append(_msg2(0x0C, _attribute3("_FillValue", spec["fill"], arr.dtype)))
+        v4 = spec.get("v4")
+        if v4 == "single":
+            raw = zlib.compress(arr.tobytes(), 6)
+            addr = w.append(raw)
+            msgs.append(_msg2(0x08, _layout_v4_single(addr, arr.shape, nbytes=len(raw))))
+            msgs.append(_msg2(0x0B, _filter_pipeline([(1, (6,))])))
+        elif v4 == "single_raw":
+            addr = w.append(arr.tobytes())
+            msgs.append(_msg2(0x08, _layout_v4_single(addr, arr.shape)))
+        elif v4 == "implicit":
+            cshape = tuple(spec["chunks"])
+            c0 = cshape[0]
+            blocks = []
+            for lo in range(0, arr.shape[0], c0):
+                chunk = np.zeros(cshape, dtype=arr.dtype)
+                part = arr[lo : lo + c0]
+                chunk[: part.shape[0]] = part
+                blocks.append(chunk.tobytes())
+            addr = w.append(b"".join(blocks))
+            msgs.append(_msg2(0x08, _layout_v4_implicit(addr, cshape)))
+        elif spec.get("chunks") is None:
+            raw = arr.tobytes()
+            addr = w.append(raw)
+            msgs.append(_msg2(0x08, _layout_contiguous(addr, len(raw))))
+        else:
+            cshape = tuple(spec["chunks"])
+            c0 = cshape[0]
+            entries = []
+            for lo in range(0, arr.shape[0], c0):
+                chunk = np.zeros(cshape, dtype=arr.dtype)
+                part = arr[lo : lo + c0]
+                chunk[: part.shape[0]] = part
+                data = zlib.compress(chunk.tobytes(), 6)
+                addr = w.append(data)
+                entries.append(((lo,) + (0,) * (len(cshape) - 1), addr, len(data), 0))
+            btree_addr = w.append(_chunk_btree(entries, len(cshape)))
+            msgs.append(_msg2(0x08, _layout_chunked(btree_addr, cshape, arr.dtype.itemsize)))
+            msgs.append(_msg2(0x0B, _filter_pipeline([(1, (6,))])))
+        if spec.get("split"):
+            # exercise OCHK continuation: first message in chunk 0, the rest
+            # in a continuation block (signature + messages + checksum)
+            rest = b"".join(msgs[1:])
+            ochk = b"OCHK" + rest + b"\x00" * 4
+            caddr = w.append(ochk)
+            cont = _msg2(0x10, struct.pack("<QQ", caddr, len(ochk)))
+            links.append((name, w.append(_ohdr2([msgs[0], cont]))))
+        else:
+            links.append((name, w.append(_ohdr2(msgs))))
+
+    link_msgs = [_msg2(0x02, _link_info())] + [
+        _msg2(0x06, _link_msg(n, a)) for n, a in links
+    ]
+    if group is not None:
+        inner = w.append(_ohdr2(link_msgs))
+        link_msgs = [
+            _msg2(0x02, _link_info()),
+            _msg2(0x06, _link_msg(group, inner)),
+        ]
+    root = w.append(_ohdr2(link_msgs))
+    with open(path, "wb") as f:
+        f.write(w.finish(root))
+
+
+def test_v2_metadata_and_values(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    path = str(tmp_path / "v2.h5")
+    a = np.linspace(0.0, 5.0, 23)
+    b = np.arange(12, dtype="<i4").reshape(4, 3)
+    write_h5_v2(path, {
+        "a": {"array": a, "chunks": (8,)},
+        "b": {"array": b, "chunks": None},
+    })
+    h5 = H5File(path)
+    assert set(h5.datasets) == {"a", "b"}
+    assert h5.datasets["a"].layout == "chunked"
+    np.testing.assert_allclose(read_dataset(h5, "a"), a)
+    np.testing.assert_array_equal(read_dataset(h5, "b"), b)
+
+
+def test_v2_nested_group_and_fill_attribute(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    path = str(tmp_path / "v2g.h5")
+    v = np.array([1.0, -9999.0, 3.0, 4.0])
+    write_h5_v2(path, {"v": {"array": v, "chunks": (2,), "fill": -9999.0}}, group="grp")
+    h5 = H5File(path)
+    assert set(h5.datasets) == {"grp/v"}
+    assert h5.datasets["grp/v"].attrs["_FillValue"] == -9999.0
+    np.testing.assert_allclose(read_dataset(h5, "grp/v"), v)
+
+
+def test_v2_continuation_block(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    path = str(tmp_path / "v2c.h5")
+    a = np.arange(10, dtype="<f8")
+    write_h5_v2(path, {"a": {"array": a, "chunks": (4,), "split": True}})
+    h5 = H5File(path)
+    np.testing.assert_allclose(read_dataset(h5, "a"), a)
+
+
+def test_v2_layout_v4_single_and_implicit(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    path = str(tmp_path / "v4.h5")
+    s = np.linspace(1.0, 2.0, 16)
+    r = np.arange(6, dtype="<i8")
+    imp = np.linspace(-1.0, 1.0, 21)
+    write_h5_v2(path, {
+        "s": {"array": s, "v4": "single"},
+        "r": {"array": r, "v4": "single_raw"},
+        "imp": {"array": imp, "chunks": (8,), "v4": "implicit"},
+    })
+    h5 = H5File(path)
+    np.testing.assert_allclose(read_dataset(h5, "s"), s)
+    np.testing.assert_array_equal(read_dataset(h5, "r"), r)
+    np.testing.assert_allclose(read_dataset(h5, "imp"), imp)
+
+
+def test_v2_distributed_scan_via_netcdf4(spark, tmp_path):
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    path = str(tmp_path / "v2.nc")
+    v = np.linspace(0.0, 1.0, 50)
+    v[7] = -9.0
+    write_h5_v2(path, {"v": {"array": v, "chunks": (16,), "fill": -9.0}})
+    df = netcdf_table(spark, path, ["v"], records_per_task=20)
+    rows = df.orderBy("idx").collect()
+    got = [r["v"] for r in rows]
+    assert got[7] is None  # fill -> SQL NULL
+    np.testing.assert_allclose(
+        [g for i, g in enumerate(got) if i != 7],
+        [x for i, x in enumerate(v) if i != 7],
+    )
+
+
+def test_v2_dense_links_and_soft_links_raise(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    heap = struct.pack("<Q", 4096)  # a defined fractal heap address
+    root = w.append(_ohdr2([_msg2(0x02, _link_info(heap_addr=heap))]))
+    p1 = str(tmp_path / "dense.h5")
+    with open(p1, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="dense link storage"):
+        H5File(p1)
+
+    w = _WriterV3()
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _soft_link_msg("soft")),
+    ]))
+    p2 = str(tmp_path / "soft.h5")
+    with open(p2, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="hard links"):
+        H5File(p2)
+
+
+def test_v2_layout_v4_fixed_array_raises(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    arr = np.arange(8, dtype="<f8")
+    msgs = [
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_fixed_array(4096, (4,))),
+    ]
+    ds = w.append(_ohdr2(msgs))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+    ]))
+    p = str(tmp_path / "fa.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="fixed array"):
+        H5File(p)
