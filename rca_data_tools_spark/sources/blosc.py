@@ -22,9 +22,10 @@ loop costs no driver time and parallelizes with the chunk grid. It is still
 documents recompress-on-ingest (zlib/gzip) as the fast path; this decoder
 makes blosc archives *readable* without new native dependencies.
 
-Supported: byte-shuffle, memcpy chunks, LZ4 / zlib / blosclz-stored splits
-(blosclz only when splits are stored uncompressed, its compressed form is a
-different spec). Bit-shuffle, snappy and zstd raise loudly.
+Supported: byte-shuffle, memcpy chunks, LZ4 / zlib / zstd /
+blosclz-stored splits (zstd via the pure-Python RFC 8878 decoder in
+sources/zstd.py; blosclz only when splits are stored uncompressed, its
+compressed form is a different spec). Bit-shuffle and snappy raise loudly.
 """
 
 from __future__ import annotations
@@ -102,9 +103,18 @@ def _decode_split(codec: str, stream: bytes, out_size: int) -> bytes:
         if len(out) != out_size:
             raise ValueError(f"zlib split decoded {len(out)} bytes, expected {out_size}")
         return out
+    if codec == "zstd":
+        # c-blosc wraps each zstd split as a standard zstd frame
+        # (ZSTD_compress output) — the pure-Python RFC 8878 decoder reads it
+        from rca_data_tools_spark.sources.zstd import zstd_decompress
+
+        out = zstd_decompress(stream)
+        if len(out) != out_size:
+            raise ValueError(f"zstd split decoded {len(out)} bytes, expected {out_size}")
+        return out
     raise NotImplementedError(
         f"blosc inner codec {codec!r} not decodable in this runtime "
-        "(supported: lz4, zlib, and uncompressed splits)"
+        "(supported: lz4, zlib, zstd, and uncompressed splits)"
     )
 
 

@@ -19,19 +19,21 @@ materialization, linear scale-out in chunk count. On an object store the
 same keys are fetched by executors (fsspec-style paths); nothing changes
 structurally.
 
-Supported: C-order arrays, raw / zlib / gzip compressors (stdlib), blosc
-chunks with lz4/zlib splits and byte-shuffle (pure-numpy shim in blosc.py —
-zarr-python's default codec, so real OOI archives read natively; the
-pure-Python lz4 inner loop is ~100x slower than the C codec, so for repeated
-scans recompress to zlib on ingest), float and int dtypes, 1-D ``(time,)``
-and 2-D ``(time, k)`` variables — the reference's data model (§1.1: 2-D
-params become array columns). Bit-shuffle / zstd / snappy blosc chunks raise
-with a clear message rather than silently mis-decoding.
+Supported: C-order arrays, raw / zlib / gzip compressors (stdlib), zstd
+chunks (pure-Python RFC 8878 decoder in zstd.py — numcodecs-Zstd v2 stores
+and zarr v3's default compressor), blosc chunks with lz4/zlib/zstd splits
+and byte-shuffle (pure-numpy shim in blosc.py — zarr-python v2's default
+codec, so real OOI archives read natively; the pure-Python inner loops are
+~100x slower than the C codecs, so for repeated scans recompress to zlib on
+ingest), float and int dtypes, 1-D ``(time,)`` and 2-D ``(time, k)``
+variables — the reference's data model (§1.1: 2-D params become array
+columns). Bit-shuffle / snappy blosc chunks raise with a clear message
+rather than silently mis-decoding.
 
 Zarr v3 stores (zarr.json array documents) are normalized onto the same
-decode path: regular chunk grids, `bytes` (either endian) + gzip/zlib/blosc
-codecs, default or v2-style chunk key encodings. Sharding, transpose,
-crc32c, and other codecs raise loudly.
+decode path: regular chunk grids, `bytes` (either endian) +
+gzip/zlib/zstd/blosc codecs, default or v2-style chunk key encodings.
+Sharding, transpose, crc32c, and other codecs raise loudly.
 """
 
 from __future__ import annotations
@@ -73,6 +75,9 @@ def _normalize_v3_meta(meta: dict) -> dict:
             endian = conf.get("endian", "little")
         elif name in ("gzip", "zlib"):
             compressor = {"id": "zlib"}
+        elif name == "zstd":
+            # zarr v3's default compressor: one zstd frame per chunk
+            compressor = {"id": "zstd"}
         elif name == "blosc":
             # v3 blosc chunks carry the same blosc1 frame the shim decodes
             compressor = {"id": "blosc"}
@@ -151,16 +156,24 @@ def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
         buf = zlib.decompress(raw, 47)  # wbits=47 accepts both zlib and gzip
     elif comp.get("id") == "blosc":
         # zarr-python's default codec; decoded with the pure-numpy shim
-        # (sources/blosc.py — byte-shuffle + lz4/zlib splits). ~100x slower
-        # than the C codec: fine for making real archives readable, but
-        # recompress-to-zlib on ingest is the documented fast path.
+        # (sources/blosc.py — byte-shuffle + lz4/zlib/zstd splits). ~100x
+        # slower than the C codec: fine for making real archives readable,
+        # but recompress-to-zlib on ingest is the documented fast path.
         from rca_data_tools_spark.sources.blosc import blosc_decompress
 
         buf = blosc_decompress(raw)
+    elif comp.get("id") == "zstd":
+        # numcodecs Zstd stores each chunk as one standard zstd frame;
+        # decoded by the pure-Python RFC 8878 decoder (sources/zstd.py,
+        # checksum-verified when the frame carries one)
+        from rca_data_tools_spark.sources.zstd import zstd_decompress
+
+        buf = zstd_decompress(raw)
     else:
         raise NotImplementedError(
             f"zarr compressor {comp.get('id')!r} needs a codec not present in "
-            "this runtime (supported here: raw, zlib, gzip, blosc[lz4/zlib])"
+            "this runtime (supported here: raw, zlib, gzip, zstd, "
+            "blosc[lz4/zlib/zstd])"
         )
     arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
     return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
