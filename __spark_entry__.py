@@ -51,6 +51,12 @@ _ROUND_WINDOW = [
     "dedup_lsh_capped",
     "graph_degree_stats",
     "text_minhash_containment",
+    "qc_flat_line",
+    "j1_asof_tolerance",
+    "j11_interval_difference",
+    "text_entropy",
+    "a16_array_quantiles",
+    "embed_norm_stats",
     # spot-recheck sentinels: oldest r01 greens first (verdict's shortlist)
     "j4_climatology_flags",
     "j1_asof_join",
@@ -73,12 +79,6 @@ _ROUND_WINDOW = [
     "a2_pivot_counts",
     "w9_topk_per_group",
     "j6_multiway_time_join",
-    "j5_gross_range_flags",
-    "w5_positional_flags",
-    "a10_bit_or_rollup",
-    "dedup_exact",
-    "w1_lag_step_flags",
-    "text_tfidf_topk",
 ]
 
 

@@ -481,3 +481,107 @@ def streaming_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_prior"),
         dsum("r_value").alias("sum_prior"),
     )
+
+
+@query(
+    "j1_asof_tolerance",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), clicks_d AS (SELECT user_id, ts, value, event_id FROM clicks WHERE rn = 1),
+errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+matched AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+  FROM errors e ASOF LEFT JOIN clicks_d c
+    ON e.user_id = c.user_id AND e.ts >= c.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_event_id END AS click_event_id,
+       CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_ts END AS click_ts,
+       CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_value END AS click_value,
+       CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE
+            THEN (epoch_ms(ts) - epoch_ms(click_ts)) / 1000 END AS gap_s
+FROM matched
+""",
+)
+def j1_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance: the backward match is
+    kept only when it lies within 30 minutes of the probe — the standard
+    'most recent calibration, unless it has gone stale' semantic
+    (pandas merge_asof(tolerance=...); reference analogue: calibration
+    interval lookup with bounded validity, qaqc/utils.py:288-310).
+
+    Built as the plain as-of join (union-window strategy, one hash shuffle)
+    plus a pure projection gate — tolerance costs nothing at scale."""
+    errors, clicks_d = _asof_sides(spark, sf_dir)
+    joined = as_of_join(
+        errors, clicks_d, key="user_id", left_ts="ts", right_ts="click_ts",
+        value_cols=["click_event_id", "click_value"],
+    )
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    gap = (F.unix_millis("ts") - F.unix_millis("click_ts")) / 1000
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("click_event_id")).alias("click_event_id"),
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+        F.when(fresh, gap).alias("gap_s"),
+    )
+
+
+@query(
+    "j11_interval_difference",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS lo, ts + INTERVAL 5 MINUTE AS hi, event_id FROM events
+), swept AS (
+  SELECT user_id, lo, hi,
+         MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_hi
+  FROM iv
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(CASE WHEN prev_max_hi IS NOT NULL AND lo > prev_max_hi
+                     THEN epoch_ms(lo) - epoch_ms(prev_max_hi) ELSE 0 END) AS BIGINT) AS gap_ms,
+       CAST(SUM(CASE WHEN prev_max_hi IS NOT NULL AND lo > prev_max_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+FROM swept GROUP BY user_id
+""",
+)
+def j11_interval_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-set difference / uncovered-time computation: treating each
+    event as a 5-minute activity interval, report per user how much time
+    between intervals is NOT covered by any interval (and how many distinct
+    gaps) — the sweep-line union-gap algorithm (sort by start, running max
+    of ends, gap when the next start clears the running max). The
+    reference's annotation system needs exactly this to find un-annotated
+    stretches of a deployment.
+
+    Scale shape: ONE hash shuffle on the series key, a running-max window
+    within each series, then a map-side-combined agg. Integer millisecond
+    arithmetic throughout — bit-exact across engines."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id", "event_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("hi"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = iv.withColumn("prev_max_hi", F.max("hi").over(w))
+    is_gap = F.col("prev_max_hi").isNotNull() & (F.col("lo") > F.col("prev_max_hi"))
+    gap_ms = F.when(
+        is_gap, F.unix_millis("lo") - F.unix_millis("prev_max_hi")
+    ).otherwise(F.lit(0))
+    return swept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(gap_ms).alias("gap_ms"),
+        F.sum(F.when(is_gap, 1).otherwise(0)).cast("bigint").alias("n_gaps"),
+    )

@@ -307,3 +307,54 @@ def qc_flag_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_flag", "flag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "qc_flat_line",
+    oracle="""
+WITH sig AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value / 100) AS BIGINT) AS level
+  FROM events
+), lagged AS (
+  SELECT user_id, ts, event_id, level,
+         LAG(level, 1) OVER w AS p1, LAG(level, 2) OVER w AS p2,
+         LAG(level, 3) OVER w AS p3, LAG(level, 4) OVER w AS p4
+  FROM sig WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts, level,
+       CASE WHEN p2 IS NULL THEN 2
+            WHEN level = p1 AND level = p2 AND level = p3 AND level = p4 THEN 4
+            WHEN level = p1 AND level = p2 THEN 3
+            ELSE 1 END AS flat_flag
+FROM lagged
+""",
+)
+def qc_flat_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QARTOD flat-line test (IOOS QARTOD test 8): a sensor reporting the
+    SAME value for too many consecutive samples indicates a stuck sensor or
+    an obstructed flow cell. Flag 4 (fail) when the current reading equals
+    the previous 4, flag 3 (suspect) at 2 repeats, flag 2 (not evaluated)
+    while the series is too short, else 1. The measured signal here is the
+    value quantized to 100-unit levels (the events corpus is continuous;
+    a real sensor's repeated raw values play the same role).
+
+    Complements the engine's other QARTOD tests (gross range j5,
+    climatology j4, step/spike w1, gap w3) — reference analogue: the PCO2W
+    flat-intensity masks (calculateFunctions.py:932-975) generalized to the
+    standard per-series time-domain form.
+
+    Scale shape: one hash shuffle on the series key; four lags share one
+    window frame in a single pass; flags are a codegen'd CASE."""
+    e = load_table(spark, sf_dir, "events")
+    level = F.floor(F.col("value") / 100).cast("bigint")
+    sig = e.select("user_id", "ts", "event_id", level.alias("level"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = {k: F.lag("level", k).over(w) for k in (1, 2, 3, 4)}
+    eq = lambda k: F.col("level") == lags[k]  # noqa: E731
+    flag = (
+        F.when(lags[2].isNull(), F.lit(2))
+        .when(eq(1) & eq(2) & eq(3) & eq(4), F.lit(4))
+        .when(eq(1) & eq(2), F.lit(3))
+        .otherwise(F.lit(1))
+    )
+    return sig.select("user_id", "event_id", "ts", "level", flag.alias("flat_flag"))

@@ -814,3 +814,51 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
     )
+
+
+@query(
+    "text_entropy",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NTOKS_SQL}) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(ROUND(c * LN(c), 6) AS DECIMAL(28,6))) AS DOUBLE) AS s_clnc
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(LN(n_tokens) - s_clnc / n_tokens, 6) AS entropy
+FROM per WHERE n_tokens > 0
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy — the information-density quality
+    signal (low entropy = keyword stuffing / template spam; used alongside
+    the Gopher repetition rules). Computed as ln(n) - (Σ c·ln c)/n over
+    term frequencies, with the only order-sensitive sum (Σ c·ln c) rounded
+    to decimal so the result is bit-identical across engines and
+    partitionings.
+
+    Scale shape: one explode + map-side-combined (doc, token) count, one
+    per-doc agg — both shuffles carry token-hash-sized rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        dsum(F.col("c") * F.log("c")).alias("s_clnc"),
+    )
+    entropy = F.round(
+        F.log("n_tokens") - F.col("s_clnc") / F.col("n_tokens"), 6
+    )
+    return per.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "n_tokens", "n_distinct", entropy.alias("entropy")
+    )

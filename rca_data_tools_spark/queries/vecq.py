@@ -486,3 +486,81 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"), davg(sim).alias("cohesion")
     )
+
+
+@query(
+    "a16_array_quantiles",
+    oracle="""
+SELECT vec_id,
+       CAST(list_sort(embedding)[16] AS DOUBLE) AS p25,
+       CAST(list_sort(embedding)[32] AS DOUBLE) AS p50,
+       CAST(list_sort(embedding)[48] AS DOUBLE) AS p75,
+       CAST(list_sort(embedding)[48] AS DOUBLE)
+         - CAST(list_sort(embedding)[16] AS DOUBLE) AS iqr
+FROM embeddings
+""",
+)
+def a16_array_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array quartiles + IQR over the 64-element embedding arrays
+    (nearest-rank on the sorted array — exact, no interpolation ambiguity):
+    the spread diagnostics the reference computes per spectral window
+    (np.nanpercentile over wavelength bins). Pure JVM array ops in codegen:
+    one sort per row, no shuffle, no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = F.array_sort("embedding")
+    p25 = F.element_at(s, 16).cast("double")
+    p50 = F.element_at(s, 32).cast("double")
+    p75 = F.element_at(s, 48).cast("double")
+    return e.select(
+        "vec_id",
+        p25.alias("p25"),
+        p50.alias("p50"),
+        p75.alias("p75"),
+        (p75 - p25).alias("iqr"),
+    )
+
+
+_NORM_SQL_EXPR = (
+    "SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]), (s, x) -> s + x))"
+)
+
+
+@query(
+    "embed_norm_stats",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, ROUND({_NORM_SQL_EXPR}, 6) AS l2
+  FROM embeddings
+)
+SELECT CAST(FLOOR(l2 / 0.25) AS BIGINT) AS bin,
+       COUNT(*) AS n_vecs,
+       MIN(l2) AS min_norm,
+       MAX(l2) AS max_norm
+FROM norms GROUP BY 1
+""",
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm histogram (0.25-wide bins) — the standard
+    embedding-table health check before similarity search: near-zero or
+    outlier norms mean broken encodes, and a wide spread means cosine and
+    dot-product rankings will disagree. Norms use the engine's sequential
+    IEEE fold (operators/similarity.seq_dot's proven order, matched by the
+    DuckDB list_reduce), rounded once before binning so bin assignment is
+    engine-exact.
+
+    Scale shape: one scan + per-row fold in codegen, then a map-side
+    combined agg onto a dim-sized (bin) table — no data-sized shuffle."""
+    from rca_data_tools_spark.operators.similarity import seq_dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = to_double_array("embedding")
+    l2 = F.round(F.sqrt(seq_dot(arr, arr)), 6)
+    norms = e.select("vec_id", l2.alias("l2"))
+    return norms.groupBy(
+        F.floor(F.col("l2") / 0.25).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("l2").alias("min_norm"),
+        F.max("l2").alias("max_norm"),
+    )
