@@ -629,9 +629,18 @@ def _execute(lits: bytes, seqs, st: _FrameState, window: bytearray) -> bytes:
         total = len(window) + len(out)
         if offset > total:
             raise ValueError("zstd: match offset beyond window")
-        for _ in range(ml):
+        # fast paths: non-overlapping matches copy as slices; overlapping
+        # matches double the copied span each step (repeating pattern)
+        while ml > 0:
             p = len(window) + len(out) - offset
-            out.append(window[p] if p < len(window) else out[p - len(window)])
+            if p < len(window):
+                take = min(ml, len(window) - p, offset)
+                out += window[p : p + take]
+            else:
+                q = p - len(window)
+                take = min(ml, offset)
+                out += out[q : q + take]
+            ml -= take
     out += lits[lpos:]
     return bytes(out)
 
