@@ -717,7 +717,12 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 if len(block) != bsize:
                     raise ValueError("zstd: truncated compressed block")
                 pos += bsize
-                frame_out += _decode_block(block, st, frame_out)
+                try:
+                    frame_out += _decode_block(block, st, frame_out)
+                except (IndexError, struct.error) as e:
+                    # corrupt framing inside the block: surface the typed
+                    # loud failure, never an internal indexing error
+                    raise ValueError(f"zstd: corrupt compressed block ({e})") from None
             else:
                 raise ValueError("zstd: reserved block type")
             if len(out_all) + len(frame_out) > max_output:

