@@ -219,8 +219,8 @@ def test_zarr_v3_v2_style_keys_and_unsupported_codec(spark, tmp_path):
     np.testing.assert_allclose(
         [r["v"] for r in df.orderBy("idx").collect()], vals
     )
-    # sharding raises loudly at metadata parse
-    d = os.path.join(root, "sharded")
+    # genuinely-unsupported codecs still raise loudly at metadata parse
+    d = os.path.join(root, "transposed")
     os.makedirs(d)
     with open(os.path.join(d, "zarr.json"), "w") as f:
         json.dump(
@@ -228,9 +228,135 @@ def test_zarr_v3_v2_style_keys_and_unsupported_codec(spark, tmp_path):
                 "zarr_format": 3, "node_type": "array", "shape": [4],
                 "data_type": "float64",
                 "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
-                "codecs": [{"name": "sharding_indexed", "configuration": {}}],
+                "codecs": [{"name": "transpose", "configuration": {"order": [0]}}],
             },
             f,
         )
-    with pytest.raises(NotImplementedError, match="sharding"):
-        _load_array_meta(root, "sharded")
+    with pytest.raises(NotImplementedError, match="transpose"):
+        _load_array_meta(root, "transposed")
+
+
+def _crc32c_ref(data: bytes) -> int:
+    from rca_data_tools_spark.sources.zarr import _crc32c
+
+    return _crc32c(data)
+
+
+def _write_shard(path, blocks: list[bytes | None], crc: bool, at_end: bool = True):
+    """Assemble one zarr v3 shard: inner chunk blobs + (offset, nbytes)
+    uint64 index (missing chunks = all-ones), optionally crc32c-suffixed."""
+    import struct
+
+    body = bytearray()
+    entries = []
+    for blob in blocks:
+        if blob is None:
+            entries.append((0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF))
+        else:
+            off = len(body) + (0 if at_end else 16 * len(blocks) + (4 if crc else 0))
+            entries.append((off, len(blob)))
+            body += blob
+    index = b"".join(struct.pack("<QQ", o, n) for o, n in entries)
+    if crc:
+        index += struct.pack("<I", _crc32c_ref(index))
+    with open(path, "wb") as f:
+        f.write(bytes(body) + index if at_end else index + bytes(body))
+
+
+def test_zarr_v3_sharded_scan(spark, tmp_path):
+    """sharding_indexed: shards assemble from inner chunks through the inner
+    codec chain; missing inner chunks read as fill -> NULL; the index
+    crc32c is verified."""
+    import zlib as _zlib
+
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "v3s.zarr")
+    os.makedirs(os.path.join(root, "v", "c"))
+    vals = np.arange(23, dtype="<f8") + 0.5
+    vals[16:20] = -7.0  # will come from a MISSING inner chunk (fill)
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [23],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [12]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": -7.0,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [4],
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "gzip", "configuration": {"level": 5}},
+                ],
+                "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+                "index_location": "end",
+            },
+        }],
+    }
+    with open(os.path.join(root, "v", "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+    def inner(lo):
+        block = np.full(4, -7.0, dtype="<f8")
+        part = vals[lo : lo + 4]
+        block[: len(part)] = part
+        return _zlib.compress(block.tobytes())
+
+    # shard 0: rows 0..11 (3 inner chunks); shard 1: rows 12..22, with the
+    # middle inner chunk (rows 16..19) MISSING -> fill value
+    _write_shard(os.path.join(root, "v", "c", "0"), [inner(0), inner(4), inner(8)], crc=True)
+    _write_shard(os.path.join(root, "v", "c", "1"), [inner(12), None, inner(20)], crc=True)
+
+    df = zarr_table(spark, root, ["v"])
+    rows = df.orderBy("idx").collect()
+    got = [r["v"] for r in rows]
+    # fill -7.0 -> SQL NULL (engine missing-data convention)
+    assert all(got[i] is None for i in range(16, 20))
+    keep = [i for i in range(23) if i not in range(16, 20)]
+    np.testing.assert_allclose([got[i] for i in keep], [vals[i] for i in keep])
+
+    # corrupt index -> loud error
+    p = os.path.join(root, "v", "c", "0")
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    from rca_data_tools_spark.sources.zarr import _decode_chunk, _load_array_meta
+
+    m = _load_array_meta(root, "v")
+    with pytest.raises(ValueError, match="crc32c"):
+        _decode_chunk(__import__("rca_data_tools_spark.sources.bytes_io", fromlist=["as_store"]).as_store(root), "v/c/0", m)
+
+
+def test_zarr_v3_shard_index_at_start_no_crc(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "v3s2.zarr")
+    os.makedirs(os.path.join(root, "v", "c"))
+    vals = np.linspace(1.0, 2.0, 8).astype("<f8")
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [8],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [4],
+                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+                "index_codecs": [{"name": "bytes"}],
+                "index_location": "start",
+            },
+        }],
+    }
+    with open(os.path.join(root, "v", "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    _write_shard(
+        os.path.join(root, "v", "c", "0"),
+        [vals[:4].tobytes(), vals[4:].tobytes()],
+        crc=False, at_end=False,
+    )
+    got = [r["v"] for r in zarr_table(spark, root, ["v"]).orderBy("idx").collect()]
+    np.testing.assert_allclose(got, vals)
