@@ -289,3 +289,89 @@ def test_blosc_chunk_roundtrip_property(n_elems, typesize, shuffle, codec, block
     blocksize = max(typesize, (len(data) // blocks) // typesize * typesize) or typesize
     chunk = blosc_chunk(data, typesize=typesize, codec=codec, shuffle=shuffle, blocksize=blocksize)
     assert blosc_decompress(chunk) == data
+
+
+# --- interval union/gap sweep vs brute force --------------------------------
+
+interval_data = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(1, 60)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(interval_data)
+@settings(**SETTINGS)
+def test_interval_gap_sweep_matches_bruteforce(spark, rows):
+    """The sweep-line gap computation (j11 shape: running max of ends, gap
+    when the next start clears it) must equal gaps of the brute-force
+    interval union per key."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(k, s, s + d, i) for i, (k, s, d) in enumerate(rows)],
+        "k long, lo long, hi long, rid long",
+    )
+    w = (
+        Window.partitionBy("k").orderBy("lo", "rid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = df.withColumn("pmax", F.max("hi").over(w))
+    is_gap = F.col("pmax").isNotNull() & (F.col("lo") > F.col("pmax"))
+    got = {
+        r["k"]: r["gap"]
+        for r in swept.groupBy("k")
+        .agg(F.sum(F.when(is_gap, F.col("lo") - F.col("pmax")).otherwise(F.lit(0))).alias("gap"))
+        .collect()
+    }
+    # brute force: union the intervals per key, gaps = span - covered
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, s, d in rows:
+        by_key.setdefault(k, []).append((s, s + d))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        covered, end = 0, None
+        lo0, hi_max = ivs[0][0], max(h for _, h in ivs)
+        for s, h in ivs:
+            if end is None or s > end:
+                covered += h - s
+                end = h
+            elif h > end:
+                covered += h - end
+                end = h
+        assert got[k] == (hi_max - lo0) - covered, (k, ivs)
+
+
+# --- pack_greedy composite ordering -----------------------------------------
+
+pack_data = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 5), st.integers(0, 2000), st.integers(1, 80)),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@given(pack_data)
+@settings(**SETTINGS)
+def test_pack_greedy_composite_order_matches_sequential(spark, rows):
+    """pack_greedy over a composite (doc, chunk) order key must reproduce a
+    plain sequential packer per shard — including when single-column
+    arithmetic encodings would collide."""
+    from rca_data_tools_spark.operators.sampling import pack_greedy
+
+    target = 100
+    df = spark.createDataFrame(rows, "shard long, doc long, chunk long, n int")
+    got = {
+        (r["shard"], r["doc"], r["chunk"]): r["bin_id"]
+        for r in pack_greedy(df, "shard", ["doc", "chunk"], "n", target).collect()
+    }
+    by_shard: dict[int, list] = {}
+    for s, d, c, n in rows:
+        by_shard.setdefault(s, []).append((d, c, n))
+    for s, items in by_shard.items():
+        items.sort()
+        cum = 0
+        for d, c, n in items:
+            assert got[(s, d, c)] == cum // target, (s, d, c)
+            cum += n
