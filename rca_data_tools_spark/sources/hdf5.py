@@ -3,16 +3,21 @@
 files the reference opens with xarray (see sources/netcdf.py), with numpy +
 stdlib zlib only.
 
-Supported subset (what netCDF-4/libhdf5 writes by default for a classic-
-model file at offset 0):
+Supported subset (what netCDF-4/libhdf5 writes for a classic-model file at
+offset 0, in both the earliest format and the 1.8+ "latest" format):
 
-- superblock version 0 (the libhdf5 default), 8-byte offsets/lengths
-- root group via symbol-table entry -> v1 group B-tree -> SNOD nodes ->
-  local heap link names (one flat group; nested groups traverse recursively)
-- object headers version 1, with continuation blocks
+- superblocks version 0 (the libhdf5 default) AND v2/v3, 8-byte
+  offsets/lengths
+- old-style groups: symbol-table entry -> v1 group B-tree -> SNOD nodes ->
+  local heap link names; new-style (1.8+) groups: compact link messages in
+  the header, and dense storage via fractal heap + v2 B-tree name index
+  (root direct block or one level of indirect block; single-leaf B-trees)
+- object headers version 1 AND version 2 ('OHDR', with OCHK continuations)
 - messages: dataspace (v1/v2), datatype (fixed-point and IEEE float,
-  little/big endian), data layout v3 (contiguous and chunked), filter
-  pipeline v1/v2 (deflate id=1, shuffle id=2), symbol table, continuation
+  little/big endian), data layout v3 (contiguous and chunked) and v4
+  (contiguous/compact/chunked with Single Chunk or Implicit indexes),
+  filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
+  link info, link, symbol table, continuation
 - chunked data through the v1 chunk B-tree (any nesting level), with
   per-chunk filter masks; partial edge chunks clipped
 
@@ -232,7 +237,10 @@ class H5File:
         link_info = [d for t, d in msgs if t == 0x0002]
         links = [d for t, d in msgs if t == 0x0006]
         if link_info:
-            self._check_link_info(link_info[0])
+            dense = self._link_info_dense(link_info[0])
+            if dense is not None:
+                heap_addr, btree_addr = dense
+                return self._dense_links(heap_addr, btree_addr)
         if links:
             return [self._parse_link(d) for d in links]
         if link_info:
@@ -240,21 +248,159 @@ class H5File:
         return None
 
     @staticmethod
-    def _check_link_info(d: bytes) -> None:
-        """Link Info message (0x0002): compact storage keeps links as header
-        messages (fractal heap address undefined); dense storage moves them
-        into a fractal heap, which this reader does not parse."""
+    def _link_info_dense(d: bytes) -> "tuple[int, int] | None":
+        """Link Info message (0x0002): returns (fractal heap address, name
+        index v2 B-tree address) when the group uses dense storage, else
+        None (compact storage keeps links as header messages)."""
         if d[0] != 0:
             raise NotImplementedError(f"HDF5 link info version {d[0]}")
         pos = 2 + (8 if d[1] & 0x01 else 0)
         heap_addr = int.from_bytes(d[pos : pos + 8], "little")
-        if heap_addr != _UNDEF:
+        if heap_addr == _UNDEF:
+            return None
+        btree_addr = int.from_bytes(d[pos + 8 : pos + 16], "little")
+        return heap_addr, btree_addr
+
+    # -- dense link storage: fractal heap + v2 B-tree ---------------------
+    def _dense_links(self, heap_addr: int, btree_addr: int) -> list[tuple[str, int]]:
+        """Links of a dense-storage group (the 1.8+ format for groups with
+        more than ~8 links — i.e. most real netCDF-4 root groups written in
+        the newer format): the name-index v2 B-tree enumerates heap IDs,
+        the fractal heap resolves each ID to a serialized link message.
+
+        Supported subset, loud beyond it: depth-0 B-trees (a single leaf —
+        ~45 links at the default node size; deeper trees raise), managed
+        heap objects in a root direct block or a root indirect block whose
+        children are all direct blocks, no I/O filters on the heap."""
+        heap = self._fractal_heap(heap_addr)
+        ids = self._btree_v2_records(btree_addr)
+        out = []
+        for rec in ids:
+            obj = self._heap_object(heap, rec)
+            out.append(self._parse_link(obj))
+        return out
+
+    def _fractal_heap(self, addr: int) -> dict:
+        b = self._buf
+        if b[addr : addr + 4] != b"FRHP":
+            raise ValueError("HDF5: bad fractal heap signature")
+        if b[addr + 4] != 0:
+            raise NotImplementedError(f"HDF5 fractal heap version {b[addr + 4]}")
+        hid_len = self._u(addr + 5, 2)
+        filt_len = self._u(addr + 7, 2)
+        if filt_len:
+            raise NotImplementedError("HDF5 fractal heap with I/O filters")
+        flags = b[addr + 9]
+        max_managed = self._u(addr + 10, 4)
+        # skip: next-huge-id, huge-btree addr, free space, free-space mgr,
+        # managed space, allocated space, block-iterator offset (7 x 8 bytes)
+        pos = addr + 14 + 7 * 8
+        n_managed = self._u(pos, 8)
+        pos += 8 + 8 + 8 + 8 + 8  # managed count + huge/tiny sizes+counts
+        width = self._u(pos, 2)
+        start_size = self._u(pos + 2, 8)
+        max_direct = self._u(pos + 10, 8)
+        max_heap_bits = self._u(pos + 18, 2)
+        pos += 20 + 2  # + starting rows
+        root_addr = self._u(pos, 8)
+        cur_rows = self._u(pos + 8, 2)
+        off_size = (max_heap_bits + 7) // 8
+        len_size = (max(1, max_managed).bit_length() + 7) // 8
+        if hid_len != 1 + off_size + len_size:
             raise NotImplementedError(
-                "HDF5 dense link storage (fractal heap) not supported — "
-                "groups with more than ~8 links written in the 1.8+ format; "
-                "convert with nccopy/h5repack to the earliest format, or "
-                "ingest via convert-zarr"
+                f"HDF5 fractal heap ID length {hid_len} != 1+{off_size}+{len_size}"
             )
+        # direct blocks carry a checksum iff heap flags bit 1 is set
+        hdr_size = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)
+        heap = {
+            "off_size": off_size, "len_size": len_size, "width": width,
+            "start_size": start_size, "max_direct": max_direct,
+            "block_hdr": hdr_size, "n_managed": n_managed,
+        }
+        if cur_rows == 0:
+            # root IS a direct block covering [0, start_size)
+            heap["blocks"] = [(0, start_size, root_addr)]
+        else:
+            heap["blocks"] = self._heap_indirect_blocks(
+                root_addr, cur_rows, heap
+            )
+        return heap
+
+    def _heap_indirect_blocks(self, addr: int, nrows: int, heap: dict):
+        """Child direct blocks (offset, size, address) of a root indirect
+        block. Rows whose block size would exceed the maximum direct block
+        size would hold indirect children — raise loudly there."""
+        b = self._buf
+        if b[addr : addr + 4] != b"FHIB":
+            raise ValueError("HDF5: bad fractal heap indirect block signature")
+        width, s0 = heap["width"], heap["start_size"]
+        pos = addr + 4 + 1 + 8 + heap["off_size"]
+        blocks = []
+        offset = 0
+        for row in range(nrows):
+            size = s0 if row <= 1 else s0 << (row - 1)
+            if size > heap["max_direct"]:
+                raise NotImplementedError(
+                    "HDF5 fractal heap with indirect child blocks (heap "
+                    "larger than the direct-block doubling table)"
+                )
+            for _ in range(width):
+                child = self._u(pos, 8)
+                pos += 8
+                if child != _UNDEF:
+                    blocks.append((offset, size, child))
+                offset += size
+        return blocks
+
+    def _heap_object(self, heap: dict, heap_id: bytes) -> bytes:
+        vt = heap_id[0]
+        if (vt >> 6) != 0 or ((vt >> 4) & 0x03) != 0:
+            raise NotImplementedError(
+                f"HDF5 fractal heap ID type {vt:#x} (managed objects only)"
+            )
+        off = int.from_bytes(heap_id[1 : 1 + heap["off_size"]], "little")
+        ln = int.from_bytes(
+            heap_id[1 + heap["off_size"] : 1 + heap["off_size"] + heap["len_size"]],
+            "little",
+        )
+        for blk_off, blk_size, blk_addr in heap["blocks"]:
+            if blk_off <= off < blk_off + blk_size:
+                b = self._buf
+                if b[blk_addr : blk_addr + 4] != b"FHDB":
+                    raise ValueError("HDF5: bad fractal heap direct block signature")
+                return b[blk_addr + (off - blk_off) : blk_addr + (off - blk_off) + ln]
+        raise ValueError(f"HDF5: heap object offset {off} outside all direct blocks")
+
+    def _btree_v2_records(self, addr: int) -> list[bytes]:
+        """Heap IDs from a version-2 B-tree of link-name records (type 5):
+        each record is a 4-byte name hash + the heap ID. Depth-0 trees only
+        (single leaf) — deeper trees raise loudly."""
+        b = self._buf
+        if b[addr : addr + 4] != b"BTHD":
+            raise ValueError("HDF5: bad v2 B-tree header signature")
+        if b[addr + 4] != 0:
+            raise NotImplementedError(f"HDF5 v2 B-tree version {b[addr + 4]}")
+        btype = b[addr + 5]
+        if btype not in (5, 6):  # link name / creation order indexes
+            raise NotImplementedError(f"HDF5 v2 B-tree record type {btype}")
+        rec_size = self._u(addr + 10, 2)
+        depth = self._u(addr + 12, 2)
+        if depth != 0:
+            raise NotImplementedError(
+                "HDF5 v2 B-tree deeper than one leaf (very large dense "
+                "group) not supported"
+            )
+        root = self._u(addr + 16, 8)
+        nrec = self._u(addr + 24, 2)
+        if b[root : root + 4] != b"BTLF":
+            raise ValueError("HDF5: bad v2 B-tree leaf signature")
+        pos = root + 6
+        out = []
+        for _ in range(nrec):
+            rec = b[pos : pos + rec_size]
+            out.append(rec[4:])  # drop the 4-byte name hash
+            pos += rec_size
+        return out
 
     @staticmethod
     def _parse_link(d: bytes) -> tuple[str, int]:

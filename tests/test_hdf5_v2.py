@@ -1,10 +1,11 @@
 """Superblock v2/v3 + version-2 object header coverage for the native HDF5
 reader: the 1.8+ format newer libnetcdf defaults can emit (VERDICT round-3
 ask #3). Fixtures are hand-written from the public HDF5 File Format
-Specification — OHDR headers, link-message groups, v3 attributes, OCHK
-continuations, and v4 data layouts (single-chunk / implicit indexes) — then
-parsed and scanned distributed. Unsupported 1.8+ structures (dense link
-storage, array/B-tree-v2 chunk indexes, soft links) must raise loudly."""
+Specification — OHDR headers, link-message groups, dense link storage
+(fractal heap + v2 B-tree leaf), v3 attributes, OCHK continuations, and v4
+data layouts (single-chunk / implicit indexes) — then parsed and scanned
+distributed. Unsupported 1.8+ structures (deep v2 B-trees, array/B-tree-v2
+chunk indexes, soft links) must raise loudly."""
 
 from __future__ import annotations
 
@@ -269,17 +270,8 @@ def test_v2_distributed_scan_via_netcdf4(spark, tmp_path):
     )
 
 
-def test_v2_dense_links_and_soft_links_raise(tmp_path):
+def test_v2_soft_links_raise(tmp_path):
     from rca_data_tools_spark.sources.hdf5 import H5File
-
-    w = _WriterV3()
-    heap = struct.pack("<Q", 4096)  # a defined fractal heap address
-    root = w.append(_ohdr2([_msg2(0x02, _link_info(heap_addr=heap))]))
-    p1 = str(tmp_path / "dense.h5")
-    with open(p1, "wb") as f:
-        f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="dense link storage"):
-        H5File(p1)
 
     w = _WriterV3()
     root = w.append(_ohdr2([
@@ -312,4 +304,188 @@ def test_v2_layout_v4_fixed_array_raises(tmp_path):
     with open(p, "wb") as f:
         f.write(w.finish(root))
     with pytest.raises(NotImplementedError, match="fixed array"):
+        H5File(p)
+
+
+def _dense_group_bytes(w: _WriterV3, links: list[tuple[str, int]],
+                       indirect: bool = False) -> int:
+    """Write a dense-storage group (fractal heap + v2 B-tree leaf) and
+    return the address of its OHDR. Layout written from the public spec:
+    FRHP header, root FHDB direct block (or FHIB root with FHDB children),
+    BTHD + BTLF name index with 11-byte (hash + 7-byte heap ID) records."""
+    width, start_size, max_direct = 4, 512, 65536
+    max_heap_bits, max_managed = 32, 4096
+    off_size, len_size = 4, 2
+    objs = [_link_msg(n, a) for n, a in links]
+
+    base = len(w.buf)
+    heap_hdr_size = 146
+    dblock_hdr = 4 + 1 + 8 + off_size  # no checksum (flags=0)
+
+    if not indirect:
+        heap_addr = base
+        dblock_addr = base + heap_hdr_size
+        after_heap = dblock_addr + start_size
+        block_offsets = [(0, dblock_addr)]
+        cur_rows = 0
+        root_addr = dblock_addr
+    else:
+        heap_addr = base
+        # root FHIB with 1 row x width children; put objects in child 0 and 2
+        fhib_size = 4 + 1 + 8 + off_size + width * 8 + 4
+        fhib_addr = base + heap_hdr_size
+        d0 = fhib_addr + fhib_size
+        d2 = d0 + start_size
+        after_heap = d2 + start_size
+        block_offsets = [(0, d0), (2 * start_size, d2)]
+        cur_rows = 1
+        root_addr = fhib_addr
+
+    # place objects into the block(s): heap offsets INCLUDE block headers
+    ids = []
+    per_block: dict[int, bytearray] = {bo: bytearray() for bo, _ in block_offsets}
+    bi = 0
+    for obj in objs:
+        bo, _addr = block_offsets[bi % len(block_offsets)]
+        cur = per_block[bo]
+        off = bo + dblock_hdr + len(cur)
+        cur += obj
+        ids.append(
+            b"\x00" + off.to_bytes(off_size, "little") + len(obj).to_bytes(len_size, "little")
+        )
+        bi += 1
+
+    btree_addr = after_heap
+    bthd_size = 38
+    leaf_addr = btree_addr + bthd_size
+
+    # FRHP
+    hdr = b"FRHP" + bytes([0])
+    hdr += struct.pack("<HHB", 1 + off_size + len_size, 0, 0)  # id len, filt, flags
+    hdr += struct.pack("<I", max_managed)
+    hdr += b"\x00" * 8 + UNDEF + b"\x00" * 8 + UNDEF  # huge id, huge bt, free, fsmgr
+    hdr += struct.pack("<QQQ", 3 * start_size, 3 * start_size, 0)  # managed/alloc/iter
+    hdr += struct.pack("<Q", len(objs))
+    hdr += b"\x00" * 32  # huge/tiny sizes+counts
+    hdr += struct.pack("<H", width)
+    hdr += struct.pack("<QQ", start_size, max_direct)
+    hdr += struct.pack("<HH", max_heap_bits, 1)
+    hdr += struct.pack("<Q", root_addr) + struct.pack("<H", cur_rows)
+    hdr += b"\x00" * 4  # checksum (not verified)
+    assert len(hdr) == heap_hdr_size, len(hdr)
+    w.append(hdr)
+
+    def dblock(block_off: int, payload: bytes) -> bytes:
+        blk = b"FHDB" + bytes([0]) + struct.pack("<Q", heap_addr)
+        blk += block_off.to_bytes(off_size, "little") + payload
+        return blk + b"\x00" * (start_size - len(blk))
+
+    if not indirect:
+        w.append(dblock(0, bytes(per_block[0])))
+    else:
+        fhib = b"FHIB" + bytes([0]) + struct.pack("<Q", heap_addr)
+        fhib += (0).to_bytes(off_size, "little")
+        children = [d0, UNDEF, d2, UNDEF]
+        for c in children:
+            fhib += c if isinstance(c, bytes) else struct.pack("<Q", c)
+        fhib += b"\x00" * 4
+        assert len(fhib) == fhib_size, (len(fhib), fhib_size)
+        w.append(fhib)
+        w.append(dblock(0, bytes(per_block[0])))
+        w.append(dblock(2 * start_size, bytes(per_block[2 * start_size])))
+
+    # BTHD + BTLF (depth 0, type 5, record = 4-byte hash + 7-byte heap id)
+    bthd = b"BTHD" + bytes([0, 5]) + struct.pack("<IH", 512, 4 + 7)
+    bthd += struct.pack("<HBB", 0, 100, 40)  # depth, split, merge
+    bthd += struct.pack("<Q", leaf_addr) + struct.pack("<H", len(ids))
+    bthd += struct.pack("<Q", len(ids)) + b"\x00" * 4
+    assert len(bthd) == bthd_size, (len(bthd),)
+    w.append(bthd)
+    leaf = b"BTLF" + bytes([0, 5])
+    for i, hid in enumerate(ids):
+        leaf += struct.pack("<I", i) + hid  # hash is ignored by the reader
+    leaf += b"\x00" * 4
+    w.append(leaf)
+
+    return w.append(_ohdr2([
+        _msg2(0x02, struct.pack("<BB", 0, 0) + struct.pack("<Q", heap_addr)
+              + struct.pack("<Q", btree_addr)),
+    ]))
+
+
+def test_v2_dense_group_links(tmp_path):
+    """Dense link storage: 12 datasets (beyond the ~8-link compact limit)
+    indexed through a fractal heap root direct block + v2 B-tree leaf."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _WriterV3()
+    arrays = {f"var{i:02d}": np.arange(6, dtype="<f8") * (i + 1) for i in range(12)}
+    links = []
+    for name, arr in sorted(arrays.items()):
+        addr = w.append(arr.tobytes())
+        msgs = [
+            _msg2(0x01, _dataspace(arr.shape)),
+            _msg2(0x03, _datatype(arr.dtype)),
+            _msg2(0x08, _layout_contiguous(addr, arr.nbytes)),
+        ]
+        links.append((name, w.append(_ohdr2(msgs))))
+    root = _dense_group_bytes(w, links)
+    path = str(tmp_path / "dense.h5")
+    with open(path, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(path)
+    assert set(h5.datasets) == set(arrays)
+    for name, arr in arrays.items():
+        np.testing.assert_array_equal(read_dataset(h5, name), arr)
+
+
+def test_v2_dense_group_indirect_root(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _WriterV3()
+    arrays = {f"d{i}": np.linspace(0, 1, 5) + i for i in range(6)}
+    links = []
+    for name, arr in sorted(arrays.items()):
+        addr = w.append(np.ascontiguousarray(arr).tobytes())
+        msgs = [
+            _msg2(0x01, _dataspace(arr.shape)),
+            _msg2(0x03, _datatype(np.dtype("<f8"))),
+            _msg2(0x08, _layout_contiguous(addr, arr.nbytes)),
+        ]
+        links.append((name, w.append(_ohdr2(msgs))))
+    root = _dense_group_bytes(w, links, indirect=True)
+    path = str(tmp_path / "densei.h5")
+    with open(path, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(path)
+    assert set(h5.datasets) == set(arrays)
+    for name, arr in arrays.items():
+        np.testing.assert_allclose(read_dataset(h5, name), arr)
+
+
+def test_v2_dense_group_unsupported_shapes_raise(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    # depth-1 B-tree raises loudly
+    w = _WriterV3()
+    heap_stub = w.append(b"FRHP" + bytes([0]) + struct.pack("<HHB", 7, 0, 0)
+                         + struct.pack("<I", 4096) + b"\x00" * 8 + UNDEF
+                         + b"\x00" * 8 + UNDEF + struct.pack("<QQQQ", 0, 0, 0, 0)
+                         + b"\x00" * 32 + struct.pack("<H", 4)
+                         + struct.pack("<QQ", 512, 65536)
+                         + struct.pack("<HH", 32, 1)
+                         + struct.pack("<Q", 0xFFFFFFFFFFFFFFFF) + struct.pack("<H", 0)
+                         + b"\x00" * 4)
+    bthd = b"BTHD" + bytes([0, 5]) + struct.pack("<IH", 512, 11)
+    bthd += struct.pack("<HBB", 1, 100, 40)  # depth 1
+    bthd += struct.pack("<Q", 0) + struct.pack("<H", 0) + struct.pack("<Q", 0) + b"\x00" * 4
+    bt = w.append(bthd)
+    root = w.append(_ohdr2([
+        _msg2(0x02, struct.pack("<BB", 0, 0) + struct.pack("<Q", heap_stub)
+              + struct.pack("<Q", bt)),
+    ]))
+    p = str(tmp_path / "deep.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="deeper than one leaf"):
         H5File(p)
