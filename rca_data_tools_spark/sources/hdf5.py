@@ -15,7 +15,8 @@ offset 0, in both the earliest format and the 1.8+ "latest" format):
 - object headers version 1 AND version 2 ('OHDR', with OCHK continuations)
 - messages: dataspace (v1/v2), datatype (fixed-point and IEEE float,
   little/big endian), data layout v3 (contiguous and chunked) and v4
-  (contiguous/compact/chunked with Single Chunk or Implicit indexes),
+  (contiguous/compact/chunked with Single Chunk, Implicit, or unpaged
+  Fixed Array indexes — the latest-format default for fixed-shape chunks),
   filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
   link info, link, symbol table, continuation
 - chunked data through the v1 chunk B-tree (any nesting level), with
@@ -60,8 +61,10 @@ class Dataset:
     compact: bytes | None = None
     chunk_shape: tuple[int, ...] = ()
     # how the chunk map is found: v1 B-tree (v3 layouts / v4 index 5 never
-    # reaches here), a v4 single-chunk record, or v4 implicit addressing
+    # reaches here), a v4 single-chunk record, v4 implicit addressing, or a
+    # v4 fixed array (whose elements carry sizes only when filtered)
     chunk_index: str = "btree1"
+    filtered_index: bool = False
     # [(chunk_offset_tuple, address, nbytes, filter_mask)]
     chunks: list[tuple[tuple[int, ...], int, int, int]] = field(default_factory=list)
     filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
@@ -520,6 +523,15 @@ class H5File:
                         (offs, ds.data_address + i * chunk_bytes, chunk_bytes, 0)
                         for i, offs in enumerate(itertools.product(*grids))
                     ]
+            elif ds.chunk_index == "fixed_array":
+                if ds.data_address != _UNDEF:
+                    ds.chunks = [
+                        (offs, a, chunk_bytes if nb == -1 else nb, mask)
+                        for offs, a, nb, mask in self._fixed_array_chunks(
+                            ds.data_address, shape, ds.chunk_shape,
+                            ds.filtered_index,
+                        )
+                    ]
             elif ds.data_address != _UNDEF:
                 ds.chunks = self._chunk_btree_entries(ds.data_address, ndims)
         for fid, _ in ds.filters:
@@ -621,8 +633,9 @@ class H5File:
     def _parse_layout_v4(self, d: bytes, ds: Dataset) -> str:
         """Version-4 data layout (1.10+ format): contiguous/compact match
         v3; chunked datasets carry one of five chunk index types. Single
-        Chunk and Implicit resolve here to the shared chunk-map shape; the
-        B-tree-backed and array-backed indexes (written for datasets that
+        Chunk, Implicit, and Fixed Array (the latest-format default for
+        fixed-shape chunked datasets) resolve to the shared chunk-map
+        shape; the extensible-array and B-tree-v2 indexes (datasets that
         grow along an unlimited dimension) raise with a conversion hint."""
         lclass = d[1]
         if lclass == 1:  # contiguous — identical body to v3
@@ -666,12 +679,71 @@ class H5File:
             ds.data_address = addr
             ds.chunk_index = "implicit"
             return "chunked"
-        names = {3: "fixed array", 4: "extensible array", 5: "version-2 B-tree"}
+        if index_type == 3:  # fixed array — latest-format fixed-shape chunking
+            # page bits byte, then the FAHD header address
+            addr = int.from_bytes(d[pos + 1 : pos + 9], "little")
+            ds.data_address = addr
+            ds.chunk_index = "fixed_array"
+            ds.filtered_index = bool(flags & 0x02)
+            return "chunked"
+        names = {4: "extensible array", 5: "version-2 B-tree"}
         raise NotImplementedError(
             f"HDF5 layout v4 chunk index {names.get(index_type, index_type)!r} "
-            "not supported — repack with h5repack -L (compact/earliest "
-            "format) or ingest via convert-zarr"
+            "(unlimited-dimension datasets) not supported — repack with "
+            "h5repack -L (compact/earliest format) or ingest via convert-zarr"
         )
+
+    def _fixed_array_chunks(
+        self, addr: int, shape, chunk_shape, filtered: bool
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """Chunk map from a v4 Fixed Array index (FAHD header + FADB data
+        block): elements are chunk addresses (plus size + filter mask when
+        the pipeline is filtered), one per grid position in C order. The
+        paged FADB form (very large chunk counts) raises loudly."""
+        b = self._buf
+        if b[addr : addr + 4] != b"FAHD":
+            raise ValueError("HDF5: bad fixed array header signature")
+        if b[addr + 4] != 0:
+            raise NotImplementedError(f"HDF5 fixed array version {b[addr + 4]}")
+        client = b[addr + 5]
+        entry_size = b[addr + 6]
+        page_bits = b[addr + 7]
+        nelmts = self._u(addr + 8, 8)
+        dblk = self._u(addr + 16, 8)
+        if client not in (0, 1):
+            raise NotImplementedError(f"HDF5 fixed array client id {client}")
+        if client != (1 if filtered else 0):
+            raise ValueError(
+                "HDF5: fixed-array client id disagrees with the layout's "
+                "filtered flag"
+            )
+        if nelmts > (1 << page_bits):
+            raise NotImplementedError(
+                "HDF5 paged fixed-array chunk index not supported "
+                f"({nelmts} chunks > one {1 << page_bits}-element page)"
+            )
+        if b[dblk : dblk + 4] != b"FADB":
+            raise ValueError("HDF5: bad fixed array data block signature")
+        pos = dblk + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        grids = [range(0, s, c) for s, c in zip(shape, chunk_shape)]
+        import itertools
+
+        chunk_bytes = -1  # resolved by the caller for unfiltered chunks
+        out = []
+        for offs in itertools.product(*grids):
+            a = self._u(pos, 8)
+            if client == 1:
+                # filtered element: address + chunk size + filter mask;
+                # the size field width is entry_size - 8 - 4
+                sz_w = entry_size - 12
+                nb = self._u(pos + 8, sz_w)
+                mask = self._u(pos + 8 + sz_w, 4)
+            else:
+                nb, mask = chunk_bytes, 0
+            pos += entry_size
+            if a != _UNDEF:
+                out.append((offs, a, nb, mask))
+        return out
 
     def _parse_filters(self, d: bytes) -> list[tuple[int, tuple[int, ...]]]:
         version, nfilters = d[0], d[1]

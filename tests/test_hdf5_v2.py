@@ -90,10 +90,11 @@ def _layout_v4_implicit(addr: int, chunk_shape) -> bytes:
     return out + b"\x02" + struct.pack("<Q", addr)
 
 
-def _layout_v4_fixed_array(addr: int, chunk_shape) -> bytes:
-    out = struct.pack("<BBBBB", 4, 2, 0, len(chunk_shape), 8)
+def _layout_v4_fixed_array(addr: int, chunk_shape, filtered: bool = False) -> bytes:
+    flags = 0x02 if filtered else 0x00
+    out = struct.pack("<BBBBB", 4, 2, flags, len(chunk_shape), 8)
     out += b"".join(struct.pack("<Q", c) for c in chunk_shape)
-    return out + b"\x03" + b"\x00" + struct.pack("<Q", addr)  # page bits + addr
+    return out + b"\x03" + b"\x0a" + struct.pack("<Q", addr)  # page bits + addr
 
 
 class _WriterV3:
@@ -285,25 +286,106 @@ def test_v2_soft_links_raise(tmp_path):
         H5File(p2)
 
 
-def test_v2_layout_v4_fixed_array_raises(tmp_path):
+def _fixed_array_index(w: _WriterV3, entries: list, filtered: bool) -> int:
+    """Write a FAHD header + unpaged FADB data block; entries are
+    (address|None) for unfiltered, (address, nbytes, mask)|None for
+    filtered. Returns the FAHD address."""
+    client = 1 if filtered else 0
+    entry_size = 8 + (4 + 4 if filtered else 0)  # addr [+ 4-byte size + mask]
+    fahd_addr = len(w.buf)
+    fadb_addr = fahd_addr + 4 + 1 + 1 + 1 + 1 + 8 + 8 + 4
+    body = b"FADB" + bytes([0, client]) + struct.pack("<Q", fahd_addr)
+    for e in entries:
+        if e is None:
+            body += UNDEF + (struct.pack("<II", 0, 0) if filtered else b"")
+        elif filtered:
+            a, nb, mask = e
+            body += struct.pack("<QII", a, nb, mask)
+        else:
+            body += struct.pack("<Q", e)
+    body += b"\x00" * 4  # checksum (not verified)
+    hdr = b"FAHD" + bytes([0, client, entry_size, 10])
+    hdr += struct.pack("<QQ", len(entries), fadb_addr) + b"\x00" * 4
+    w.append(hdr)
+    w.append(body)
+    return fahd_addr
+
+
+def test_v2_layout_v4_fixed_array_reads(tmp_path):
+    """Fixed Array chunk index — what latest-format writers use for
+    fixed-shape chunked datasets — in both the filtered (deflate) and
+    unfiltered element forms, with a missing chunk reading as zeros."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _WriterV3()
+    arr = np.arange(20, dtype="<f8")
+    # filtered variant: 3 deflate chunks + chunk 8..11 MISSING (zeros)
+    f_entries = []
+    for lo in range(0, 20, 4):
+        if lo == 8:
+            f_entries.append(None)
+            continue
+        chunk = np.zeros(4, dtype="<f8")
+        chunk[: len(arr[lo : lo + 4])] = arr[lo : lo + 4]
+        blob = zlib.compress(chunk.tobytes(), 6)
+        f_entries.append((w.append(blob), len(blob), 0))
+    fa_f = _fixed_array_index(w, f_entries, filtered=True)
+    msgs_f = [
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_fixed_array(fa_f, (4,), filtered=True)),
+        _msg2(0x0B, _filter_pipeline([(1, (6,))])),
+    ]
+    ds_f = w.append(_ohdr2(msgs_f))
+    # unfiltered variant: raw chunks
+    u_entries = []
+    for lo in range(0, 20, 4):
+        chunk = np.zeros(4, dtype="<f8")
+        chunk[: len(arr[lo : lo + 4])] = arr[lo : lo + 4]
+        u_entries.append(w.append(chunk.tobytes()))
+    fa_u = _fixed_array_index(w, u_entries, filtered=False)
+    msgs_u = [
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_fixed_array(fa_u, (4,))),
+    ]
+    ds_u = w.append(_ohdr2(msgs_u))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("filt", ds_f)),
+        _msg2(0x06, _link_msg("raw", ds_u)),
+    ]))
+    p = str(tmp_path / "fa.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    expect_f = arr.copy()
+    expect_f[8:12] = 0.0  # missing chunk reads as zeros
+    np.testing.assert_array_equal(read_dataset(h5, "filt"), expect_f)
+    np.testing.assert_array_equal(read_dataset(h5, "raw"), arr)
+
+
+def test_v2_layout_v4_extensible_array_raises(tmp_path):
     from rca_data_tools_spark.sources.hdf5 import H5File
 
     w = _WriterV3()
     arr = np.arange(8, dtype="<f8")
+    layout = struct.pack("<BBBBB", 4, 2, 0, 1, 8) + struct.pack("<Q", 4)
+    layout += b"\x04" + b"\x00" * 6 + struct.pack("<Q", 4096)  # ext-array body
     msgs = [
         _msg2(0x01, _dataspace(arr.shape)),
         _msg2(0x03, _datatype(arr.dtype)),
-        _msg2(0x08, _layout_v4_fixed_array(4096, (4,))),
+        _msg2(0x08, layout),
     ]
     ds = w.append(_ohdr2(msgs))
     root = w.append(_ohdr2([
         _msg2(0x02, _link_info()),
         _msg2(0x06, _link_msg("x", ds)),
     ]))
-    p = str(tmp_path / "fa.h5")
+    p = str(tmp_path / "ea.h5")
     with open(p, "wb") as f:
         f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="fixed array"):
+    with pytest.raises(NotImplementedError, match="extensible array"):
         H5File(p)
 
 
