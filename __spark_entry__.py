@@ -22,9 +22,13 @@ from rca_data_tools_spark.sources.readers import load_table
 # (CORRECTNESS_r0{1,2,3}.json). This round-4 window carries the 17 queries
 # that were ADDED during round 3 and therefore missed its window (all were
 # hash-green in fresh-process driver-sims against DuckDB at sf0.01 and
-# re-verified by the round-3 judge), any queries added during round 4, and
-# spot-recheck sentinels drawn from the OLDEST green rows (r01-heavy, per
-# the round-3 verdict's ask) so regressions in long-green plans surface.
+# re-verified by the round-3 judge), twelve of the queries added during
+# round 4, and spot-recheck sentinels drawn from the OLDEST green rows
+# (r01-heavy, per the round-3 verdict's ask) so regressions in long-green
+# plans surface. Four late round-4 additions (qc_spike_test,
+# qc_rate_of_change, sample_temperature_mix, w_seasonal_decompose) do not
+# fit — each is hash-green in a fresh-process driver-sim against DuckDB at
+# sf0.01 — and form the round-5 rotation.
 _ROUND_WINDOW = [
     # round-3 additions: the only registered queries without a driver row
     "bpe_train_merges",

@@ -358,3 +358,123 @@ def qc_flat_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
     )
     return sig.select("user_id", "event_id", "ts", "level", flag.alias("flat_flag"))
+
+
+@query(
+    "qc_spike_test",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(value) OVER w AS prev_v, LEAD(value) OVER w AS next_v
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), scored AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+              ELSE ROUND(ABS(value - (prev_v + next_v) / 2), 6) END AS spike_mag
+  FROM lagged
+)
+SELECT user_id, event_id, ts, value, spike_mag,
+       CASE WHEN spike_mag IS NULL THEN 2
+            WHEN spike_mag > 200.0 THEN 4
+            WHEN spike_mag > 120.0 THEN 3
+            ELSE 1 END AS spike_flag
+FROM scored
+""",
+)
+def qc_spike_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QARTOD spike test (IOOS QARTOD test 6): a point is a spike when it
+    deviates from the midpoint of its neighbors by more than a threshold —
+    flag 4 above the fail threshold, 3 above suspect, 2 where a neighbor is
+    missing (series edges), else 1. One lag + one lead in a single
+    series-partitioned window pass; the magnitude is rounded once so the
+    flag boundaries are engine-exact.
+
+    Completes the engine's time-domain QARTOD family (gross range j5,
+    climatology j4, step w1, gap w3, flat line qc_flat_line)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v, next_v = F.lag("value").over(w), F.lead("value").over(w)
+    mag = F.when(
+        prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.round(F.abs(F.col("value") - (prev_v + next_v) / 2), 6))
+    scored = e.select("user_id", "event_id", "ts", "value", mag.alias("spike_mag"))
+    flag = (
+        F.when(F.col("spike_mag").isNull(), 2)
+        .when(F.col("spike_mag") > 200.0, 4)
+        .when(F.col("spike_mag") > 120.0, 3)
+        .otherwise(1)
+    )
+    return scored.select("*", flag.alias("spike_flag"))
+
+
+@query(
+    "qc_rate_of_change",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(value) OVER w AS prev_v, LAG(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), stats AS (
+  SELECT user_id,
+         COUNT(value) AS n,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(value * value, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+  FROM events GROUP BY user_id
+), thr AS (
+  SELECT user_id, 3.0 * SQRT((sxx - sx * sx / n) / (n - 1)) AS sd3
+  FROM stats WHERE n > 1
+)
+SELECT l.user_id, l.event_id, l.ts,
+       CASE WHEN l.prev_v IS NULL THEN NULL
+            ELSE ROUND(ABS(l.value - l.prev_v)
+                       / GREATEST((epoch_ms(l.ts) - epoch_ms(l.prev_ts)) / 60000.0,
+                                  0.016666666666666666), 6) END AS roc_per_min,
+       CASE WHEN l.prev_v IS NULL THEN 2
+            WHEN ROUND(ABS(l.value - l.prev_v)
+                       / GREATEST((epoch_ms(l.ts) - epoch_ms(l.prev_ts)) / 60000.0,
+                                  0.016666666666666666), 6) > t.sd3 THEN 3
+            ELSE 1 END AS roc_flag
+FROM lagged l JOIN thr t ON t.user_id = l.user_id
+""",
+)
+def qc_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QARTOD rate-of-change test (IOOS QARTOD test 7): flag 3 (suspect)
+    when |Δvalue| per minute exceeds 3 standard deviations of the series'
+    values, 2 at series starts, else 1. The per-series threshold comes from
+    ONE decimal-exact aggregation (n, Σx, Σx²) broadcast back onto the
+    lag pass — the fact table shuffles once on the series key and the dim
+    is series-sized.
+
+    Time gaps are floored at one second so bursts of rapid samples do not
+    divide by ~zero; the rate and threshold round/derive identically in
+    both engines (the sd expression tree matches the oracle's exactly)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v, prev_ts = F.lag("value").over(w), F.lag("ts").over(w)
+    dt_min = F.greatest(
+        (F.unix_millis("ts") - F.unix_millis(prev_ts)) / 60000.0,
+        F.lit(1.0 / 60.0),
+    )
+    roc = F.when(prev_v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(F.abs(F.col("value") - prev_v) / dt_min, 6)
+    )
+    lagged = e.select(
+        "user_id", "event_id", "ts", roc.alias("roc_per_min")
+    )
+    n = F.count("value")
+    sx = dsum("value")
+    sxx = dsum(F.col("value") * F.col("value"), 12)
+    stats = e.groupBy("user_id").agg(n.alias("n"), sx.alias("sx"), sxx.alias("sxx"))
+    thr = stats.filter(F.col("n") > 1).select(
+        "user_id",
+        (3.0 * F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))).alias("sd3"),
+    )
+    joined = lagged.join(F.broadcast(thr), "user_id")
+    flag = (
+        F.when(F.col("roc_per_min").isNull(), 2)
+        .when(F.col("roc_per_min") > F.col("sd3"), 3)
+        .otherwise(1)
+    )
+    return joined.select(
+        "user_id", "event_id", "ts", "roc_per_min", flag.alias("roc_flag")
+    )

@@ -328,3 +328,53 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("actual_share"),
         F.round(weight, 6).alias("resample_weight"),
     )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+total AS (SELECT COUNT(*) AS n_total FROM documents),
+scored AS (
+  SELECT c.source, c.n_docs,
+         CAST(c.n_docs AS DOUBLE) / t.n_total AS share,
+         CAST(ROUND(POWER(CAST(c.n_docs AS DOUBLE) / t.n_total, 0.5), 9)
+              AS DECIMAL(20,9)) AS sa
+  FROM counts c CROSS JOIN total t
+),
+z AS (SELECT CAST(SUM(sa) AS DOUBLE) AS z FROM scored)
+SELECT s.source, s.n_docs,
+       ROUND(s.share, 6) AS share,
+       ROUND(CAST(s.sa AS DOUBLE) / z.z, 6) AS temp_share,
+       ROUND(CAST(s.sa AS DOUBLE) / z.z / s.share, 6) AS resample_weight
+FROM scored s CROSS JOIN z
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-sampling recipe,
+    alpha = 0.5: p_i ∝ share_i^alpha): flattens the source distribution so
+    rare domains up-sample without fixing an explicit target mix — the
+    complement of sample_domain_mix's DoReMi weights. The share^alpha terms
+    are rounded to decimal BEFORE the normalizing sum so the denominator is
+    order-insensitive and engine-exact.
+
+    Scale shape: dim-sized counts, one broadcast 1-row total and one
+    broadcast 1-row normalizer — the fact table is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    share = F.col("n_docs").cast("double") / F.col("n_total")
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs",
+        share.alias("share"),
+        F.round(F.pow(share, 0.5), 9).cast("decimal(20,9)").alias("sa"),
+    )
+    z = scored.agg(F.sum("sa").cast("double").alias("z"))
+    return scored.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs",
+        F.round("share", 6).alias("share"),
+        F.round(F.col("sa").cast("double") / F.col("z"), 6).alias("temp_share"),
+        F.round(F.col("sa").cast("double") / F.col("z") / F.col("share"), 6).alias("resample_weight"),
+    )

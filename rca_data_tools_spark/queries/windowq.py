@@ -344,3 +344,58 @@ def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_outliers",
     )
+
+
+@query(
+    "w_seasonal_decompose",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod, value
+  FROM events
+),
+hourly AS (
+  SELECT event_type, hod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx
+  FROM base GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         COUNT(*) AS n_all,
+         CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx_all
+  FROM base GROUP BY 1
+)
+SELECT h.event_type, h.hod, h.n,
+       ROUND(h.sx / h.n, 6) AS hour_mean,
+       ROUND(h.sx / h.n - o.sx_all / o.n_all, 6) AS seasonal_delta
+FROM hourly h JOIN overall o USING (event_type)
+""",
+)
+def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per series: the mean at each hour and
+    its delta from the series mean — the additive seasonal component of a
+    classic decomposition, and the sub-daily analogue of the climatology
+    dimension (j4 flags against it; reference: monthly climatology tables).
+
+    Scale shape: two map-side-combined aggregations over one scan — the
+    (type, hour) table is dim-sized (|types| x 24) and the per-type means
+    broadcast back onto it. Decimal sums make both means engine-exact."""
+    from rca_data_tools_spark.functions.numeric import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.hour("ts").cast("bigint").alias("hod"), "value"
+    )
+    hourly = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sx")
+    )
+    overall = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_all"), dsum("value").alias("sx_all")
+    )
+    joined = hourly.join(F.broadcast(overall), "event_type")
+    hour_mean = F.col("sx") / F.col("n")
+    return joined.select(
+        "event_type", "hod", "n",
+        F.round(hour_mean, 6).alias("hour_mean"),
+        F.round(hour_mean - F.col("sx_all") / F.col("n_all"), 6).alias("seasonal_delta"),
+    )
