@@ -125,12 +125,64 @@ class MemoryReader(ByteRangeReader):
         return len(self.data)
 
 
+class HttpRangeReader(ByteRangeReader):
+    """Ranged-GET reader over HTTP(S) — the object-store access shape, with
+    stdlib urllib only. Each ``pread`` issues one ``Range: bytes=a-b``
+    request; servers that ignore Range (status 200) are handled by slicing
+    the full body, with the size cached so repeated metadata reads don't
+    re-HEAD. Picklable (plain attributes), so executors deserialize it and
+    fetch their own chunk ranges — exactly the S3/HTTP deployment pattern
+    the reference's fsspec mappers use (qaqc/dashboard.py:305-313).
+
+    For authenticated object stores, subclass and add headers in
+    :meth:`_request` — the format readers need nothing else."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+        self._size = None
+
+    def _request(self, headers: dict, method: str = "GET"):
+        import urllib.request
+
+        req = urllib.request.Request(self.url, headers=headers, method=method)
+        return urllib.request.urlopen(req, timeout=self.timeout)
+
+    def size(self) -> int:
+        if self._size is None:
+            with self._request({}, method="HEAD") as r:
+                length = r.headers.get("Content-Length")
+                if length is None:
+                    raise ValueError(f"no Content-Length from {self.url!r}")
+                self._size = int(length)
+        return self._size
+
+    def pread(self, offset: int, size: int) -> bytes:
+        if size <= 0:
+            return b""
+        with self._request({"Range": f"bytes={offset}-{offset + size - 1}"}) as r:
+            body = r.read()
+            if r.status == 206:
+                return body[:size]
+            # server ignored Range: fall back to slicing the full body
+            self._size = len(body)
+            return body[offset : offset + size]
+
+    def __getstate__(self):
+        return {"url": self.url, "timeout": self.timeout, "_size": self._size}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
 def as_reader(source: "str | bytes | ByteRangeReader") -> ByteRangeReader:
-    """Coerce a path / raw bytes / reader into a ByteRangeReader."""
+    """Coerce a path / URL / raw bytes / reader into a ByteRangeReader."""
     if isinstance(source, ByteRangeReader):
         return source
     if isinstance(source, (bytes, bytearray)):
         return MemoryReader(bytes(source))
+    if isinstance(source, str) and source.startswith(("http://", "https://")):
+        return HttpRangeReader(source)
     return LocalFileReader(source)
 
 
@@ -176,10 +228,52 @@ class MemoryStore(KeyValueStore):
         return key in self.blobs
 
 
+class HttpStore(KeyValueStore):
+    """Keyed blobs over HTTP(S): key 'var/0.0' -> GET base_url/var/0.0 —
+    the consolidated-Zarr-over-object-store access pattern. Missing keys
+    (404) raise KeyError; picklable like the rest."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _open(self, key: str):
+        import urllib.request
+
+        return urllib.request.urlopen(
+            f"{self.base_url}/{key}", timeout=self.timeout
+        )
+
+    def get(self, key: str) -> bytes:
+        import urllib.error
+
+        try:
+            with self._open(key) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise KeyError(key) from None
+            raise
+
+    def exists(self, key: str) -> bool:
+        import urllib.error
+
+        try:
+            with self._open(key):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise
+
+
 def as_store(source: "str | dict | KeyValueStore") -> KeyValueStore:
-    """Coerce a directory path / dict / store into a KeyValueStore."""
+    """Coerce a directory path / base URL / dict / store into a
+    KeyValueStore."""
     if isinstance(source, KeyValueStore):
         return source
     if isinstance(source, dict):
         return MemoryStore(source)
+    if isinstance(source, str) and source.startswith(("http://", "https://")):
+        return HttpStore(source)
     return LocalDirStore(source)

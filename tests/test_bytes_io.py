@@ -107,3 +107,105 @@ def test_coercions():
     assert as_store(st) is st
     with pytest.raises(KeyError):
         st.get("missing")
+
+
+# --- HTTP range reader / store against a localhost server -------------------
+
+
+class _RangeHandler:
+    """Factory for a SimpleHTTPRequestHandler subclass rooted at a dir that
+    honors Range requests (the object-store GET shape)."""
+
+    @staticmethod
+    def make(root: str):
+        import http.server
+
+        class H(http.server.SimpleHTTPRequestHandler):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, directory=root, **kw)
+
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                rng = self.headers.get("Range")
+                path = self.translate_path(self.path)
+                if rng is None or not os.path.isfile(path):
+                    return super().do_GET()
+                lo, hi = rng.split("=")[1].split("-")
+                lo, hi = int(lo), int(hi)
+                with open(path, "rb") as f:
+                    f.seek(lo)
+                    body = f.read(hi - lo + 1)
+                total = os.path.getsize(path)
+                self.send_response(206)
+                self.send_header("Content-Range", f"bytes {lo}-{lo+len(body)-1}/{total}")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        return H
+
+
+def _serve(root: str):
+    import http.server
+    import threading
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler.make(root))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_http_range_reader_semantics(tmp_path):
+    from rca_data_tools_spark.sources.bytes_io import HttpRangeReader, as_reader
+
+    data = bytes(range(256)) * 3
+    (tmp_path / "blob.bin").write_bytes(data)
+    srv, base = _serve(str(tmp_path))
+    try:
+        rd = as_reader(f"{base}/blob.bin")
+        assert isinstance(rd, HttpRangeReader)
+        assert rd.size() == len(data)
+        assert rd.pread(0, 10) == data[:10]
+        assert rd.pread(700, 100) == data[700:768]  # clipped at EOF
+        assert rd[5] == data[5]
+        rt = pickle.loads(pickle.dumps(rd))
+        assert rt.pread(100, 8) == data[100:108]
+    finally:
+        srv.shutdown()
+
+
+def test_netcdf4_scan_over_http(spark, tmp_path):
+    """The native NetCDF-4/HDF5 scan end-to-end over HTTP ranged GETs —
+    driver parses metadata remotely, executors fetch their chunk ranges."""
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+    from tests.test_hdf5 import write_h5
+
+    arr = np.linspace(0.0, 2.0, 40)
+    write_h5(str(tmp_path / "r.nc"), {"v": {"array": arr, "chunks": (16,), "filters": [("deflate", 5)]}})
+    srv, base = _serve(str(tmp_path))
+    try:
+        df = netcdf_table(spark, f"{base}/r.nc", ["v"], records_per_task=16)
+        got = [r["v"] for r in df.orderBy("idx").collect()]
+        np.testing.assert_allclose(got, arr)
+    finally:
+        srv.shutdown()
+
+
+def test_zarr_scan_over_http(spark, tmp_path):
+    from rca_data_tools_spark.sources.bytes_io import HttpStore
+    from rca_data_tools_spark.sources.zarr import zarr_table
+    from tests.test_zarr import _write_array
+
+    root = str(tmp_path / "h.zarr")
+    os.makedirs(root)
+    vals = np.arange(17, dtype="<f8") * 1.5
+    _write_array(root, "v", vals, chunks=(6,), compressor={"id": "zlib", "level": 1})
+    srv, base = _serve(str(tmp_path))
+    try:
+        store = HttpStore(f"{base}/h.zarr")
+        assert store.exists("v/.zarray") and not store.exists("nope")
+        got = [r["v"] for r in zarr_table(spark, f"{base}/h.zarr", ["v"]).orderBy("idx").collect()]
+        np.testing.assert_allclose(got, vals)
+    finally:
+        srv.shutdown()
