@@ -134,13 +134,24 @@ class HttpRangeReader(ByteRangeReader):
     fetch their own chunk ranges — exactly the S3/HTTP deployment pattern
     the reference's fsspec mappers use (qaqc/dashboard.py:305-313).
 
+    Metadata parses issue MANY tiny reads (HDF5 headers are walked byte by
+    byte), so reads are served through a cache of 64 KiB-aligned blocks —
+    one GET warms a whole block, and a full metadata parse costs a handful
+    of requests instead of hundreds. The cache is bounded (LRU over
+    ``max_cached_blocks``) and drops on pickling, so shipping the reader to
+    executors is cheap and each task warms its own locality.
+
     For authenticated object stores, subclass and add headers in
     :meth:`_request` — the format readers need nothing else."""
 
-    def __init__(self, url: str, timeout: float = 30.0):
+    BLOCK = 64 * 1024
+
+    def __init__(self, url: str, timeout: float = 30.0, max_cached_blocks: int = 64):
         self.url = url
         self.timeout = timeout
+        self.max_cached_blocks = max_cached_blocks
         self._size = None
+        self._blocks: "dict[int, bytes]" = {}
 
     def _request(self, headers: dict, method: str = "GET"):
         import urllib.request
@@ -157,9 +168,7 @@ class HttpRangeReader(ByteRangeReader):
                 self._size = int(length)
         return self._size
 
-    def pread(self, offset: int, size: int) -> bytes:
-        if size <= 0:
-            return b""
+    def _fetch(self, offset: int, size: int) -> bytes:
         with self._request({"Range": f"bytes={offset}-{offset + size - 1}"}) as r:
             body = r.read()
             if r.status == 206:
@@ -168,11 +177,37 @@ class HttpRangeReader(ByteRangeReader):
             self._size = len(body)
             return body[offset : offset + size]
 
+    def pread(self, offset: int, size: int) -> bytes:
+        if size <= 0:
+            return b""
+        if size >= self.BLOCK:
+            return self._fetch(offset, size)  # bulk chunk reads bypass cache
+        first = offset // self.BLOCK
+        last = (offset + size - 1) // self.BLOCK
+        parts = []
+        for bi in range(first, last + 1):
+            blk = self._blocks.pop(bi, None)
+            if blk is None:
+                blk = self._fetch(bi * self.BLOCK, self.BLOCK)
+                while len(self._blocks) >= self.max_cached_blocks:
+                    self._blocks.pop(next(iter(self._blocks)))
+            self._blocks[bi] = blk  # re-insert = move to MRU position
+            lo = max(0, offset - bi * self.BLOCK)
+            hi = min(len(blk), offset + size - bi * self.BLOCK)
+            parts.append(blk[lo:hi])
+        return b"".join(parts)
+
     def __getstate__(self):
-        return {"url": self.url, "timeout": self.timeout, "_size": self._size}
+        return {
+            "url": self.url,
+            "timeout": self.timeout,
+            "max_cached_blocks": self.max_cached_blocks,
+            "_size": self._size,
+        }
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self._blocks = {}
 
 
 def as_reader(source: "str | bytes | ByteRangeReader") -> ByteRangeReader:

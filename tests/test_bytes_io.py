@@ -209,3 +209,35 @@ def test_zarr_scan_over_http(spark, tmp_path):
         np.testing.assert_allclose(got, vals)
     finally:
         srv.shutdown()
+
+
+def test_http_block_cache_bounds_request_count(tmp_path):
+    """The metadata parse of an HDF5 file issues hundreds of tiny reads;
+    the 64 KiB block cache must collapse them into a handful of GETs."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+    from rca_data_tools_spark.sources.bytes_io import HttpRangeReader
+    from tests.test_hdf5 import write_h5
+
+    arr = np.arange(200, dtype="<f8")
+    write_h5(str(tmp_path / "c.h5"), {"x": {"array": arr, "chunks": (32,), "filters": [("deflate", 3)]}})
+
+    import http.server
+    import threading
+
+    hits = []
+    base_cls = _RangeHandler.make(str(tmp_path))
+
+    class Counting(base_cls):
+        def do_GET(self):
+            hits.append(self.path)
+            return super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Counting)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/c.h5"
+        h5 = H5File(HttpRangeReader(url))
+        np.testing.assert_array_equal(read_dataset(h5, "x"), arr)
+        assert len(hits) <= 4, hits  # file < 64 KiB: everything from 1 block
+    finally:
+        srv.shutdown()
