@@ -88,7 +88,13 @@ class H5File:
         if self._buf[0:8] != _SIGNATURE:
             raise ValueError(f"not an HDF5 file: {self.path!r}")
         self.datasets: dict[str, Dataset] = {}
-        self._parse_superblock()
+        self._seen_groups: set[int] = set()
+        try:
+            self._parse_superblock()
+        except (IndexError, OverflowError, RecursionError) as e:
+            # corrupt metadata: surface the typed loud failure, never an
+            # internal indexing/recursion error (fuzz-tested)
+            raise ValueError(f"corrupt HDF5 metadata in {self.path!r}: {e}") from None
 
     # -- low-level --------------------------------------------------------
     def _u(self, pos: int, n: int) -> int:
@@ -207,6 +213,9 @@ class H5File:
         return msgs
 
     def _walk_group(self, ohdr_addr: int, prefix: str) -> None:
+        if ohdr_addr in self._seen_groups:  # corrupt cyclic link graph
+            raise ValueError("HDF5: cyclic group structure")
+        self._seen_groups.add(ohdr_addr)
         msgs = self._messages(ohdr_addr)
         children = self._group_children(msgs)
         if children is None:
@@ -444,9 +453,15 @@ class H5File:
             raise ValueError("HDF5: unterminated link name in local heap")
         return self._buf[start:end].decode()
 
-    def _group_btree_entries(self, addr: int) -> list[tuple[int, int]]:
+    def _group_btree_entries(
+        self, addr: int, _seen: "set[int] | None" = None
+    ) -> list[tuple[int, int]]:
         """(link name heap offset, object header address) leaf entries of a
         v1 group B-tree, any depth."""
+        _seen = set() if _seen is None else _seen
+        if addr in _seen:
+            raise ValueError("HDF5: cyclic group B-tree")
+        _seen.add(addr)
         b = self._buf
         if b[addr : addr + 4] != b"TREE":
             raise ValueError("HDF5: bad B-tree signature")
@@ -464,7 +479,7 @@ class H5File:
             pos += 8
         for child in children:
             if level > 0:
-                out.extend(self._group_btree_entries(child))
+                out.extend(self._group_btree_entries(child, _seen))
             else:
                 out.extend(self._snod_entries(child))
         return out
@@ -777,8 +792,12 @@ class H5File:
         return out
 
     def _chunk_btree_entries(
-        self, addr: int, ndims: int
+        self, addr: int, ndims: int, _seen: "set[int] | None" = None
     ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        _seen = set() if _seen is None else _seen
+        if addr in _seen:
+            raise ValueError("HDF5: cyclic chunk B-tree")
+        _seen.add(addr)
         b = self._buf
         if b[addr : addr + 4] != b"TREE":
             raise ValueError("HDF5: bad chunk B-tree signature")
@@ -797,7 +816,7 @@ class H5File:
             )  # drop trailing elem-0 coordinate
             child = self._u(pos + key_size, 8)
             if level > 0:
-                out.extend(self._chunk_btree_entries(child, ndims))
+                out.extend(self._chunk_btree_entries(child, ndims, _seen))
             else:
                 out.append((offs, child, nbytes, mask))
             pos += key_size + 8

@@ -571,3 +571,51 @@ def test_v2_dense_group_unsupported_shapes_raise(tmp_path):
         f.write(w.finish(root))
     with pytest.raises(NotImplementedError, match="deeper than one leaf"):
         H5File(p)
+
+
+def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
+    """Randomized bit flips over both fixture formats: the parser must
+    terminate with ValueError/NotImplementedError (or parse, when the flip
+    hit data bytes) — never an internal IndexError, unbounded recursion, or
+    a hang on crafted cycles."""
+    import random
+
+    from rca_data_tools_spark.sources.hdf5 import H5File
+    from tests.test_hdf5 import write_h5
+
+    p0, p1 = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    write_h5(p0, {"x": {"array": np.arange(64, dtype="<f8"), "chunks": (16,), "filters": [("deflate", 3)]}})
+    write_h5_v2(p1, {"x": {"array": np.arange(64, dtype="<f8"), "chunks": (16,)}})
+    bases = [open(p0, "rb").read(), open(p1, "rb").read()]
+    rng = random.Random(99)
+    for _ in range(400):
+        blob = bytearray(rng.choice(bases))
+        for _ in range(rng.randrange(1, 4)):
+            blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        try:
+            H5File(bytes(blob))
+        except (ValueError, NotImplementedError, KeyError):
+            pass  # typed loud failure is the contract
+
+    # crafted cycle: a group B-tree whose child points at itself
+    import struct as _st
+
+    from tests.test_hdf5 import UNDEF, _object_header, _msg
+    from tests.test_hdf5 import _Writer
+
+    w = _Writer()
+    heap_data_addr = w.append(b"\x00" * 8 + b"x\x00" + b"\x00" * 6)
+    heap_addr = w.append(
+        b"HEAP" + _st.pack("<B3x", 0) + _st.pack("<QQQ", 16, 0, heap_data_addr)
+    )
+    btree_addr = len(w.buf)
+    w.append(
+        b"TREE" + _st.pack("<BBH", 0, 1, 1) + UNDEF + UNDEF
+        + _st.pack("<Q", 8) + _st.pack("<Q", btree_addr) + _st.pack("<Q", 8)
+    )
+    root = w.append(_object_header([_msg(0x0011, _st.pack("<QQ", btree_addr, heap_addr))]))
+    p = str(tmp_path / "cycle.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(ValueError, match="cyclic"):
+        H5File(p)
