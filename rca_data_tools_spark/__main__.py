@@ -48,7 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--out-dir", required=True)
 
     cz = sub.add_parser("convert-zarr", help="Zarr store -> Parquet ingest")
-    cz.add_argument("src")
+    cz.add_argument(
+        "src",
+        help="store root: local directory or http(s):// base URL "
+        "(per-key ranged GETs via sources/bytes_io.HttpStore)",
+    )
     cz.add_argument("out")
     cz.add_argument("--variables", nargs="+", required=True)
     cz.add_argument("--time-var", default=None)
