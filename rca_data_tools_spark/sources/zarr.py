@@ -270,10 +270,19 @@ def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
         from rca_data_tools_spark.sources.zstd import zstd_decompress
 
         buf = zstd_decompress(raw)
+    elif comp.get("id") == "lz4":
+        # numcodecs LZ4 chunk: 4-byte little-endian uncompressed size, then
+        # one LZ4 block (the block decoder already exists for blosc splits)
+        import struct as _struct
+
+        from rca_data_tools_spark.sources.blosc import lz4_block_decompress
+
+        (n,) = _struct.unpack_from("<i", raw, 0)
+        buf = lz4_block_decompress(raw[4:], n)
     else:
         raise NotImplementedError(
             f"zarr compressor {comp.get('id')!r} needs a codec not present in "
-            "this runtime (supported here: raw, zlib, gzip, zstd, "
+            "this runtime (supported here: raw, zlib, gzip, zstd, lz4, "
             "blosc[lz4/zlib/zstd])"
         )
     arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))

@@ -360,3 +360,32 @@ def test_zarr_v3_shard_index_at_start_no_crc(spark, tmp_path):
     )
     got = [r["v"] for r in zarr_table(spark, root, ["v"]).orderBy("idx").collect()]
     np.testing.assert_allclose(got, vals)
+
+
+def test_zarr_v2_lz4_chunks(spark, tmp_path):
+    """numcodecs-LZ4 chunk shape: 4-byte uncompressed-size prefix + LZ4
+    block, decoded by the same block decoder the blosc splits use."""
+    import struct as _st
+
+    from rca_data_tools_spark.sources.zarr import zarr_table
+    from tests.test_blosc import lz4_block_compress
+
+    root = str(tmp_path / "l.zarr")
+    os.makedirs(os.path.join(root, "v"))
+    vals = np.arange(13, dtype="<f8") * 2.0
+    meta = {
+        "zarr_format": 2, "shape": [13], "chunks": [5], "dtype": "<f8",
+        "compressor": {"id": "lz4", "acceleration": 1}, "fill_value": None,
+        "order": "C", "filters": None,
+    }
+    with open(os.path.join(root, "v", ".zarray"), "w") as f:
+        json.dump(meta, f)
+    for cid in range(3):
+        block = np.zeros(5, dtype="<f8")
+        part = vals[cid * 5 : (cid + 1) * 5]
+        block[: len(part)] = part
+        raw = block.tobytes()
+        with open(os.path.join(root, "v", str(cid)), "wb") as f:
+            f.write(_st.pack("<i", len(raw)) + lz4_block_compress(raw))
+    got = [r["v"] for r in zarr_table(spark, root, ["v"]).orderBy("idx").collect()]
+    np.testing.assert_allclose(got, vals)
