@@ -174,3 +174,83 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.25, key_col: str = "user_
         outputMode="append",
         timeMode="none",
     )
+
+
+# --- streaming spike test (QARTOD test 6, one-sample emission latency) ------
+
+SPIKE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("spike_flag", IntegerType()),
+    ]
+)
+
+# (prev_prev_value, prev_ts_epoch_us, prev_value); prev_prev NaN = absent
+SPIKE_STATE_SCHEMA = StructType(
+    [
+        StructField("pp_value", DoubleType()),
+        StructField("p_ts_us", LongType()),
+        StructField("p_value", DoubleType()),
+    ]
+)
+
+
+def _spike_kernel_factory(fail: float, suspect: float):
+    import math
+
+    def kernel(key, pdf_iter, state: GroupState):
+        if state.exists:
+            pp_v, p_ts_us, p_v = state.get
+        else:
+            pp_v, p_ts_us, p_v = math.nan, None, None
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts").reset_index(drop=True)
+            out_rows = []
+            for _, row in pdf.iterrows():
+                v, ts = float(row["value"]), row["ts"]
+                if p_v is not None:
+                    # the arrival of v completes the neighborhood of the
+                    # PREVIOUS point: flag it now (one-sample latency, the
+                    # streaming form of the centered spike test)
+                    if math.isnan(pp_v):
+                        flag = 2  # series start: not evaluable
+                    else:
+                        mag = round(abs(p_v - (pp_v + v) / 2), 6)
+                        flag = 4 if mag > fail else (3 if mag > suspect else 1)
+                    out_rows.append(
+                        (row["user_id"], pd.Timestamp(p_ts_us, unit="us"), p_v, flag)
+                    )
+                pp_v = p_v if p_v is not None else math.nan
+                p_ts_us = int(ts.value // 1000)
+                p_v = v
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows, columns=["user_id", "ts", "value", "spike_flag"]
+                )
+        if p_v is not None:
+            state.update((pp_v, p_ts_us, p_v))
+
+    return kernel
+
+
+def streaming_spike_flags(
+    events: DataFrame, fail: float = 200.0, suspect: float = 120.0,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Incremental QARTOD spike test: each point is flagged as soon as its
+    successor arrives (neighbor-midpoint deviation over fail/suspect
+    thresholds, matching the batch qc_spike_test row-for-row except each
+    key's final point, whose neighborhood is still open). State per key is
+    two samples — constant regardless of stream length — carried across
+    micro-batches in GroupState."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _spike_kernel_factory(fail, suspect),
+        outputStructType=SPIKE_OUTPUT_SCHEMA,
+        stateStructType=SPIKE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -424,3 +424,51 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
     ).orderBy("window_start", "i", "bucket")
     expect = streaming_cms_cells(events).orderBy("window_start", "i", "bucket")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+
+def test_streaming_spike_flags_match_batch(spark, tmp_path):
+    """The stateful streaming spike test must reproduce the batch
+    qc_spike_test flags row-for-row across micro-batch boundaries — except
+    each key's final point, whose neighborhood is still open when the
+    stream drains."""
+    import time
+
+    from pyspark.sql import Window
+
+    from rca_data_tools_spark.streaming.stateful import streaming_spike_flags
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    pdf = e.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    src = tmp_path / "spike_src"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i, chunk in enumerate([pdf[:third], pdf[third : 2 * third], pdf[2 * third :]]):
+        chunk.to_parquet(
+            str(src / f"part-{i}.parquet"), index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        time.sleep(0.05)
+
+    got_df = run_stream_to_memory(
+        spark, str(src), EVENTS_SCHEMA,
+        lambda s: streaming_spike_flags(s),
+        query_name="t_spike_flags", output_mode="update",
+    )
+    got = {(r.user_id, r.ts, r.spike_flag) for r in got_df.collect()}
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v, next_v = F.lag("value").over(w), F.lead("value").over(w)
+    mag = F.round(F.abs(F.col("value") - (prev_v + next_v) / 2), 6)
+    batch = e.withColumn(
+        "spike_flag",
+        F.when(prev_v.isNull(), 2)
+        .when(next_v.isNull(), None)  # open neighborhood: not emitted yet
+        .when(mag > 200.0, 4)
+        .when(mag > 120.0, 3)
+        .otherwise(1),
+    ).filter(F.col("spike_flag").isNotNull())
+    expect = {(r.user_id, r.ts, r.spike_flag) for r in batch.collect()}
+    assert got == expect
+    assert any(f in (3, 4) for _, _, f in got)  # thresholds actually fire
