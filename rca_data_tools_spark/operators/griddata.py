@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def delaunay_triangulate(pts: np.ndarray) -> np.ndarray:
