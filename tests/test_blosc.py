@@ -238,3 +238,69 @@ def test_zarr_to_parquet_ingest_conversion(spark, tmp_path):
     assert rows[2]["ts"].hour == 2  # 2*3600s since epoch
     # the converted table is plain parquet: vectorized scan, no codec shim
     assert spark.read.parquet(out).count() == n
+
+
+# --- LZ4 block decoder vs the REFERENCE lz4 CLI ------------------------------
+
+_LZ4_CLI = __import__("shutil").which("lz4")
+
+
+def _lz4_frame_blocks(frame: bytes):
+    """Walk an LZ4 FRAME (public frame spec) and yield (compressed, raw_flag)
+    data blocks — a ~20-line shim so the reference CLI's output can validate
+    the BLOCK decoder, closing the spec-circularity noted in FIXTURES.md."""
+    import struct
+
+    assert struct.unpack_from("<I", frame, 0)[0] == 0x184D2204, "bad lz4 magic"
+    flg = frame[4]
+    assert (flg >> 6) == 1, "unsupported lz4 frame version"
+    b_indep = bool(flg & 0x20)
+    b_checksum = bool(flg & 0x10)
+    c_size = bool(flg & 0x08)
+    assert b_indep, "CLI produced block-dependent frame; pass -BI"
+    pos = 6 + (8 if c_size else 0) + 1  # FLG+BD [+content size] +HC
+    while True:
+        (bsize,) = struct.unpack_from("<I", frame, pos)
+        pos += 4
+        if bsize == 0:  # EndMark
+            break
+        raw = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        yield frame[pos : pos + bsize], raw
+        pos += bsize + (4 if b_checksum else 0)
+
+
+@pytest.mark.skipif(_LZ4_CLI is None, reason="no reference lz4 CLI")
+@pytest.mark.parametrize("level", ["-1", "-9", "-12"])
+@pytest.mark.parametrize("bsize", ["-B4", "-B5"])
+def test_lz4_block_decoder_against_reference_cli(level, bsize):
+    import random
+    import subprocess
+
+    rng = random.Random(5)
+    cases = [
+        b"",
+        b"a" * 10,
+        b"the quick brown fox jumps over the lazy dog. " * 400,
+        bytes(rng.randrange(256) for _ in range(30000)),      # incompressible
+        bytes(rng.randrange(4) for _ in range(30000)),        # highly repetitive
+        np.arange(20000, dtype="<i4").tobytes(),
+        (b"abcabcabd" * 9000),                                # overlap matches
+        bytes(rng.randrange(256) for _ in range(100)) * 900,  # long-range repeats
+    ]
+    from rca_data_tools_spark.sources.blosc import lz4_block_decompress
+
+    for data in cases:
+        frame = subprocess.run(
+            [_LZ4_CLI, "-q", level, bsize, "-BI", "-c"],
+            input=data, capture_output=True, check=True,
+        ).stdout
+        out = bytearray()
+        max_block = {"-B4": 1 << 16, "-B5": 1 << 18}[bsize]
+        for block, raw in _lz4_frame_blocks(frame):
+            if raw:
+                out += block
+            else:
+                want = min(max_block, len(data) - len(out))
+                out += lz4_block_decompress(block, want)
+        assert bytes(out) == data, (level, bsize, len(data))
