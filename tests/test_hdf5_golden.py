@@ -1,0 +1,109 @@
+"""GOLDEN-FILE validation of the native HDF5 reader: the reference repo
+ships real NetCDF-4 files written out-of-band by the actual
+libnetcdf/libhdf5 stack (tests/toy_data/*.nc, read by the reference with
+xarray in test_plotProfilesScatter.py). Parsing them exercises REAL
+superblocks, object headers, symbol tables, B-trees, and heaps as libhdf5
+lays them out — closing the spec-circularity the round-3 advisor flagged
+for the hand-built fixtures. Value-level checks pin the decoded arrays to
+the documented data model (1900-epoch monotonic time, dbar pressure
+ranges, the QARTOD flag alphabet) and to each other (shared variables
+across the two independently-written files must decode bit-identically).
+
+Skipped cleanly when the reference checkout is absent (standalone repo)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+_TOY = "/root/reference/tests/toy_data"
+_PARAM = os.path.join(_TOY, "PCO2WA101_paramData.nc")
+_FLAG = os.path.join(_TOY, "PCO2WA101_overlayData_flag.nc")
+
+needs_golden = pytest.mark.skipif(
+    not (os.path.exists(_PARAM) and os.path.exists(_FLAG)),
+    reason="reference toy_data golden files not present",
+)
+
+
+@needs_golden
+def test_golden_metadata_parse():
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    h5 = H5File(_PARAM)
+    assert set(h5.datasets) == {"time", "pco2_seawater", "int_ctd_pressure"}
+    for ds in h5.datasets.values():
+        assert ds.shape == (64725,)
+        assert ds.dtype == np.dtype("float64")
+
+    h5b = H5File(_FLAG)
+    assert set(h5b.datasets) == {
+        "time", "pco2_seawater", "int_ctd_pressure",
+        "pco2_seawater_qartod_executed_climatology_test",
+        "pco2_seawater_qartod_executed_gross_range_test",
+        "pco2_seawater_qartod_results",
+        "pco2_seawater_qc_executed",
+        "pco2_seawater_qc_results",
+    }
+    assert h5b.datasets["pco2_seawater_qartod_results"].dtype == np.dtype("uint8")
+    assert h5b.datasets[
+        "pco2_seawater_qartod_executed_gross_range_test"
+    ].dtype == np.dtype("int64")
+
+
+@needs_golden
+def test_golden_values_fit_the_documented_model():
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    h5 = H5File(_PARAM)
+    t = read_dataset(h5, "time")
+    # xarray writes seconds since 1900; the deployment is mid-2010s
+    assert 3.0e9 < t.min() < t.max() < 4.2e9
+    assert np.all(np.diff(t) >= 0)  # monotonic per-instrument time
+    p = read_dataset(h5, "int_ctd_pressure")
+    assert 0.0 < np.nanmin(p) and np.nanmax(p) < 500.0  # profiler dbar range
+    assert len(t) == len(p) == 64725
+
+    h5b = H5File(_FLAG)
+    flags = read_dataset(h5b, "pco2_seawater_qartod_results")
+    assert set(np.unique(flags)) <= {1, 2, 3, 4, 9}  # the QARTOD alphabet
+    execd = read_dataset(h5b, "pco2_seawater_qc_executed")
+    assert set(np.unique(execd)) == {29}  # constant qc-executed bitmask
+
+
+@needs_golden
+def test_golden_cross_file_consistency():
+    """The two files were written independently by the reference pipeline;
+    their shared variables must decode bit-identically through the native
+    parser — any structural misread would break this."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    a, b = H5File(_PARAM), H5File(_FLAG)
+    for name in ("time", "pco2_seawater", "int_ctd_pressure"):
+        assert np.array_equal(
+            read_dataset(a, name), read_dataset(b, name), equal_nan=True
+        ), name
+
+
+@needs_golden
+def test_golden_distributed_scan(spark):
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    df = netcdf_table(
+        spark, _FLAG,
+        ["time", "pco2_seawater", "pco2_seawater_qartod_results"],
+        records_per_task=20000,
+    )
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("time").alias("t0"),
+        F.max("time").alias("t1"),
+        F.countDistinct("pco2_seawater_qartod_results").alias("nflags"),
+    ).collect()[0]
+    assert agg["n"] == 64725
+    assert 3.0e9 < agg["t0"] < agg["t1"] < 4.2e9
+    assert agg["nflags"] == 5
