@@ -107,3 +107,54 @@ def test_golden_distributed_scan(spark):
     assert agg["n"] == 64725
     assert 3.0e9 < agg["t0"] < agg["t1"] < 4.2e9
     assert agg["nflags"] == 5
+
+
+@needs_golden
+def test_golden_qartod_flag_reproduction(spark):
+    """END-TO-END QC parity with the reference pipeline's REAL output: the
+    golden file stores the gross-range flags OOI's QARTOD run produced for
+    this deployment. The spans are pinned by the data itself — the stored
+    flags bound fail/suspect limits to fail [200, 1000] / suspect
+    [205, 1000] (single flag-3 at 204.31, flag-1 range [208.11, 999.99],
+    flag-4 from 1000.023 up and 196.55 down, exactly-1000 upper bound both
+    spans) — and the engine's gross_range_flags must then reproduce ALL
+    64,725 stored flags bit-for-bit, missing-sentinel -> 9 included. The
+    stored summary column must equal the engine's rollup (row-wise max) of
+    the stored gross-range and climatology tests."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.flagging import gross_range_flags
+    from rca_data_tools_spark.functions.qc import rollup_flags
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    df = netcdf_table(
+        spark, _FLAG,
+        [
+            "pco2_seawater",
+            "pco2_seawater_qartod_executed_gross_range_test",
+            "pco2_seawater_qartod_executed_climatology_test",
+            "pco2_seawater_qartod_results",
+        ],
+        records_per_task=20000,
+    ).select(
+        F.when(F.col("pco2_seawater") == -9999999.0, None)
+        .otherwise(F.col("pco2_seawater"))
+        .alias("value"),
+        F.col("pco2_seawater_qartod_executed_gross_range_test").cast("int").alias("stored_gross"),
+        F.col("pco2_seawater_qartod_executed_climatology_test").cast("int").alias("stored_clim"),
+        F.col("pco2_seawater_qartod_results").cast("int").alias("stored_summary"),
+        F.lit("PCO2WA101").alias("site"),
+    )
+    dim = spark.createDataFrame(
+        [("PCO2WA101", 200.0, 1000.0, 205.0, 1000.0)],
+        "site string, fail_lo double, fail_hi double, sus_lo double, sus_hi double",
+    )
+    flagged = gross_range_flags(df, dim, "value", ["site"])
+    mism = flagged.filter(F.col("gross_range_flag") != F.col("stored_gross")).count()
+    assert mism == 0, f"{mism} of 64725 gross-range flags differ from the reference pipeline's"
+
+    roll_mism = flagged.filter(
+        rollup_flags(F.col("stored_gross"), F.col("stored_clim"))
+        != F.col("stored_summary")
+    ).count()
+    assert roll_mism == 0, f"{roll_mism} summary rollups differ"
