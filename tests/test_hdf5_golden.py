@@ -158,3 +158,31 @@ def test_golden_qartod_flag_reproduction(spark):
         != F.col("stored_summary")
     ).count()
     assert roll_mism == 0, f"{roll_mism} summary rollups differ"
+
+
+@needs_golden
+def test_golden_multi_file_collection_scan(spark):
+    """netcdf_dataset_table over BOTH real files as one provenance-tagged
+    collection — the per-deployment directory layout, on actual libhdf5
+    output."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.netcdf import netcdf_dataset_table
+
+    df = netcdf_dataset_table(
+        spark, [_PARAM, _FLAG],
+        ["time", "pco2_seawater", "int_ctd_pressure"],
+        records_per_task=20000,
+    )
+    per_file = {
+        r["file_id"]: r["n"]
+        for r in df.groupBy("file_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_file == {0: 64725, 1: 64725}
+    # the shared variables agree across provenance (checksum both sides)
+    sums = (
+        df.groupBy("file_id")
+        .agg(F.sum(F.round("int_ctd_pressure", 6).cast("decimal(28,6)")).alias("s"))
+        .collect()
+    )
+    assert sums[0]["s"] == sums[1]["s"]
