@@ -9,6 +9,7 @@ equivalent operational surface:
   qaqc --site S --span P       run a QA/QC job lifecycle to a partitioned sink
   index --out-dir D            write the JSON output index (reference index.py)
   convert-zarr SRC OUT         one-pass Zarr (v2/v3) -> Parquet ingest
+  convert-nc SRC OUT           one-pass NetCDF (classic/NetCDF-4) -> Parquet
   bench                        the headline benchmark (same as bench.py)
 
 Every command builds the standard session (AQE, UTC, Arrow — session.py) and
@@ -56,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     cz.add_argument("out")
     cz.add_argument("--variables", nargs="+", required=True)
     cz.add_argument("--time-var", default=None)
+
+    cn = sub.add_parser("convert-nc", help="NetCDF file -> Parquet ingest")
+    cn.add_argument("src", help="local .nc path or http(s):// URL")
+    cn.add_argument("out")
+    cn.add_argument("--variables", nargs="+", required=True)
+    cn.add_argument("--time-var", default=None)
+    cn.add_argument("--epoch", default="1900-01-01")
 
     sub.add_parser("bench", help="run the headline benchmark")
 
@@ -136,6 +144,16 @@ def main(argv: list[str] | None = None) -> int:
 
         df = zarr_to_parquet(
             spark, args.src, args.variables, args.out, time_var=args.time_var
+        )
+        print(f"rows: {df.count()} -> {args.out}")
+        return 0
+
+    if args.cmd == "convert-nc":
+        from rca_data_tools_spark.sources.netcdf import netcdf_to_parquet
+
+        df = netcdf_to_parquet(
+            spark, args.src, args.variables, args.out,
+            time_var=args.time_var, epoch=args.epoch,
         )
         print(f"rows: {df.count()} -> {args.out}")
         return 0

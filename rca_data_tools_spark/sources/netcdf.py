@@ -364,3 +364,43 @@ def netcdf_dataset_table(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def netcdf_to_parquet(
+    spark: SparkSession,
+    path,
+    variables: list[str],
+    out_path: str,
+    time_var: str | None = None,
+    epoch: str = "1900-01-01",
+    time_unit: str = "s",
+    records_per_task: int = 65536,
+) -> DataFrame:
+    """Ingest conversion: one distributed pass from a NetCDF file (classic
+    or NetCDF-4, local path / URL / ByteRangeReader) into the engine's
+    canonical Parquet layout — the .nc twin of zarr_to_parquet, paying any
+    slow native decode exactly once. ``time_var`` (a numeric
+    offset-from-epoch coordinate; xarray's NetCDF default epoch is
+    1900-01-01 seconds, unlike Zarr's 1970) is rebuilt into a ``ts``
+    timestamp column so the output joins the engine's time machinery
+    directly.
+
+    Returns the re-read DataFrame (from Parquet, post-conversion).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(variables)
+    if time_var and time_var not in cols:
+        cols.insert(0, time_var)
+    df = netcdf_table(spark, path, cols, records_per_task=records_per_task)
+    if time_var:
+        unit_us = {"s": 1_000_000, "ms": 1_000, "us": 1}[time_unit]
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                (F.col(time_var) * F.lit(unit_us)).cast("long")
+                + F.unix_micros(F.lit(epoch).cast("timestamp"))
+            ),
+        )
+    df.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

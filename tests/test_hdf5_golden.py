@@ -186,3 +186,29 @@ def test_golden_multi_file_collection_scan(spark):
         .collect()
     )
     assert sums[0]["s"] == sums[1]["s"]
+
+
+@needs_golden
+def test_golden_netcdf_to_parquet_ingest(spark, tmp_path):
+    """Real-archive ingest end-to-end: the golden deployment converts to
+    the engine's canonical Parquet with a proper timestamp axis (xarray's
+    1900-epoch seconds), and the re-read table joins the time machinery —
+    the mid-2025 deployment window must come out of the ts column."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.netcdf import netcdf_to_parquet
+
+    out = str(tmp_path / "pco2.parquet")
+    df = netcdf_to_parquet(
+        spark, _PARAM, ["pco2_seawater", "int_ctd_pressure"],
+        out, time_var="time",
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    ).collect()[0]
+    assert agg["n"] == 64725
+    assert str(agg["t0"]).startswith("2014")  # deployment-era archive start
+    assert str(agg["t1"]).startswith("2025")  # through the current window
+    assert df.filter(F.col("ts").isNull()).count() == 0
