@@ -18,71 +18,75 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round. Rounds
-# 1-3 accumulated driver-green rows for 140 of the 158 registered queries
-# (CORRECTNESS_r0{1,2,3}.json). This round-4 window carries the 17 queries
-# that were ADDED during round 3 and therefore missed its window (all were
-# hash-green in fresh-process driver-sims against DuckDB at sf0.01 and
-# re-verified by the round-3 judge), twelve of the queries added during
-# round 4, and spot-recheck sentinels drawn from the OLDEST green rows
-# (r01-heavy, per the round-3 verdict's ask) so regressions in long-green
-# plans surface. Four late round-4 additions (qc_spike_test,
-# qc_rate_of_change, sample_temperature_mix, w_seasonal_decompose) do not
-# fit — each is hash-green in a fresh-process driver-sim against DuckDB at
-# sf0.01 — and form the round-5 rotation.
+# 1-4 accumulated driver-green rows for 169 of the 174 registered queries
+# (CORRECTNESS_r0{1,2,3,4}.json; agg_approx_distinct is the documented
+# no-oracle row). This round-5 window carries (a) the four late round-4
+# additions that missed the round-4 window (qc_spike_test,
+# qc_rate_of_change, sample_temperature_mix, w_seasonal_decompose — the
+# last registered queries without a driver row), (b) the three queries
+# whose semantics changed this round and therefore need a fresh row
+# (sketch_* gained a NULL-key filter to match COUNT(DISTINCT) semantics;
+# pipeline_pretrain_corpus gained a collision-free composite pack-ordering
+# key), and (c) spot-recheck sentinels drawn from the round-2 cohort (the
+# r01 cohort was re-proven in round 4) — every r02 row not already
+# re-checked in round 4, plus the verdict's shortlist (q7/q10/q18,
+# a7/a13).
 _ROUND_WINDOW = [
-    # round-3 additions: the only registered queries without a driver row
-    "bpe_train_merges",
-    "bpe_apply_tokens",
-    "text_bm25_topk",
+    # (a) late round-4 additions: the only registered queries without a
+    # cumulative driver row
+    "qc_spike_test",
+    "qc_rate_of_change",
+    "sample_temperature_mix",
+    "w_seasonal_decompose",
+    # (b) modified this round -> need fresh rows
     "sketch_cms_heavyhitters",
     "sketch_hll_cardinality",
-    "embed_kmeans_clusters",
-    "text_chunk_windows",
     "pipeline_pretrain_corpus",
-    "sample_weighted_topk",
-    "sample_shuffle_order",
-    "sample_domain_mix",
-    "w_mad_outliers",
-    "calc_tidal_harmonic",
-    "agg_mode",
-    "agg_histogram",
-    "text_pmi_cooccurrence",
-    "qc_flag_transitions",
-    # round-4 additions (registered this round; local driver-sim green)
-    "streaming_hll_registers",
-    "streaming_cms_cells",
-    "streaming_join_enriched",
-    "dedup_lsh_capped",
-    "graph_degree_stats",
-    "text_minhash_containment",
-    "qc_flat_line",
-    "j1_asof_tolerance",
-    "j11_interval_difference",
-    "text_entropy",
-    "a16_array_quantiles",
-    "embed_norm_stats",
-    # spot-recheck sentinels: oldest r01 greens first (verdict's shortlist)
-    "j4_climatology_flags",
-    "j1_asof_join",
-    "qc_bitmask_decode",
-    "w4_lttb_decimation",
-    "dedup_minhash_lsh",
-    "instr_velpt_flags",
-    "instr_flor_flags",
-    "instr_nutnr_flags",
-    "instr_adcp_flags",
-    "instr_pco2w_flags",
-    "instr_ph_flags",
-    "instr_vel3d_flags",
-    "instr_opt_converters",
-    "instr_sidelobe_depth",
-    "instr_optical_products",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "p2_time_slice",
-    "a2_pivot_counts",
-    "w9_topk_per_group",
-    "j6_multiway_time_join",
+    # (c) sentinels: the full r02 cohort not re-checked in round 4
+    "q1_pricing_summary",
+    "a15_percentiles",
+    "dedup_simhash_fingerprints",
+    "text_contamination",
+    "calc_nutnr_nitrate",
+    "ann_topk_cosine",
+    "ann_threshold_neighbors",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "sample_hash_fraction",
+    "sample_stratified",
+    "sample_uniform_topk",
+    "sample_domain_cap",
+    "sample_split_assign",
+    "pack_sequences",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_tfidf_topk",
+    "corpus_curation",
+    "p9_regex_filter",
+    "media_feature_extract",
+    "media_batch_stats",
+    "media_frame_sample",
+    "calc_registry_flags",
+    "calc_poly_fit",
+    "f_nested_cal_arrays",
+    "f_string_parse",
+    "f_json_extract",
+    "f_math_conversions",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q21_sole_late_supplier",
+    # (c) verdict shortlist top-up
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_orders",
+    "a7_array_median",
+    "a13_bracket_midpoint",
 ]
 
 

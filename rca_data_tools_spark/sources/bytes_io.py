@@ -152,6 +152,7 @@ class HttpRangeReader(ByteRangeReader):
         self.max_cached_blocks = max_cached_blocks
         self._size = None
         self._blocks: "dict[int, bytes]" = {}
+        self._full: "bytes | None" = None  # set iff the server ignores Range
 
     def _request(self, headers: dict, method: str = "GET"):
         import urllib.request
@@ -169,17 +170,25 @@ class HttpRangeReader(ByteRangeReader):
         return self._size
 
     def _fetch(self, offset: int, size: int) -> bytes:
+        if self._full is not None:
+            return self._full[offset : offset + size]
         with self._request({"Range": f"bytes={offset}-{offset + size - 1}"}) as r:
             body = r.read()
             if r.status == 206:
                 return body[:size]
-            # server ignored Range: fall back to slicing the full body
+            # Server ignored Range and sent the whole file: keep it, so a
+            # metadata parse (hundreds of tiny preads) costs ONE transfer
+            # instead of O(file_size x blocks). Dropped on pickling like the
+            # block cache.
             self._size = len(body)
+            self._full = body
             return body[offset : offset + size]
 
     def pread(self, offset: int, size: int) -> bytes:
         if size <= 0:
             return b""
+        if self._full is not None:
+            return self._full[offset : offset + size]
         if size >= self.BLOCK:
             return self._fetch(offset, size)  # bulk chunk reads bypass cache
         first = offset // self.BLOCK
@@ -208,6 +217,7 @@ class HttpRangeReader(ByteRangeReader):
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._blocks = {}
+        self._full = None
 
 
 def as_reader(source: "str | bytes | ByteRangeReader") -> ByteRangeReader:
@@ -272,12 +282,13 @@ class HttpStore(KeyValueStore):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
 
-    def _open(self, key: str):
+    def _open(self, key: str, method: str = "GET"):
         import urllib.request
 
-        return urllib.request.urlopen(
-            f"{self.base_url}/{key}", timeout=self.timeout
+        req = urllib.request.Request(
+            f"{self.base_url}/{key}", method=method
         )
+        return urllib.request.urlopen(req, timeout=self.timeout)
 
     def get(self, key: str) -> bytes:
         import urllib.error
@@ -291,14 +302,24 @@ class HttpStore(KeyValueStore):
             raise
 
     def exists(self, key: str) -> bool:
+        """HEAD, not GET — a metadata probe must not download the blob.
+        Servers that reject HEAD (405/501) fall back to one GET."""
         import urllib.error
 
         try:
-            with self._open(key):
+            with self._open(key, method="HEAD"):
                 return True
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return False
+            if e.code in (405, 501):
+                try:
+                    with self._open(key):
+                        return True
+                except urllib.error.HTTPError as e2:
+                    if e2.code == 404:
+                        return False
+                    raise
             raise
 
 

@@ -213,9 +213,19 @@ class H5File:
         return msgs
 
     def _walk_group(self, ohdr_addr: int, prefix: str) -> None:
-        if ohdr_addr in self._seen_groups:  # corrupt cyclic link graph
+        # Cycle guard over the CURRENT path only: hard links may legally
+        # alias one group under two different parents (a non-cyclic DAG —
+        # the group is simply walked once per path); only an ancestor
+        # repeating on its own descent is a true cycle.
+        if ohdr_addr in self._seen_groups:
             raise ValueError("HDF5: cyclic group structure")
         self._seen_groups.add(ohdr_addr)
+        try:
+            self._walk_group_inner(ohdr_addr, prefix)
+        finally:
+            self._seen_groups.discard(ohdr_addr)
+
+    def _walk_group_inner(self, ohdr_addr: int, prefix: str) -> None:
         msgs = self._messages(ohdr_addr)
         children = self._group_children(msgs)
         if children is None:

@@ -224,11 +224,7 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
         body = blob
     entries = np.frombuffer(body, dtype="<u8").reshape(n, 2)
     dtype = np.dtype(meta["dtype"])
-    fill = meta.get("fill_value")
-    fill_scalar = 0 if fill is None else (
-        float(str(fill).replace("Infinity", "inf")) if not isinstance(fill, (int, float)) else fill
-    )
-    out = np.full(outer, fill_scalar, dtype=dtype)
+    out = np.full(outer, _fill_scalar(meta), dtype=dtype)
     inner_meta = {
         "compressor": shard["compressor"],
         "dtype": meta["dtype"],
@@ -289,11 +285,33 @@ def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
     return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
 
 
+def _fill_scalar(meta: dict):
+    """Normalize a .zarray/zarr.json fill_value to a numpy-usable scalar
+    (the v2 spec JSON-encodes non-finite floats as "NaN"/"Infinity"/
+    "-Infinity" strings; absent means 0)."""
+    fill = meta.get("fill_value")
+    if fill is None:
+        return 0
+    if isinstance(fill, (int, float)):
+        return fill
+    return float(str(fill).replace("Infinity", "inf"))
+
+
 def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
     """One store key -> its full outer-chunk array: a plain chunk through
     the codec chain, or a shard (v3 sharding_indexed) assembled from its
-    inner chunks."""
-    raw = store.get(key)
+    inner chunks.
+
+    A MISSING key is legal Zarr, not an error: zarr-python writes with
+    write_empty_chunks=False by default, so all-fill chunks are simply
+    never stored (and HttpStore maps a 404 to KeyError). Such a chunk —
+    including a whole missing shard object — reads as fill_value, exactly
+    as _decode_shard already treats a missing inner chunk."""
+    try:
+        raw = store.get(key)
+    except (KeyError, FileNotFoundError):
+        dtype = np.dtype(meta["dtype"])
+        return np.full([int(x) for x in meta["chunks"]], _fill_scalar(meta), dtype=dtype)
     if meta.get("shard"):
         return _decode_shard(raw, meta)
     return _decode_buf(raw, meta)

@@ -707,9 +707,13 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
             btype = (bh >> 1) & 0x03
             bsize = bh >> 3
             if btype == 0:  # raw
+                if n - pos < bsize:
+                    raise ValueError("zstd: truncated raw block")
                 frame_out += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE: one byte repeated bsize times
+                if n - pos < 1:
+                    raise ValueError("zstd: truncated RLE block")
                 frame_out += data[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:

@@ -241,3 +241,89 @@ def test_http_block_cache_bounds_request_count(tmp_path):
         assert len(hits) <= 4, hits  # file < 64 KiB: everything from 1 block
     finally:
         srv.shutdown()
+
+
+def test_http_store_exists_is_head_not_get(tmp_path):
+    """exists() must probe with HEAD — a metadata probe that downloads the
+    blob costs a full transfer per key at object-store scale. Servers that
+    reject HEAD fall back to a single GET."""
+    import http.server
+    import threading
+
+    from rca_data_tools_spark.sources.bytes_io import HttpStore
+
+    (tmp_path / "blob").write_bytes(b"x" * 4096)
+    methods = []
+    base_cls = _RangeHandler.make(str(tmp_path))
+
+    class Recording(base_cls):
+        def do_GET(self):
+            methods.append(("GET", self.path))
+            return super().do_GET()
+
+        def do_HEAD(self):
+            methods.append(("HEAD", self.path))
+            return super().do_HEAD()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Recording)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        store = HttpStore(f"http://127.0.0.1:{srv.server_address[1]}")
+        assert store.exists("blob") and not store.exists("nope")
+        assert methods == [("HEAD", "/blob"), ("HEAD", "/nope")]
+    finally:
+        srv.shutdown()
+
+    # HEAD-rejecting server: one GET fallback, still correct
+    methods.clear()
+
+    class NoHead(Recording):
+        def do_HEAD(self):
+            methods.append(("HEAD", self.path))
+            self.send_error(405)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), NoHead)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        store = HttpStore(f"http://127.0.0.1:{srv.server_address[1]}")
+        assert store.exists("blob")
+        assert methods == [("HEAD", "/blob"), ("GET", "/blob")]
+    finally:
+        srv.shutdown()
+
+
+def test_http_reader_caches_full_body_when_range_ignored(tmp_path):
+    """A server that ignores Range returns the whole file (status 200); the
+    reader must keep that body so a block-cache-missing metadata parse costs
+    ONE transfer, not one whole-file download per 64 KiB block."""
+    import http.server
+    import threading
+
+    from rca_data_tools_spark.sources.bytes_io import HttpRangeReader
+
+    data = bytes(range(256)) * 1200  # ~300 KiB: spans several cache blocks
+    (tmp_path / "plain.bin").write_bytes(data)
+    gets = []
+
+    class Plain(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):  # no Range support at all
+            gets.append(self.path)
+            return super().do_GET()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Plain)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rd = HttpRangeReader(f"http://127.0.0.1:{srv.server_address[1]}/plain.bin")
+        for off in range(0, len(data), 70_000):  # hits 5 distinct blocks
+            assert rd.pread(off, 16) == data[off : off + 16]
+        assert rd.pread(100, 100_000) == data[100:100_100]  # bulk path too
+        assert len(gets) == 1, gets
+        assert rd.size() == len(data)
+    finally:
+        srv.shutdown()

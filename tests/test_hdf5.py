@@ -380,3 +380,83 @@ def test_mixed_format_directory_scan(spark, tmp_path, h5_file):
     assert df.select("file_id").distinct().count() == 2
     one = df.filter("file_id = 0").orderBy("idx").collect()
     np.testing.assert_allclose([r["time"] for r in one], arrays["time"])
+
+
+def _stab_group(w, children: dict[str, int]) -> int:
+    """Append heap + SNOD + TREE + object header for an old-style group whose
+    members are ``children`` (name -> object header address); returns the
+    group's object header address."""
+    names = sorted(children)
+    heap_data = bytearray(b"\x00" * 8)
+    offs = {}
+    for n in names:
+        offs[n] = len(heap_data)
+        heap_data += n.encode() + b"\x00"
+        heap_data += b"\x00" * ((8 - len(heap_data) % 8) % 8)
+    heap_data_addr = w.append(bytes(heap_data))
+    heap_addr = w.append(
+        b"HEAP" + struct.pack("<B3x", 0)
+        + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+    )
+    snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
+    for n in names:
+        snod += struct.pack("<QQII", offs[n], children[n], 0, 0) + b"\x00" * 16
+    snod_addr = w.append(snod)
+    btree = (
+        b"TREE" + struct.pack("<BBH", 0, 0, 1) + UNDEF + UNDEF
+        + struct.pack("<Q", offs[names[0]]) + struct.pack("<Q", snod_addr)
+        + struct.pack("<Q", offs[names[-1]])
+    )
+    btree_addr = w.append(btree)
+    return w.append(_object_header([_msg(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]))
+
+
+def test_hard_link_dag_alias_is_legal(tmp_path):
+    """One group object header linked from TWO parent groups is a legal
+    non-cyclic DAG (HDF5 hard links): both paths must scan — only an
+    ancestor repeating on its own descent is a cycle."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _Writer()
+    arr = np.arange(6, dtype="<f8")
+    raw_addr = w.append(arr.tobytes())
+    ds_ohdr = w.append(_object_header([
+        _msg(0x0001, _dataspace(arr.shape)),
+        _msg(0x0003, _datatype(arr.dtype)),
+        _msg(0x0008, _layout_contiguous(raw_addr, arr.nbytes)),
+    ]))
+    shared = _stab_group(w, {"x": ds_ohdr})      # the aliased group
+    root = _stab_group(w, {"a": shared, "b": shared})
+    p = str(tmp_path / "dag.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    assert set(h5.datasets) == {"a/x", "b/x"}
+    np.testing.assert_array_equal(read_dataset(h5, "a/x"), arr)
+    np.testing.assert_array_equal(read_dataset(h5, "b/x"), arr)
+
+
+def test_group_ancestor_cycle_raises(tmp_path):
+    """A group whose member IS an ancestor's object header (true cycle in
+    the link graph) must fail loudly, not recurse forever."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _Writer()
+    # build inner group first with a placeholder child, then a root linking
+    # to it; patch the inner SNOD to point back at root afterwards
+    dummy = w.append(_object_header([]))  # placeholder object
+    inner = _stab_group(w, {"back": dummy})
+    root = _stab_group(w, {"g": inner})
+    blob = bytearray(w.finish(root))
+    # patch: the SNOD entry of `inner` holds `dummy`'s address; repoint to root
+    pos = blob.find(struct.pack("<Q", dummy), 0)
+    while pos != -1:
+        # the address appears inside the SNOD entry (offset 8 within entry)
+        if blob[pos - 8 : pos - 4] != b"SNOD":  # crude but deterministic here
+            blob[pos : pos + 8] = struct.pack("<Q", root)
+        pos = blob.find(struct.pack("<Q", dummy), pos + 1)
+    p = str(tmp_path / "cycle2.h5")
+    with open(p, "wb") as f:
+        f.write(bytes(blob))
+    with pytest.raises(ValueError, match="cyclic"):
+        H5File(p)

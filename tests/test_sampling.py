@@ -129,3 +129,27 @@ def test_perplexity_buckets_separate_fluent_from_shuffled(spark):
     assert max(len(v) for v in by_bucket.values()) - min(len(v) for v in by_bucket.values()) <= 1
     assert max(by_bucket["head"]) <= min(by_bucket["middle"]) + 1e-9
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"]) + 1e-9
+
+
+def test_pack_greedy_1500_chunk_document_strict_order(spark):
+    """A single document with 1500 chunks (beyond any *1000 arithmetic
+    encoding) must pack in strict (doc_id, chunk_id) order with no
+    collision-merged offsets: every bin holds exactly target/len chunks,
+    consecutively."""
+    from rca_data_tools_spark.operators.sampling import pack_greedy
+
+    rows = [(0, 7, c, 4) for c in range(1500)] + [(0, 2, c, 4) for c in range(10)]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, chunk_id long, n int")
+    got = pack_greedy(df, "shard", ["doc_id", "chunk_id"], "n", 64).collect()
+    by_key = {(r["doc_id"], r["chunk_id"]): r["bin_id"] for r in got}
+    # sequential oracle: doc 2's 10 chunks first, then doc 7's 1500
+    cum = 0
+    for doc, n_chunks in ((2, 10), (7, 1500)):
+        for c in range(n_chunks):
+            assert by_key[(doc, c)] == cum // 64, (doc, c)
+            cum += 4
+    # 1510 chunks x 4 tokens / 64-token bins -> 95 distinct bins, 16 chunks each
+    from collections import Counter
+
+    sizes = Counter(by_key.values())
+    assert len(sizes) == 95 and set(sizes.values()) <= {16, 6}

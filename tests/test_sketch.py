@@ -82,3 +82,43 @@ def test_hll_shard_merge_is_registerwise_max(spark):
     a = {(r["grp"], r["idx"]): r["r"] for r in merged.collect()}
     b = {(r["grp"], r["idx"]): r["r"] for r in direct.collect()}
     assert a == b
+
+
+def test_null_keys_excluded_like_count_distinct(spark):
+    """NULL keys must not enter either sketch: the HLL estimate tracks
+    COUNT(DISTINCT key) (which excludes NULLs) and the CMS cell mass equals
+    COUNT(key) (ditto), no matter how NULL-heavy the input."""
+    from rca_data_tools_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "grp": ["g"] * 400,
+            "k": [f"u{i % 23}" if i % 3 else None for i in range(400)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    exact = df.filter(F.col("k").isNotNull()).select("k").distinct().count()
+    n_nonnull = int(df.filter(F.col("k").isNotNull()).count())
+
+    regs = hll_register_rows(df, "grp", "k")
+    # no register row may come from a NULL hash (md5(NULL) -> NULL index)
+    assert regs.filter(F.col("idx").isNull()).count() == 0
+    est = hll_estimate(regs).collect()[0]["hll_estimate"]
+    # 23 distinct << 64 registers: small-range correction is near-exact
+    assert abs(est - exact) / exact < 0.35, (est, exact)
+
+    cells = cms_build(df, "k", depth=4, width=4096)
+    total = cells.groupBy("i").agg(F.sum("c").alias("mass")).collect()
+    assert all(r["mass"] == n_nonnull for r in total)  # NULLs carry no mass
+
+    # an all-NULL corpus builds an EMPTY sketch, not a phantom-key one
+    allnull = spark.createDataFrame(
+        pd.DataFrame({"grp": ["g"] * 10, "k": [None] * 10}).astype({"k": "object"}),
+        "grp string, k string",
+    )
+    assert cms_build(allnull, "k").count() == 0
+    assert hll_register_rows(allnull, "grp", "k").count() == 0

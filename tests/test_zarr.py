@@ -389,3 +389,67 @@ def test_zarr_v2_lz4_chunks(spark, tmp_path):
             f.write(_st.pack("<i", len(raw)) + lz4_block_compress(raw))
     got = [r["v"] for r in zarr_table(spark, root, ["v"]).orderBy("idx").collect()]
     np.testing.assert_allclose(got, vals)
+
+
+def test_zarr_missing_chunks_read_as_fill(spark, tmp_path):
+    """Unwritten chunks are legal Zarr (zarr-python defaults to
+    write_empty_chunks=False): a missing chunk object — v2 chunk file or a
+    whole v3 shard — reads as fill_value, not a crashed scan."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    # v2: delete the middle chunk file -> its 10 rows are fill -> NULL
+    root = str(tmp_path / "gap.zarr")
+    os.makedirs(root)
+    vals = np.arange(25, dtype="<f8")
+    _write_array(root, "v", vals, [10], fill_value=-9999.0)
+    os.remove(os.path.join(root, "v", "1"))
+    rows = {r["idx"]: r["v"] for r in zarr_table(spark, root, ["v"]).collect()}
+    assert len(rows) == 25
+    assert all(rows[i] is None for i in range(10, 20))
+    assert rows[9] == 9.0 and rows[20] == 20.0
+
+    # integer dtype with no fill_value declared: missing chunk reads as 0
+    root2 = str(tmp_path / "gap_int.zarr")
+    os.makedirs(root2)
+    ivals = np.arange(20, dtype="<i8") + 1
+    _write_array(root2, "n", ivals, [10])
+    os.remove(os.path.join(root2, "n", "0"))
+    irows = {r["idx"]: r["n"] for r in zarr_table(spark, root2, ["n"]).collect()}
+    assert all(irows[i] == 0 for i in range(10))
+    assert irows[15] == 16
+
+
+def test_zarr_v3_missing_whole_shard_reads_as_fill(spark, tmp_path):
+    """A sharded v3 store where one outer shard object was never written:
+    every inner chunk of that shard reads as fill (the same semantics
+    _decode_shard gives a missing INNER chunk)."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "v3gap.zarr")
+    os.makedirs(os.path.join(root, "v", "c"))
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [20],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [10]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": -5.0,
+        "codecs": [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": [5],
+                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+                "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+                "index_location": "end",
+            },
+        }],
+    }
+    with open(os.path.join(root, "v", "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    # write ONLY shard 0 (rows 0..9); shard 1 is absent entirely
+    blocks = [np.arange(5, dtype="<f8").tobytes(),
+              (np.arange(5, dtype="<f8") + 5).tobytes()]
+    _write_shard(os.path.join(root, "v", "c", "0"), blocks, crc=True)
+    rows = {r["idx"]: r["v"] for r in zarr_table(spark, root, ["v"]).collect()}
+    assert len(rows) == 20
+    assert rows[3] == 3.0 and rows[8] == 8.0
+    assert all(rows[i] is None for i in range(10, 20))  # fill -> NULL

@@ -63,6 +63,21 @@ def test_loud_failures():
         zstd_decompress(bytes(bad))
 
 
+def test_truncated_raw_and_rle_blocks_raise():
+    """A frame with NO content size and NO checksum is the only shape where
+    a short raw/RLE payload could silently return short output — it must
+    raise like the compressed-block path does."""
+    import struct as _st
+
+    head = _st.pack("<I", 0xFD2FB528) + bytes([0x00]) + bytes([0x00])  # fhd: no SS/FCS; window desc
+    raw_hdr = (1 | (0 << 1) | (10 << 3)).to_bytes(3, "little")  # last raw block, bsize=10
+    with pytest.raises(ValueError, match="truncated raw block"):
+        zstd_decompress(head + raw_hdr + b"short")
+    rle_hdr = (1 | (1 << 1) | (4 << 3)).to_bytes(3, "little")  # last RLE block, regen=4
+    with pytest.raises(ValueError, match="truncated RLE block"):
+        zstd_decompress(head + rle_hdr)  # repeated byte missing entirely
+
+
 def test_xxh64_reference_vectors():
     # public reference values for xxhash64(seed=0)
     assert xxh64(b"") == 0xEF46DB3751D8E999
