@@ -15,8 +15,10 @@ offset 0, in both the earliest format and the 1.8+ "latest" format):
 - object headers version 1 AND version 2 ('OHDR', with OCHK continuations)
 - messages: dataspace (v1/v2), datatype (fixed-point and IEEE float,
   little/big endian), data layout v3 (contiguous and chunked) and v4
-  (contiguous/compact/chunked with Single Chunk, Implicit, or unpaged
-  Fixed Array indexes — the latest-format default for fixed-shape chunks),
+  (contiguous/compact/chunked with Single Chunk, Implicit, unpaged Fixed
+  Array, inline Extensible Array, or single-leaf version-2 B-tree chunk
+  indexes — the full latest-format family for fixed-shape AND
+  unlimited-dimension chunked datasets),
   filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
   link info, link, symbol table, continuation
 - chunked data through the v1 chunk B-tree (any nesting level), with
@@ -557,6 +559,24 @@ class H5File:
                             ds.filtered_index,
                         )
                     ]
+            elif ds.chunk_index == "ext_array":
+                if ds.data_address != _UNDEF:
+                    ds.chunks = [
+                        (offs, a, chunk_bytes if nb == -1 else nb, mask)
+                        for offs, a, nb, mask in self._ext_array_chunks(
+                            ds.data_address, shape, ds.chunk_shape,
+                            ds.filtered_index,
+                        )
+                    ]
+            elif ds.chunk_index == "btree2":
+                if ds.data_address != _UNDEF:
+                    ds.chunks = [
+                        (offs, a, chunk_bytes if nb == -1 else nb, mask)
+                        for offs, a, nb, mask in self._btree2_chunks(
+                            ds.data_address, shape, ds.chunk_shape,
+                            ds.filtered_index,
+                        )
+                    ]
             elif ds.data_address != _UNDEF:
                 ds.chunks = self._chunk_btree_entries(ds.data_address, ndims)
         for fid, _ in ds.filters:
@@ -657,11 +677,12 @@ class H5File:
 
     def _parse_layout_v4(self, d: bytes, ds: Dataset) -> str:
         """Version-4 data layout (1.10+ format): contiguous/compact match
-        v3; chunked datasets carry one of five chunk index types. Single
-        Chunk, Implicit, and Fixed Array (the latest-format default for
-        fixed-shape chunked datasets) resolve to the shared chunk-map
-        shape; the extensible-array and B-tree-v2 indexes (datasets that
-        grow along an unlimited dimension) raise with a conversion hint."""
+        v3; chunked datasets carry one of five chunk index types, ALL of
+        which resolve to the shared chunk-map shape — Single Chunk,
+        Implicit, Fixed Array (fixed-shape chunking), Extensible Array
+        (one unlimited dimension; inline index-block subset), and
+        version-2 B-tree (multiple unlimited dimensions; single-leaf
+        subset)."""
         lclass = d[1]
         if lclass == 1:  # contiguous — identical body to v3
             ds.data_address = int.from_bytes(d[2:10], "little")
@@ -711,11 +732,25 @@ class H5File:
             ds.chunk_index = "fixed_array"
             ds.filtered_index = bool(flags & 0x02)
             return "chunked"
-        names = {4: "extensible array", 5: "version-2 B-tree"}
+        if index_type == 4:  # extensible array — ONE unlimited dimension
+            # max bits, index elements, min pointers, min elements, page
+            # bits (5 creation-parameter bytes), then the EAHD address
+            addr = int.from_bytes(d[pos + 5 : pos + 13], "little")
+            ds.data_address = addr
+            ds.chunk_index = "ext_array"
+            ds.filtered_index = bool(flags & 0x02)
+            return "chunked"
+        if index_type == 5:  # version-2 B-tree — >1 unlimited dimension
+            # node size (4), split percent (1), merge percent (1), address
+            addr = int.from_bytes(d[pos + 6 : pos + 14], "little")
+            ds.data_address = addr
+            ds.chunk_index = "btree2"
+            ds.filtered_index = bool(flags & 0x02)
+            return "chunked"
         raise NotImplementedError(
-            f"HDF5 layout v4 chunk index {names.get(index_type, index_type)!r} "
-            "(unlimited-dimension datasets) not supported — repack with "
-            "h5repack -L (compact/earliest format) or ingest via convert-zarr"
+            f"HDF5 layout v4 chunk index {index_type!r} not supported — "
+            "repack with h5repack -L (compact/earliest format) or ingest "
+            "via convert-zarr"
         )
 
     def _fixed_array_chunks(
@@ -766,6 +801,135 @@ class H5File:
             else:
                 nb, mask = chunk_bytes, 0
             pos += entry_size
+            if a != _UNDEF:
+                out.append((offs, a, nb, mask))
+        return out
+
+    def _ext_array_chunks(
+        self, addr: int, shape, chunk_shape, filtered: bool
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """Chunk map from a v4 Extensible Array index (EAHD header + EAIB
+        index block) — the latest-format index for datasets with ONE
+        unlimited dimension. Supported subset: every element stored INLINE
+        in the index block (element count <= the header's index-block
+        element capacity — libhdf5's default capacity is 4, covering small
+        appendable datasets); data/secondary blocks raise loudly with the
+        same conversion hint the other edges use. Elements are in C order
+        over the chunk grid of the CURRENT shape, matching the swizzled
+        dim-0-unlimited layout netCDF time series use."""
+        b = self._buf
+        if b[addr : addr + 4] != b"EAHD":
+            raise ValueError("HDF5: bad extensible array header signature")
+        if b[addr + 4] != 0:
+            raise NotImplementedError(f"HDF5 extensible array version {b[addr + 4]}")
+        client = b[addr + 5]
+        elmt_size = b[addr + 6]
+        idx_blk_elmts = b[addr + 8]
+        if client not in (0, 1):
+            raise NotImplementedError(f"HDF5 extensible array client id {client}")
+        if client != (1 if filtered else 0):
+            raise ValueError(
+                "HDF5: extensible-array client id disagrees with the "
+                "layout's filtered flag"
+            )
+        n_sec_blks = self._u(addr + 12, 8)
+        n_data_blks = self._u(addr + 28, 8)
+        iblk_addr = self._u(addr + 60, 8)
+        if n_sec_blks or n_data_blks:
+            raise NotImplementedError(
+                "HDF5 extensible array with data/secondary blocks (more "
+                "chunks than fit the index block) not supported — repack "
+                "with h5repack -L or ingest via convert-zarr"
+            )
+        if iblk_addr == _UNDEF:
+            return []
+        if b[iblk_addr : iblk_addr + 4] != b"EAIB":
+            raise ValueError("HDF5: bad extensible array index block signature")
+        if b[iblk_addr + 4] != 0 or b[iblk_addr + 5] != client:
+            raise ValueError("HDF5: extensible array index block mismatch")
+        import itertools
+
+        grids = [range(0, s, c) for s, c in zip(shape, chunk_shape)]
+        n_chunks = 1
+        for g in grids:
+            n_chunks *= len(g)
+        if n_chunks > idx_blk_elmts:
+            raise NotImplementedError(
+                f"HDF5 extensible array: {n_chunks} chunks exceed the "
+                f"{idx_blk_elmts}-element index block"
+            )
+        pos = iblk_addr + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        out = []
+        for offs in itertools.product(*grids):
+            a = self._u(pos, 8)
+            if client == 1:
+                sz_w = elmt_size - 12  # element: addr(8) + size + mask(4)
+                nb = self._u(pos + 8, sz_w)
+                mask = self._u(pos + 8 + sz_w, 4)
+            else:
+                nb, mask = -1, 0
+            pos += elmt_size
+            if a != _UNDEF:
+                out.append((offs, a, nb, mask))
+        return out
+
+    def _btree2_chunks(
+        self, addr: int, shape, chunk_shape, filtered: bool
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """Chunk map from a v4 version-2 B-tree index (BTHD header + BTLF
+        leaf) — the latest-format index for datasets with MORE THAN ONE
+        unlimited dimension. Record type 10 (non-filtered: chunk address +
+        per-dimension SCALED offsets) and 11 (filtered: address + variable-
+        width chunk size + 4-byte filter mask + scaled offsets). Depth-0
+        trees (one leaf) only, matching the dense-group reader's subset;
+        deeper trees raise loudly."""
+        b = self._buf
+        if b[addr : addr + 4] != b"BTHD":
+            raise ValueError("HDF5: bad v2 B-tree header signature")
+        if b[addr + 4] != 0:
+            raise NotImplementedError(f"HDF5 v2 B-tree version {b[addr + 4]}")
+        btype = b[addr + 5]
+        want = 11 if filtered else 10
+        if btype != want:
+            raise ValueError(
+                f"HDF5: v2 B-tree record type {btype} disagrees with the "
+                f"layout's filtered flag (expected {want})"
+            )
+        rec_size = self._u(addr + 10, 2)
+        depth = self._u(addr + 12, 2)
+        root = self._u(addr + 16, 8)
+        nrec = self._u(addr + 24, 2)
+        if depth != 0:
+            raise NotImplementedError(
+                "HDF5 v2 B-tree chunk index deeper than one leaf "
+                "(very large chunk count) not supported"
+            )
+        if nrec == 0 or root == _UNDEF:
+            return []
+        if b[root : root + 4] != b"BTLF":
+            raise ValueError("HDF5: bad v2 B-tree leaf signature")
+        if b[root + 4] != 0 or b[root + 5] != btype:
+            raise ValueError("HDF5: v2 B-tree leaf mismatch")
+        ndims = len(chunk_shape)
+        rank = len(shape)  # offsets beyond the dataspace rank are padding
+        pos = root + 6
+        out = []
+        for _ in range(nrec):
+            a = self._u(pos, 8)
+            p = pos + 8
+            if btype == 11:
+                sz_w = rec_size - 8 - 4 - 8 * ndims
+                if sz_w <= 0:
+                    raise ValueError("HDF5: v2 B-tree record size too small")
+                nb = self._u(p, sz_w)
+                mask = self._u(p + sz_w, 4)
+                p += sz_w + 4
+            else:
+                nb, mask = -1, 0
+            offs = tuple(
+                self._u(p + 8 * i, 8) * chunk_shape[i] for i in range(rank)
+            )
+            pos += rec_size
             if a != _UNDEF:
                 out.append((offs, a, nb, mask))
         return out

@@ -365,27 +365,231 @@ def test_v2_layout_v4_fixed_array_reads(tmp_path):
     np.testing.assert_array_equal(read_dataset(h5, "raw"), arr)
 
 
-def test_v2_layout_v4_extensible_array_raises(tmp_path):
-    from rca_data_tools_spark.sources.hdf5 import H5File
+def _layout_v4_ext_array(addr: int, chunk_shape, filtered: bool = False) -> bytes:
+    flags = 0x02 if filtered else 0x00
+    out = struct.pack("<BBBBB", 4, 2, flags, len(chunk_shape), 8)
+    out += b"".join(struct.pack("<Q", c) for c in chunk_shape)
+    # index type 4 + creation params: max bits, index elmts, min ptrs,
+    # min elmts, page bits (libhdf5 latest-format defaults)
+    return out + b"\x04" + bytes([32, 4, 4, 16, 10]) + struct.pack("<Q", addr)
+
+
+def _ext_array_index(w: _WriterV3, entries: list, filtered: bool,
+                     idx_blk_elmts: int = 4, n_data_blks: int = 0) -> int:
+    """Write an EAHD header + EAIB index block with every element inline;
+    entries are address|None (unfiltered) or (address, nbytes, mask)|None.
+    Returns the EAHD address."""
+    client = 1 if filtered else 0
+    elmt_size = 16 if filtered else 8  # addr [+ 4-byte size + 4-byte mask]
+    eahd_addr = len(w.buf)
+    eaib_addr = eahd_addr + 4 + 8 + 7 * 8 + 4
+    hdr = b"EAHD" + bytes([0, client, elmt_size, 32, idx_blk_elmts, 16, 4, 10])
+    hdr += struct.pack(
+        "<QQQQQQQ", 0, 0, n_data_blks, 0, len(entries), len(entries), eaib_addr
+    )
+    hdr += b"\x00" * 4  # checksum (not verified)
+    body = b"EAIB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
+    for e in entries:
+        if e is None:
+            body += UNDEF + (struct.pack("<II", 0, 0) if filtered else b"")
+        elif filtered:
+            a, nb, mask = e
+            body += struct.pack("<QII", a, nb, mask)
+        else:
+            body += struct.pack("<Q", e)
+    body += b"\x00" * 4
+    assert len(w.buf) == eahd_addr
+    w.append(hdr)
+    assert len(w.buf) == eaib_addr
+    w.append(body)
+    return eahd_addr
+
+
+def test_v2_layout_v4_extensible_array_reads(tmp_path):
+    """Extensible Array chunk index (one unlimited dimension, elements
+    inline in the index block): unfiltered and deflate-filtered variants,
+    with a missing chunk reading as zeros."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
 
     w = _WriterV3()
-    arr = np.arange(8, dtype="<f8")
-    layout = struct.pack("<BBBBB", 4, 2, 0, 1, 8) + struct.pack("<Q", 4)
-    layout += b"\x04" + b"\x00" * 6 + struct.pack("<Q", 4096)  # ext-array body
-    msgs = [
+    arr = np.arange(14, dtype="<f8") * 0.5  # 4 chunks of 4 (last clipped)
+    # unfiltered: raw chunk blobs, chunk 2 (rows 8..11) missing -> zeros
+    u_entries = []
+    for ci, lo in enumerate(range(0, 14, 4)):
+        if ci == 2:
+            u_entries.append(None)
+            continue
+        chunk = np.zeros(4, dtype="<f8")
+        part = arr[lo : lo + 4]
+        chunk[: len(part)] = part
+        u_entries.append(w.append(chunk.tobytes()))
+    u_idx = _ext_array_index(w, u_entries, filtered=False)
+    # filtered: deflate chunks, all present
+    f_entries = []
+    for lo in range(0, 14, 4):
+        chunk = np.zeros(4, dtype="<f8")
+        part = arr[lo : lo + 4]
+        chunk[: len(part)] = part
+        blob = zlib.compress(chunk.tobytes(), 6)
+        f_entries.append((w.append(blob), len(blob), 0))
+    f_idx = _ext_array_index(w, f_entries, filtered=True)
+
+    u_ds = w.append(_ohdr2([
         _msg2(0x01, _dataspace(arr.shape)),
         _msg2(0x03, _datatype(arr.dtype)),
-        _msg2(0x08, layout),
-    ]
-    ds = w.append(_ohdr2(msgs))
+        _msg2(0x08, _layout_v4_ext_array(u_idx, (4,))),
+    ]))
+    f_ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_ext_array(f_idx, (4,), filtered=True)),
+        _msg2(0x0B, _filter_pipeline([(1, (6,))])),
+    ]))
     root = w.append(_ohdr2([
         _msg2(0x02, _link_info()),
-        _msg2(0x06, _link_msg("x", ds)),
+        _msg2(0x06, _link_msg("u", u_ds)),
+        _msg2(0x06, _link_msg("f", f_ds)),
     ]))
     p = str(tmp_path / "ea.h5")
     with open(p, "wb") as f:
         f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="extensible array"):
+    h5 = H5File(p)
+    want = arr.copy()
+    want[8:12] = 0.0  # the missing chunk
+    np.testing.assert_allclose(read_dataset(h5, "u"), want)
+    np.testing.assert_allclose(read_dataset(h5, "f"), arr)
+
+
+def test_v2_layout_v4_extensible_array_beyond_inline_raises(tmp_path):
+    """Elements spilled to data blocks (chunk count beyond the index
+    block) are outside the subset and must raise with the feature name."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    arr = np.arange(8, dtype="<f8")
+    idx = _ext_array_index(w, [w.append(arr[:4].tobytes())], filtered=False,
+                           n_data_blks=1)
+    ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_ext_array(idx, (4,))),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+    ]))
+    p = str(tmp_path / "ea_blocks.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="data/secondary blocks"):
+        H5File(p)
+
+
+def _layout_v4_btree2(addr: int, chunk_shape, filtered: bool = False) -> bytes:
+    flags = 0x02 if filtered else 0x00
+    out = struct.pack("<BBBBB", 4, 2, flags, len(chunk_shape), 8)
+    out += b"".join(struct.pack("<Q", c) for c in chunk_shape)
+    # index type 5 + node size(4) + split/merge percents
+    return out + b"\x05" + struct.pack("<IBB", 2048, 100, 40) + struct.pack("<Q", addr)
+
+
+def _btree2_chunk_index(w: _WriterV3, records: list, ndims: int,
+                        filtered: bool, depth: int = 0) -> int:
+    """Write a BTHD header + one BTLF leaf of chunk records; records are
+    (address, scaled_offsets) or (address, nbytes, mask, scaled_offsets).
+    Returns the BTHD address."""
+    btype = 11 if filtered else 10
+    rec_size = (8 + 4 + 4 if filtered else 8) + 8 * ndims
+    leaf = b"BTLF" + bytes([0, btype])
+    for r in records:
+        if filtered:
+            a, nb, mask, offs = r
+            leaf += struct.pack("<QII", a, nb, mask)
+        else:
+            a, offs = r
+            leaf += struct.pack("<Q", a)
+        leaf += b"".join(struct.pack("<Q", o) for o in offs)
+    leaf += b"\x00" * 4
+    bthd_addr = len(w.buf)
+    leaf_addr = bthd_addr + 38
+    hdr = b"BTHD" + bytes([0, btype]) + struct.pack("<IHHBB", 2048, rec_size, depth, 100, 40)
+    hdr += struct.pack("<QH", leaf_addr, len(records))
+    hdr += struct.pack("<Q", len(records)) + b"\x00" * 4
+    assert len(hdr) == 38, len(hdr)
+    w.append(hdr)
+    assert len(w.buf) == leaf_addr
+    w.append(leaf)
+    return bthd_addr
+
+
+def test_v2_layout_v4_btree2_reads(tmp_path):
+    """Version-2 B-tree chunk index (multiple unlimited dimensions): 2-D
+    dataset, records carry SCALED offsets, filtered and unfiltered record
+    types, records not in C order."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _WriterV3()
+    arr = (np.arange(24, dtype="<f8") + 1.0).reshape(4, 6)
+    chunk = (2, 3)
+    # unfiltered records, shuffled order to prove offsets drive placement
+    u_recs = []
+    for si in (1, 0):
+        for sj in (1, 0):
+            block = arr[si * 2 : si * 2 + 2, sj * 3 : sj * 3 + 3]
+            u_recs.append((w.append(np.ascontiguousarray(block).tobytes()), (si, sj)))
+    u_idx = _btree2_chunk_index(w, u_recs, 2, filtered=False)
+    f_recs = []
+    for si in (0, 1):
+        for sj in (0, 1):
+            block = arr[si * 2 : si * 2 + 2, sj * 3 : sj * 3 + 3]
+            blob = zlib.compress(np.ascontiguousarray(block).tobytes(), 6)
+            f_recs.append((w.append(blob), len(blob), 0, (si, sj)))
+    f_idx = _btree2_chunk_index(w, f_recs, 2, filtered=True)
+    u_ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_btree2(u_idx, chunk)),
+    ]))
+    f_ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_btree2(f_idx, chunk, filtered=True)),
+        _msg2(0x0B, _filter_pipeline([(1, (6,))])),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("u", u_ds)),
+        _msg2(0x06, _link_msg("f", f_ds)),
+    ]))
+    p = str(tmp_path / "bt2.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    np.testing.assert_allclose(read_dataset(h5, "u"), arr)
+    np.testing.assert_allclose(read_dataset(h5, "f"), arr)
+
+
+def test_v2_layout_v4_btree2_deep_tree_raises(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    arr = np.arange(4, dtype="<f8").reshape(2, 2)
+    idx = _btree2_chunk_index(
+        w, [(w.append(arr.tobytes()), (0, 0))], 2, filtered=False, depth=1
+    )
+    ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_btree2(idx, (2, 2))),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+    ]))
+    p = str(tmp_path / "bt2deep.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="deeper than one leaf"):
         H5File(p)
 
 
