@@ -228,6 +228,8 @@ def as_reader(source: "str | bytes | ByteRangeReader") -> ByteRangeReader:
         return MemoryReader(bytes(source))
     if isinstance(source, str) and source.startswith(("http://", "https://")):
         return HttpRangeReader(source)
+    if isinstance(source, str) and source.startswith(_FSSPEC_SCHEMES):
+        return FsspecRangeReader(source)
     return LocalFileReader(source)
 
 
@@ -323,6 +325,69 @@ class HttpStore(KeyValueStore):
             raise
 
 
+_FSSPEC_SCHEMES = ("s3://", "gs://", "az://", "abfs://", "memory://", "ftp://")
+
+
+def _fsspec_fs(url: str):
+    """(filesystem, path) for an object-store URL via fsspec — optional
+    dependency, probed at call time so executors probe their own runtime."""
+    try:
+        import fsspec
+    except ImportError:
+        raise NotImplementedError(
+            f"reading {url!r} requires fsspec (pip install fsspec[s3|gcs|...]); "
+            "not installed in this runtime"
+        ) from None
+    return fsspec.core.url_to_fs(url)
+
+
+class FsspecStore(KeyValueStore):
+    """KeyValueStore over any fsspec filesystem (or a duck-typed object with
+    ``cat_file``/``exists``) — makes the native Zarr and NetCDF-4 scans
+    object-store capable (s3://, gs://, az://, ...) with ZERO reader
+    changes: executors deserialize the store (fsspec filesystems pickle by
+    their connection parameters) and fetch their own chunk keys."""
+
+    def __init__(self, root: str, fs=None):
+        if fs is None:
+            fs, root = _fsspec_fs(root)
+        self.fs = fs
+        self.root = root.rstrip("/")
+
+    def get(self, key: str) -> bytes:
+        try:
+            return bytes(self.fs.cat_file(f"{self.root}/{key}"))
+        except FileNotFoundError:
+            raise KeyError(key) from None
+
+    def exists(self, key: str) -> bool:
+        return bool(self.fs.exists(f"{self.root}/{key}"))
+
+
+class FsspecRangeReader(ByteRangeReader):
+    """ByteRangeReader over an fsspec filesystem: each ``pread`` is one
+    ``cat_file(start, end)`` ranged read — the object-store GET shape the
+    HDF5/NetCDF parsers already assume. Same optional-dependency contract
+    as FsspecStore."""
+
+    def __init__(self, url: str, fs=None, path: str | None = None):
+        if fs is None:
+            fs, path = _fsspec_fs(url)
+        self.fs = fs
+        self.path = path if path is not None else url
+        self._size: "int | None" = None
+
+    def size(self) -> int:
+        if self._size is None:
+            self._size = int(self.fs.size(self.path))
+        return self._size
+
+    def pread(self, offset: int, size: int) -> bytes:
+        if size <= 0:
+            return b""
+        return bytes(self.fs.cat_file(self.path, start=offset, end=offset + size))
+
+
 def as_store(source: "str | dict | KeyValueStore") -> KeyValueStore:
     """Coerce a directory path / base URL / dict / store into a
     KeyValueStore."""
@@ -332,4 +397,6 @@ def as_store(source: "str | dict | KeyValueStore") -> KeyValueStore:
         return MemoryStore(source)
     if isinstance(source, str) and source.startswith(("http://", "https://")):
         return HttpStore(source)
+    if isinstance(source, str) and source.startswith(_FSSPEC_SCHEMES):
+        return FsspecStore(source)
     return LocalDirStore(source)

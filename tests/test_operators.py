@@ -154,3 +154,74 @@ def test_ewma_matches_pandas_ewm(spark):
     out = _ewma_group(rng)
     expected = rng["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
     assert (out["ewma"].to_numpy() == expected.to_numpy()).all()
+
+
+def test_decode_image_routes_through_pillow_when_present(monkeypatch):
+    """decode_image probes for Pillow at call time: with a PIL module
+    present it decodes; without one it raises the loud capability error.
+    (Driver-side unit check of the routing — the end-to-end kernel test
+    below runs when real Pillow is installed.)"""
+    import sys
+    import types
+
+    from rca_data_tools_spark.operators import multimodal
+
+    class _FakeImg:
+        size = (8, 4)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def histogram(self):
+            h = [0] * 256
+            h[10] = 16  # 16 px of luma 10, 16 px of luma 30 -> mean 20
+            h[30] = 16
+            return h
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    w, h, luma = multimodal.decode_image(b"\x89PNG fake")
+    assert (w, h) == (8, 4) and luma == pytest.approx(20.0)
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    monkeypatch.setattr(multimodal, "_pillow", lambda: None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_image(b"\x89PNG fake")
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="Pillow not installed in this runtime",
+)
+def test_extract_image_features_real_png(spark):
+    """With real Pillow installed, a real PNG flows through the SAME
+    mapInPandas kernel shape as the stub path and yields true geometry."""
+    import io
+
+    from PIL import Image
+
+    from rca_data_tools_spark.operators.multimodal import extract_image_features
+
+    buf = io.BytesIO()
+    Image.new("L", (12, 7), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png")],
+        "doc_id long, media_bytes binary, media_type string",
+    )
+    row = extract_image_features(media).collect()[0]
+    assert (row["width"], row["height"]) == (12, 7)
+    assert row["n_frames"] == 1 and row["byte_len"] == len(png)
+    assert row["mean_luma"] == pytest.approx(128.0)
