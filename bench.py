@@ -100,20 +100,43 @@ def main() -> None:
         spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
         print(f"# {name}: median {timings[name]:.3f}s of {samples} rows={n}", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "method": f"per-query median of {n_runs} runs after one untimed warm-up, cache cleared between runs",
-                "spread_min_max": spread,
-            }
-        )
+    # 10x scale sweep: when the gitignored scale corpus exists (rebuild with
+    # tools/build_scale_corpus.py), run each headline query ONCE at sf1 so
+    # scale regressions surface in the per-round bench record, not only in
+    # SCALING.md. Single-run is deliberate — the JVM and worker pool are
+    # warm from the sf0.1 pass, and the sf1 sweep grades growth RATIOS
+    # (anything superlinear stands out far above run-to-run noise).
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1"),
     )
+    scale_timings: dict[str, float] = {}
+    if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, scale_dir).count()
+            scale_timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# sf1 {name}: {scale_timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "method": f"per-query median of {n_runs} runs after one untimed warm-up, cache cleared between runs",
+        "spread_min_max": spread,
+    }
+    if scale_timings:
+        out["scale_sf"] = 1.0
+        out["scale_total_sec"] = round(sum(scale_timings.values()), 4)
+        out["scale_queries"] = scale_timings
+        out["scale_method"] = "single run per query at the 10x corpus (.scale/sf1), warm JVM"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
