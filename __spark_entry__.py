@@ -42,6 +42,9 @@ _ROUND_WINDOW = [
     "sketch_cms_heavyhitters",
     "sketch_hll_cardinality",
     "pipeline_pretrain_corpus",
+    # (b') ADDED this round (real-WAV audio decode; Heaps-law vocab growth)
+    "media_audio_features",
+    "text_vocab_growth",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -74,10 +77,8 @@ _ROUND_WINDOW = [
     "f_string_parse",
     "f_json_extract",
     "f_math_conversions",
-    "q4_order_priority",
     "q8_market_share",
     "q9_product_profit",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity",
     "q21_sole_late_supplier",

@@ -87,3 +87,51 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary(d, "doc_id", "text"), stride=2)
+
+
+@query(
+    "media_audio_features",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 50 + (octet_length(encode(text)) % 200) AS n FROM documents
+), s AS (
+  SELECT doc_id, n, i, ((doc_id * 7 + i * 13) % 256) - 128 AS c
+  FROM d, unnest(generate_series(0, n - 1, 1)) AS t(i)
+), z AS (
+  SELECT doc_id, n, c,
+         CASE WHEN (c < 0) <> (lag(c < 0) OVER (PARTITION BY doc_id ORDER BY i))
+              THEN 1 ELSE 0 END AS flip
+  FROM s
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       MAX(n) * 1000.0 / 8000 AS duration_ms,
+       SUM(c) / CAST(MAX(n) AS DOUBLE) AS mean_amp,
+       sqrt(SUM(c * c) / CAST(MAX(n) AS DOUBLE)) AS rms_amp,
+       CAST(SUM(flip) AS BIGINT) AS zero_crossings
+FROM z
+GROUP BY doc_id
+""",
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in-plan: executor-side kernels WRITE genuine WAV
+    blobs (stdlib ``wave`` encoder over a deterministic PCM sequence), a
+    second mapInPandas kernel RIFF-parses them back and computes amplitude
+    statistics on the decoded samples (operators/multimodal.py:decode_audio
+    — audio needs no optional codec, unlike images). The oracle replays the
+    sample arithmetic in SQL, so every decoded statistic is hash-checked:
+    a header mis-parse, channel/width mix-up, or sample truncation breaks
+    parity. Scale shape: blobs are born and die inside one Arrow task —
+    nothing but the dim-sized feature rows ever shuffles."""
+    from rca_data_tools_spark.operators.multimodal import (
+        attach_audio,
+        extract_audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.lit(50) + F.length(F.encode(F.col("text"), "UTF-8")) % 200).alias("n_samples"),
+    )
+    return extract_audio_features(attach_audio(docs, "doc_id", "n_samples"))

@@ -862,3 +862,68 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.filter(F.col("n_tokens") > 0).select(
         "doc_id", "n_tokens", "n_distinct", entropy.alias("entropy")
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=rf"""
+WITH t AS (
+  SELECT CAST(FLOOR(doc_id / 50) AS BIGINT) AS bucket, {_TOKS_SQL} AS toks
+  FROM documents
+), bg AS (
+  SELECT bucket,
+         UNNEST([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+), first_seen AS (
+  SELECT gram, MIN(bucket) AS b0 FROM bg GROUP BY gram
+), newt AS (
+  SELECT b0, COUNT(*) AS ng FROM first_seen GROUP BY b0
+), spine AS (
+  SELECT DISTINCT bucket AS bucket_id FROM t
+)
+SELECT s.bucket_id,
+       CAST(COALESCE(n.ng, 0) AS BIGINT) AS new_grams,
+       CAST(SUM(COALESCE(n.ng, 0)) OVER (ORDER BY s.bucket_id) AS BIGINT) AS cum_vocab
+FROM spine s LEFT JOIN newt n ON n.b0 = s.bucket_id
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct word BIGRAMS per
+    50-document bucket — the corpus-analytics curve that tells you whether
+    more data still buys new vocabulary. Buckets with no new vocabulary
+    still appear (bucket spine + zero-fill), so the curve's flat tail is
+    visible, not silently dropped.
+
+    Scale shape: the only corpus-sized operations are the bigram explode
+    and one (gram -> min bucket) shuffle that carries GRAMS, not documents;
+    the cumulative sum then runs on the bucket dimension (corpus_docs / 50
+    rows) via a broadcast triangular join — no single-partition window, and
+    the quadratic is confined to the dim."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = F.floor(F.col("doc_id") / 50).cast("long")
+    bg = d.select(bucket.alias("bucket"), F.explode(bigrams).alias("gram"))
+    first_seen = bg.groupBy("gram").agg(F.min("bucket").alias("b0"))
+    newt = first_seen.groupBy("b0").agg(F.count(F.lit(1)).alias("ng"))
+    spine = d.select(bucket.alias("bucket_id")).distinct()
+    base = spine.join(
+        F.broadcast(newt), F.col("b0") == F.col("bucket_id"), "left"
+    ).select("bucket_id", F.coalesce(F.col("ng"), F.lit(0)).alias("ng"))
+    b = F.broadcast(base.select(F.col("bucket_id").alias("bb"), F.col("ng").alias("bn")))
+    return (
+        base.join(b, F.col("bb") <= F.col("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.max(F.when(F.col("bb") == F.col("bucket_id"), F.col("bn"))).alias("new_grams"),
+            F.sum("bn").alias("cum_vocab"),
+        )
+    )

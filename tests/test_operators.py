@@ -225,3 +225,39 @@ def test_extract_image_features_real_png(spark):
     assert (row["width"], row["height"]) == (12, 7)
     assert row["n_frames"] == 1 and row["byte_len"] == len(png)
     assert row["mean_luma"] == pytest.approx(128.0)
+
+
+def test_synth_wav_is_real_riff_and_decodes_back():
+    """synth_wav writes a genuine RIFF/WAVE container (stdlib encoder) and
+    decode_audio RIFF-parses it back: geometry and PCM bytes round-trip."""
+    from rca_data_tools_spark.operators.multimodal import decode_audio, synth_wav
+
+    blob = synth_wav(7, 120)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    nch, rate, n, frames = decode_audio(blob)
+    assert (nch, rate, n) == (1, 8000, 120)
+    assert frames == bytes((7 * 7 + i * 13) % 256 for i in range(120))
+
+
+def test_extract_audio_features_matches_hand_computation(spark):
+    """The mapInPandas kernel's decoded statistics equal a direct numpy
+    computation on the known PCM sequence."""
+    import numpy as np
+
+    from rca_data_tools_spark.operators.multimodal import (
+        attach_audio,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame([(3, 200), (11, 64)], "doc_id long, n_samples int")
+    rows = {r["doc_id"]: r for r in
+            extract_audio_features(attach_audio(docs, "doc_id", "n_samples")).collect()}
+    for did, n in ((3, 200), (11, 64)):
+        c = np.array([(did * 7 + i * 13) % 256 for i in range(n)], dtype=np.int64) - 128
+        r = rows[did]
+        assert r["sample_rate"] == 8000 and r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000.0 / 8000
+        assert r["mean_amp"] == float(c.sum()) / n
+        assert r["rms_amp"] == float(np.sqrt(float((c * c).sum()) / n))
+        neg = c < 0
+        assert r["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())

@@ -284,6 +284,7 @@ BNLJ_ALLOWED = {
     "text_bm25_topk",            # 1-row (n_docs, sum_dl) corpus stats
     "sample_domain_mix",         # 1-row corpus total
     "sample_temperature_mix",    # 1-row corpus total + 1-row normalizer
+    "text_vocab_growth",         # triangular cumsum on the bucket dim (docs/50 rows, broadcast)
 }
 
 
