@@ -42,9 +42,11 @@ _ROUND_WINDOW = [
     "sketch_cms_heavyhitters",
     "sketch_hll_cardinality",
     "pipeline_pretrain_corpus",
-    # (b') ADDED this round (real-WAV audio decode; Heaps-law vocab growth)
+    # (b') ADDED this round (real-WAV audio decode; Heaps-law vocab
+    # growth; incremental ingestion dedup)
     "media_audio_features",
     "text_vocab_growth",
+    "dedup_incremental",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -78,7 +80,6 @@ _ROUND_WINDOW = [
     "f_json_extract",
     "f_math_conversions",
     "q8_market_share",
-    "q9_product_profit",
     "q15_top_supplier",
     "q17_small_quantity",
     "q21_sole_late_supplier",

@@ -658,3 +658,67 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH {_minhash_prefix()},
+side AS (
+  SELECT doc_id, CASE WHEN source IN ('src18', 'src19') THEN 1 ELSE 0 END AS is_new
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT bn.doc_id AS new_id, bo.doc_id AS old_id
+  FROM bands bn
+  JOIN side sn ON sn.doc_id = bn.doc_id AND sn.is_new = 1
+  JOIN bands bo ON bo.band_id = bn.band_id AND bo.band_sig = bn.band_sig
+  JOIN side so ON so.doc_id = bo.doc_id AND so.is_new = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.new_id
+  JOIN sh s2 ON s2.doc_id = c.old_id AND s2.sh = s1.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.new_id, i.old_id,
+         ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes z1 ON z1.doc_id = i.new_id
+  JOIN sizes z2 ON z2.doc_id = i.old_id
+  WHERE ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) >= 0.5
+),
+best AS (SELECT new_id, MAX(jaccard) AS best_jaccard FROM scored GROUP BY new_id),
+matched AS (
+  SELECT s.new_id, MIN(s.old_id) AS matched_id
+  FROM scored s JOIN best b ON s.new_id = b.new_id AND s.jaccard = b.best_jaccard
+  GROUP BY s.new_id
+)
+SELECT d.doc_id,
+       b.best_jaccard IS NOT NULL AS is_dup,
+       b.best_jaccard,
+       m.matched_id
+FROM side d
+LEFT JOIN best b ON b.new_id = d.doc_id
+LEFT JOIN matched m ON m.new_id = d.doc_id
+WHERE d.is_new = 1
+"""
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the src18/src19 sources play the role
+    of the arriving batch, everything else is the standing corpus; each
+    arriving doc is flagged with its best exact-Jaccard match (>= 0.5)
+    found through broadcast LSH probing (operators/dedup.py:
+    incremental_neardup) — the O(batch) production shape, no corpus
+    self-join."""
+    from rca_data_tools_spark.operators.dedup import incremental_neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    new_pred = F.col("source").isin("src18", "src19")
+    return incremental_neardup(
+        d.filter(~new_pred), d.filter(new_pred), "doc_id", "text", threshold=0.5
+    )

@@ -305,3 +305,30 @@ def test_megabucket_cap_bounds_pairs_and_preserves_components(spark):
         a.join(b, ["band_id", "band_sig"]).filter("id1 < id2").select("id1", "id2").distinct().count()
     )
     assert n_capped_pairs < 100, n_capped_pairs  # vs >= 780 uncapped
+
+
+def test_incremental_neardup_flags_planted_dups(spark):
+    """Planted case: one arriving doc is a near-copy of a corpus doc, one is
+    an exact copy, one is novel. Flags, best-Jaccard ordering, and the
+    min-id tie-break on an exact tie must all hold."""
+    from rca_data_tools_spark.operators.dedup import incremental_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    existing = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different corpus text about spark shuffles " * 5)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(100, base),                      # exact copy of docs 1 AND 2 (tie)
+         (101, base + " with a tiny extra tail"),  # near dup
+         (102, "utterly novel content never seen in the corpus " * 6)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            incremental_neardup(existing, incoming, "doc_id", "text", 0.5).collect()}
+    assert len(rows) == 3
+    assert rows[100]["is_dup"] and rows[100]["best_jaccard"] == 1.0
+    assert rows[100]["matched_id"] == 1  # min-id tie-break between 1 and 2
+    assert rows[101]["is_dup"] and 0.5 <= rows[101]["best_jaccard"] < 1.0
+    assert not rows[102]["is_dup"]
+    assert rows[102]["best_jaccard"] is None and rows[102]["matched_id"] is None
