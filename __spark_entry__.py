@@ -47,6 +47,7 @@ _ROUND_WINDOW = [
     "media_audio_features",
     "text_vocab_growth",
     "dedup_incremental",
+    "ann_pq_topk",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -79,7 +80,6 @@ _ROUND_WINDOW = [
     "f_string_parse",
     "f_json_extract",
     "f_math_conversions",
-    "q8_market_share",
     "q15_top_supplier",
     "q17_small_quantity",
     "q21_sole_late_supplier",

@@ -437,3 +437,172 @@ def ivf_refine(
         else:
             cents = new
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search"): split the d-dim space into M subspaces, quantize each
+# subvector against a K-codeword codebook, represent every corpus vector as
+# M small codes. Approximate (asymmetric, ADC) distances then come from M
+# table lookups instead of d multiplies — and the encoded corpus is M bytes
+# per vector instead of 8d, the memory lever that keeps billion-vector
+# indexes in RAM at 100 TB corpus scale.
+
+PQ_M = 4        # subspaces
+PQ_K = 16       # codewords per subspace
+PQ_STRIDE = 23  # closed-form seed stride (same contract as ivf_centroids)
+
+
+def pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str,
+    dim: int = 64, m: int = PQ_M, k: int = PQ_K, stride: int = PQ_STRIDE,
+) -> list:
+    """Deterministic codebook rows (m, j, cvec): codeword j of subspace mi is
+    the mi-th subvector of corpus vector id j*stride. Closed-form seeds keep
+    the index bit-reproducible in any engine (the ivf_centroids stance);
+    production would refine each subspace codebook with Lloyd iterations,
+    which are scale-flat (broadcast assign + groupBy mean per subspace).
+    Config-sized (m*k rows) -> collected into plan-time constants."""
+    sub = dim // m
+    seeds = corpus.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * k)
+    ).select(
+        (F.col(id_col) / stride).cast("long").alias("j"),
+        to_double_array(vec_col).alias("v"),
+    )
+    rows = seeds.select(
+        "j",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.slice("v", mi * sub + 1, sub).alias("cvec"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("j", "s.m", "s.cvec")
+    return rows.collect()
+
+
+def _pq_arrays(cb_rows: list, m: int, k: int):
+    import numpy as np
+
+    sub = len(cb_rows[0]["cvec"])
+    C = np.zeros((m, k, sub))
+    for r in cb_rows:
+        C[int(r["m"]), int(r["j"])] = [float(x) for x in r["cvec"]]
+    return C, sub
+
+
+def pq_encode(
+    corpus: DataFrame, cb_rows: list, id_col: str, vec_col: str,
+    m: int = PQ_M, k: int = PQ_K,
+) -> DataFrame:
+    """(id, codes: array<long>) — per subspace, the argmin squared-L2
+    codeword (round-6 + lowest-code tie-break, the ivf_assign determinism
+    contract). One corpus scan through an Arrow kernel, zero shuffles; the
+    d-loop accumulates in subspace-dimension order so every distance is the
+    same IEEE fold the SQL oracle computes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    C, sub = _pq_arrays(cb_rows, m, k)
+
+    def _enc(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(emb.to_numpy())  # (n, dim)
+        n = mat.shape[0]
+        codes = np.zeros((n, m), dtype=np.int64)
+        for mi in range(m):
+            acc = np.zeros((n, k))
+            for d in range(sub):  # sequential == the SQL fold's add order
+                diff = mat[:, mi * sub + d][:, None] - C[mi, :, d][None, :]
+                acc += diff * diff
+            codes[:, mi] = np.argmin(np.round(acc, 6), axis=1)  # first min = lowest j
+        return pd.Series([r.tolist() for r in codes])
+
+    enc = F.pandas_udf(_enc, ArrayType(LongType()))
+    return corpus.select(F.col(id_col), enc(to_double_array(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    n_candidates: int = 32,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank: encode the corpus once
+    (M codes per vector), build each query's M x K lookup table of
+    subspace distances, score every corpus vector with M table lookups,
+    keep the ``n_candidates`` best per query by approximate distance, and
+    re-rank those exactly by cosine.
+
+    Scale shape: the corpus is scanned twice (encode; ADC score) with ZERO
+    shuffles — queries and lookup tables are plan-time constants, approx
+    scores fan out only Q skinny rows per corpus vector, and the exact
+    re-rank touches n_candidates*Q rows. The encoded corpus (M bytes/vec)
+    is what a production index persists; distances come from lookups, not
+    d-dim arithmetic — the PQ memory/computation trade."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cb_rows = pq_codebook(corpus, id_col, vec_col, m=m, k=n_codes)
+    C, sub = _pq_arrays(cb_rows, m, n_codes)
+    q_rows = sorted(
+        ((int(r[q_id_col]), [float(x) for x in r[q_vec_col]]) for r in queries.collect())
+    )
+    q_ids = [q[0] for q in q_rows]
+    Q = np.array([q[1] for q in q_rows])  # (nq, dim)
+    nq = Q.shape[0]
+    lut = np.zeros((nq, m, n_codes))
+    for mi in range(m):
+        acc = np.zeros((nq, n_codes))
+        for d in range(sub):
+            diff = Q[:, mi * sub + d][:, None] - C[mi, :, d][None, :]
+            acc += diff * diff
+        lut[:, mi, :] = np.round(acc, 6)
+
+    def _score(codes):
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        cd = np.stack(codes.to_numpy())  # (n, m) int
+        n = cd.shape[0]
+        approx = np.zeros((n, nq))
+        for mi in range(m):  # m-order accumulation == the SQL d0+d1+d2+d3
+            approx += lut[:, mi, :][:, cd[:, mi]].T
+        return pd.Series([r.tolist() for r in approx])
+
+    score = F.pandas_udf(_score, ArrayType(DoubleType()))
+    enc = pq_encode(corpus, cb_rows, id_col, vec_col, m=m, k=n_codes)
+    scored = enc.select(
+        F.col(id_col), F.posexplode(score("codes")).alias("qi", "approx_dist")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in q_ids]), F.col("qi") + 1
+        ).alias(q_id_col),
+        F.col(id_col),
+        F.col("approx_dist"),
+    ).filter(F.col(q_id_col) != F.col(id_col))
+    w_adc = Window.partitionBy(q_id_col).orderBy(F.col("approx_dist"), F.col(id_col))
+    cand = scored.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= n_candidates
+    )
+    exact = corpus.join(
+        F.broadcast(cand.select(q_id_col, id_col, "approx_dist")), id_col
+    ).join(F.broadcast(queries), q_id_col)
+    sim = F.round(seq_cosine_udf()(to_double_array(q_vec_col), to_double_array(vec_col)), 6)
+    rr = exact.select(q_id_col, id_col, "approx_dist", sim.alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

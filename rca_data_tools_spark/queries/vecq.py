@@ -564,3 +564,92 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l2").alias("min_norm"),
         F.max("l2").alias("max_norm"),
     )
+
+
+_SQD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[(x[1]-x[2])*(x[1]-x[2]) FOR x IN list_zip({a}, {b})]), (s, x) -> s + x)"
+)
+
+
+def _pq_oracle() -> str:
+    sub_v = "list_slice(v.v, cb.m*16+1, cb.m*16+16)"
+    sub_q = "list_slice(q.qv, cb.m*16+1, cb.m*16+16)"
+    lut_joins = "\n  ".join(
+        f"JOIN lutd l{i} ON l{i}.q_id = q.q_id AND l{i}.m = {i} AND l{i}.j = c.c{i}"
+        for i in range(4)
+    )
+    codes_cols = ", ".join(f"MAX(CASE WHEN m = {i} THEN code END) AS c{i}" for i in range(4))
+    return f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+cb AS (
+  SELECT g.m AS m, CAST(vec_id // 23 AS BIGINT) AS j,
+         list_slice(v, g.m*16+1, g.m*16+16) AS cvec
+  FROM v, unnest(generate_series(0, 3)) AS g(m)
+  WHERE vec_id % 23 = 0 AND vec_id < {23 * 16}
+),
+encd AS (
+  SELECT v.vec_id, cb.m, cb.j,
+         ROUND({_SQD.format(a=sub_v, b='cb.cvec')}, 6) AS dist
+  FROM v, cb
+),
+enc AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+    FROM encd
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, {codes_cols} FROM enc GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),
+lutd AS (
+  SELECT q.q_id, cb.m, cb.j,
+         ROUND({_SQD.format(a=sub_q, b='cb.cvec')}, 6) AS ld
+  FROM q, cb
+),
+adc AS (
+  SELECT q.q_id, c.vec_id, l0.ld + l1.ld + l2.ld + l3.ld AS approx_dist
+  FROM codes c CROSS JOIN q
+  {lut_joins}
+  WHERE c.vec_id <> q.q_id
+),
+cand AS (
+  SELECT q_id, vec_id, approx_dist FROM (
+    SELECT q_id, vec_id, approx_dist,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 64
+),
+rr AS (
+  SELECT cand.q_id, cand.vec_id, cand.approx_dist,
+         ROUND({_cos_sql('q.qv', 'v.v')}, 6) AS cos_sim
+  FROM cand JOIN q ON q.q_id = cand.q_id JOIN v ON v.vec_id = cand.vec_id
+)
+SELECT q_id, vec_id, approx_dist, cos_sim, rank FROM (
+  SELECT q_id, vec_id, approx_dist, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM rr
+) WHERE rank <= 5
+"""
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): 4 subspaces x 16
+    codewords (closed-form deterministic codebook), corpus encoded to 4
+    codes/vector, ADC lookup-table scoring, top-64 candidates per query,
+    exact cosine re-rank to top-5. EVERY stage — codebook, per-subspace
+    argmin encoding, lookup tables, the fixed-order ADC sum, both rankings
+    — replays in the DuckDB oracle, so the whole compressed-domain index is
+    hash-checked, not spot-checked (operators/similarity.py:pq_adc_topk)."""
+    from rca_data_tools_spark.operators.similarity import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_adc_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, n_candidates=64)

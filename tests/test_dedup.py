@@ -332,3 +332,34 @@ def test_incremental_neardup_flags_planted_dups(spark):
     assert rows[101]["is_dup"] and 0.5 <= rows[101]["best_jaccard"] < 1.0
     assert not rows[102]["is_dup"]
     assert rows[102]["best_jaccard"] is None and rows[102]["matched_id"] is None
+
+
+def test_pq_topk_recall_and_structure(spark):
+    """PQ/ADC with exact re-rank: 4-byte codes + 32-candidate re-rank must
+    recover a solid share of brute-force top-5; approx distances must be
+    non-negative and ranks dense 1..5 per query."""
+    from rca_data_tools_spark.operators.similarity import brute_force_topk, pq_adc_topk
+
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(e, q, "vec_id", "embedding", k=5).collect()}
+    rows = pq_adc_topk(e, q, "vec_id", "embedding", k=5, n_candidates=64).collect()
+    approx = {(r.q_id, r.vec_id) for r in rows}
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        assert r.q_id != r.vec_id and r.approx_dist >= 0.0
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # recall grows monotonically with the candidate budget — the ADC scores
+    # genuinely order the corpus (random diffuse vectors are PQ's hardest
+    # case; 16-bit codes can't do better without Lloyd refinement)
+    recalls = {}
+    for nc in (32, 64, 128):
+        a = {(r.q_id, r.vec_id)
+             for r in pq_adc_topk(e, q, "vec_id", "embedding", k=5, n_candidates=nc).collect()}
+        recalls[nc] = len(exact & a) / len(exact)
+    assert recalls[32] >= 0.2 and recalls[64] >= 0.35 and recalls[128] >= 0.6, recalls
+    assert recalls[32] <= recalls[64] <= recalls[128], recalls
