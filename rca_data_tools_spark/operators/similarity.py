@@ -606,3 +606,51 @@ def pq_adc_topk(
     rr = exact.select(q_id_col, id_col, "approx_dist", sim.alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_refine(
+    corpus: DataFrame,
+    cb_rows: list,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> list:
+    """Per-subspace Lloyd refinement of a PQ codebook (the k-means step the
+    closed-form seeds defer; same stance as ivf_refine): each iteration
+    encodes the corpus once (Arrow scan, zero shuffles) and replaces every
+    codeword with the element-wise mean of its assigned subvectors — one
+    map-side-combinable groupBy of m*k cells; codewords that attract no
+    vectors keep their previous value. Scale-flat per iteration: corpus
+    scan + a dim-sized (m*k x sub) aggregate."""
+    sub = len(cb_rows[0]["cvec"])
+    for _ in range(iters):
+        enc = pq_encode(corpus, cb_rows, id_col, vec_col, m=m, k=k)
+        joined = corpus.join(enc, id_col).select(
+            to_double_array(vec_col).alias("v"), "codes"
+        )
+        parts = joined.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(mi).alias("m"),
+                            F.element_at("codes", mi + 1).alias("j"),
+                            F.slice("v", mi * sub + 1, sub).alias("sv"),
+                        )
+                        for mi in range(m)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.m", "p.j", "p.sv")
+        new_rows = parts.groupBy("m", "j").agg(
+            F.array(
+                *[F.avg(F.element_at("sv", d + 1)) for d in range(sub)]
+            ).alias("cvec")
+        ).collect()
+        got = {(int(r["m"]), int(r["j"])) for r in new_rows}
+        cb_rows = new_rows + [
+            r for r in cb_rows if (int(r["m"]), int(r["j"])) not in got
+        ]
+    return cb_rows

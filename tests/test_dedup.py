@@ -363,3 +363,73 @@ def test_pq_topk_recall_and_structure(spark):
         recalls[nc] = len(exact & a) / len(exact)
     assert recalls[32] >= 0.2 and recalls[64] >= 0.35 and recalls[128] >= 0.6, recalls
     assert recalls[32] <= recalls[64] <= recalls[128], recalls
+
+
+def test_pq_refine_reduces_quantization_error_and_helps_recall(spark):
+    """Two Lloyd rounds per subspace must strictly reduce total squared
+    quantization error (the k-means objective), and the refined codebook's
+    64-candidate recall must not fall below the seed codebook's."""
+    import numpy as np
+
+    from rca_data_tools_spark.operators.similarity import (
+        _pq_arrays,
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        pq_refine,
+    )
+
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    X = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in e.orderBy("vec_id").collect()
+    ])
+
+    def qerr(cb_rows):
+        C, sub = _pq_arrays(cb_rows, 4, 16)
+        total = 0.0
+        for mi in range(4):
+            d = ((X[:, mi * sub:(mi + 1) * sub][:, None, :] - C[mi][None, :, :]) ** 2).sum(-1)
+            total += d.min(axis=1).sum()
+        return total
+
+    cb0 = pq_codebook(e, "vec_id", "embedding")
+    cb1 = pq_refine(e, cb0, "vec_id", "embedding", iters=1)
+    cb2 = pq_refine(e, cb1, "vec_id", "embedding", iters=1)
+    e0, e1, e2 = qerr(cb0), qerr(cb1), qerr(cb2)
+    assert e1 < e0 and e2 <= e1, (e0, e1, e2)
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(e, q, "vec_id", "embedding", k=5).collect()}
+
+    def recall(cb_rows):
+        # re-encode + ADC with the given codebook via the operator pieces
+        from rca_data_tools_spark.operators import similarity as S
+        import numpy as _np
+        C, sub = _pq_arrays(cb_rows, 4, 16)
+        codes = {r["vec_id"]: r["codes"] for r in
+                 pq_encode(e, cb_rows, "vec_id", "embedding").collect()}
+        hits = 0
+        for qid in range(10):
+            qv = X[qid]
+            lut = _np.zeros((4, 16))
+            for mi in range(4):
+                lut[mi] = ((qv[mi * sub:(mi + 1) * sub][None, :] - C[mi]) ** 2).sum(-1)
+            scored = sorted(
+                (sum(lut[mi][codes[v][mi]] for mi in range(4)), v)
+                for v in codes if v != qid
+            )[:64]
+            cand = {v for _, v in scored}
+            top5 = sorted(
+                ((float(_np.dot(qv, X[v]) / (_np.linalg.norm(qv) * _np.linalg.norm(X[v]))), v)
+                 for v in cand), key=lambda t: (-t[0], t[1])
+            )[:5]
+            hits += len({v for _, v in top5} & {v for (qq, v) in exact if qq == qid})
+        return hits / len(exact)
+
+    r0, r2 = recall(cb0), recall(cb2)
+    assert r2 >= r0 - 0.05, (r0, r2)  # refinement must not hurt
+    print("qerr:", e0, "->", e2, "recall:", r0, "->", r2)
