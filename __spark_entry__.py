@@ -48,6 +48,7 @@ _ROUND_WINDOW = [
     "text_vocab_growth",
     "dedup_incremental",
     "ann_pq_topk",
+    "media_audio_frames",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -80,7 +81,6 @@ _ROUND_WINDOW = [
     "f_string_parse",
     "f_json_extract",
     "f_math_conversions",
-    "q15_top_supplier",
     "q17_small_quantity",
     "q21_sole_late_supplier",
     # (c) verdict shortlist top-up

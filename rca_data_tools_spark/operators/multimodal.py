@@ -291,3 +291,46 @@ def resize_stub(media: DataFrame, target_w: int, target_h: int, id_col: str = "d
             )
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+FRAME_AUDIO_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_in_frame int, frame_rms double, "
+    "frame_peak int, n_flips bigint"
+)
+
+
+def extract_audio_frames(
+    media: DataFrame, id_col: str = "doc_id", frame_len: int = 20
+) -> DataFrame:
+    """Frame-level audio analysis over REAL WAV bytes: RIFF-decode, split
+    the PCM into fixed-length frames, and emit per-frame RMS / peak /
+    sign-flip counts — the VAD/onset-detection shape. The fan-out happens
+    INSIDE the Arrow kernel (one input row yields n_frames output rows from
+    the same batch), so frame rows never round-trip through a shuffle and
+    the blob itself dies inside the task."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "n_in_frame", "frame_rms",
+                "frame_peak", "n_flips",
+            )}
+            for did, b in zip(pdf[id_col], pdf["media_bytes"]):
+                nch, rate, n, frames = decode_audio(bytes(b))
+                assert nch == 1
+                c = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+                for fi in range(0, (n + frame_len - 1) // frame_len):
+                    f = c[fi * frame_len : (fi + 1) * frame_len]
+                    neg = f < 0
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["n_in_frame"].append(len(f))
+                    out["frame_rms"].append(
+                        float(np.sqrt(float((f * f).sum()) / len(f)))
+                    )
+                    out["frame_peak"].append(int(np.abs(f).max()))
+                    out["n_flips"].append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=FRAME_AUDIO_SCHEMA)

@@ -135,3 +135,48 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(50) + F.length(F.encode(F.col("text"), "UTF-8")) % 200).alias("n_samples"),
     )
     return extract_audio_features(attach_audio(docs, "doc_id", "n_samples"))
+
+
+@query(
+    "media_audio_frames",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 50 + (octet_length(encode(text)) % 200) AS n FROM documents
+  WHERE doc_id % 10 = 0
+), s AS (
+  SELECT doc_id, n, i, CAST(i // 20 AS INT) AS frame_idx,
+         ((doc_id * 7 + i * 13) % 256) - 128 AS c
+  FROM d, unnest(generate_series(0, n - 1, 1)) AS t(i)
+), z AS (
+  SELECT doc_id, frame_idx, i, c,
+         CASE WHEN (c < 0) <> (lag(c < 0) OVER
+              (PARTITION BY doc_id, frame_idx ORDER BY i))
+              THEN 1 ELSE 0 END AS flip
+  FROM s
+)
+SELECT doc_id, frame_idx,
+       CAST(COUNT(*) AS INT) AS n_in_frame,
+       sqrt(SUM(c * c) / CAST(COUNT(*) AS DOUBLE)) AS frame_rms,
+       CAST(MAX(ABS(c)) AS INT) AS frame_peak,
+       CAST(SUM(flip) AS BIGINT) AS n_flips
+FROM z
+GROUP BY doc_id, frame_idx
+""",
+)
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio statistics (20-sample frames) over REAL WAV blobs:
+    encode -> RIFF decode -> kernel-side frame fan-out, every decoded
+    statistic replayed arithmetically by the oracle. One in ten documents
+    (deterministic doc_id gate) keeps the frame fan-out bounded at sf0.01
+    while exercising full-length and ragged tail frames."""
+    from rca_data_tools_spark.operators.multimodal import (
+        attach_audio,
+        extract_audio_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = d.select(
+        "doc_id",
+        (F.lit(50) + F.length(F.encode(F.col("text"), "UTF-8")) % 200).alias("n_samples"),
+    )
+    return extract_audio_frames(attach_audio(docs, "doc_id", "n_samples"), frame_len=20)
