@@ -49,6 +49,7 @@ _ROUND_WINDOW = [
     "dedup_incremental",
     "ann_pq_topk",
     "media_audio_frames",
+    "embed_quantize_int8",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -81,7 +82,6 @@ _ROUND_WINDOW = [
     "f_string_parse",
     "f_json_extract",
     "f_math_conversions",
-    "q17_small_quantity",
     "q21_sole_late_supplier",
     # (c) verdict shortlist top-up
     "q7_volume_shipping",

@@ -653,3 +653,48 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_adc_topk(e, q, id_col="vec_id", vec_col="embedding", k=5, n_candidates=64)
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max([abs(x) FOR x IN v]) = 0 THEN 1.0
+              ELSE list_max([abs(x) FOR x IN v]) / 127 END AS scale
+  FROM v
+),
+dq AS (
+  SELECT vec_id, v, scale, [ROUND(x / scale) * scale FOR x IN v] AS rv FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       ROUND({_cos_sql('v', 'rv')}, 6) AS cos_fidelity,
+       ROUND(list_max([abs(x[1] - x[2]) FOR x IN list_zip(v, rv)]), 6) AS max_abs_err
+FROM dq
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization fidelity: per-vector absmax scale, quantize
+    to [-127, 127], dequantize, and report reconstruction quality (cosine
+    fidelity + max absolute error) — the storage-compression diagnostic for
+    embedding tables (8x smaller than float64 columns; the complementary
+    lever to PQ's code-level compression). Pure per-row JVM array math in
+    codegen: no shuffle, no Python; every value replays in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx == 0, F.lit(1.0)).otherwise(mx / 127)
+    d = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    rv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")) * F.col("scale"))
+    d = d.select("vec_id", "v", "scale", rv.alias("rv"))
+    err = F.array_max(F.zip_with(F.col("v"), F.col("rv"), lambda a, b: F.abs(a - b)))
+    return d.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(dec_cosine(F.col("v"), F.col("rv")), 6).alias("cos_fidelity"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

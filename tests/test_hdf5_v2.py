@@ -791,6 +791,43 @@ def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
     write_h5(p0, {"x": {"array": np.arange(64, dtype="<f8"), "chunks": (16,), "filters": [("deflate", 3)]}})
     write_h5_v2(p1, {"x": {"array": np.arange(64, dtype="<f8"), "chunks": (16,)}})
     bases = [open(p0, "rb").read(), open(p1, "rb").read()]
+
+    # extensible-array and v2-B-tree chunk-index fixtures join the fuzz pool
+    def _ea_base() -> bytes:
+        w = _WriterV3()
+        arr = np.arange(12, dtype="<f8")
+        entries = [w.append(arr[lo : lo + 4].tobytes()) for lo in range(0, 12, 4)]
+        idx = _ext_array_index(w, entries, filtered=False)
+        ds = w.append(_ohdr2([
+            _msg2(0x01, _dataspace(arr.shape)),
+            _msg2(0x03, _datatype(arr.dtype)),
+            _msg2(0x08, _layout_v4_ext_array(idx, (4,))),
+        ]))
+        root = w.append(_ohdr2([
+            _msg2(0x02, _link_info()), _msg2(0x06, _link_msg("x", ds)),
+        ]))
+        return w.finish(root)
+
+    def _bt2_base() -> bytes:
+        w = _WriterV3()
+        arr = np.arange(16, dtype="<f8").reshape(4, 4)
+        recs = []
+        for si in range(2):
+            for sj in range(2):
+                blk = np.ascontiguousarray(arr[si * 2 : si * 2 + 2, sj * 2 : sj * 2 + 2])
+                recs.append((w.append(blk.tobytes()), (si, sj)))
+        idx = _btree2_chunk_index(w, recs, 2, filtered=False)
+        ds = w.append(_ohdr2([
+            _msg2(0x01, _dataspace(arr.shape)),
+            _msg2(0x03, _datatype(arr.dtype)),
+            _msg2(0x08, _layout_v4_btree2(idx, (2, 2))),
+        ]))
+        root = w.append(_ohdr2([
+            _msg2(0x02, _link_info()), _msg2(0x06, _link_msg("x", ds)),
+        ]))
+        return w.finish(root)
+
+    bases += [_ea_base(), _bt2_base()]
     rng = random.Random(99)
     for _ in range(400):
         blob = bytearray(rng.choice(bases))
