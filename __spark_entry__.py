@@ -50,6 +50,7 @@ _ROUND_WINDOW = [
     "ann_pq_topk",
     "media_audio_frames",
     "embed_quantize_int8",
+    "layout_zorder_clustering",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -82,7 +83,6 @@ _ROUND_WINDOW = [
     "f_string_parse",
     "f_json_extract",
     "f_math_conversions",
-    "q21_sole_late_supplier",
     # (c) verdict shortlist top-up
     "q7_volume_shipping",
     "q10_returned_items",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from rca_data_tools_spark.operators.layout import zorder_key_sql
 from rca_data_tools_spark.queries._registry import query
 from rca_data_tools_spark.sources.readers import load_table
 
@@ -586,4 +587,62 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_supp"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_part"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle=f"""
+WITH base AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d,
+         l_partkey AS p
+  FROM lineitem
+),
+stats AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax, MIN(p) AS pmin, MAX(p) AS pmax FROM base
+),
+binned AS (
+  SELECT d, p,
+         CAST(FLOOR((d - dmin) * 256.0 / (dmax - dmin + 1)) AS BIGINT) AS da,
+         CAST(FLOOR((p - pmin) * 256.0 / (pmax - pmin + 1)) AS BIGINT) AS pa
+  FROM base, stats
+),
+keyed AS (
+  SELECT d, p, {zorder_key_sql('da', 'pa', 8)} >> 12 AS bucket FROM binned
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(d) - MIN(d) AS BIGINT) AS d_span,
+       CAST(MAX(p) - MIN(p) AS BIGINT) AS p_span
+FROM keyed GROUP BY bucket
+""",
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering diagnostic: bin ship-date and partkey to
+    8 bits each, interleave into a Morton key (operators/layout.py), bucket
+    by the key's top 4 bits (16 write buckets), and report each bucket's
+    row count and the span of BOTH original dimensions. Interleaving keeps
+    both spans a fraction of the global range simultaneously — the footer
+    min/max locality that makes file skipping work for filters on either
+    dimension; single-dimension sorting bounds only its own column (the
+    test asserts the quantitative gap). Pure codegen arithmetic over one
+    scan plus a 1-row bounds broadcast."""
+    from rca_data_tools_spark.operators.layout import bin_to, zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("d"),
+        F.col("l_partkey").alias("p"),
+    )
+    stats = li.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+        F.min("p").alias("pmin"), F.max("p").alias("pmax"),
+    )
+    j = li.crossJoin(F.broadcast(stats))
+    da = bin_to(F.col("d"), F.col("dmin"), F.col("dmax"), 8)
+    pa = bin_to(F.col("p"), F.col("pmin"), F.col("pmax"), 8)
+    keyed = j.select("d", "p", F.shiftright(zorder_key(da, pa, 8), 12).alias("bucket"))
+    return keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("d") - F.min("d")).cast("long").alias("d_span"),
+        (F.max("p") - F.min("p")).cast("long").alias("p_span"),
     )

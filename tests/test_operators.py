@@ -261,3 +261,47 @@ def test_extract_audio_features_matches_hand_computation(spark):
         assert r["rms_amp"] == float(np.sqrt(float((c * c).sum()) / n))
         neg = c < 0
         assert r["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+
+
+def test_zorder_bounds_both_dimensions_where_single_sort_cannot(spark):
+    """Morton-key bucketing must keep BOTH dimensions' spans near 1/4 of
+    their global range across all 16 buckets; bucketing by one dimension
+    alone leaves the other unbounded (span ~ global). This is the footer
+    min/max locality that makes multi-dim file skipping work."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.layout import bin_to, zorder_key
+
+    from tests.conftest import SF_CORRECTNESS
+    from rca_data_tools_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_CORRECTNESS, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("d"),
+        F.col("l_partkey").alias("p"),
+    )
+    stats = li.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"),
+                   F.min("p").alias("pmin"), F.max("p").alias("pmax"))
+    srow = stats.collect()[0]
+    d_global = srow["dmax"] - srow["dmin"]
+    p_global = srow["pmax"] - srow["pmin"]
+    j = li.crossJoin(F.broadcast(stats))
+    da = bin_to(F.col("d"), F.col("dmin"), F.col("dmax"), 8)
+    pa = bin_to(F.col("p"), F.col("pmin"), F.col("pmax"), 8)
+
+    def spans(bucket_col):
+        rows = (
+            j.select("d", "p", bucket_col.alias("b"))
+            .groupBy("b")
+            .agg((F.max("d") - F.min("d")).alias("ds"), (F.max("p") - F.min("p")).alias("ps"))
+            .collect()
+        )
+        n = len(rows)
+        return sum(r["ds"] for r in rows) / n, sum(r["ps"] for r in rows) / n
+
+    zd, zp = spans(F.shiftright(zorder_key(da, pa, 8), 12))       # 16 Morton buckets
+    sd, sp_ = spans(F.shiftright(pa, 4))                          # 16 partkey-only buckets
+    # Morton: both dims ~1/4 of global
+    assert zd <= 0.3 * d_global and zp <= 0.3 * p_global, (zd, zp, d_global, p_global)
+    # single-dim: own dim tight, the OTHER dim stays ~global
+    assert sp_ <= 0.1 * p_global
+    assert sd >= 0.9 * d_global, (sd, d_global)

@@ -285,6 +285,7 @@ BNLJ_ALLOWED = {
     "sample_domain_mix",         # 1-row corpus total
     "sample_temperature_mix",    # 1-row corpus total + 1-row normalizer
     "text_vocab_growth",         # triangular cumsum on the bucket dim (docs/50 rows, broadcast)
+    "layout_zorder_clustering",  # 1-row min/max bounds broadcast
 }
 
 
