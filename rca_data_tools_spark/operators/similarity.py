@@ -559,10 +559,18 @@ def pq_adc_topk(
     from pyspark.sql.types import ArrayType, DoubleType
 
     cb_rows = pq_codebook(corpus, id_col, vec_col, m=m, k=n_codes)
-    C, sub = _pq_arrays(cb_rows, m, n_codes)
     q_rows = sorted(
         ((int(r[q_id_col]), [float(x) for x in r[q_vec_col]]) for r in queries.collect())
     )
+    if not cb_rows or not q_rows:
+        # Empty corpus or no queries: no index to build — an empty but
+        # well-typed result, not an error (the empty-slice contract).
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{q_id_col} long, {id_col} long, approx_dist double, "
+            "cos_sim double, rank int",
+        )
+    C, sub = _pq_arrays(cb_rows, m, n_codes)
     q_ids = [q[0] for q in q_rows]
     Q = np.array([q[1] for q in q_rows])  # (nq, dim)
     nq = Q.shape[0]
