@@ -134,3 +134,67 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert files
     for f in files:
         assert any(f"date=2024-01-1{d}" in f for d in (0, 1, 2)), f
+
+
+def test_write_clustered_tightens_footer_stats_on_both_dims(spark, tmp_path):
+    """Z-order clustered writes must leave every parquet file's footer
+    min/max tight on BOTH clustering columns (file skipping works for
+    filters on either), where a plain write leaves at least one dimension
+    spanning ~the global range per file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.readers import load_table
+    from rca_data_tools_spark.sources.sinks import write_clustered
+    from tests.conftest import SF_CORRECTNESS
+
+    src = load_table(spark, SF_CORRECTNESS, "events").select(
+        (F.col("ts").cast("long")).alias("t"), "user_id", "value"
+    )
+    glob_t = src.agg(F.max("t") - F.min("t")).collect()[0][0]
+    glob_u = src.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+
+    def file_spans(d):
+        spans = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            tmin = umin = None
+            tmax = umax = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    name = c.path_in_schema
+                    st = c.statistics
+                    if st is None or name not in ("t", "user_id"):
+                        continue
+                    if name == "t":
+                        tmin = st.min if tmin is None else min(tmin, st.min)
+                        tmax = st.max if tmax is None else max(tmax, st.max)
+                    else:
+                        umin = st.min if umin is None else min(umin, st.min)
+                        umax = st.max if umax is None else max(umax, st.max)
+            if tmin is not None and umin is not None:
+                spans.append(((tmax - tmin) / glob_t, (umax - umin) / glob_u))
+        return spans
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered(src, clustered, ["t", "user_id"], n_files=16)
+    plain = str(tmp_path / "plain")
+    src.repartition(8).write.mode("overwrite").parquet(plain)
+
+    cs = file_spans(clustered)
+    ps = file_spans(plain)
+    assert len(cs) >= 4 and len(ps) >= 4
+    c_t = sum(s[0] for s in cs) / len(cs)
+    c_u = sum(s[1] for s in cs) / len(cs)
+    p_t = sum(s[0] for s in ps) / len(ps)
+    p_u = sum(s[1] for s in ps) / len(ps)
+    # clustered: both dims bounded well below global per file
+    assert c_t <= 0.45 and c_u <= 0.45, (c_t, c_u)
+    # plain round-robin: both dims ~global per file
+    assert p_t >= 0.9 and p_u >= 0.9, (p_t, p_u)
+    # nothing lost in the rewrite
+    assert spark.read.parquet(clustered).count() == src.count()
