@@ -51,6 +51,7 @@ _ROUND_WINDOW = [
     "media_audio_frames",
     "embed_quantize_int8",
     "layout_zorder_clustering",
+    "streaming_neardup_matches",
     # (c) sentinels: the full r02 cohort not re-checked in round 4
     "q1_pricing_summary",
     "a15_percentiles",
@@ -70,7 +71,6 @@ _ROUND_WINDOW = [
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprints",
     "text_tfidf_topk",
     "corpus_curation",
     "p9_regex_filter",

@@ -112,7 +112,9 @@ def shingle_hashes(sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, id_col: str, k: int = MINHASH_K, keep_cols: tuple = ()
+) -> DataFrame:
     """Per-doc MinHash signature: k columns h0..h{k-1}, each
     min_i((A_i*base + B_i) mod P) over the doc's shingles — a classic
     universal-hash permutation family (Broder 1997).
@@ -154,20 +156,28 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFr
         return pd.Series(out)
 
     perm_udf = F.pandas_udf(_perms, ArrayType(LongType()))
+    keep = [F.col(c) for c in keep_cols]
     if "bases" in sh.columns:  # pre-hashed form (shingle_hashes): reuse as-is
-        based = sh.select(F.col(id_col), F.col("bases").alias("__bases"))
+        based = sh.select(F.col(id_col), *keep, F.col("bases").alias("__bases"))
     else:
         based = sh.select(
             F.col(id_col),
+            *keep,
             F.transform("shs", shingle_base_hash).alias("__bases"),
         )
-    tagged = based.select(F.col(id_col), perm_udf(F.col("__bases")).alias("__sig"))
+    tagged = based.select(
+        F.col(id_col), *keep, perm_udf(F.col("__bases")).alias("__sig")
+    )
     cols = [F.col("__sig").getItem(i).alias(f"h{i}") for i in range(k)]
-    return tagged.select(id_col, *cols)
+    return tagged.select(id_col, *keep_cols, *cols)
 
 
 def lsh_banded(
-    sig: DataFrame, id_col: str, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+    sig: DataFrame,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, band_id, band_sig) rows: band signature = md5 of the band's
     concatenated minhashes. The shared banding step behind candidate
@@ -180,9 +190,9 @@ def lsh_banded(
         )
         for b in range(bands)
     ]
-    return sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b")).select(
-        id_col, "b.band_id", "b.band_sig"
-    )
+    return sig.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, *keep_cols, "b.band_id", "b.band_sig")
 
 
 def lsh_candidate_pairs(

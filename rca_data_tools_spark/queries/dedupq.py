@@ -722,3 +722,51 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup(
         d.filter(~new_pred), d.filter(new_pred), "doc_id", "text", threshold=0.5
     )
+
+
+@query(
+    "streaming_neardup_matches",
+    oracle=f"""
+WITH {_minhash_prefix()},
+side AS (
+  SELECT doc_id, CASE WHEN source IN ('src18', 'src19') THEN 1 ELSE 0 END AS is_new
+  FROM documents
+),
+cand AS (
+  SELECT bn.band_id, bn.doc_id AS new_id, bo.doc_id AS old_id
+  FROM bands bn
+  JOIN side sn ON sn.doc_id = bn.doc_id AND sn.is_new = 1
+  JOIN bands bo ON bo.band_id = bn.band_id AND bo.band_sig = bn.band_sig
+  JOIN side so ON so.doc_id = bo.doc_id AND so.is_new = 0
+  WHERE bn.doc_id <> bo.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.band_id, c.new_id, c.old_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.new_id
+  JOIN sh s2 ON s2.doc_id = c.old_id AND s2.sh = s1.sh
+  GROUP BY 1, 2, 3
+)
+SELECT i.band_id, i.new_id, i.old_id,
+       ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.new_id
+JOIN sizes z2 ON z2.doc_id = i.old_id
+WHERE ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) >= 0.5
+""",
+)
+def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static incremental-dedup transform
+    (streaming/joins.py:stream_neardup_matches) on batch frames — the
+    unified-API contract that lets tests prove stream ≡ batch, and gives
+    the driver a hash row. src18/src19 play the arriving stream; matches
+    carry band_id (deterministic per-band multiplicity, no stream-unsafe
+    distinct)."""
+    from rca_data_tools_spark.streaming.joins import stream_neardup_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    new_pred = F.col("source").isin("src18", "src19")
+    return stream_neardup_matches(
+        d.filter(new_pred), d.filter(~new_pred), "doc_id", "text", threshold=0.5
+    )

@@ -88,3 +88,69 @@ def stream_to_partitioned_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_matches(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming face of incremental ingestion dedup
+    (operators/dedup.py:incremental_neardup): ``incoming`` may be a STREAM,
+    ``corpus`` is the static standing index; every arriving document is
+    shingled, signed, and banded in stateless per-row projections (Arrow
+    kernels work unchanged on streams), band rows join the corpus's band
+    table (a stream-static equi-join — no watermark, no state store), and
+    each collision verifies with exact Jaccard on 60-bit shingle hashes
+    in-row. Emits (band_id, new_id, old_id, jaccard) match rows in append
+    mode; a pair colliding in several bands appears once per band
+    (deterministic multiplicity — stream and batch agree exactly; the
+    micro-batch sink or a downstream batch step takes the keep/drop
+    decision, which needs aggregation the stateless path deliberately
+    avoids).
+
+    Scale shape: per micro-batch cost is O(batch) projections plus the
+    band-key equi-join against the (persisted, bucketable) corpus band
+    table; the corpus is never shuffled per batch and no streaming state
+    accumulates."""
+    from rca_data_tools_spark.operators.dedup import (
+        lsh_banded,
+        minhash_signatures,
+        shingle_arrays,
+        shingle_hashes,
+    )
+
+    ex_hash = shingle_hashes(shingle_arrays(corpus, id_col, text_col), id_col)
+    ex_bands = lsh_banded(
+        minhash_signatures(ex_hash, id_col, keep_cols=("h60",)),
+        id_col,
+        keep_cols=("h60",),
+    ).select(
+        F.col(id_col).alias("old_id"),
+        F.col("h60").alias("h_old"),
+        "band_id",
+        "band_sig",
+    )
+    in_hash = shingle_hashes(shingle_arrays(incoming, id_col, text_col), id_col)
+    in_bands = lsh_banded(
+        minhash_signatures(in_hash, id_col, keep_cols=("h60",)),
+        id_col,
+        keep_cols=("h60",),
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col("h60").alias("h_new"),
+        "band_id",
+        "band_sig",
+    )
+    joined = in_bands.join(ex_bands, ["band_id", "band_sig"]).filter(
+        F.col("new_id") != F.col("old_id")
+    )
+    n_inter = F.size(F.array_intersect(F.col("h_new"), F.col("h_old")))
+    jac = F.round(n_inter / (F.size("h_new") + F.size("h_old") - n_inter), 6)
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("band_id", "new_id", "old_id", "jaccard")
+    )

@@ -472,3 +472,52 @@ def test_streaming_spike_flags_match_batch(spark, tmp_path):
     expect = {(r.user_id, r.ts, r.spike_flag) for r in batch.collect()}
     assert got == expect
     assert any(f in (3, 4) for _, _, f in got)  # thresholds actually fire
+
+
+def test_stream_neardup_matches_batch(spark, tmp_path):
+    """The stream-static incremental-dedup transform must emit EXACTLY the
+    batch row set when the incoming docs arrive as a file stream against
+    the static corpus — including per-band multiplicity and jaccard
+    values (stateless stream-static join: no watermark, no state)."""
+    from rca_data_tools_spark.streaming.joins import stream_neardup_matches
+
+    base = "near dup detection over streaming corpora works fine " * 4
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "a completely different standing corpus document " * 5)],
+        "doc_id long, text string",
+    )
+    incoming_rows = [
+        (100, base),
+        (101, base + " trailing change"),
+        (102, "novel arriving text with nothing in common at all " * 4),
+    ]
+    in_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(incoming_rows, "doc_id long, text string").repartition(
+        3
+    ).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    expect = {
+        (r.band_id, r.new_id, r.old_id, r.jaccard)
+        for r in stream_neardup_matches(
+            spark.read.schema(schema).parquet(in_dir), corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert expect and {m[1] for m in expect} == {100, 101}
+
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        stream_neardup_matches(st, corpus, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.band_id, r.new_id, r.old_id, r.jaccard)
+        for r in spark.sql("SELECT * FROM neardup_stream").collect()
+    }
+    assert got == expect
