@@ -732,18 +732,31 @@ side AS (
   SELECT doc_id, CASE WHEN source IN ('src18', 'src19') THEN 1 ELSE 0 END AS is_new
   FROM documents
 ),
+ex_bucket AS (
+  SELECT b.band_id, b.band_sig, COUNT(*) AS bsz
+  FROM bands b JOIN side s ON s.doc_id = b.doc_id AND s.is_new = 0
+  GROUP BY 1, 2
+),
 cand AS (
   SELECT bn.band_id, bn.doc_id AS new_id, bo.doc_id AS old_id
   FROM bands bn
   JOIN side sn ON sn.doc_id = bn.doc_id AND sn.is_new = 1
   JOIN bands bo ON bo.band_id = bn.band_id AND bo.band_sig = bn.band_sig
   JOIN side so ON so.doc_id = bo.doc_id AND so.is_new = 0
-  WHERE bn.doc_id <> bo.doc_id
+  JOIN ex_bucket xb ON xb.band_id = bo.band_id AND xb.band_sig = bo.band_sig
+  WHERE bn.doc_id <> bo.doc_id AND xb.bsz <= 256
+),
+pruned AS (
+  SELECT c.band_id, c.new_id, c.old_id
+  FROM cand c
+  JOIN sig g1 ON g1.doc_id = c.new_id
+  JOIN sig g2 ON g2.doc_id = c.old_id
+  WHERE ((CASE WHEN g1.h0 = g2.h0 THEN 1 ELSE 0 END) + (CASE WHEN g1.h1 = g2.h1 THEN 1 ELSE 0 END) + (CASE WHEN g1.h2 = g2.h2 THEN 1 ELSE 0 END) + (CASE WHEN g1.h3 = g2.h3 THEN 1 ELSE 0 END) + (CASE WHEN g1.h4 = g2.h4 THEN 1 ELSE 0 END) + (CASE WHEN g1.h5 = g2.h5 THEN 1 ELSE 0 END) + (CASE WHEN g1.h6 = g2.h6 THEN 1 ELSE 0 END) + (CASE WHEN g1.h7 = g2.h7 THEN 1 ELSE 0 END) + (CASE WHEN g1.h8 = g2.h8 THEN 1 ELSE 0 END) + (CASE WHEN g1.h9 = g2.h9 THEN 1 ELSE 0 END) + (CASE WHEN g1.h10 = g2.h10 THEN 1 ELSE 0 END) + (CASE WHEN g1.h11 = g2.h11 THEN 1 ELSE 0 END) + (CASE WHEN g1.h12 = g2.h12 THEN 1 ELSE 0 END) + (CASE WHEN g1.h13 = g2.h13 THEN 1 ELSE 0 END) + (CASE WHEN g1.h14 = g2.h14 THEN 1 ELSE 0 END) + (CASE WHEN g1.h15 = g2.h15 THEN 1 ELSE 0 END)) / 16 >= 0.25
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.band_id, c.new_id, c.old_id, COUNT(*) AS n_inter
-  FROM cand c
+  FROM pruned c
   JOIN sh s1 ON s1.doc_id = c.new_id
   JOIN sh s2 ON s2.doc_id = c.old_id AND s2.sh = s1.sh
   GROUP BY 1, 2, 3

@@ -96,6 +96,7 @@ def stream_neardup_matches(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Streaming face of incremental ingestion dedup
     (operators/dedup.py:incremental_neardup): ``incoming`` may be a STREAM,
@@ -122,31 +123,97 @@ def stream_neardup_matches(
         shingle_hashes,
     )
 
-    ex_hash = shingle_hashes(shingle_arrays(corpus, id_col, text_col), id_col)
-    ex_bands = lsh_banded(
-        minhash_signatures(ex_hash, id_col, keep_cols=("h60",)),
-        id_col,
-        keep_cols=("h60",),
-    ).select(
+    # The static corpus index feeds THREE consumers (band table, signature
+    # table, verify arrays): persist it, or every micro-batch re-shingles
+    # the whole corpus once per consumer (measured: the difference between
+    # minutes and seconds per batch at 10x). In production this is the
+    # precomputed index the sinks persist to parquet; persist() is the
+    # in-session equivalent.
+    ex_hash = shingle_hashes(
+        shingle_arrays(corpus, id_col, text_col), id_col
+    ).persist()
+    # The corpus band table carries NO verify arrays — h_old joins back in
+    # AFTER collision (a second stream-static join on old_id), so the wide
+    # band join ships only band keys for the corpus side and its h60 arrays
+    # travel only for actual collisions (measured 2x on the dup-dense 10x
+    # corpus). The STREAM side must carry h_new through its own banding
+    # (joining stream-to-stream is not allowed stateless) — one array per
+    # arriving band row, batch-sized.
+    from rca_data_tools_spark.operators.dedup import MINHASH_K
+
+    k = MINHASH_K
+    sig_cols = tuple(f"h{i}" for i in range(k))
+    ex_sig = minhash_signatures(ex_hash, id_col).persist()
+    # The corpus band table carries its 16 signature longs (128 bytes/row,
+    # static), so the estimate filter evaluates INSIDE the band join as a
+    # residual predicate — collision rows that fail signature agreement
+    # never materialize, and no second shuffle keyed on old_id ever sees
+    # the stream side's verify arrays. (The first cut joined a separate
+    # signature table after the collision join; on a corpus where band
+    # buckets are hot — shared boilerplate — that reshuffled every
+    # collision row WITH its array and ran minutes-to-never at 10x.)
+    ex_bands = lsh_banded(ex_sig, id_col, keep_cols=sig_cols).select(
         F.col(id_col).alias("old_id"),
-        F.col("h60").alias("h_old"),
+        *[F.col(f"h{i}").alias(f"o{i}") for i in range(k)],
         "band_id",
         "band_sig",
     )
+    # Mega-bucket cap, corpus side (static, so stateless-safe): a band
+    # bucket holding more than ``bucket_cap`` corpus docs is a boilerplate
+    # signature, and probing it makes every arriving doc pay O(bucket)
+    # verifies — the same guard as the batch engine's dedup_lsh_capped,
+    # which owns those buckets via strip-boilerplate / component routing.
+    # Without it, a boilerplate-heavy 10x corpus produced 15.7M collision
+    # pairs per batch and the job never finished; with it, pair work per
+    # arriving doc is bounded by 4 x bucket_cap.
+    bucket_sizes = ex_bands.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    ex_bands = (
+        ex_bands.join(bucket_sizes, ["band_id", "band_sig"])
+        .filter(F.col("__bn") <= bucket_cap)
+        .drop("__bn")
+        .persist()
+    )
     in_hash = shingle_hashes(shingle_arrays(incoming, id_col, text_col), id_col)
+    # the STREAM side carries its verify array AND its 16 signature longs
+    # through the banding (stream-to-stream joins are not allowed stateless);
+    # scalar longs are cheap, the one array per band row is batch-sized
     in_bands = lsh_banded(
         minhash_signatures(in_hash, id_col, keep_cols=("h60",)),
         id_col,
-        keep_cols=("h60",),
+        keep_cols=("h60",) + sig_cols,
     ).select(
         F.col(id_col).alias("new_id"),
         F.col("h60").alias("h_new"),
+        *[F.col(f"h{i}").alias(f"n{i}") for i in range(k)],
         "band_id",
         "band_sig",
     )
-    joined = in_bands.join(ex_bands, ["band_id", "band_sig"]).filter(
-        F.col("new_id") != F.col("old_id")
+    # Estimate agreement (threshold - 0.25: at K=16 the estimate's std is
+    # ~0.12, so true positives survive w.h.p.) as part of the join
+    # condition; the SQL oracle replays the same pruning so parity is
+    # exact, not probabilistic.
+    agree = sum(
+        F.when(F.col(f"n{i}") == F.col(f"o{i}"), 1).otherwise(0) for i in range(k)
     )
+    cond = (
+        (in_bands["band_id"] == ex_bands["band_id"])
+        & (in_bands["band_sig"] == ex_bands["band_sig"])
+        & (F.col("new_id") != F.col("old_id"))
+        & (agree / k >= max(0.0, threshold - 0.25))
+    )
+    pruned = (
+        in_bands.join(ex_bands, cond)
+        .drop(ex_bands["band_id"])
+        .drop(ex_bands["band_sig"])
+    )
+    # h_old arrays join only for pairs that survived BOTH band collision
+    # and the estimate filter
+    ex_verify = ex_hash.select(
+        F.col(id_col).alias("old_id"), F.col("h60").alias("h_old")
+    )
+    joined = pruned.join(ex_verify, "old_id")
     n_inter = F.size(F.array_intersect(F.col("h_new"), F.col("h_old")))
     jac = F.round(n_inter / (F.size("h_new") + F.size("h_old") - n_inter), 6)
     return (
