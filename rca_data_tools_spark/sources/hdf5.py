@@ -21,6 +21,11 @@ offset 0, in both the earliest format and the 1.8+ "latest" format):
   unlimited-dimension chunked datasets),
   filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
   link info, link, symbol table, continuation
+- hard AND soft links in both group styles (old-style cache-type-2 symbol
+  table entries with the link value in the local heap, and 1.8+ type-1
+  link messages): absolute and relative targets, chains (depth-capped),
+  dangling links skipped like h5py iteration, soft aliases of an ancestor
+  stopped at the alias; external links raise with the target file named
 - chunked data through the v1 chunk B-tree (any nesting level), with
   per-chunk filter masks; partial edge chunks clipped
 
@@ -128,6 +133,7 @@ class H5File:
             ohdr = self._u(12 + 24, 8)
         else:
             raise NotImplementedError(f"HDF5 superblock version {version}")
+        self._root_ohdr = ohdr
         self._walk_group(ohdr, prefix="")
 
     # -- object headers ---------------------------------------------------
@@ -236,13 +242,49 @@ class H5File:
                 "messages (unsupported group storage)"
             )
         for name, child_ohdr in children:
+            via_soft = isinstance(child_ohdr, tuple)
+            if via_soft:
+                child_ohdr = self._resolve_path(ohdr_addr, child_ohdr[1], 0)
+                if child_ohdr is None:
+                    continue  # dangling soft link: listable but not openable
             child_msgs = self._messages(child_ohdr)
             if self._group_children(child_msgs) is not None:
+                if via_soft and child_ohdr in self._seen_groups:
+                    # a soft link back to an ancestor is a legal alias whose
+                    # expansion never terminates — stop at the alias (h5py's
+                    # visit does the same); a HARD ancestor self-reference
+                    # stays a loud cycle in _walk_group
+                    continue
                 self._walk_group(child_ohdr, prefix=f"{prefix}{name}/")
             else:
                 ds = self._dataset_from_messages(prefix + name, child_msgs)
                 if ds is not None:
                     self.datasets[prefix + name] = ds
+
+    def _resolve_path(self, base_ohdr: int, path: str, depth: int) -> "int | None":
+        """Resolve a soft-link target to an object header address — absolute
+        paths from the root group, relative ones from the group holding the
+        link; soft links met along the way resolve recursively (chain depth
+        capped). Returns None when any component is missing (a dangling
+        link, legal in a conforming file)."""
+        if depth > 8:
+            raise NotImplementedError(
+                f"HDF5 soft-link chain deeper than 8 at {path!r}"
+            )
+        cur = self._root_ohdr if path.startswith("/") else base_ohdr
+        for part in (p for p in path.split("/") if p and p != "."):
+            children = self._group_children(self._messages(cur))
+            if children is None:
+                return None  # path descends through a dataset
+            target = next((t for n, t in children if n == part), None)
+            if target is None:
+                return None
+            if isinstance(target, tuple):  # a soft link in the chain
+                target = self._resolve_path(cur, target[1], depth + 1)
+                if target is None:
+                    return None
+            cur = target
+        return cur
 
     def _group_children(self, msgs) -> "list[tuple[str, int]] | None":
         """(name, object header address) children if ``msgs`` describe a
@@ -254,10 +296,14 @@ class H5File:
             btree_addr = int.from_bytes(stab[0][0:8], "little")
             heap_addr = int.from_bytes(stab[0][8:16], "little")
             heap_data = self._local_heap(heap_addr)
-            return [
-                (self._heap_name(heap_data, off), child)
-                for off, child in self._group_btree_entries(btree_addr)
-            ]
+            out = []
+            for off, child, ctype, scratch in self._group_btree_entries(btree_addr):
+                name = self._heap_name(heap_data, off)
+                if ctype == 2:  # symbolic link: value string in the local heap
+                    out.append((name, ("soft", self._heap_name(heap_data, scratch))))
+                else:
+                    out.append((name, child))
+            return out
         link_info = [d for t, d in msgs if t == 0x0002]
         links = [d for t, d in msgs if t == 0x0006]
         if link_info:
@@ -427,8 +473,12 @@ class H5File:
         return out
 
     @staticmethod
-    def _parse_link(d: bytes) -> tuple[str, int]:
-        """Link message (0x0006), hard links only."""
+    def _parse_link(d: bytes) -> "tuple[str, int | tuple[str, str]]":
+        """Link message (0x0006, spec IV.A.2.g). Hard links yield the target
+        object header address; soft links (type 1) yield ``('soft', path)``
+        for the walk to resolve; external links (type 64) raise loudly with
+        the target file+path named (resolving them needs a second file this
+        reader has no opener for)."""
         if d[0] != 1:
             raise NotImplementedError(f"HDF5 link message version {d[0]}")
         flags = d[1]
@@ -437,10 +487,6 @@ class H5File:
         if flags & 0x08:
             ltype = d[pos]
             pos += 1
-        if ltype != 0:
-            raise NotImplementedError(
-                f"HDF5 link type {ltype} (only hard links supported)"
-            )
         if flags & 0x04:  # creation order
             pos += 8
         if flags & 0x10:  # charset
@@ -450,7 +496,24 @@ class H5File:
         pos += len_size
         name = d[pos : pos + name_len].decode()
         pos += name_len
-        return name, int.from_bytes(d[pos : pos + 8], "little")
+        if ltype == 0:
+            return name, int.from_bytes(d[pos : pos + 8], "little")
+        if ltype == 1:  # soft link: 2-byte length + slash-separated path
+            tlen = int.from_bytes(d[pos : pos + 2], "little")
+            return name, ("soft", d[pos + 2 : pos + 2 + tlen].decode())
+        if ltype == 64:  # external link: version/flags byte + NUL-split pair
+            tlen = int.from_bytes(d[pos : pos + 2], "little")
+            body = d[pos + 2 : pos + 2 + tlen]
+            file_name, _, obj_path = body[1:].partition(b"\x00")
+            target_file = file_name.decode(errors="replace")
+            target_path = obj_path.rstrip(b"\x00").decode(errors="replace")
+            raise NotImplementedError(
+                f"HDF5 external link {name!r} -> {target_file!r}:"
+                f"{target_path!r} (external files are not resolved)"
+            )
+        raise NotImplementedError(
+            f"HDF5 link type {ltype} (hard and soft links supported)"
+        )
 
     def _local_heap(self, addr: int) -> int:
         b = self._buf
@@ -467,9 +530,9 @@ class H5File:
 
     def _group_btree_entries(
         self, addr: int, _seen: "set[int] | None" = None
-    ) -> list[tuple[int, int]]:
-        """(link name heap offset, object header address) leaf entries of a
-        v1 group B-tree, any depth."""
+    ) -> list[tuple[int, int, int, int]]:
+        """Leaf SNOD entries (see :meth:`_snod_entries`) of a v1 group
+        B-tree, any depth."""
         _seen = set() if _seen is None else _seen
         if addr in _seen:
             raise ValueError("HDF5: cyclic group B-tree")
@@ -496,7 +559,10 @@ class H5File:
                 out.extend(self._snod_entries(child))
         return out
 
-    def _snod_entries(self, addr: int) -> list[tuple[int, int]]:
+    def _snod_entries(self, addr: int) -> list[tuple[int, int, int, int]]:
+        """(name heap offset, ohdr address, cache type, scratch word) symbol
+        table entries; cache type 2 marks a symbolic link whose value lives
+        at the scratch-word offset in the group's local heap (spec III.C)."""
         b = self._buf
         if b[addr : addr + 4] != b"SNOD":
             raise ValueError("HDF5: bad symbol node signature")
@@ -506,7 +572,9 @@ class H5File:
         for _ in range(n):
             name_off = self._u(pos, 8)
             ohdr = self._u(pos + 8, 8)
-            out.append((name_off, ohdr))
+            cache_type = self._u(pos + 16, 4)
+            scratch = self._u(pos + 24, 4)
+            out.append((name_off, ohdr, cache_type, scratch))
             pos += 40
         return out
 

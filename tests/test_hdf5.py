@@ -382,16 +382,23 @@ def test_mixed_format_directory_scan(spark, tmp_path, h5_file):
     np.testing.assert_allclose([r["time"] for r in one], arrays["time"])
 
 
-def _stab_group(w, children: dict[str, int]) -> int:
+def _stab_group(w, children: dict[str, int], soft: "dict[str, str] | None" = None) -> int:
     """Append heap + SNOD + TREE + object header for an old-style group whose
-    members are ``children`` (name -> object header address); returns the
-    group's object header address."""
-    names = sorted(children)
+    members are ``children`` (name -> object header address) plus optional
+    ``soft`` symbolic links (name -> target path, stored as cache-type-2
+    entries with the link value in the local heap); returns the group's
+    object header address."""
+    soft = soft or {}
+    names = sorted({**children, **soft})
     heap_data = bytearray(b"\x00" * 8)
-    offs = {}
+    offs, val_offs = {}, {}
     for n in names:
         offs[n] = len(heap_data)
         heap_data += n.encode() + b"\x00"
+        heap_data += b"\x00" * ((8 - len(heap_data) % 8) % 8)
+    for n, target in soft.items():
+        val_offs[n] = len(heap_data)
+        heap_data += target.encode() + b"\x00"
         heap_data += b"\x00" * ((8 - len(heap_data) % 8) % 8)
     heap_data_addr = w.append(bytes(heap_data))
     heap_addr = w.append(
@@ -400,7 +407,14 @@ def _stab_group(w, children: dict[str, int]) -> int:
     )
     snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
     for n in names:
-        snod += struct.pack("<QQII", offs[n], children[n], 0, 0) + b"\x00" * 16
+        if n in soft:
+            snod += (
+                struct.pack("<QQII", offs[n], 0, 2, 0)
+                + struct.pack("<I", val_offs[n])
+                + b"\x00" * 12
+            )
+        else:
+            snod += struct.pack("<QQII", offs[n], children[n], 0, 0) + b"\x00" * 16
     snod_addr = w.append(snod)
     btree = (
         b"TREE" + struct.pack("<BBH", 0, 0, 1) + UNDEF + UNDEF
@@ -434,6 +448,35 @@ def test_hard_link_dag_alias_is_legal(tmp_path):
     assert set(h5.datasets) == {"a/x", "b/x"}
     np.testing.assert_array_equal(read_dataset(h5, "a/x"), arr)
     np.testing.assert_array_equal(read_dataset(h5, "b/x"), arr)
+
+
+def test_old_style_symbolic_link_resolves(tmp_path):
+    """Old-style (symbol-table) groups store soft links as cache-type-2
+    entries whose value string lives in the group's local heap; the scan
+    must alias the target like the 1.8+ link-message form, and skip a
+    dangling one."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _Writer()
+    arr = np.arange(5, dtype="<f8")
+    raw_addr = w.append(arr.tobytes())
+    ds_ohdr = w.append(_object_header([
+        _msg(0x0001, _dataspace(arr.shape)),
+        _msg(0x0003, _datatype(arr.dtype)),
+        _msg(0x0008, _layout_contiguous(raw_addr, arr.nbytes)),
+    ]))
+    g = _stab_group(w, {"x": ds_ohdr})
+    root = _stab_group(
+        w, {"g": g},
+        soft={"abs_x": "/g/x", "rel_g": "g", "gone": "/not/here"},
+    )
+    p = str(tmp_path / "stab_soft.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    assert set(h5.datasets) == {"g/x", "abs_x", "rel_g/x"}
+    np.testing.assert_array_equal(read_dataset(h5, "abs_x"), arr)
+    np.testing.assert_array_equal(read_dataset(h5, "rel_g/x"), arr)
 
 
 def test_group_ancestor_cycle_raises(tmp_path):

@@ -4,8 +4,9 @@ ask #3). Fixtures are hand-written from the public HDF5 File Format
 Specification — OHDR headers, link-message groups, dense link storage
 (fractal heap + v2 B-tree leaf), v3 attributes, OCHK continuations, and v4
 data layouts (single-chunk / implicit indexes) — then parsed and scanned
-distributed. Unsupported 1.8+ structures (deep v2 B-trees, array/B-tree-v2
-chunk indexes, soft links) must raise loudly."""
+distributed. Soft links resolve (absolute/relative/chains; dangling links
+skip); unsupported 1.8+ structures (deep v2 B-trees, external links) must
+raise loudly."""
 
 from __future__ import annotations
 
@@ -51,14 +52,24 @@ def _link_msg(name: str, ohdr_addr: int) -> bytes:
     return struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", ohdr_addr)
 
 
-def _soft_link_msg(name: str) -> bytes:
-    nb = name.encode()
-    target = b"/elsewhere"
+def _soft_link_msg(name: str, target: str = "/elsewhere") -> bytes:
+    nb, tb = name.encode(), target.encode()
     return (
         struct.pack("<BBBB", 1, 0x08, 1, len(nb))  # flags: link-type present
         + nb
-        + struct.pack("<H", len(target))
-        + target
+        + struct.pack("<H", len(tb))
+        + tb
+    )
+
+
+def _external_link_msg(name: str, file: str, path: str) -> bytes:
+    nb = name.encode()
+    body = b"\x00" + file.encode() + b"\x00" + path.encode() + b"\x00"
+    return (
+        struct.pack("<BBBB", 1, 0x08, 64, len(nb))
+        + nb
+        + struct.pack("<H", len(body))
+        + body
     )
 
 
@@ -271,19 +282,98 @@ def test_v2_distributed_scan_via_netcdf4(spark, tmp_path):
     )
 
 
-def test_v2_soft_links_raise(tmp_path):
+def _contiguous_ds(w, arr: np.ndarray) -> int:
+    raw_addr = w.append(arr.tobytes())
+    return w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_contiguous(raw_addr, arr.nbytes)),
+    ]))
+
+
+def test_v2_soft_links_resolve(tmp_path):
+    """Absolute, relative, and chained soft links alias their targets under
+    the link's own path; a dangling link is skipped, not fatal (it is
+    listable but points at nothing — h5py iteration semantics)."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _WriterV3()
+    arr = np.arange(7, dtype="<f8")
+    ds = _contiguous_ds(w, arr)
+    g = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+        _msg2(0x06, _soft_link_msg("rel", "x")),  # relative, same group
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("g", g)),
+        _msg2(0x06, _soft_link_msg("abs_x", "/g/x")),
+        _msg2(0x06, _soft_link_msg("alias_g", "g")),
+        _msg2(0x06, _soft_link_msg("chain", "/alias_g/rel")),
+        _msg2(0x06, _soft_link_msg("dangling", "/nowhere/else")),
+    ]))
+    p = str(tmp_path / "soft_ok.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    assert set(h5.datasets) == {"g/x", "g/rel", "abs_x", "alias_g/x", "alias_g/rel", "chain"}
+    for name in ("abs_x", "chain", "alias_g/rel"):
+        np.testing.assert_array_equal(read_dataset(h5, name), arr)
+
+
+def test_v2_soft_link_ancestor_alias_stops(tmp_path):
+    """A soft link back to an ancestor group is a legal alias whose
+    expansion never terminates — the walk must stop at the alias, not
+    recurse forever and not raise."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    ds = _contiguous_ds(w, np.arange(3, dtype="<f8"))
+    g = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+        _msg2(0x06, _soft_link_msg("up", "/")),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("g", g)),
+    ]))
+    p = str(tmp_path / "soft_up.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    assert set(H5File(p).datasets) == {"g/x"}
+
+
+def test_v2_soft_link_chain_depth_capped(tmp_path):
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    msgs = [_msg2(0x02, _link_info())]
+    msgs.append(_msg2(0x06, _soft_link_msg("s0", "/s1")))
+    for i in range(1, 11):
+        msgs.append(_msg2(0x06, _soft_link_msg(f"s{i}", f"/s{i + 1}")))
+    root = w.append(_ohdr2(msgs))
+    p = str(tmp_path / "soft_deep.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="soft-link chain"):
+        H5File(p)
+
+
+def test_v2_external_links_raise_with_target(tmp_path):
     from rca_data_tools_spark.sources.hdf5 import H5File
 
     w = _WriterV3()
     root = w.append(_ohdr2([
         _msg2(0x02, _link_info()),
-        _msg2(0x06, _soft_link_msg("soft")),
+        _msg2(0x06, _external_link_msg("ext", "other.h5", "/data/x")),
     ]))
-    p2 = str(tmp_path / "soft.h5")
-    with open(p2, "wb") as f:
+    p = str(tmp_path / "ext.h5")
+    with open(p, "wb") as f:
         f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="hard links"):
-        H5File(p2)
+    with pytest.raises(NotImplementedError, match="external link.*other.h5"):
+        H5File(p)
 
 
 def _fixed_array_index(w: _WriterV3, entries: list, filtered: bool) -> int:
