@@ -22,10 +22,14 @@ loop costs no driver time and parallelizes with the chunk grid. It is still
 documents recompress-on-ingest (zlib/gzip) as the fast path; this decoder
 makes blosc archives *readable* without new native dependencies.
 
-Supported: byte-shuffle, memcpy chunks, LZ4 / zlib / zstd /
+Supported: byte-shuffle, memcpy chunks, LZ4 / zlib / zstd / snappy /
 blosclz-stored splits (zstd via the pure-Python RFC 8878 decoder in
-sources/zstd.py; blosclz only when splits are stored uncompressed, its
-compressed form is a different spec). Bit-shuffle and snappy raise loudly.
+sources/zstd.py, snappy via sources/snappy.py validated against pyarrow's
+bundled C++ codec; blosclz only when splits are stored uncompressed, its
+compressed form is a different spec). Bit-shuffle raises loudly — its bit
+layout is defined by the bitshuffle library's SIMD kernels and nothing in
+this runtime can produce golden output to validate a reimplementation
+against, so claiming support would be untested decoding.
 """
 
 from __future__ import annotations
@@ -112,9 +116,17 @@ def _decode_split(codec: str, stream: bytes, out_size: int) -> bytes:
         if len(out) != out_size:
             raise ValueError(f"zstd split decoded {len(out)} bytes, expected {out_size}")
         return out
+    if codec == "snappy":
+        # each split is one raw snappy stream (snappy_compress output)
+        from rca_data_tools_spark.sources.snappy import snappy_decompress
+
+        out = snappy_decompress(stream)
+        if len(out) != out_size:
+            raise ValueError(f"snappy split decoded {len(out)} bytes, expected {out_size}")
+        return out
     raise NotImplementedError(
         f"blosc inner codec {codec!r} not decodable in this runtime "
-        "(supported: lz4, zlib, zstd, and uncompressed splits)"
+        "(supported: lz4, zlib, zstd, snappy, and uncompressed splits)"
     )
 
 

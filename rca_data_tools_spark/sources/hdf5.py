@@ -78,20 +78,42 @@ class Dataset:
     # scalar numeric attributes (e.g. netCDF-4's _FillValue); non-scalar or
     # non-numeric attributes are skipped, never mis-read
     attrs: dict[str, float] = field(default_factory=dict)
+    # set only for datasets imported through an EXTERNAL link: the
+    # ByteRangeReader of the file that actually holds the bytes (picklable,
+    # like every reader — read paths use ``owner or the scanning file``)
+    owner: "object | None" = None
 
 
 class H5File:
     """Driver-side metadata parse of one HDF5 file. ``datasets`` maps
     path-less names (flat) and 'group/name' (nested) to :class:`Dataset`."""
 
-    def __init__(self, source):
+    def __init__(self, source, external_opener=None, _ext_depth: int = 0):
         """``source`` is a local path or any ByteRangeReader
         (sources/bytes_io.py). Locally the reader is mmap-backed, so the
         metadata parse touches only the pages it reads (KBs of a file that
         may be tens of GB); on an object store the same ``pread`` calls
-        become ranged GETs — the parse logic is source-agnostic."""
+        become ranged GETs — the parse logic is source-agnostic.
+
+        ``external_opener`` maps an external-link file name to a source
+        (path / reader) or None when the file cannot be provided. When the
+        scanned file is a local path, the default opener resolves link
+        targets against the file's own directory — libhdf5's default
+        external-link prefix — and only when the sibling actually exists;
+        an unresolvable external link raises with the target named."""
         self._buf = as_reader(source)
         self.path = getattr(self._buf, "path", "<byte-range source>")
+        if external_opener is None and isinstance(self.path, str):
+            import os
+
+            base = os.path.dirname(os.path.abspath(self.path))
+
+            def external_opener(fname: str) -> "str | None":
+                cand = fname if os.path.isabs(fname) else os.path.join(base, fname)
+                return cand if os.path.isfile(cand) else None
+
+        self._ext_opener = external_opener
+        self._ext_depth = _ext_depth
         if self._buf[0:8] != _SIGNATURE:
             raise ValueError(f"not an HDF5 file: {self.path!r}")
         self.datasets: dict[str, Dataset] = {}
@@ -242,6 +264,9 @@ class H5File:
                 "messages (unsupported group storage)"
             )
         for name, child_ohdr in children:
+            if isinstance(child_ohdr, tuple) and child_ohdr[0] == "ext":
+                self._import_external(name, child_ohdr[1], child_ohdr[2], prefix)
+                continue
             via_soft = isinstance(child_ohdr, tuple)
             if via_soft:
                 child_ohdr = self._resolve_path(ohdr_addr, child_ohdr[1], 0)
@@ -279,12 +304,49 @@ class H5File:
             target = next((t for n, t in children if n == part), None)
             if target is None:
                 return None
-            if isinstance(target, tuple):  # a soft link in the chain
+            if isinstance(target, tuple):  # a link in the chain
+                if target[0] != "soft":
+                    return None  # soft paths do not cross file boundaries
                 target = self._resolve_path(cur, target[1], depth + 1)
                 if target is None:
                     return None
             cur = target
         return cur
+
+    def _import_external(self, name: str, fname: str, objpath: str, prefix: str) -> None:
+        """Resolve an external link (spec IV.A.2.g link type 64) by parsing
+        the target file through ``external_opener`` and importing the
+        object it names — a dataset, or a whole group subtree — under this
+        link's path, each imported Dataset tagged with the OWNING file's
+        reader so read paths fetch bytes from the right file. Chains of
+        files are depth-capped; an opener returning None raises with the
+        target named (silently dropping data a conforming reader would
+        surface is worse than failing loudly)."""
+        if self._ext_depth >= 4:
+            raise NotImplementedError(
+                f"HDF5 external-link chain deeper than 4 at {fname!r}:{objpath!r}"
+            )
+        src = self._ext_opener(fname) if self._ext_opener is not None else None
+        if src is None:
+            raise NotImplementedError(
+                f"HDF5 external link {name!r} -> {fname!r}:{objpath!r} "
+                "(target file not available to the opener)"
+            )
+        ext = H5File(src, external_opener=self._ext_opener,
+                     _ext_depth=self._ext_depth + 1)
+        key = "/".join(p for p in objpath.split("/") if p and p != ".")
+        if key in ext.datasets:
+            found = {prefix + name: ext.datasets[key]}
+        else:  # a group: import every dataset below it
+            found = {
+                f"{prefix}{name}/{k[len(key) + 1 :]}" if key else f"{prefix}{name}/{k}": d
+                for k, d in ext.datasets.items()
+                if not key or k.startswith(key + "/")
+            }
+        for k, d in found.items():
+            if d.owner is None:
+                d.owner = ext._buf
+            self.datasets[k] = d
 
     def _group_children(self, msgs) -> "list[tuple[str, int]] | None":
         """(name, object header address) children if ``msgs`` describe a
@@ -507,10 +569,7 @@ class H5File:
             file_name, _, obj_path = body[1:].partition(b"\x00")
             target_file = file_name.decode(errors="replace")
             target_path = obj_path.rstrip(b"\x00").decode(errors="replace")
-            raise NotImplementedError(
-                f"HDF5 external link {name!r} -> {target_file!r}:"
-                f"{target_path!r} (external files are not resolved)"
-            )
+            return name, ("ext", target_file, target_path)
         raise NotImplementedError(
             f"HDF5 link type {ltype} (hard and soft links supported)"
         )
@@ -1095,7 +1154,7 @@ def read_dataset(h5: "H5File", name: str) -> np.ndarray:
     """Whole-array read (driver-side helper for tests/small dims; the
     distributed path in sources/netcdf.py reads row ranges per task)."""
     ds = h5.datasets[name]
-    buf = h5._buf
+    buf = ds.owner if ds.owner is not None else h5._buf
     if ds.layout == "compact":
         return np.frombuffer(ds.compact, dtype=ds.dtype).reshape(ds.shape)
     if ds.layout == "contiguous":

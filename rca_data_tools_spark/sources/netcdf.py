@@ -251,7 +251,9 @@ def netcdf4_table(
                     f"variable {v!r} chunks its second dimension; expected one "
                     "chunk across it (the reference's wavelength/bin dims are small)"
                 )
-        # plain picklable metadata — never close over H5File (it holds a mmap)
+        # plain picklable metadata — never close over H5File (it holds a
+        # mmap); readers themselves ARE picklable (reopen on deserialize),
+        # so an external-linked variable ships its owning file's reader
         metas[v] = {
             "dtype": ds.dtype,
             "shape": ds.shape,
@@ -261,6 +263,7 @@ def netcdf4_table(
             "chunk_shape": ds.chunk_shape,
             "chunks": ds.chunks,
             "filters": ds.filters,
+            "rd": ds.owner,  # None -> the scanned file's own reader
             # netCDF-4 missing-data convention: _FillValue -> SQL NULL,
             # same contract as the Zarr scan's fill handling
             "fill": ds.attrs.get("_FillValue"),
@@ -309,7 +312,7 @@ def netcdf4_table(
                 hi = min(lo + records_per_task, n_rows)
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
-                    arr = _rows(rd, metas[v], lo, hi).astype(np.float64)
+                    arr = _rows(metas[v]["rd"] or rd, metas[v], lo, hi).astype(np.float64)
                     fill = metas[v]["fill"]
                     if fill is not None and not np.isnan(fill):
                         arr = np.where(arr == fill, np.nan, arr)

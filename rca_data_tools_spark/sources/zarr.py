@@ -27,8 +27,8 @@ codec, so real OOI archives read natively; the pure-Python inner loops are
 ~100x slower than the C codecs, so for repeated scans recompress to zlib on
 ingest), float and int dtypes, 1-D ``(time,)`` and 2-D ``(time, k)``
 variables — the reference's data model (§1.1: 2-D params become array
-columns). Bit-shuffle / snappy blosc chunks raise with a clear message
-rather than silently mis-decoding.
+columns; snappy inner codec via sources/snappy.py). Bit-shuffle blosc
+chunks raise with a clear message rather than silently mis-decoding.
 
 Zarr v3 stores (zarr.json array documents) are normalized onto the same
 decode path: regular chunk grids, `bytes` (either endian) +

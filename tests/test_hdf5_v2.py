@@ -361,7 +361,7 @@ def test_v2_soft_link_chain_depth_capped(tmp_path):
         H5File(p)
 
 
-def test_v2_external_links_raise_with_target(tmp_path):
+def test_v2_external_link_missing_file_raises_with_target(tmp_path):
     from rca_data_tools_spark.sources.hdf5 import H5File
 
     w = _WriterV3()
@@ -374,6 +374,74 @@ def test_v2_external_links_raise_with_target(tmp_path):
         f.write(w.finish(root))
     with pytest.raises(NotImplementedError, match="external link.*other.h5"):
         H5File(p)
+
+
+def _write_target_file(tmp_path, arr) -> str:
+    """A file holding group g with dataset x, plus root dataset y."""
+    w = _WriterV3()
+    ds = _contiguous_ds(w, arr)
+    ds_y = _contiguous_ds(w, arr * 2)
+    g = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("g", g)),
+        _msg2(0x06, _link_msg("y", ds_y)),
+    ]))
+    p = str(tmp_path / "target.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    return p
+
+
+def test_v2_external_link_resolves_sibling_file(tmp_path):
+    """External links resolve against the containing file's directory
+    (libhdf5's default prefix): a dataset target aliases that dataset, a
+    group target imports its subtree, and the imported datasets read their
+    bytes from the TARGET file."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    arr = np.arange(9, dtype="<f8")
+    _write_target_file(tmp_path, arr)
+    w = _WriterV3()
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _external_link_msg("ext_x", "target.h5", "/g/x")),
+        _msg2(0x06, _external_link_msg("ext_g", "target.h5", "/g")),
+        _msg2(0x06, _external_link_msg("ext_all", "target.h5", "/")),
+    ]))
+    p = str(tmp_path / "linker.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    assert set(h5.datasets) == {
+        "ext_x", "ext_g/x", "ext_all/g/x", "ext_all/y",
+    }
+    np.testing.assert_array_equal(read_dataset(h5, "ext_x"), arr)
+    np.testing.assert_array_equal(read_dataset(h5, "ext_g/x"), arr)
+    np.testing.assert_array_equal(read_dataset(h5, "ext_all/y"), arr * 2)
+
+
+def test_v2_external_link_custom_opener(tmp_path):
+    """An explicit opener overrides the same-directory default — the hook
+    an object-store deployment uses to map link names onto its own
+    KeyValueStore layout."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    arr = np.arange(4, dtype="<f8")
+    target = _write_target_file(tmp_path, arr)
+    w = _WriterV3()
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _external_link_msg("ext", "logical-name", "/g/x")),
+    ]))
+    p = str(tmp_path / "linker2.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p, external_opener=lambda n: target if n == "logical-name" else None)
+    np.testing.assert_array_equal(read_dataset(h5, "ext"), arr)
 
 
 def _fixed_array_index(w: _WriterV3, entries: list, filtered: bool) -> int:
