@@ -59,30 +59,36 @@ _ROUND_WINDOW = [
     "text_contamination",
     "calc_nutnr_nitrate",
     "ann_topk_cosine",
-    "ann_threshold_neighbors",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "sample_hash_fraction",
     "sample_stratified",
     "sample_uniform_topk",
     "sample_domain_cap",
-    "sample_split_assign",
     "pack_sequences",
-    "text_token_stats",
     "text_quality_scores",
-    "text_lang_id",
     "text_tfidf_topk",
     "corpus_curation",
     "p9_regex_filter",
     "media_feature_extract",
-    "media_batch_stats",
-    "media_frame_sample",
     "calc_registry_flags",
     "calc_poly_fit",
     "f_nested_cal_arrays",
-    "f_string_parse",
     "f_json_extract",
     "f_math_conversions",
+    # (b'') lifecycle/ingest faces added this round: FIRST driver rows for
+    # the components the coverage table long carried as test-only (S12+ST-4
+    # overwrite, S15 anti-entropy, S13 JSON index, S14 CSV export, S11
+    # catalog resolution, S3/S4 HTTP CSV, S9 HTML scrape, S10 sheet ingest)
+    # — worth more than the 8 r02 sentinels they displace (those stay
+    # cumulative-green from rounds 2-3; every family keeps a sentinel).
+    "sink_partition_overwrite",
+    "sink_stale_reconcile",
+    "sink_json_index_roundtrip",
+    "sink_csv_roundtrip",
+    "catalog_variable_resolution",
+    "ingest_http_csv",
+    "ingest_html_camera_index",
+    "ingest_sheet_hitl",
     # (c) verdict shortlist top-up
     "q7_volume_shipping",
     "q10_returned_items",

@@ -1,0 +1,402 @@
+"""Driver-checkable faces for the output-lifecycle and ingest components
+(SURVEY §2.1 S3/S4, S9-S15, §2.9 ST-4) — the rows the coverage table long
+carried as "test-only by nature".
+
+They are still not *pure* SQL: each face performs its real side effect
+(writes partitioned parquet to a scratch dir, serves bytes over a live
+localhost HTTP socket, deletes stale files) and then RETURNS the read-back
+or reconciliation result as a DataFrame, while the oracle derives the same
+expected content independently in DuckDB — from the same parquet tables
+for the sink lifecycles, or as an explicit expected-literal table for the
+ingest parsers (the golden-answer pattern of tests/test_hdf5_golden.py:
+the engine parses raw bytes/HTML/CSV, the oracle states what a correct
+parse must produce). A hash match therefore certifies the WHOLE lifecycle
+— write + layout + read-back typing, or fetch + parse + typing — not just
+a query plan.
+
+Scratch directories are fresh per invocation (tempfile) and left for the
+OS to reap, so driver runs and pytest parity runs never interfere.
+
+Reference lifecycle being modeled: regenerate-one-(site,span) refresh with
+stale-output deletion and index rebuild (rca_data_tools/qaqc/plots.py:
+438-560, qaqc/index.py:20-51, qaqc/visual_data.py:40-83, qaqc/notes.py:
+52-63).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table, read_csv
+
+_CUTOFF = "2024-01-16"
+
+
+def _daily(e: DataFrame) -> DataFrame:
+    return e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), refresh_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events WHERE value > 50 GROUP BY 1, 2
+)
+SELECT d, event_type, n, n_users FROM full_run WHERE d < '{_CUTOFF}'
+UNION ALL
+SELECT d, event_type, n, n_users FROM refresh_run WHERE d >= '{_CUTOFF}'
+""",
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 + ST-4 end-to-end: write the full daily rollup partitioned by
+    day, then OVERWRITE only the days >= cutoff with a reprocessed rollup
+    (dynamic partition overwrite — untouched partitions must survive), and
+    return the read-back of the final directory. The oracle stitches the
+    same final state from the two logical runs, so a hash match proves the
+    overwrite replaced exactly the refreshed partitions."""
+    from rca_data_tools_spark.sources.sinks import write_partitioned
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="rca_sink_parts_")
+    write_partitioned(_daily(e), out, ["d"])
+    write_partitioned(
+        _daily(e.filter(F.col("value") > 50)).filter(F.col("d") >= _CUTOFF),
+        out,
+        ["d"],
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        F.col("d").cast("string").alias("d"), "event_type", "n", "n_users"
+    )
+
+
+@query(
+    "sink_stale_reconcile",
+    oracle="""
+WITH all_days AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS d FROM events
+), produced_days AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+  FROM events GROUP BY 1 HAVING COUNT(*) >= 340
+)
+SELECT 'plots/' || d || '.png' AS key
+FROM (SELECT d FROM all_days EXCEPT SELECT d FROM produced_days)
+""",
+)
+def sink_stale_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 anti-entropy: materialize one real output file per day of the
+    previous run, reconcile against the freshly produced key set (days
+    that still clear the volume bar), and return the keys the pass
+    actually DELETED from disk — the left-anti set, verified against
+    DuckDB's EXCEPT over the same derivations."""
+    from rca_data_tools_spark.sources.sinks import reconcile_outputs
+
+    e = load_table(spark, sf_dir, "events")
+    days = [r["d"] for r in e.select(F.to_date("ts").cast("string").alias("d")).distinct().collect()]
+    out = tempfile.mkdtemp(prefix="rca_sink_recon_")
+    os.makedirs(os.path.join(out, "plots"), exist_ok=True)
+    for d in days:  # listing-scale: one tiny file per day partition
+        with open(os.path.join(out, "plots", f"{d}.png"), "wb") as f:
+            f.write(b"png")
+    produced = (
+        e.groupBy(F.to_date("ts").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 340)
+        .select(F.concat(F.lit("plots/"), "d", F.lit(".png")).alias("key"))
+    )
+    deleted = reconcile_outputs(spark, out, produced)
+    return spark.createDataFrame([(k,) for k in deleted], "key string")
+
+
+@query(
+    "sink_json_index_roundtrip",
+    oracle="""
+SELECT 'plots/' || CAST(CAST(ts AS DATE) AS VARCHAR) || '.png' AS key,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def sink_json_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: build the per-day output index, write it through the JSON index
+    sink, and return what a consumer READS BACK from the JSON files — the
+    round trip (types included) is what the hash certifies."""
+    from rca_data_tools_spark.sources.sinks import write_index_json
+
+    e = load_table(spark, sf_dir, "events")
+    idx = e.groupBy(
+        F.concat(F.lit("plots/"), F.to_date("ts").cast("string"), F.lit(".png")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = os.path.join(tempfile.mkdtemp(prefix="rca_sink_json_"), "index")
+    write_index_json(idx, out)
+    return spark.read.json(out).select("key", "n_events")
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM events GROUP BY 1
+""",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: the CSV export sink (header + typed read-back through the same
+    engine schema — the reference's HITL/index CSV outputs)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="rca_sink_csv_"), "export")
+    stats.write.mode("overwrite").option("header", "true").csv(out)
+    return read_csv(
+        spark,
+        out,
+        "event_type string, n bigint, n_users bigint, first_event bigint, last_event bigint",
+    )
+
+
+_CONFIG_CSV = (
+    "canonical,candidates\n"
+    "temperature,seawater_temperature|temp_b\n"
+    "pressure,pres_x|pres_y\n"
+)
+
+
+@query(
+    "catalog_variable_resolution",
+    oracle="""
+WITH data AS (
+  SELECT CASE WHEN event_type = 'click' THEN value END AS temp_b,
+         CASE WHEN event_type = 'view' THEN value END AS pres_x,
+         CASE WHEN event_type IN ('view', 'purchase') THEN value * 2 END AS pres_y
+  FROM events
+)
+SELECT 'temperature' AS canonical, 'temp_b' AS resolved_from,
+       COUNT(temp_b) AS n_nonnull,
+       MIN(ROUND(temp_b, 6)) AS min_v, MAX(ROUND(temp_b, 6)) AS max_v
+FROM data
+UNION ALL
+SELECT 'pressure', 'pres_x|pres_y',
+       COUNT(COALESCE(pres_x, pres_y)),
+       MIN(ROUND(COALESCE(pres_x, pres_y), 6)),
+       MAX(ROUND(COALESCE(pres_x, pres_y), 6))
+FROM data
+""",
+)
+def catalog_variable_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: config CSV -> broadcast dim -> per-dataset variable resolution
+    (the SURVEY §7 'dynamic schema resolution' hard part). The candidate
+    lists come from a config CSV loaded through the catalog (written to
+    scratch, parsed by the engine's CSV path); 'temperature' exercises the
+    first-present-candidate pick (its first candidate is absent from the
+    dataset), 'pressure' the multi-present coalesce-in-priority-order path.
+    Reference: params/variableMap.csv resolution at qaqc/plots.py:220-232."""
+    from rca_data_tools_spark.catalog import (
+        load_config_csv,
+        resolve_or_coalesce,
+    )
+
+    cfg_path = os.path.join(tempfile.mkdtemp(prefix="rca_cfg_"), "variableMap.csv")
+    with open(cfg_path, "w") as f:
+        f.write(_CONFIG_CSV)
+    cfg = load_config_csv(spark, cfg_path, "canonical string, candidates string")
+    config_rows = cfg.collect()  # config-sized dim: rows ARE the plan input
+
+    e = load_table(spark, sf_dir, "events")
+    data = e.select(
+        F.when(F.col("event_type") == "click", F.col("value")).alias("temp_b"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("pres_x"),
+        F.when(
+            F.col("event_type").isin("view", "purchase"), F.col("value") * 2
+        ).alias("pres_y"),
+    )
+    parts = []
+    for row in config_rows:
+        cands = row["candidates"].split("|")
+        col = resolve_or_coalesce(data, cands)
+        resolved_from = "|".join(c for c in cands if c in data.columns)
+        parts.append(
+            data.agg(
+                F.count(col).alias("n_nonnull"),
+                F.min(F.round(col, 6)).alias("min_v"),
+                F.max(F.round(col, 6)).alias("max_v"),
+            ).select(
+                F.lit(row["canonical"]).alias("canonical"),
+                F.lit(resolved_from).alias("resolved_from"),
+                "n_nonnull",
+                "min_v",
+                "max_v",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_DEPLOY_CSV = (
+    "ref_des,deployment,start_ts,stop_ts,depth_m\n"
+    "CE04OSBP-LJ01C-06-CTDBPO108,4,2021-06-20T10:00:00,2022-07-01T00:00:00,581.0\n"
+    "CE04OSBP-LJ01C-06-CTDBPO108,5,2022-07-01T12:30:00,,581.0\n"
+    "RS01SBPS-SF01A-2A-CTDPFA102,9,2023-08-15T06:15:00,2024-06-30T23:59:59,29.5\n"
+    "RS03AXPS-SF03A-2A-CTDPFA302,7,2023-09-01T00:00:00,,195.0\n"
+)
+
+
+@query(
+    "ingest_http_csv",
+    oracle="""
+SELECT * FROM (VALUES
+  ('CE04OSBP-LJ01C-06-CTDBPO108', 4, TIMESTAMP '2021-06-20 10:00:00',
+   TIMESTAMP '2022-07-01 00:00:00', 581.0),
+  ('CE04OSBP-LJ01C-06-CTDBPO108', 5, TIMESTAMP '2022-07-01 12:30:00',
+   NULL, 581.0),
+  ('RS01SBPS-SF01A-2A-CTDPFA102', 9, TIMESTAMP '2023-08-15 06:15:00',
+   TIMESTAMP '2024-06-30 23:59:59', 29.5),
+  ('RS03AXPS-SF03A-2A-CTDPFA302', 7, TIMESTAMP '2023-09-01 00:00:00',
+   NULL, 195.0)
+) AS t(ref_des, deployment, start_ts, stop_ts, depth_m)
+""",
+)
+def ingest_http_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: the deployments-table ingest — fetch a CSV over a LIVE HTTP
+    socket (localhost server stood up for the duration of the fetch), land
+    it, and parse through the engine's schema-first CSV path: typed
+    timestamps, open-ended deployments (empty stop) as NULL. The oracle is
+    the expected-literal table a correct fetch+parse must produce."""
+    import http.server
+    import threading
+    import urllib.request
+
+    payload = _DEPLOY_CSV.encode()
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/deployments.csv"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            body = r.read()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    local = os.path.join(tempfile.mkdtemp(prefix="rca_http_csv_"), "deployments.csv")
+    with open(local, "wb") as f:
+        f.write(body)
+    return read_csv(
+        spark,
+        local,
+        "ref_des string, deployment int, start_ts timestamp, stop_ts timestamp, depth_m double",
+    )
+
+
+_CAM_LISTING = """<html><body><pre>
+<a href="/rawdata/CAMDSB103/">Parent Directory</a>                        -
+<a href="CAMDSB103_20240105T000000.jpg">CAMDSB103_20240105T000000.jpg</a> 2024-01-05 00:01  1.2M
+<a href="CAMDSB103_20240105T010000.jpg">CAMDSB103_20240105T010000.jpg</a> 2024-01-05 01:01  340K
+<a href="CAMDSB103_20240105T020000.jpg">CAMDSB103_20240105T020000.jpg</a> 2024-01-05 02:01  bogus
+</pre></body></html>"""
+
+_CAMHD_LISTING = """<html><body><pre>
+<a href="/rawdata/CAMHDA301/">Parent Directory</a>  -
+<a href="CAMHDA301_video.mp4">CAMHDA301_video.mp4</a> 2024-01-06 00:01  2.1G
+<a href="CAMHDA301_video.mp4.md5">CAMHDA301_video.mp4.md5</a> 2024-01-06 00:01  33
+<a href="CAMHDA301_still.jpg">CAMHDA301_still.jpg</a> 2024-01-06 00:02  900K
+</pre></body></html>"""
+
+
+@query(
+    "ingest_html_camera_index",
+    oracle="""
+SELECT * FROM (VALUES
+  ('https://cam/CAMDSB103/', 'CAMDSB103_20240105T000000.jpg', '1.2M',
+   TIMESTAMP '2024-01-05 00:00:00', 1.2 * (1000000.0 / 1048576.0), 'not_blank'),
+  ('https://cam/CAMDSB103/', 'CAMDSB103_20240105T010000.jpg', '340K',
+   TIMESTAMP '2024-01-05 00:00:00', 340.0 * (1000.0 / 1048576.0), 'possibly_blank'),
+  ('https://cam/CAMDSB103/', 'CAMDSB103_20240105T020000.jpg', 'bogus',
+   TIMESTAMP '2024-01-05 00:00:00', NULL, 'not_blank'),
+  ('https://rawdata/CAMHDA301/', 'CAMHDA301_still.jpg', '900K',
+   TIMESTAMP '2024-01-06 00:00:00', 900.0 * (1000.0 / 1048576.0), 'possibly_blank')
+) AS t(base_url, img_name, size, date_taken, size_mb, image_status)
+""",
+)
+def ingest_html_camera_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the camera-archive HTML index scrape — two day pages (a stills
+    camera and a CAMHD archive whose mp4/md5 sidecars must drop) parse
+    distributed through mapInPandas; sizes convert with humanfriendly
+    semantics (decimal k=1000 reported in MiB), sub-cutoff images flag
+    ``possibly_blank`` and unparseable sizes stay ``not_blank``
+    (visual_data.py:76-79). Oracle = the expected-literal parse."""
+    from rca_data_tools_spark.sources.ingest import ingest_camera_index
+
+    pages = spark.createDataFrame(
+        [
+            ("https://cam/CAMDSB103/", "2024/01/05/", _CAM_LISTING),
+            ("https://rawdata/CAMHDA301/", "2024/01/06/", _CAMHD_LISTING),
+        ],
+        "base_url string, str_date string, html string",
+    )
+    return ingest_camera_index(spark, pages, img_size_cutoff_mb=1.0)
+
+
+_HITL_SHEETS = {
+    "CTDBP": [
+        {"Stage": "2", "Flag": "1,4", "Unnamed: 3": "junk", "Note": "drift, then ok"},
+        {"Stage": "3", "Flag": "9", "Unnamed: 3": "junk2", "Note": None},
+    ],
+    "PHSEN": [
+        {"Stage": "1", "Note": "biofouling suspected"},
+    ],
+}
+
+
+@query(
+    "ingest_sheet_hitl",
+    oracle="""
+SELECT * FROM (VALUES
+  ('CTDBP', 'Stage', 0, '2'),
+  ('CTDBP', 'Stage', 1, '3'),
+  ('CTDBP', 'Flag', 0, '1.4'),
+  ('CTDBP', 'Flag', 1, '9'),
+  ('CTDBP', 'Note', 0, 'drift. then ok'),
+  ('PHSEN', 'Stage', 0, '1'),
+  ('PHSEN', 'Note', 0, 'biofouling suspected')
+) AS t(sheet, field, record_idx, value)
+""",
+)
+def ingest_sheet_hitl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: HITL spreadsheet ingest — Unnamed columns dropped, records
+    transposed to long form, comma->dot cleanup, absent keys (None/NaN)
+    skipped (notes.py:52-63). Oracle = the expected-literal long form."""
+    from rca_data_tools_spark.sources.ingest import ingest_hitl_sheets
+
+    return ingest_hitl_sheets(spark, _HITL_SHEETS)
