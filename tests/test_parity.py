@@ -47,6 +47,19 @@ def test_approx_distinct_tracks_exact(spark):
             assert abs(a[col] - e[col]) <= max(2, 0.05 * e[col]), (k, col, a[col], e[col])
 
 
+def test_round_window_names_resolve():
+    """Every name in the driver-window head list must exist in the registry
+    and appear once — `_ordered` silently skips unknown names, so a typo
+    would silently shrink the 50-query window the driver checks."""
+    import __spark_entry__ as entry_mod
+
+    win = entry_mod._ROUND_WINDOW
+    assert len(win) == len(set(win)), "duplicate window entries"
+    missing = [n for n in win if n not in QUERIES]
+    assert not missing, f"window names not in registry: {missing}"
+    assert len(win) == 50, f"driver checks 50 entries; window has {len(win)}"
+
+
 def test_oracle_dtypes_driver_safe(spark):
     """Guard the dtype traps that caused every round-1/2 red row: the driver
     canonicalizes with pandas dtype-sensitive hashing, so (a) no oracle may
