@@ -361,6 +361,24 @@ def test_v2_soft_link_chain_depth_capped(tmp_path):
         H5File(p)
 
 
+def test_v2_mutual_soft_link_cycle_terminates(tmp_path):
+    """Two soft links resolving through each other (A -> B -> A -> ...)
+    must hit the chain-depth cap, not loop forever."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _soft_link_msg("a", "/b")),
+        _msg2(0x06, _soft_link_msg("b", "/a")),
+    ]))
+    p = str(tmp_path / "soft_mutual.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="soft-link chain"):
+        H5File(p)
+
+
 def test_v2_external_link_missing_file_raises_with_target(tmp_path):
     from rca_data_tools_spark.sources.hdf5 import H5File
 
@@ -985,7 +1003,25 @@ def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
         ]))
         return w.finish(root)
 
-    bases += [_ea_base(), _bt2_base()]
+    def _links_base() -> bytes:
+        # soft + external links join the fuzz pool: flipped type/length/
+        # target bytes must stay typed (UnicodeDecodeError is a ValueError)
+        w = _WriterV3()
+        ds = _contiguous_ds(w, np.arange(6, dtype="<f8"))
+        g = w.append(_ohdr2([
+            _msg2(0x02, _link_info()),
+            _msg2(0x06, _link_msg("x", ds)),
+        ]))
+        root = w.append(_ohdr2([
+            _msg2(0x02, _link_info()),
+            _msg2(0x06, _link_msg("g", g)),
+            _msg2(0x06, _soft_link_msg("s", "/g/x")),
+            _msg2(0x06, _soft_link_msg("chain", "s")),
+            _msg2(0x06, _external_link_msg("ext", "absent.h5", "/y")),
+        ]))
+        return w.finish(root)
+
+    bases += [_ea_base(), _bt2_base(), _links_base()]
     rng = random.Random(99)
     for _ in range(400):
         blob = bytearray(rng.choice(bases))
