@@ -218,6 +218,28 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_expr(a, b):
+    """Exact Jaccard of two set-valued array columns, rounded at the
+    engine-parity scale — THE verify formula: every face (batch pairwise,
+    incremental batch-vs-corpus, streaming) composes this one expression,
+    so a threshold/rounding change cannot silently drift between them and
+    their SQL oracles."""
+    n_inter = F.size(F.array_intersect(a, b))
+    return F.round(n_inter / (F.size(a) + F.size(b) - n_inter), 6)
+
+
+def signature_agreement_expr(k: int, a_name, b_name):
+    """Estimated Jaccard = fraction of agreeing minhash components;
+    ``a_name``/``b_name`` format the per-component column names (e.g.
+    ``'a{i}'``). Shared by the batch estimate_filter and the streaming
+    in-join residual predicate."""
+    agree = sum(
+        F.when(F.col(a_name.format(i=i)) == F.col(b_name.format(i=i)), 1).otherwise(0)
+        for i in range(k)
+    )
+    return agree / F.lit(k)
+
+
 def verify_jaccard(
     cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
@@ -238,8 +260,7 @@ def verify_jaccard(
         sh = sh.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
     s1 = sh.select(F.col(id_col).alias("id1"), F.col(set_col).alias("shs1"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col(set_col).alias("shs2"))
-    n_inter = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))
-    jac = F.round(n_inter / (F.size("shs1") + F.size("shs2") - n_inter), 6)
+    jac = jaccard_expr(F.col("shs1"), F.col("shs2"))
     return (
         s1.join(F.broadcast(cand), "id1")
         .join(s2, "id2")
@@ -262,11 +283,10 @@ def estimate_filter(
     what survives a corpus whose signature table itself is tens of GB."""
     s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
     s2 = sig.select(F.col(id_col).alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
-    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k))
     return (
         s1.join(F.broadcast(cand), "id1")
         .join(s2, "id2")
-        .withColumn("est", agree / F.lit(k))
+        .withColumn("est", signature_agreement_expr(k, "a{i}", "b{i}"))
         .filter(F.col("est") >= min_estimate)
         .select("id1", "id2")
     )
@@ -336,8 +356,12 @@ def incremental_neardup(
     table + quadratic work confined to actual band collisions, exactly the
     LSH contract; nothing corpus-sized shuffles and nothing is O(corpus x
     batch)."""
-    ex_hash = shingle_hashes(shingle_arrays(existing, id_col, text_col), id_col)
-    in_hash = shingle_hashes(shingle_arrays(incoming, id_col, text_col), id_col)
+    # each hash table feeds two plan branches (banding + verify arrays):
+    # persist, or the full shingle+md5 pipeline recomputes per consumer —
+    # the exact cost the streaming face measured as minutes-vs-seconds at
+    # 10x (streaming/joins.py) and minhash_dedup_pairs persists against
+    ex_hash = shingle_hashes(shingle_arrays(existing, id_col, text_col), id_col).persist()
+    in_hash = shingle_hashes(shingle_arrays(incoming, id_col, text_col), id_col).persist()
     ex_bands = lsh_banded(minhash_signatures(ex_hash, id_col), id_col)
     in_bands = lsh_banded(minhash_signatures(in_hash, id_col), id_col)
     cand = (
@@ -351,14 +375,10 @@ def incremental_neardup(
     )
     s_new = in_hash.select(F.col(id_col).alias("new_id"), F.col("h60").alias("h_new"))
     s_old = ex_hash.select(F.col(id_col).alias("old_id"), F.col("h60").alias("h_old"))
-    n_inter = F.size(F.array_intersect(F.col("h_new"), F.col("h_old")))
-    jac = F.round(
-        n_inter / (F.size("h_new") + F.size("h_old") - n_inter), 6
-    )
     scored = (
         s_old.join(F.broadcast(cand), "old_id")
         .join(F.broadcast(s_new), "new_id")
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", jaccard_expr(F.col("h_new"), F.col("h_old")))
         .filter(F.col("jaccard") >= threshold)
     )
     best = scored.groupBy("new_id").agg(

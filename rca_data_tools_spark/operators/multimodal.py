@@ -244,7 +244,8 @@ def extract_audio_features(media: DataFrame, id_col: str = "doc_id") -> DataFram
             )}
             for did, b in zip(pdf[id_col], pdf["media_bytes"]):
                 nch, rate, n, frames = decode_audio(bytes(b))
-                assert nch == 1
+                if nch != 1:  # a stripped assert would mis-read stereo
+                    raise ValueError(f"expected mono WAV, got {nch} channels")
                 c = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
                 neg = c < 0
                 rows["doc_id"].append(did)
@@ -318,7 +319,8 @@ def extract_audio_frames(
             )}
             for did, b in zip(pdf[id_col], pdf["media_bytes"]):
                 nch, rate, n, frames = decode_audio(bytes(b))
-                assert nch == 1
+                if nch != 1:  # a stripped assert would mis-read stereo
+                    raise ValueError(f"expected mono WAV, got {nch} channels")
                 c = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
                 for fi in range(0, (n + frame_len - 1) // frame_len):
                     f = c[fi * frame_len : (fi + 1) * frame_len]

@@ -215,17 +215,42 @@ def lsh_neardup_pairs(
 
 # --- IVF (inverted-file) index ---------------------------------------------
 
+def _strided_seed_ids(
+    corpus: DataFrame, id_col: str, n_seeds: int, stride: int
+) -> list:
+    """Ids of every ``stride``-th corpus vector in id RANK order — not id
+    arithmetic, so the selection works on any id space (offset, sparse,
+    hashed), not just dense 0-based ids (where the two coincide). The head
+    scan is a TopK sort-limit of stride*n_seeds skinny rows; the returned
+    list is index-sized (<= n_seeds)."""
+    head = [
+        r[0]
+        for r in corpus.select(id_col).orderBy(id_col).limit(stride * n_seeds).collect()
+    ]
+    return head[::stride]
+
+
 def ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_lists: int, stride: int
 ) -> DataFrame:
-    """Deterministic coarse-quantizer seeds: every ``stride``-th corpus vector,
-    n_lists of them -> (cid, cvec). Production would refine these with a few
-    Lloyd iterations (each iteration = one broadcast-assign + groupBy mean,
-    both scale-flat); the seed rule is kept closed-form here so any engine —
-    including the DuckDB oracle — reproduces the index bit-for-bit."""
-    return corpus.filter(
-        (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * n_lists)
-    ).select((F.col(id_col) / stride).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
+    """Deterministic coarse-quantizer seeds: every ``stride``-th corpus vector
+    in id-rank order, n_lists of them -> (cid, cvec). Production would refine
+    these with a few Lloyd iterations (each iteration = one broadcast-assign
+    + groupBy mean, both scale-flat); the seed rule is kept closed-form here
+    so any engine — including the DuckDB oracle, which replays it as a
+    ROW_NUMBER selection — reproduces the index bit-for-bit."""
+    seed_ids = _strided_seed_ids(corpus, id_col, n_lists, stride)
+    if not seed_ids:
+        return corpus.filter(F.lit(False)).select(
+            F.lit(0).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    cid_map = F.create_map(
+        *[F.lit(x) for i, sid in enumerate(seed_ids) for x in (sid, i)]
+    )
+    return corpus.filter(F.col(id_col).isin(seed_ids)).select(
+        cid_map[F.col(id_col)].cast("long").alias("cid"),
+        F.col(vec_col).alias("cvec"),
+    )
 
 
 def ivf_assign(
@@ -458,16 +483,22 @@ def pq_codebook(
     dim: int = 64, m: int = PQ_M, k: int = PQ_K, stride: int = PQ_STRIDE,
 ) -> list:
     """Deterministic codebook rows (m, j, cvec): codeword j of subspace mi is
-    the mi-th subvector of corpus vector id j*stride. Closed-form seeds keep
-    the index bit-reproducible in any engine (the ivf_centroids stance);
-    production would refine each subspace codebook with Lloyd iterations,
-    which are scale-flat (broadcast assign + groupBy mean per subspace).
-    Config-sized (m*k rows) -> collected into plan-time constants."""
+    the mi-th subvector of the corpus vector at id-RANK j*stride (rank, not
+    id arithmetic — works on any id space; see _strided_seed_ids). Closed-
+    form seeds keep the index bit-reproducible in any engine (the
+    ivf_centroids stance); production would refine each subspace codebook
+    with Lloyd iterations, which are scale-flat (broadcast assign + groupBy
+    mean per subspace). Config-sized (m*k rows) -> collected into plan-time
+    constants."""
     sub = dim // m
-    seeds = corpus.filter(
-        (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * k)
-    ).select(
-        (F.col(id_col) / stride).cast("long").alias("j"),
+    seed_ids = _strided_seed_ids(corpus, id_col, k, stride)
+    if not seed_ids:
+        return []
+    j_map = F.create_map(
+        *[F.lit(x) for j, sid in enumerate(seed_ids) for x in (sid, j)]
+    )
+    seeds = corpus.filter(F.col(id_col).isin(seed_ids)).select(
+        j_map[F.col(id_col)].cast("long").alias("j"),
         to_double_array(vec_col).alias("v"),
     )
     rows = seeds.select(
@@ -491,7 +522,11 @@ def _pq_arrays(cb_rows: list, m: int, k: int):
     import numpy as np
 
     sub = len(cb_rows[0]["cvec"])
-    C = np.zeros((m, k, sub))
+    # a short corpus yields fewer than k seed codewords: size the codebook
+    # to what exists, never zero-pad (a zero codeword could win an argmin
+    # the oracle, which only scores existing rows, would never score)
+    k_eff = min(k, max(int(r["j"]) for r in cb_rows) + 1)
+    C = np.zeros((m, k_eff, sub))
     for r in cb_rows:
         C[int(r["m"]), int(r["j"])] = [float(x) for x in r["cvec"]]
     return C, sub
@@ -511,6 +546,7 @@ def pq_encode(
     from pyspark.sql.types import ArrayType, LongType
 
     C, sub = _pq_arrays(cb_rows, m, k)
+    k_eff = C.shape[1]
 
     def _enc(emb):
         if len(emb) == 0:
@@ -519,7 +555,7 @@ def pq_encode(
         n = mat.shape[0]
         codes = np.zeros((n, m), dtype=np.int64)
         for mi in range(m):
-            acc = np.zeros((n, k))
+            acc = np.zeros((n, k_eff))
             for d in range(sub):  # sequential == the SQL fold's add order
                 diff = mat[:, mi * sub + d][:, None] - C[mi, :, d][None, :]
                 acc += diff * diff
@@ -571,12 +607,13 @@ def pq_adc_topk(
             "cos_sim double, rank int",
         )
     C, sub = _pq_arrays(cb_rows, m, n_codes)
+    k_eff = C.shape[1]
     q_ids = [q[0] for q in q_rows]
     Q = np.array([q[1] for q in q_rows])  # (nq, dim)
     nq = Q.shape[0]
-    lut = np.zeros((nq, m, n_codes))
+    lut = np.zeros((nq, m, k_eff))
     for mi in range(m):
-        acc = np.zeros((nq, n_codes))
+        acc = np.zeros((nq, k_eff))
         for d in range(sub):
             diff = Q[:, mi * sub + d][:, None] - C[mi, :, d][None, :]
             acc += diff * diff

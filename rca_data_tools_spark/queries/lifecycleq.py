@@ -58,7 +58,11 @@ WITH full_run AS (
          COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
   FROM events WHERE value > 50 GROUP BY 1, 2
 )
-SELECT d, event_type, n, n_users FROM full_run WHERE d < '{_CUTOFF}'
+-- dynamic-overwrite semantics exactly: a partition survives unless the
+-- refresh PRODUCED rows for it — a day >= cutoff where no event clears
+-- value > 50 writes no partition and therefore keeps its full-run rows
+SELECT d, event_type, n, n_users FROM full_run
+WHERE d NOT IN (SELECT DISTINCT d FROM refresh_run WHERE d >= '{_CUTOFF}')
 UNION ALL
 SELECT d, event_type, n, n_users FROM refresh_run WHERE d >= '{_CUTOFF}'
 """,

@@ -217,8 +217,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic",
     oracle=f"""
 WITH cents AS (
-  SELECT CAST(vec_id / 29 AS BIGINT) AS cid, embedding AS cvec
-  FROM embeddings WHERE vec_id % 29 = 0 AND vec_id < 29 * 16
+  SELECT CAST((rn - 1) / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE (rn - 1) % 29 = 0 AND rn <= 29 * 16
 ), lists AS (
   SELECT vec_id, embedding, cid, sim AS cent_sim FROM (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -328,8 +330,10 @@ def a7_array_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=f"""
 WITH cents AS (
-  SELECT CAST(vec_id / 29 AS BIGINT) AS cid, embedding AS cvec
-  FROM embeddings WHERE vec_id % 29 = 0 AND vec_id < 29 * 16
+  SELECT CAST((rn - 1) / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE (rn - 1) % 29 = 0 AND rn <= 29 * 16
 ), lists AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -433,8 +437,10 @@ def _kmeans_means_sql(src: str, dim: int = 64) -> str:
 
 _KMEANS_ORACLE = f"""
 WITH cents0 AS MATERIALIZED (
-  SELECT CAST(vec_id / 37 AS BIGINT) AS cid, embedding AS cvec
-  FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 37 * 8
+  SELECT CAST((rn - 1) / 37 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE (rn - 1) % 37 = 0 AND rn <= 37 * 8
 ),
 a1 AS MATERIALIZED {_kmeans_assign_sql('embeddings', 'cents0')},
 cents1 AS MATERIALIZED {_kmeans_means_sql('a1')},
@@ -585,10 +591,11 @@ WITH v AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
 ),
 cb AS (
-  SELECT g.m AS m, CAST(vec_id // 23 AS BIGINT) AS j,
+  SELECT g.m AS m, CAST((rn - 1) // 23 AS BIGINT) AS j,
          list_slice(v, g.m*16+1, g.m*16+16) AS cvec
-  FROM v, unnest(generate_series(0, 3)) AS g(m)
-  WHERE vec_id % 23 = 0 AND vec_id < {23 * 16}
+  FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v),
+       unnest(generate_series(0, 3)) AS g(m)
+  WHERE (rn - 1) % 23 = 0 AND rn <= {23 * 16}
 ),
 encd AS (
   SELECT v.vec_id, cb.m, cb.j,

@@ -305,7 +305,9 @@ class HttpStore(KeyValueStore):
 
     def exists(self, key: str) -> bool:
         """HEAD, not GET — a metadata probe must not download the blob.
-        Servers that reject HEAD (405/501) fall back to one GET."""
+        A HEAD rejected with anything but 404 (405/501 method-not-allowed,
+        but also 403 from GET-only presigned URLs) falls back to one GET,
+        so no store that can serve get() ever fails exists()."""
         import urllib.error
 
         try:
@@ -314,15 +316,13 @@ class HttpStore(KeyValueStore):
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return False
-            if e.code in (405, 501):
-                try:
-                    with self._open(key):
-                        return True
-                except urllib.error.HTTPError as e2:
-                    if e2.code == 404:
-                        return False
-                    raise
-            raise
+            try:
+                with self._open(key):
+                    return True
+            except urllib.error.HTTPError as e2:
+                if e2.code == 404:
+                    return False
+                raise
 
 
 _FSSPEC_SCHEMES = ("s3://", "gs://", "az://", "abfs://", "memory://", "ftp://")

@@ -343,6 +343,14 @@ class H5File:
                 for k, d in ext.datasets.items()
                 if not key or k.startswith(key + "/")
             }
+            if key and not found:
+                # the target FILE opened but names no such object: loud, not
+                # a silent skip — unlike a dangling soft link (same-file,
+                # listable), this is cross-file and h5py raises on access
+                raise ValueError(
+                    f"HDF5 external link {name!r}: no object {objpath!r} "
+                    f"in {fname!r} (has: {sorted(ext.datasets)})"
+                )
         for k, d in found.items():
             if d.owner is None:
                 d.owner = ext._buf

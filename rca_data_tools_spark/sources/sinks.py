@@ -137,7 +137,9 @@ def write_clustered(
         F.min(a).alias("alo"), F.max(a).alias("ahi"),
         F.min(b).alias("blo"), F.max(b).alias("bhi"),
     ).collect()[0]
-    if bounds["alo"] is None:  # empty input: write the empty frame as-is
+    if any(bounds[c] is None for c in ("alo", "ahi", "blo", "bhi")):
+        # empty input, or a clustering column that is entirely NULL — there
+        # is no range to bin against either way: write the frame as-is
         df.write.mode("overwrite").format(fmt).save(path)
         return
     zk = zorder_key(

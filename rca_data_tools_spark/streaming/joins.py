@@ -143,7 +143,10 @@ def stream_neardup_matches(
 
     k = MINHASH_K
     sig_cols = tuple(f"h{i}" for i in range(k))
-    ex_sig = minhash_signatures(ex_hash, id_col).persist()
+    # not persisted: consumed exactly once (by the band table build below,
+    # which IS persisted) — caching it would pin 16 longs per corpus doc
+    # for the stream's lifetime with no second reader
+    ex_sig = minhash_signatures(ex_hash, id_col)
     # The corpus band table carries its 16 signature longs (128 bytes/row,
     # static), so the estimate filter evaluates INSIDE the band join as a
     # residual predicate — collision rows that fail signature agreement
@@ -194,14 +197,13 @@ def stream_neardup_matches(
     # ~0.12, so true positives survive w.h.p.) as part of the join
     # condition; the SQL oracle replays the same pruning so parity is
     # exact, not probabilistic.
-    agree = sum(
-        F.when(F.col(f"n{i}") == F.col(f"o{i}"), 1).otherwise(0) for i in range(k)
-    )
+    from rca_data_tools_spark.operators.dedup import signature_agreement_expr
+
     cond = (
         (in_bands["band_id"] == ex_bands["band_id"])
         & (in_bands["band_sig"] == ex_bands["band_sig"])
         & (F.col("new_id") != F.col("old_id"))
-        & (agree / k >= max(0.0, threshold - 0.25))
+        & (signature_agreement_expr(k, "n{i}", "o{i}") >= max(0.0, threshold - 0.25))
     )
     pruned = (
         in_bands.join(ex_bands, cond)
@@ -213,11 +215,11 @@ def stream_neardup_matches(
     ex_verify = ex_hash.select(
         F.col(id_col).alias("old_id"), F.col("h60").alias("h_old")
     )
+    from rca_data_tools_spark.operators.dedup import jaccard_expr
+
     joined = pruned.join(ex_verify, "old_id")
-    n_inter = F.size(F.array_intersect(F.col("h_new"), F.col("h_old")))
-    jac = F.round(n_inter / (F.size("h_new") + F.size("h_old") - n_inter), 6)
     return (
-        joined.withColumn("jaccard", jac)
+        joined.withColumn("jaccard", jaccard_expr(F.col("h_new"), F.col("h_old")))
         .filter(F.col("jaccard") >= threshold)
         .select("band_id", "new_id", "old_id", "jaccard")
     )

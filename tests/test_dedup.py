@@ -365,6 +365,53 @@ def test_pq_topk_recall_and_structure(spark):
     assert recalls[32] <= recalls[64] <= recalls[128], recalls
 
 
+def test_index_seeds_survive_offset_id_space(spark):
+    """Seed selection for IVF centroids and PQ codebooks is id-RANK based,
+    so an id space that starts at 1,000,000 (or is sparse) builds the SAME
+    index as the dense 0-based one — the id-arithmetic form silently built
+    an empty codebook and returned zero neighbors for a non-empty corpus."""
+    from rca_data_tools_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        pq_adc_topk,
+        pq_codebook,
+    )
+
+    e = load_table(spark, SF_CORRECTNESS, "embeddings")
+    off = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+
+    cb0 = pq_codebook(e, "vec_id", "embedding")
+    cb1 = pq_codebook(off, "vec_id", "embedding")
+    assert len(cb0) == len(cb1) > 0
+    assert {(r["m"], r["j"]) for r in cb0} == {(r["m"], r["j"]) for r in cb1}
+    assert [r["cvec"] for r in sorted(cb0, key=lambda r: (r["m"], r["j"]))] == [
+        r["cvec"] for r in sorted(cb1, key=lambda r: (r["m"], r["j"]))
+    ]
+
+    c0 = {(r["cid"], tuple(r["cvec"])) for r in ivf_centroids(e, "vec_id", "embedding", 16, 29).collect()}
+    c1 = {(r["cid"], tuple(r["cvec"])) for r in ivf_centroids(off, "vec_id", "embedding", 16, 29).collect()}
+    assert c0 == c1 and len(c0) == 16
+
+    q_off = off.filter(F.col("vec_id") < 1_000_010).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pq_rows = pq_adc_topk(off, q_off, "vec_id", "embedding", k=5, n_candidates=64).collect()
+    assert len(pq_rows) == 50  # not the silent empty result
+    ivf_rows = ivf_topk(off, q_off, "vec_id", "embedding", k=5).collect()
+    assert {(r.q_id - 1_000_000, r.vec_id - 1_000_000) for r in ivf_rows} == {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(
+            e,
+            e.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+            ),
+            "vec_id",
+            "embedding",
+            k=5,
+        ).collect()
+    }
+
+
 def test_pq_refine_reduces_quantization_error_and_helps_recall(spark):
     """Two Lloyd rounds per subspace must strictly reduce total squared
     quantization error (the k-means objective), and the refined codebook's

@@ -442,6 +442,25 @@ def test_v2_external_link_resolves_sibling_file(tmp_path):
     np.testing.assert_array_equal(read_dataset(h5, "ext_all/y"), arr * 2)
 
 
+def test_v2_external_link_dangling_object_raises(tmp_path):
+    """The target FILE opens but names no such object: loud (h5py raises on
+    access), unlike a dangling soft link which is a same-file listable."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    arr = np.arange(4, dtype="<f8")
+    _write_target_file(tmp_path, arr)
+    w = _WriterV3()
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _external_link_msg("ext", "target.h5", "/no/such")),
+    ]))
+    p = str(tmp_path / "linker3.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(ValueError, match="no object '/no/such'"):
+        H5File(p)
+
+
 def test_v2_external_link_custom_opener(tmp_path):
     """An explicit opener overrides the same-directory default — the hook
     an object-store deployment uses to map link names onto its own
