@@ -84,7 +84,11 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         ["d"],
     )
-    back = spark.read.parquet(out)
+    # schema-first read-back (partition column d included): an empty corpus
+    # writes only _SUCCESS, which schema inference cannot type
+    back = spark.read.schema(
+        "event_type string, n bigint, n_users bigint, d string"
+    ).parquet(out)
     return back.select(
         F.col("d").cast("string").alias("d"), "event_type", "n", "n_users"
     )
@@ -148,7 +152,11 @@ def sink_json_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     out = os.path.join(tempfile.mkdtemp(prefix="rca_sink_json_"), "index")
     write_index_json(idx, out)
-    return spark.read.json(out).select("key", "n_events")
+    # schema-first read-back: an empty corpus writes an empty index, which
+    # JSON inference cannot type (the empty-slice contract)
+    return spark.read.schema("key string, n_events bigint").json(out).select(
+        "key", "n_events"
+    )
 
 
 @query(
