@@ -1073,3 +1073,125 @@ def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
         f.write(w.finish(root))
     with pytest.raises(ValueError, match="cyclic"):
         H5File(p)
+
+
+# --- model-based property test: random trees + random links ----------------
+
+@pytest.mark.parametrize("seed", range(20))
+def test_soft_link_resolution_matches_python_model(tmp_path, seed):
+    """Build a random group tree with random soft links (absolute/relative,
+    possibly dangling or chained), then compare the parser's dataset listing
+    against a pure-Python model that resolves the same link graph over a
+    dict tree — same dangling-skip, ancestor-stop, and depth-cap rules."""
+    import random
+
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    rng = random.Random(1000 + seed)
+
+    # --- random tree model: groups hold children; datasets are leaves
+    n_groups = rng.randrange(2, 6)
+    groups = {i: {} for i in range(n_groups)}  # gid -> {name: ('g',gid)|('d',val)|('s',path)}
+    parent_of = {}
+    for gid in range(1, n_groups):
+        p = rng.randrange(0, gid)
+        groups[p][f"g{gid}"] = ("g", gid)
+        parent_of[gid] = p
+    n_ds = rng.randrange(1, 5)
+    for d in range(n_ds):
+        gid = rng.randrange(0, n_groups)
+        groups[gid][f"d{d}"] = ("d", d)
+
+    def path_of(gid: int) -> str:
+        parts = []
+        while gid != 0:
+            parts.append(f"g{gid}")
+            gid = parent_of[gid]
+        return "/" + "/".join(reversed(parts))
+
+    # random soft links: absolute to a group/dataset path, or a sibling name
+    for li in range(rng.randrange(1, 5)):
+        src = rng.randrange(0, n_groups)
+        kind = rng.random()
+        if kind < 0.4:  # absolute to a random group
+            tgt = path_of(rng.randrange(0, n_groups))
+        elif kind < 0.7:  # absolute to a random dataset (maybe dangling)
+            tgt = (path_of(rng.randrange(0, n_groups)).rstrip("/") + f"/d{rng.randrange(0, n_ds + 1)}").replace("//", "/")
+        else:  # relative sibling name (maybe dangling)
+            names = list(groups[src]) or ["nothing"]
+            tgt = rng.choice(names + ["missing"])
+        groups[src][f"s{li}"] = ("s", tgt)
+
+    # --- model resolution (the spec the parser must match)
+    def model_resolve(base_gid, path, depth):
+        if depth > 8:
+            return "toodeep"
+        cur = ("g", 0) if path.startswith("/") else ("g", base_gid)
+        for part in (p for p in path.split("/") if p and p != "."):
+            if cur[0] != "g":
+                return None
+            ent = groups[cur[1]].get(part)
+            if ent is None:
+                return None
+            if ent[0] == "s":
+                ent = model_resolve(cur[1], ent[1], depth + 1)
+                if ent in (None, "toodeep"):
+                    return ent
+            cur = ent
+        return cur
+
+    expect = {}
+    too_deep = False
+
+    def model_walk(gid, prefix, on_path):
+        nonlocal too_deep
+        for name, ent in sorted(groups[gid].items()):
+            tgt, via_soft = ent, False
+            if ent[0] == "s":
+                tgt = model_resolve(gid, ent[1], 0)
+                via_soft = True
+                if tgt == "toodeep":
+                    too_deep = True
+                    return
+                if tgt is None:
+                    continue
+            if tgt[0] == "d":
+                expect[prefix + name] = float(tgt[1])
+            else:
+                if via_soft and tgt[1] in on_path:
+                    continue
+                model_walk(tgt[1], f"{prefix}{name}/", on_path | {tgt[1]})
+
+    model_walk(0, "", {0})
+
+    # --- materialize the same tree as a real v3 file
+    w = _WriterV3()
+    ds_addr = {}
+    for d in range(n_ds):
+        ds_addr[d] = _contiguous_ds(w, np.full(3, float(d)))
+    g_addr = {}
+    for gid in sorted(groups, reverse=True):  # children before parents
+        msgs = [_msg2(0x02, _link_info())]
+        for name, ent in sorted(groups[gid].items()):
+            if ent[0] == "g":
+                msgs.append(_msg2(0x06, _link_msg(name, g_addr[ent[1]])))
+            elif ent[0] == "d":
+                msgs.append(_msg2(0x06, _link_msg(name, ds_addr[ent[1]])))
+            else:
+                msgs.append(_msg2(0x06, _soft_link_msg(name, ent[1])))
+        g_addr[gid] = w.append(_ohdr2(msgs))
+    p = str(tmp_path / f"model{seed}.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(g_addr[0]))
+
+    if too_deep:
+        with pytest.raises(NotImplementedError, match="soft-link chain"):
+            H5File(p)
+        return
+    h5 = H5File(p)
+    from rca_data_tools_spark.sources.hdf5 import read_dataset
+
+    assert set(h5.datasets) == set(expect), (
+        sorted(set(h5.datasets) ^ set(expect)), groups)
+    for name, val in expect.items():
+        np.testing.assert_array_equal(read_dataset(h5, name), np.full(3, val))
