@@ -52,11 +52,19 @@ _ROUND_WINDOW = [
     "embed_quantize_int8",
     "layout_zorder_clustering",
     "streaming_neardup_matches",
-    # (c) sentinels: the full r02 cohort not re-checked in round 4
+    # (b''') windowed-LTTB streaming face added late this round, plus fresh
+    # rows for the three queries whose ORACLES changed to the rank-based
+    # seed selection (results identical on the dense driver corpus, but a
+    # changed oracle deserves a fresh driver row; ann_ivf_topk, the fourth
+    # such query, is already a sentinel below) — displacing three unchanged
+    # r02 sentinels (a15_percentiles, text_contamination,
+    # f_math_conversions) that stay cumulative-green
+    "w10_windowed_lttb",
+    "dedup_semantic",
+    "embed_kmeans_clusters",
+    # (c) sentinels: the r02 cohort not re-checked in round 4
     "q1_pricing_summary",
-    "a15_percentiles",
     "dedup_simhash_fingerprints",
-    "text_contamination",
     "calc_nutnr_nitrate",
     "ann_topk_cosine",
     "ann_lsh_topk",
@@ -74,7 +82,6 @@ _ROUND_WINDOW = [
     "calc_poly_fit",
     "f_nested_cal_arrays",
     "f_json_extract",
-    "f_math_conversions",
     # (b'') lifecycle/ingest faces added this round: FIRST driver rows for
     # the components the coverage table long carried as test-only (S12+ST-4
     # overwrite, S15 anti-entropy, S13 JSON index, S14 CSV export, S11

@@ -399,3 +399,48 @@ def w_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hour_mean, 6).alias("hour_mean"),
         F.round(hour_mean - F.col("sx_all") / F.col("n_all"), 6).alias("seasonal_delta"),
     )
+
+
+_W10_ETYPE_CASE = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+)
+# composite (day, event_type) series key so the shared recursive-CTE LTTB
+# machinery (which partitions on one column) replays the windowed variant:
+# epoch-day * 10 + event-type index — decomposed back in the outer select
+_W10_SRC = (
+    "SELECT (CAST(epoch_ms(DATE_TRUNC('day', ts)) AS BIGINT) // 86400000) * 10 + "
+    f"{_W10_ETYPE_CASE} AS user_id, ts, value FROM events"
+)
+
+
+@query(
+    "w10_windowed_lttb",
+    oracle=f"""
+WITH RECURSIVE
+{lttb_keep_ctes(_W10_SRC, threshold=12)}
+SELECT CASE CAST(b.user_id % 10 AS INT)
+         WHEN 0 THEN 'click' WHEN 1 THEN 'error' WHEN 2 THEN 'purchase'
+         WHEN 3 THEN 'signup' ELSE 'view' END AS event_type,
+       epoch_ms((b.user_id // 10) * 86400000) AS window_start,
+       b.ts, b.value
+FROM base b JOIN keep k ON k.user_id = b.user_id AND k.rn = b.rn
+""",
+)
+def w10_windowed_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed LTTB: each (event_type, 1-day tumbling window) series
+    decimates to 12 points — the streaming decimation face
+    (streaming/windows.py:windowed_lttb) run on the batch frame, proving
+    the unified API; the stream emits the identical rows per closed window
+    (tests/test_streaming.py). The oracle replays the full sequential
+    recurrence per composite (day, event_type) key through the shared
+    recursive-CTE machinery — same exactness caveat as w4: bit-exact at
+    the correctness SF where next-bucket centroids average < 8 points
+    (numpy pairwise == sequential AVG below the pairwise block size)."""
+    from rca_data_tools_spark.streaming.windows import windowed_lttb
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return windowed_lttb(
+        e, key_col="event_type", ts_col="ts", val_col="value",
+        window_duration="1 day", threshold=12,
+    )

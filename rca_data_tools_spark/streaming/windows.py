@@ -197,3 +197,78 @@ def streaming_cms_cells(
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("w.start").alias("window_start"), "i", "bucket", "c")
     )
+
+
+def windowed_lttb(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window_duration: str = "1 day",
+    threshold: int = 12,
+    watermark: str = "2 hours",
+    max_stride_factor: int = 10,
+) -> DataFrame:
+    """Per-(key, tumbling window) LTTB decimation, emitted on window close —
+    the streaming form of operators/decimate.py:lttb (reference:
+    qaqc/decimate.py:94-163 run on a schedule per span). ``df`` may be a
+    STREAM (watermarked windowed collect_list, append mode: each window
+    decimates exactly once, when it closes) or a batch frame (identical
+    plan minus the watermark — the unified-API contract the batch face and
+    the stream≡batch test share).
+
+    Same kernel semantics as the batch operator: 10x pre-stride cap, then
+    the sequential bucket-argmax recurrence (_lttb_indices) over epoch-ns
+    float64 — so the recursive-CTE oracle machinery replays this too, per
+    composite (key, window) series.
+
+    Scale shape: state per open window is the window's points for its keys
+    (bounded by watermark x arrival rate); the decimation itself is a
+    per-row Arrow kernel on the closed window's array — no second shuffle
+    after the windowed aggregation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    from rca_data_tools_spark.operators.decimate import _lttb_indices
+
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    pts = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(val_col).alias("v")))
+    )
+    agg = src.groupBy(
+        F.window(ts_col, window_duration).alias("__w"), F.col(key_col)
+    ).agg(pts.alias("__pts"))
+    cap = threshold * max_stride_factor
+
+    def _keep(ts_ns, vals):  # (pd.Series, pd.Series) -> pd.Series
+        out = []
+        for xs, ys in zip(ts_ns, vals):
+            x = np.asarray(xs, dtype=np.float64)
+            y = np.asarray(ys, dtype=np.float64)
+            n = len(x)
+            idx = np.arange(n)
+            stride = max(1, n // cap)
+            m = (idx % stride == 0) | (idx == n - 1)
+            sidx = idx[m]
+            out.append(sidx[_lttb_indices(x[m], y[m], threshold)].tolist())
+        return pd.Series(out)
+
+    keep_udf = F.pandas_udf(_keep, ArrayType(LongType()))
+    # cast: NTZ-typed sources (e.g. plain pyarrow writes) resolve too; a
+    # wall-clock no-op under the engine's UTC session
+    ts_ns = F.transform("__pts", lambda p: F.unix_micros(p["t"].cast("timestamp")) * 1000)
+    val_arr = F.transform("__pts", lambda p: p["v"].cast("double"))
+    picked = agg.select(
+        F.col(key_col),
+        F.col("__w").start.alias("window_start"),
+        "__pts",
+        F.explode(keep_udf(ts_ns, val_arr)).alias("__i"),
+    )
+    pt = F.element_at("__pts", (F.col("__i") + 1).cast("int"))
+    return picked.select(
+        key_col,
+        "window_start",
+        pt["t"].alias(ts_col),
+        pt["v"].alias(val_col),
+    )

@@ -521,3 +521,94 @@ def test_stream_neardup_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_stream").collect()
     }
     assert got == expect
+
+
+def test_windowed_lttb_stream_matches_batch(spark, tmp_path):
+    """Windowed decimation: a file stream through the watermarked windowed
+    LTTB must emit exactly the batch face's row set once every window has
+    closed — same pre-stride, same sequential bucket-argmax picks."""
+    import datetime as dt
+    import random
+
+    from rca_data_tools_spark.streaming.windows import windowed_lttb
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            key,
+            t0 + dt.timedelta(hours=day * 24 + h, minutes=rng.randrange(60)),
+            round(rng.uniform(-5, 50), 3),
+        )
+        for key in ("sensorA", "sensorB")
+        for day in range(3)
+        for h in range(24)
+    ]
+    in_dir = str(tmp_path / "series")
+    # time-ranged files fed in ARRIVAL order (the file source orders by
+    # modification time, so each chunk gets an explicit increasing mtime —
+    # part-file mtime ties would randomize arrival): the realistic pattern,
+    # and the one where no row is later than the watermark. A random split
+    # would DROP late rows — correct streaming semantics, but then partial
+    # windows decimate differently from batch by design.
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(in_dir)
+    ordered = sorted(rows, key=lambda r: r[1])
+    n_chunks = 4
+    per = -(-len(ordered) // n_chunks)
+    for i in range(n_chunks):
+        chunk = ordered[i * per : (i + 1) * per]
+        pdf = pd.DataFrame(chunk, columns=["series", "ts", "value"])
+        # instant-typed (UTC) so the stream's watermark accepts the column
+        pdf["ts"] = (
+            pd.to_datetime(pdf["ts"]).astype("datetime64[us]").dt.tz_localize("UTC")
+        )
+        f = os.path.join(in_dir, f"b{i:03d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f)
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(in_dir).schema
+
+    def as_set(df):
+        return {(r.series, r.window_start, r.ts, r.value) for r in df.collect()}
+
+    batch = as_set(
+        windowed_lttb(
+            spark.read.schema(schema).parquet(in_dir),
+            key_col="series", ts_col="ts", val_col="value",
+            window_duration="1 day", threshold=8,
+        )
+    )
+    # 2 series x 3 day-windows x 8 points (24 points/window > threshold)
+    assert len(batch) == 2 * 3 * 8
+
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        windowed_lttb(
+            st, key_col="series", ts_col="ts", val_col="value",
+            window_duration="1 day", threshold=8, watermark="1 hour",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wlttb_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = as_set(spark.sql("SELECT * FROM wlttb_stream"))
+    # append mode emits only windows the watermark has closed; every emitted
+    # window must match the batch pick exactly, and the non-final windows
+    # (all but the last per series) must all have been emitted
+    assert got <= batch
+    emitted_windows = {(s, w) for s, w, *_ in got}
+    assert len(emitted_windows) >= 2 * 2
+    batch_by_win = {}
+    for s, w, ts, v in batch:
+        batch_by_win.setdefault((s, w), set()).add((ts, v))
+    for s, w in emitted_windows:
+        assert {(ts, v) for s2, w2, ts, v in got if (s2, w2) == (s, w)} == batch_by_win[(s, w)]
