@@ -11,13 +11,15 @@ offset 0, in both the earliest format and the 1.8+ "latest" format):
 - old-style groups: symbol-table entry -> v1 group B-tree -> SNOD nodes ->
   local heap link names; new-style (1.8+) groups: compact link messages in
   the header, and dense storage via fractal heap + v2 B-tree name index
-  (root direct block or one level of indirect block; single-leaf B-trees)
+  (root direct block or one level of indirect block; name-index B-trees of
+  ANY depth — internal BTIN nodes walked with the format's own per-level
+  pointer sizing)
 - object headers version 1 AND version 2 ('OHDR', with OCHK continuations)
 - messages: dataspace (v1/v2), datatype (fixed-point and IEEE float,
   little/big endian), data layout v3 (contiguous and chunked) and v4
   (contiguous/compact/chunked with Single Chunk, Implicit, unpaged Fixed
-  Array, inline Extensible Array, or single-leaf version-2 B-tree chunk
-  indexes — the full latest-format family for fixed-shape AND
+  Array, inline Extensible Array, or version-2 B-tree chunk indexes of any
+  depth — the full latest-format family for fixed-shape AND
   unlimited-dimension chunked datasets),
   filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
   link info, link, symbol table, continuation
@@ -408,10 +410,10 @@ class H5File:
         the newer format): the name-index v2 B-tree enumerates heap IDs,
         the fractal heap resolves each ID to a serialized link message.
 
-        Supported subset, loud beyond it: depth-0 B-trees (a single leaf —
-        ~45 links at the default node size; deeper trees raise), managed
-        heap objects in a root direct block or a root indirect block whose
-        children are all direct blocks, no I/O filters on the heap."""
+        Supported subset, loud beyond it: name-index B-trees of any depth,
+        managed heap objects in a root direct block or a root indirect
+        block whose children are all direct blocks, no I/O filters on the
+        heap."""
         heap = self._fractal_heap(heap_addr)
         ids = self._btree_v2_records(btree_addr)
         out = []
@@ -511,36 +513,92 @@ class H5File:
                 return b[blk_addr + (off - blk_off) : blk_addr + (off - blk_off) + ln]
         raise ValueError(f"HDF5: heap object offset {off} outside all direct blocks")
 
-    def _btree_v2_records(self, addr: int) -> list[bytes]:
-        """Heap IDs from a version-2 B-tree of link-name records (type 5):
-        each record is a 4-byte name hash + the heap ID. Depth-0 trees only
-        (single leaf) — deeper trees raise loudly."""
+    def _btree_v2_walk(self, addr: int) -> tuple[int, int, list[bytes]]:
+        """All raw records of a version-2 B-tree in tree order, ANY depth
+        (spec III.A.2): BTHD header -> BTIN internal nodes -> BTLF leaves.
+        The per-level child-pointer field widths derive from the header's
+        node and record sizes exactly as the format defines them — the
+        smallest byte counts that hold each level's maximum possible
+        node-record and subtree-record counts (the 'total records' field
+        appears only below internal nodes of depth >= 2)."""
         b = self._buf
         if b[addr : addr + 4] != b"BTHD":
             raise ValueError("HDF5: bad v2 B-tree header signature")
         if b[addr + 4] != 0:
             raise NotImplementedError(f"HDF5 v2 B-tree version {b[addr + 4]}")
         btype = b[addr + 5]
-        if btype not in (5, 6):  # link name / creation order indexes
-            raise NotImplementedError(f"HDF5 v2 B-tree record type {btype}")
+        node_size = self._u(addr + 6, 4)
         rec_size = self._u(addr + 10, 2)
         depth = self._u(addr + 12, 2)
-        if depth != 0:
-            raise NotImplementedError(
-                "HDF5 v2 B-tree deeper than one leaf (very large dense "
-                "group) not supported"
-            )
         root = self._u(addr + 16, 8)
-        nrec = self._u(addr + 24, 2)
-        if b[root : root + 4] != b"BTLF":
-            raise ValueError("HDF5: bad v2 B-tree leaf signature")
-        pos = root + 6
-        out = []
-        for _ in range(nrec):
-            rec = b[pos : pos + rec_size]
-            out.append(rec[4:])  # drop the 4-byte name hash
-            pos += rec_size
-        return out
+        nrec_root = self._u(addr + 24, 2)
+        if nrec_root == 0 or root == _UNDEF:
+            return btype, rec_size, []
+        if rec_size == 0 or node_size <= 10:
+            raise ValueError("HDF5: v2 B-tree with degenerate node/record size")
+
+        def enc(v: int) -> int:  # bytes needed to store values up to v
+            n = 1
+            while v >= 1 << (8 * n):
+                n += 1
+            return n
+
+        # level 0 = leaf; level d = internal whose children live at d-1
+        max_nrec = [(node_size - 10) // rec_size]
+        cum_max = [max_nrec[0]]
+        for d in range(1, depth + 1):
+            ptr = 8 + enc(max_nrec[d - 1]) + (enc(cum_max[d - 1]) if d >= 2 else 0)
+            m = (node_size - 10 - ptr) // (rec_size + ptr)
+            if m <= 0:
+                raise ValueError("HDF5: v2 B-tree internal node cannot hold records")
+            max_nrec.append(m)
+            cum_max.append(m + (m + 1) * cum_max[d - 1])
+
+        out: list[bytes] = []
+
+        def walk(naddr: int, nrec: int, level: int) -> None:
+            sig = b[naddr : naddr + 4]
+            if level == 0:
+                if sig != b"BTLF":
+                    raise ValueError("HDF5: bad v2 B-tree leaf signature")
+                if b[naddr + 4] != 0 or b[naddr + 5] != btype:
+                    raise ValueError("HDF5: v2 B-tree leaf mismatch")
+                pos = naddr + 6
+                for _ in range(nrec):
+                    out.append(b[pos : pos + rec_size])
+                    pos += rec_size
+                return
+            if sig != b"BTIN":
+                raise ValueError("HDF5: bad v2 B-tree internal-node signature")
+            if b[naddr + 4] != 0 or b[naddr + 5] != btype:
+                raise ValueError("HDF5: v2 B-tree internal-node mismatch")
+            pos = naddr + 6
+            recs = [b[pos + i * rec_size : pos + (i + 1) * rec_size] for i in range(nrec)]
+            pos += nrec * rec_size
+            nsz = enc(max_nrec[level - 1])
+            tsz = enc(cum_max[level - 1]) if level >= 2 else 0
+            kids = []
+            for _ in range(nrec + 1):
+                caddr = self._u(pos, 8)
+                cn = self._u(pos + 8, nsz)
+                pos += 8 + nsz + tsz
+                kids.append((caddr, cn))
+            for i, (caddr, cn) in enumerate(kids):
+                walk(caddr, cn, level - 1)
+                if i < nrec:
+                    out.append(recs[i])
+
+        walk(root, nrec_root, depth)
+        return btype, rec_size, out
+
+    def _btree_v2_records(self, addr: int) -> list[bytes]:
+        """Heap IDs from a version-2 B-tree of link-name records (type 5):
+        each record is a 4-byte name hash + the heap ID. Any tree depth
+        (internal nodes walked by _btree_v2_walk)."""
+        btype, _rec_size, recs = self._btree_v2_walk(addr)
+        if btype not in (5, 6):  # link name / creation order indexes
+            raise NotImplementedError(f"HDF5 v2 B-tree record type {btype}")
+        return [rec[4:] for rec in recs]  # drop the 4-byte name hash
 
     @staticmethod
     def _parse_link(d: bytes) -> "tuple[str, int | tuple[str, str]]":
@@ -1011,60 +1069,39 @@ class H5File:
     def _btree2_chunks(
         self, addr: int, shape, chunk_shape, filtered: bool
     ) -> list[tuple[tuple[int, ...], int, int, int]]:
-        """Chunk map from a v4 version-2 B-tree index (BTHD header + BTLF
-        leaf) — the latest-format index for datasets with MORE THAN ONE
-        unlimited dimension. Record type 10 (non-filtered: chunk address +
-        per-dimension SCALED offsets) and 11 (filtered: address + variable-
-        width chunk size + 4-byte filter mask + scaled offsets). Depth-0
-        trees (one leaf) only, matching the dense-group reader's subset;
-        deeper trees raise loudly."""
-        b = self._buf
-        if b[addr : addr + 4] != b"BTHD":
-            raise ValueError("HDF5: bad v2 B-tree header signature")
-        if b[addr + 4] != 0:
-            raise NotImplementedError(f"HDF5 v2 B-tree version {b[addr + 4]}")
-        btype = b[addr + 5]
+        """Chunk map from a v4 version-2 B-tree index — the latest-format
+        index for datasets with MORE THAN ONE unlimited dimension. Record
+        type 10 (non-filtered: chunk address + per-dimension SCALED
+        offsets) and 11 (filtered: address + variable-width chunk size +
+        4-byte filter mask + scaled offsets). Any tree depth (internal
+        nodes walked by _btree_v2_walk)."""
+        btype, rec_size, recs = self._btree_v2_walk(addr)
         want = 11 if filtered else 10
         if btype != want:
             raise ValueError(
                 f"HDF5: v2 B-tree record type {btype} disagrees with the "
                 f"layout's filtered flag (expected {want})"
             )
-        rec_size = self._u(addr + 10, 2)
-        depth = self._u(addr + 12, 2)
-        root = self._u(addr + 16, 8)
-        nrec = self._u(addr + 24, 2)
-        if depth != 0:
-            raise NotImplementedError(
-                "HDF5 v2 B-tree chunk index deeper than one leaf "
-                "(very large chunk count) not supported"
-            )
-        if nrec == 0 or root == _UNDEF:
-            return []
-        if b[root : root + 4] != b"BTLF":
-            raise ValueError("HDF5: bad v2 B-tree leaf signature")
-        if b[root + 4] != 0 or b[root + 5] != btype:
-            raise ValueError("HDF5: v2 B-tree leaf mismatch")
         ndims = len(chunk_shape)
         rank = len(shape)  # offsets beyond the dataspace rank are padding
-        pos = root + 6
         out = []
-        for _ in range(nrec):
-            a = self._u(pos, 8)
-            p = pos + 8
+        for rec in recs:
+            a = int.from_bytes(rec[0:8], "little")
+            p = 8
             if btype == 11:
                 sz_w = rec_size - 8 - 4 - 8 * ndims
                 if sz_w <= 0:
                     raise ValueError("HDF5: v2 B-tree record size too small")
-                nb = self._u(p, sz_w)
-                mask = self._u(p + sz_w, 4)
+                nb = int.from_bytes(rec[p : p + sz_w], "little")
+                mask = int.from_bytes(rec[p + sz_w : p + sz_w + 4], "little")
                 p += sz_w + 4
             else:
                 nb, mask = -1, 0
             offs = tuple(
-                self._u(p + 8 * i, 8) * chunk_shape[i] for i in range(rank)
+                int.from_bytes(rec[p + 8 * i : p + 8 * i + 8], "little")
+                * chunk_shape[i]
+                for i in range(rank)
             )
-            pos += rec_size
             if a != _UNDEF:
                 out.append((offs, a, nb, mask))
         return out

@@ -688,8 +688,53 @@ def _layout_v4_btree2(addr: int, chunk_shape, filtered: bool = False) -> bytes:
     return out + b"\x05" + struct.pack("<IBB", 2048, 100, 40) + struct.pack("<Q", addr)
 
 
+def _enc_chunk_rec(r, ndims: int, filtered: bool) -> bytes:
+    if filtered:
+        a, nb, mask, offs = r
+        out = struct.pack("<QII", a, nb, mask)
+    else:
+        a, offs = r
+        out = struct.pack("<Q", a)
+    return out + b"".join(struct.pack("<Q", o) for o in offs)
+
+
+def _btree2_depth1(w: _WriterV3, btype: int, rec_size: int,
+                   leaves: "list[list[bytes]]", internal: "list[bytes]",
+                   node_size: int = 2048) -> int:
+    """Write a REAL depth-1 version-2 B-tree: BTHD header -> one BTIN root
+    (records + (addr, nrec) child pointers — no 'total' field at depth 1)
+    -> BTLF leaves. Child-pointer nrec width = 1 byte, matching the
+    format's sizing for these node/record sizes (max leaf records < 256)."""
+    assert len(internal) == len(leaves) - 1
+    max_leaf = (node_size - 10) // rec_size
+    assert max_leaf < 256, "fixture assumes 1-byte child-record counts"
+    bthd_addr = len(w.buf)
+    btin_size = 6 + len(internal) * rec_size + len(leaves) * (8 + 1) + 4
+    btin_addr = bthd_addr + 38
+    leaf_addrs, a = [], btin_addr + btin_size
+    for lv in leaves:
+        leaf_addrs.append(a)
+        a += 6 + len(lv) * rec_size + 4
+    total = sum(len(lv) for lv in leaves) + len(internal)
+    hdr = b"BTHD" + bytes([0, btype])
+    hdr += struct.pack("<IHHBB", node_size, rec_size, 1, 100, 40)
+    hdr += struct.pack("<QH", btin_addr, len(internal))
+    hdr += struct.pack("<Q", total) + b"\x00" * 4
+    assert len(hdr) == 38
+    w.append(hdr)
+    btin = b"BTIN" + bytes([0, btype]) + b"".join(internal)
+    for la, lv in zip(leaf_addrs, leaves):
+        btin += struct.pack("<Q", la) + bytes([len(lv)])
+    btin += b"\x00" * 4
+    assert len(btin) == btin_size
+    w.append(btin)
+    for lv in leaves:
+        w.append(b"BTLF" + bytes([0, btype]) + b"".join(lv) + b"\x00" * 4)
+    return bthd_addr
+
+
 def _btree2_chunk_index(w: _WriterV3, records: list, ndims: int,
-                        filtered: bool, depth: int = 0) -> int:
+                        filtered: bool) -> int:
     """Write a BTHD header + one BTLF leaf of chunk records; records are
     (address, scaled_offsets) or (address, nbytes, mask, scaled_offsets).
     Returns the BTHD address."""
@@ -697,17 +742,11 @@ def _btree2_chunk_index(w: _WriterV3, records: list, ndims: int,
     rec_size = (8 + 4 + 4 if filtered else 8) + 8 * ndims
     leaf = b"BTLF" + bytes([0, btype])
     for r in records:
-        if filtered:
-            a, nb, mask, offs = r
-            leaf += struct.pack("<QII", a, nb, mask)
-        else:
-            a, offs = r
-            leaf += struct.pack("<Q", a)
-        leaf += b"".join(struct.pack("<Q", o) for o in offs)
+        leaf += _enc_chunk_rec(r, ndims, filtered)
     leaf += b"\x00" * 4
     bthd_addr = len(w.buf)
     leaf_addr = bthd_addr + 38
-    hdr = b"BTHD" + bytes([0, btype]) + struct.pack("<IHHBB", 2048, rec_size, depth, 100, 40)
+    hdr = b"BTHD" + bytes([0, btype]) + struct.pack("<IHHBB", 2048, rec_size, 0, 100, 40)
     hdr += struct.pack("<QH", leaf_addr, len(records))
     hdr += struct.pack("<Q", len(records)) + b"\x00" * 4
     assert len(hdr) == 38, len(hdr)
@@ -764,13 +803,23 @@ def test_v2_layout_v4_btree2_reads(tmp_path):
     np.testing.assert_allclose(read_dataset(h5, "f"), arr)
 
 
-def test_v2_layout_v4_btree2_deep_tree_raises(tmp_path):
-    from rca_data_tools_spark.sources.hdf5 import H5File
+def test_v2_layout_v4_btree2_deep_tree_reads(tmp_path):
+    """Depth-1 v2 B-tree chunk index (the shape libhdf5 writes once the
+    chunk count outgrows one leaf): a 6x6 dataset in nine 2x2 chunks,
+    records split across three BTLF leaves under one BTIN root, must scan
+    identically to the single-leaf form."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
 
     w = _WriterV3()
-    arr = np.arange(4, dtype="<f8").reshape(2, 2)
-    idx = _btree2_chunk_index(
-        w, [(w.append(arr.tobytes()), (0, 0))], 2, filtered=False, depth=1
+    arr = (np.arange(36, dtype="<f8") * 1.5).reshape(6, 6)
+    recs = []
+    for si in range(3):
+        for sj in range(3):
+            blk = np.ascontiguousarray(arr[si * 2 : si * 2 + 2, sj * 2 : sj * 2 + 2])
+            recs.append(_enc_chunk_rec((w.append(blk.tobytes()), (si, sj)), 2, False))
+    idx = _btree2_depth1(
+        w, btype=10, rec_size=24,
+        leaves=[recs[0:3], recs[4:6], recs[7:9]], internal=[recs[3], recs[6]],
     )
     ds = w.append(_ohdr2([
         _msg2(0x01, _dataspace(arr.shape)),
@@ -784,12 +833,13 @@ def test_v2_layout_v4_btree2_deep_tree_raises(tmp_path):
     p = str(tmp_path / "bt2deep.h5")
     with open(p, "wb") as f:
         f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="deeper than one leaf"):
-        H5File(p)
+    h5 = H5File(p)
+    assert len(h5.datasets["x"].chunks) == 9
+    np.testing.assert_array_equal(read_dataset(h5, "x"), arr)
 
 
 def _dense_group_bytes(w: _WriterV3, links: list[tuple[str, int]],
-                       indirect: bool = False) -> int:
+                       indirect: bool = False, btree_depth1: bool = False) -> int:
     """Write a dense-storage group (fractal heap + v2 B-tree leaf) and
     return the address of its OHDR. Layout written from the public spec:
     FRHP header, root FHDB direct block (or FHIB root with FHDB children),
@@ -875,18 +925,29 @@ def _dense_group_bytes(w: _WriterV3, links: list[tuple[str, int]],
         w.append(dblock(0, bytes(per_block[0])))
         w.append(dblock(2 * start_size, bytes(per_block[2 * start_size])))
 
-    # BTHD + BTLF (depth 0, type 5, record = 4-byte hash + 7-byte heap id)
-    bthd = b"BTHD" + bytes([0, 5]) + struct.pack("<IH", 512, 4 + 7)
-    bthd += struct.pack("<HBB", 0, 100, 40)  # depth, split, merge
-    bthd += struct.pack("<Q", leaf_addr) + struct.pack("<H", len(ids))
-    bthd += struct.pack("<Q", len(ids)) + b"\x00" * 4
-    assert len(bthd) == bthd_size, (len(bthd),)
-    w.append(bthd)
-    leaf = b"BTLF" + bytes([0, 5])
-    for i, hid in enumerate(ids):
-        leaf += struct.pack("<I", i) + hid  # hash is ignored by the reader
-    leaf += b"\x00" * 4
-    w.append(leaf)
+    recs = [struct.pack("<I", i) + hid for i, hid in enumerate(ids)]
+    if btree_depth1:
+        # BTIN root + three BTLF leaves (record = 4-byte hash + heap id)
+        assert len(w.buf) == btree_addr
+        third = len(recs) // 3
+        _btree2_depth1(
+            w, btype=5, rec_size=4 + 7, node_size=512,
+            leaves=[recs[:third], recs[third + 1 : 2 * third + 1], recs[2 * third + 2 :]],
+            internal=[recs[third], recs[2 * third + 1]],
+        )
+    else:
+        # BTHD + BTLF (depth 0, type 5)
+        bthd = b"BTHD" + bytes([0, 5]) + struct.pack("<IH", 512, 4 + 7)
+        bthd += struct.pack("<HBB", 0, 100, 40)  # depth, split, merge
+        bthd += struct.pack("<Q", leaf_addr) + struct.pack("<H", len(ids))
+        bthd += struct.pack("<Q", len(ids)) + b"\x00" * 4
+        assert len(bthd) == bthd_size, (len(bthd),)
+        w.append(bthd)
+        leaf = b"BTLF" + bytes([0, 5])
+        for rec in recs:
+            leaf += rec  # hash is ignored by the reader
+        leaf += b"\x00" * 4
+        w.append(leaf)
 
     return w.append(_ohdr2([
         _msg2(0x02, struct.pack("<BB", 0, 0) + struct.pack("<Q", heap_addr)
@@ -944,32 +1005,28 @@ def test_v2_dense_group_indirect_root(tmp_path):
         np.testing.assert_allclose(read_dataset(h5, name), arr)
 
 
-def test_v2_dense_group_unsupported_shapes_raise(tmp_path):
-    from rca_data_tools_spark.sources.hdf5 import H5File
+def test_v2_dense_group_deep_name_index_reads(tmp_path):
+    """Depth-1 name-index B-tree over a dense group (what libhdf5 writes
+    once a group's link count outgrows one leaf — e.g. a NetCDF-4 file
+    with many variables): heap IDs split across three BTLF leaves under a
+    BTIN root must list and read every dataset."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
 
-    # depth-1 B-tree raises loudly
     w = _WriterV3()
-    heap_stub = w.append(b"FRHP" + bytes([0]) + struct.pack("<HHB", 7, 0, 0)
-                         + struct.pack("<I", 4096) + b"\x00" * 8 + UNDEF
-                         + b"\x00" * 8 + UNDEF + struct.pack("<QQQQ", 0, 0, 0, 0)
-                         + b"\x00" * 32 + struct.pack("<H", 4)
-                         + struct.pack("<QQ", 512, 65536)
-                         + struct.pack("<HH", 32, 1)
-                         + struct.pack("<Q", 0xFFFFFFFFFFFFFFFF) + struct.pack("<H", 0)
-                         + b"\x00" * 4)
-    bthd = b"BTHD" + bytes([0, 5]) + struct.pack("<IH", 512, 11)
-    bthd += struct.pack("<HBB", 1, 100, 40)  # depth 1
-    bthd += struct.pack("<Q", 0) + struct.pack("<H", 0) + struct.pack("<Q", 0) + b"\x00" * 4
-    bt = w.append(bthd)
+    names = [f"v{i:02d}" for i in range(11)]
+    addrs = {n: _contiguous_ds(w, np.full(4, float(i))) for i, n in enumerate(names)}
+    g = _dense_group_bytes(w, [(n, addrs[n]) for n in names], btree_depth1=True)
     root = w.append(_ohdr2([
-        _msg2(0x02, struct.pack("<BB", 0, 0) + struct.pack("<Q", heap_stub)
-              + struct.pack("<Q", bt)),
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("grp", g)),
     ]))
-    p = str(tmp_path / "deep.h5")
+    p = str(tmp_path / "deepdense.h5")
     with open(p, "wb") as f:
         f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="deeper than one leaf"):
-        H5File(p)
+    h5 = H5File(p)
+    assert set(h5.datasets) == {f"grp/{n}" for n in names}
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(read_dataset(h5, f"grp/{n}"), np.full(4, float(i)))
 
 
 def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
