@@ -60,6 +60,7 @@ _ROUND_WINDOW = [
     # r02 sentinels (a15_percentiles, text_contamination,
     # f_math_conversions) that stay cumulative-green
     "w10_windowed_lttb",
+    "streaming_qaqc_rollup",
     "dedup_semantic",
     "embed_kmeans_clusters",
     # (c) sentinels: the r02 cohort not re-checked in round 4
@@ -72,7 +73,6 @@ _ROUND_WINDOW = [
     "sample_stratified",
     "sample_uniform_topk",
     "sample_domain_cap",
-    "pack_sequences",
     "text_quality_scores",
     "text_tfidf_topk",
     "corpus_curation",

@@ -478,3 +478,47 @@ def qc_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id", "event_id", "ts", "roc_per_min", flag.alias("roc_flag")
     )
+
+
+@query(
+    "streaming_qaqc_rollup",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, 0.0 AS fail_lo, 400.0 AS fail_hi, 10.0 AS sus_lo, 300.0 AS sus_hi
+  FROM range(150) t(user_id)
+),
+f AS (
+  SELECT e.user_id, DATE_TRUNC('day', e.ts) AS window_start, e.value,
+         CASE WHEN e.value IS NULL THEN 9
+              WHEN e.value < d.fail_lo OR e.value > d.fail_hi THEN 4
+              WHEN e.value < d.sus_lo OR e.value > d.sus_hi THEN 3
+              ELSE 1 END AS fl
+  FROM events e LEFT JOIN dim d USING (user_id)
+)
+SELECT user_id, CAST(window_start AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN fl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN fl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+       CAST(SUM(CASE WHEN fl = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(SUM(CASE WHEN fl = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM f GROUP BY 1, 2
+""",
+)
+def streaming_qaqc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's QA/QC main path as a continuously-running streaming
+    job (streaming/windows.py:stream_qaqc_rollup), here on the batch frame
+    for the hash row: stateless broadcast gross-range flagging + per-(key,
+    1-day window) flag histogram and value extremes — what the scheduled
+    batch re-run becomes when the instrument feed is a stream."""
+    from rca_data_tools_spark.streaming.windows import stream_qaqc_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.sql(
+        "SELECT id AS user_id, 0.0 AS fail_lo, 400.0 AS fail_hi, "
+        "10.0 AS sus_lo, 300.0 AS sus_hi FROM range(150)"
+    )
+    return stream_qaqc_rollup(
+        e, dim, key_col="user_id", ts_col="ts", val_col="value",
+        window_duration="1 day",
+    )

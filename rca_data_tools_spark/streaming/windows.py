@@ -272,3 +272,49 @@ def windowed_lttb(
         pt["t"].alias(ts_col),
         pt["v"].alias(val_col),
     )
+
+
+def stream_qaqc_rollup(
+    df: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window_duration: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The reference's QA/QC main path as a CONTINUOUSLY-RUNNING job
+    (SURVEY §3.1 run on a stream instead of a re-run schedule): arriving
+    samples pick up gross-range flags through the stateless broadcast dim
+    join (operators/flagging.py — the dim is config-sized, so the stream
+    side never shuffles for flagging), then a watermarked tumbling window
+    per key rolls up the flag histogram and value extremes, emitted once
+    per closed window in append mode. ``df`` may be a stream or a batch
+    frame (unified API; the batch face is the hash-checked oracle query).
+
+    Scale shape: flagging adds ZERO streaming state (projection +
+    broadcast join); the rollup state per open (key, window) is one count
+    vector + two extremes — KBs per key, bounded by the watermark."""
+    from rca_data_tools_spark.operators.flagging import gross_range_flags
+
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    flagged = gross_range_flags(src, dim, val_col, [key_col])
+    fl = F.col("gross_range_flag")
+    return (
+        flagged.groupBy(F.window(ts_col, window_duration).alias("__w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(fl == 1, 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.when(fl == 3, 1).otherwise(0)).alias("n_suspect"),
+            F.sum(F.when(fl == 4, 1).otherwise(0)).alias("n_fail"),
+            F.sum(F.when(fl == 9, 1).otherwise(0)).alias("n_missing"),
+            F.min(val_col).alias("min_value"),
+            F.max(val_col).alias("max_value"),
+        )
+        .select(
+            key_col,
+            F.col("__w").start.alias("window_start"),
+            "n", "n_pass", "n_suspect", "n_fail", "n_missing",
+            "min_value", "max_value",
+        )
+    )

@@ -1097,7 +1097,31 @@ def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
         ]))
         return w.finish(root)
 
-    bases += [_ea_base(), _bt2_base(), _links_base()]
+    def _deep_bt2_base() -> bytes:
+        # depth-1 chunk-index B-tree joins the fuzz pool: flipped node
+        # sizes, child counts, and pointer bytes must stay typed
+        w = _WriterV3()
+        arr = (np.arange(36, dtype="<f8")).reshape(6, 6)
+        recs = []
+        for si in range(3):
+            for sj in range(3):
+                blk = np.ascontiguousarray(arr[si * 2 : si * 2 + 2, sj * 2 : sj * 2 + 2])
+                recs.append(_enc_chunk_rec((w.append(blk.tobytes()), (si, sj)), 2, False))
+        idx = _btree2_depth1(
+            w, btype=10, rec_size=24,
+            leaves=[recs[0:3], recs[4:6], recs[7:9]], internal=[recs[3], recs[6]],
+        )
+        ds = w.append(_ohdr2([
+            _msg2(0x01, _dataspace(arr.shape)),
+            _msg2(0x03, _datatype(arr.dtype)),
+            _msg2(0x08, _layout_v4_btree2(idx, (2, 2))),
+        ]))
+        root = w.append(_ohdr2([
+            _msg2(0x02, _link_info()), _msg2(0x06, _link_msg("x", ds)),
+        ]))
+        return w.finish(root)
+
+    bases += [_ea_base(), _bt2_base(), _links_base(), _deep_bt2_base()]
     rng = random.Random(99)
     for _ in range(400):
         blob = bytearray(rng.choice(bases))

@@ -612,3 +612,73 @@ def test_windowed_lttb_stream_matches_batch(spark, tmp_path):
         batch_by_win.setdefault((s, w), set()).add((ts, v))
     for s, w in emitted_windows:
         assert {(ts, v) for s2, w2, ts, v in got if (s2, w2) == (s, w)} == batch_by_win[(s, w)]
+
+
+def test_stream_qaqc_rollup_matches_batch(spark, tmp_path):
+    """The streaming QA/QC rollup must emit, per closed window, exactly the
+    batch face's flag histogram and extremes — flagging itself is stateless
+    (broadcast dim join), so only the windowed rollup carries state."""
+    import datetime as dt
+    import random
+
+    from rca_data_tools_spark.streaming.windows import stream_qaqc_rollup
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for day in range(3):
+        for h in range(24):
+            for key in (1, 2):
+                v = rng.choice([None, -5.0, 50.0, 350.0, 450.0, rng.uniform(10, 300)])
+                rows.append((key, t0 + dt.timedelta(hours=day * 24 + h), v))
+    in_dir = str(tmp_path / "qaqc_stream")
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(in_dir)
+    ordered = sorted(rows, key=lambda r: r[1])
+    per = -(-len(ordered) // 3)
+    for i in range(3):
+        pdf = pd.DataFrame(ordered[i * per : (i + 1) * per], columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]").dt.tz_localize("UTC")
+        f = os.path.join(in_dir, f"b{i:03d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f)
+        os.utime(f, (2_000_000 + i, 2_000_000 + i))
+    schema = spark.read.parquet(in_dir).schema
+    dim = spark.sql(
+        "SELECT id + 1 AS user_id, 0.0 AS fail_lo, 400.0 AS fail_hi, "
+        "10.0 AS sus_lo, 300.0 AS sus_hi FROM range(2)"
+    )
+
+    def as_set(df):
+        return {tuple(r) for r in df.collect()}
+
+    batch = as_set(
+        stream_qaqc_rollup(
+            spark.read.schema(schema).parquet(in_dir), dim,
+            key_col="user_id", ts_col="ts", val_col="value",
+        )
+    )
+    assert len(batch) == 2 * 3  # 2 keys x 3 day-windows
+    # every flag class genuinely occurs in the fixture
+    assert any(r[4] > 0 and r[5] > 0 and r[6] > 0 for r in batch)
+
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        stream_qaqc_rollup(st, dim, key_col="user_id", ts_col="ts", val_col="value",
+                           watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qaqc_rollup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = as_set(spark.sql("SELECT * FROM qaqc_rollup_stream"))
+    assert got <= batch
+    # all but the final (never-closed) window per key must have emitted
+    assert len(got) >= 2 * 2
