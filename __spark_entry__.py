@@ -52,13 +52,15 @@ _ROUND_WINDOW = [
     "embed_quantize_int8",
     "layout_zorder_clustering",
     "streaming_neardup_matches",
-    # (b''') windowed-LTTB streaming face added late this round, plus fresh
+    # (b''') the two streaming faces added late this round, plus fresh
     # rows for the three queries whose ORACLES changed to the rank-based
     # seed selection (results identical on the dense driver corpus, but a
     # changed oracle deserves a fresh driver row; ann_ivf_topk, the fourth
-    # such query, is already a sentinel below) — displacing three unchanged
+    # such query, is already a sentinel below) — displacing FOUR unchanged
     # r02 sentinels (a15_percentiles, text_contamination,
-    # f_math_conversions) that stay cumulative-green
+    # f_math_conversions, and pack_sequences — whose packing machinery the
+    # in-window pipeline_pretrain_corpus exercises by composition), all of
+    # which stay cumulative-green
     "w10_windowed_lttb",
     "streaming_qaqc_rollup",
     "dedup_semantic",

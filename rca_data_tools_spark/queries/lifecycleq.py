@@ -78,20 +78,19 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="rca_sink_parts_")
-    write_partitioned(_daily(e), out, ["d"])
+    daily = _daily(e)
+    write_partitioned(daily, out, ["d"])
     write_partitioned(
         _daily(e.filter(F.col("value") > 50)).filter(F.col("d") >= _CUTOFF),
         out,
         ["d"],
     )
-    # schema-first read-back (partition column d included): an empty corpus
+    # schema-first read-back DERIVED from the written frame (partition
+    # column moves last, as partitioned layouts store it): an empty corpus
     # writes only _SUCCESS, which schema inference cannot type
-    back = spark.read.schema(
-        "event_type string, n bigint, n_users bigint, d string"
-    ).parquet(out)
-    return back.select(
-        F.col("d").cast("string").alias("d"), "event_type", "n", "n_users"
-    )
+    part_last = daily.select("event_type", "n", "n_users", "d").schema
+    back = spark.read.schema(part_last).parquet(out)
+    return back.select("d", "event_type", "n", "n_users")
 
 
 @query(
@@ -152,11 +151,9 @@ def sink_json_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     out = os.path.join(tempfile.mkdtemp(prefix="rca_sink_json_"), "index")
     write_index_json(idx, out)
-    # schema-first read-back: an empty corpus writes an empty index, which
-    # JSON inference cannot type (the empty-slice contract)
-    return spark.read.schema("key string, n_events bigint").json(out).select(
-        "key", "n_events"
-    )
+    # schema-first read-back derived from the written frame: an empty
+    # corpus writes an empty index, which JSON inference cannot type
+    return spark.read.schema(idx.schema).json(out).select("key", "n_events")
 
 
 @query(

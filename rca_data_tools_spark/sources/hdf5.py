@@ -513,20 +513,28 @@ class H5File:
                 return b[blk_addr + (off - blk_off) : blk_addr + (off - blk_off) + ln]
         raise ValueError(f"HDF5: heap object offset {off} outside all direct blocks")
 
-    def _btree_v2_walk(self, addr: int) -> tuple[int, int, list[bytes]]:
+    def _btree_v2_walk(
+        self, addr: int, want: "set[int] | None" = None
+    ) -> tuple[int, int, list[bytes]]:
         """All raw records of a version-2 B-tree in tree order, ANY depth
         (spec III.A.2): BTHD header -> BTIN internal nodes -> BTLF leaves.
-        The per-level child-pointer field widths derive from the header's
-        node and record sizes exactly as the format defines them — the
-        smallest byte counts that hold each level's maximum possible
-        node-record and subtree-record counts (the 'total records' field
-        appears only below internal nodes of depth >= 2)."""
+        Child-pointer field widths follow the format's sizing exactly: the
+        'number of records in child' field uses ONE width at every depth —
+        the byte count of the LEAF-level maximum (libhdf5 H5B2hdr.c sizes
+        it off the leaf 'because it's the largest') — while the 'total
+        records in subtree' field (present only below internal nodes of
+        depth >= 2) is sized per level from the subtree capacity."""
         b = self._buf
         if b[addr : addr + 4] != b"BTHD":
             raise ValueError("HDF5: bad v2 B-tree header signature")
         if b[addr + 4] != 0:
             raise NotImplementedError(f"HDF5 v2 B-tree version {b[addr + 4]}")
         btype = b[addr + 5]
+        if want is not None and btype not in want:
+            # reject unsupported record types BEFORE walking the tree, so
+            # the diagnostic names the type instead of a downstream
+            # record-size arithmetic error
+            raise NotImplementedError(f"HDF5 v2 B-tree record type {btype}")
         node_size = self._u(addr + 6, 4)
         rec_size = self._u(addr + 10, 2)
         depth = self._u(addr + 12, 2)
@@ -546,8 +554,9 @@ class H5File:
         # level 0 = leaf; level d = internal whose children live at d-1
         max_nrec = [(node_size - 10) // rec_size]
         cum_max = [max_nrec[0]]
+        enc_leaf = enc(max_nrec[0])  # the ONE child-nrec width, every depth
         for d in range(1, depth + 1):
-            ptr = 8 + enc(max_nrec[d - 1]) + (enc(cum_max[d - 1]) if d >= 2 else 0)
+            ptr = 8 + enc_leaf + (enc(cum_max[d - 1]) if d >= 2 else 0)
             m = (node_size - 10 - ptr) // (rec_size + ptr)
             if m <= 0:
                 raise ValueError("HDF5: v2 B-tree internal node cannot hold records")
@@ -575,7 +584,7 @@ class H5File:
             pos = naddr + 6
             recs = [b[pos + i * rec_size : pos + (i + 1) * rec_size] for i in range(nrec)]
             pos += nrec * rec_size
-            nsz = enc(max_nrec[level - 1])
+            nsz = enc_leaf
             tsz = enc(cum_max[level - 1]) if level >= 2 else 0
             kids = []
             for _ in range(nrec + 1):
@@ -1075,7 +1084,7 @@ class H5File:
         offsets) and 11 (filtered: address + variable-width chunk size +
         4-byte filter mask + scaled offsets). Any tree depth (internal
         nodes walked by _btree_v2_walk)."""
-        btype, rec_size, recs = self._btree_v2_walk(addr)
+        btype, rec_size, recs = self._btree_v2_walk(addr, want={10, 11})
         want = 11 if filtered else 10
         if btype != want:
             raise ValueError(

@@ -1276,3 +1276,92 @@ def test_soft_link_resolution_matches_python_model(tmp_path, seed):
         sorted(set(h5.datasets) ^ set(expect)), groups)
     for name, val in expect.items():
         np.testing.assert_array_equal(read_dataset(h5, name), np.full(3, val))
+
+
+def _bt2_sizing(node_size: int, rec_size: int, depth: int):
+    """The format's v2 B-tree field widths (H5B2 sizing): the child-nrec
+    field uses the LEAF-level max's byte count at EVERY depth; the
+    total-subtree field (below depth>=2 internals) sizes per level."""
+    def enc(v):
+        n = 1
+        while v >= 1 << (8 * n):
+            n += 1
+        return n
+    max_nrec = [(node_size - 10) // rec_size]
+    cum = [max_nrec[0]]
+    enc_leaf = enc(max_nrec[0])
+    for d in range(1, depth + 1):
+        ptr = 8 + enc_leaf + (enc(cum[d - 1]) if d >= 2 else 0)
+        m = (node_size - 10 - ptr) // (rec_size + ptr)
+        max_nrec.append(m)
+        cum.append(m + (m + 1) * cum[d - 1])
+    return enc_leaf, [enc(c) for c in cum], max_nrec
+
+
+def _bt2_write_tree(w, btype, rec_size, node, level, enc_leaf, cum_encs):
+    if node[0] == "leaf":
+        addr = w.append(b"BTLF" + bytes([0, btype]) + b"".join(node[1]) + b"\x00" * 4)
+        return addr, len(node[1]), len(node[1])
+    _, recs, children = node
+    kids = [
+        _bt2_write_tree(w, btype, rec_size, c, level - 1, enc_leaf, cum_encs)
+        for c in children
+    ]
+    body = b"BTIN" + bytes([0, btype]) + b"".join(recs)
+    total = len(recs)
+    for a, n, t in kids:
+        body += struct.pack("<Q", a) + n.to_bytes(enc_leaf, "little")
+        if level >= 2:
+            body += t.to_bytes(cum_encs[level - 1], "little")
+        total += t
+    addr = w.append(body + b"\x00" * 4)
+    return addr, len(recs), total
+
+
+def test_v2_layout_v4_btree2_depth2_fixed_nrec_width(tmp_path):
+    """Depth-2 tree at a geometry where the LEAF-level nrec width (2 bytes,
+    340 max records) differs from the level-1 width (1 byte would fit 240)
+    — the case that distinguishes the format's fixed leaf-based width from
+    a per-level width. node_size=8192, rec_size=24: a per-level parser
+    misaligns every root child pointer after the first."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    node_size, rec_size = 8192, 24
+    enc_leaf, cum_encs, max_nrec = _bt2_sizing(node_size, rec_size, 2)
+    assert enc_leaf == 2 and max_nrec[1] < 256  # the diverging geometry
+
+    w = _WriterV3()
+    arr = (np.arange(48, dtype="<f8") * 0.25).reshape(8, 6)
+    recs = []
+    for si in range(4):
+        for sj in range(3):
+            blk = np.ascontiguousarray(arr[si * 2 : si * 2 + 2, sj * 2 : sj * 2 + 2])
+            recs.append(_enc_chunk_rec((w.append(blk.tobytes()), (si, sj)), 2, False))
+    tree = (
+        "int",
+        [recs[5]],
+        [
+            ("int", [recs[2]], [("leaf", recs[0:2]), ("leaf", recs[3:5])]),
+            ("int", [recs[8]], [("leaf", recs[6:8]), ("leaf", recs[9:12])]),
+        ],
+    )
+    root_addr, nrec_root, total = _bt2_write_tree(w, 10, rec_size, tree, 2, enc_leaf, cum_encs)
+    assert total == 12
+    hdr = b"BTHD" + bytes([0, 10]) + struct.pack("<IHHBB", node_size, rec_size, 2, 100, 40)
+    hdr += struct.pack("<QH", root_addr, nrec_root)
+    hdr += struct.pack("<Q", total) + b"\x00" * 4
+    idx = w.append(hdr)
+    ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_btree2(idx, (2, 2))),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()), _msg2(0x06, _link_msg("x", ds)),
+    ]))
+    p = str(tmp_path / "bt2depth2.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    assert len(h5.datasets["x"].chunks) == 12
+    np.testing.assert_array_equal(read_dataset(h5, "x"), arr)
