@@ -1121,7 +1121,36 @@ def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
         ]))
         return w.finish(root)
 
-    bases += [_ea_base(), _bt2_base(), _links_base(), _deep_bt2_base()]
+    def _depth2_base() -> bytes:
+        w = _WriterV3()
+        node_size, rec_size = 8192, 24
+        enc_leaf, cum_encs, _ = _bt2_sizing(node_size, rec_size, 2)
+        arr = (np.arange(48, dtype="<f8")).reshape(8, 6)
+        recs = []
+        for si in range(4):
+            for sj in range(3):
+                blk = np.ascontiguousarray(arr[si * 2 : si * 2 + 2, sj * 2 : sj * 2 + 2])
+                recs.append(_enc_chunk_rec((w.append(blk.tobytes()), (si, sj)), 2, False))
+        tree = ("int", [recs[5]], [
+            ("int", [recs[2]], [("leaf", recs[0:2]), ("leaf", recs[3:5])]),
+            ("int", [recs[8]], [("leaf", recs[6:8]), ("leaf", recs[9:12])]),
+        ])
+        root_addr, nrec_root, total = _bt2_write_tree(w, 10, rec_size, tree, 2, enc_leaf, cum_encs)
+        hdr = b"BTHD" + bytes([0, 10]) + struct.pack("<IHHBB", node_size, rec_size, 2, 100, 40)
+        hdr += struct.pack("<QH", root_addr, nrec_root)
+        hdr += struct.pack("<Q", total) + b"\x00" * 4
+        idx = w.append(hdr)
+        ds = w.append(_ohdr2([
+            _msg2(0x01, _dataspace(arr.shape)),
+            _msg2(0x03, _datatype(arr.dtype)),
+            _msg2(0x08, _layout_v4_btree2(idx, (2, 2))),
+        ]))
+        root = w.append(_ohdr2([
+            _msg2(0x02, _link_info()), _msg2(0x06, _link_msg("x", ds)),
+        ]))
+        return w.finish(root)
+
+    bases += [_ea_base(), _bt2_base(), _links_base(), _deep_bt2_base(), _depth2_base()]
     rng = random.Random(99)
     for _ in range(400):
         blob = bytearray(rng.choice(bases))
