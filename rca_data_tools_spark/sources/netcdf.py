@@ -212,12 +212,94 @@ def netcdf_table(
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
 
 
+def h5_time_row_range(path, time_var: str, lo, hi) -> tuple[int, int]:
+    """[row_lo, row_hi) of rows with ``lo <= time < hi`` in a NetCDF-4 /
+    HDF5 file's non-decreasing 1-D time variable — the native-format
+    analogue of parquet date-partition pruning (and of the Zarr path's
+    time_row_range). Driver cost is metadata-scale regardless of series
+    length: a contiguous time variable bisects with O(log n) single-element
+    preads; a chunked one bisects over its chunk map decoding only the
+    O(log n_chunks) probe chunks."""
+    from rca_data_tools_spark.sources.hdf5 import _UNDEF, H5File, decode_chunk
+
+    rd = as_reader(path)
+    h5 = H5File(rd)
+    ds = h5.datasets[time_var]
+    if len(ds.shape) != 1:
+        raise ValueError(f"time variable {time_var!r} must be 1-D")
+    n = ds.shape[0]
+    if n == 0:
+        return 0, 0
+    buf = ds.owner if ds.owner is not None else h5._buf
+
+    if ds.layout == "chunked":
+        chunks = sorted(ds.chunks, key=lambda c: c[0][0])
+        c0 = ds.chunk_shape[0]
+        cache: dict[int, np.ndarray] = {}
+
+        def chunk(i: int) -> np.ndarray:
+            if i not in cache:
+                offs, addr, nbytes, mask = chunks[i]
+                arr = decode_chunk(
+                    buf[addr : addr + nbytes], ds.dtype, ds.chunk_shape,
+                    ds.filters, mask,
+                )
+                cache[i] = arr[: min(c0, n - offs[0])]
+            return cache[i]
+
+        def base(i: int) -> int:
+            return chunks[i][0][0]
+
+        n_units = len(chunks)
+    else:
+        if ds.layout == "compact":
+            whole = np.frombuffer(ds.compact, dtype=ds.dtype)
+        elif ds.data_address == _UNDEF:
+            whole = np.zeros(n, dtype=ds.dtype)
+        else:
+            whole = None
+        isz = ds.dtype.itemsize
+
+        def chunk(i: int) -> np.ndarray:  # one element per "unit"
+            if whole is not None:
+                return whole[i : i + 1]
+            raw = buf[ds.data_address + i * isz : ds.data_address + (i + 1) * isz]
+            return np.frombuffer(raw, dtype=ds.dtype)
+
+        def base(i: int) -> int:
+            return i
+
+        n_units = n
+
+    def bsearch(pred) -> int:
+        a, b = 0, n_units
+        while a < b:
+            mid = (a + b) // 2
+            if pred(mid):
+                b = mid
+            else:
+                a = mid + 1
+        return a
+
+    start = bsearch(lambda i: chunk(i)[-1] >= lo)
+    if start == n_units:
+        return n, n
+    row_lo = base(start) + int(np.searchsorted(chunk(start), lo, side="left"))
+    end = bsearch(lambda i: chunk(i)[-1] >= hi)
+    if end == n_units:
+        row_hi = n
+    else:
+        row_hi = base(end) + int(np.searchsorted(chunk(end), hi, side="left"))
+    return row_lo, max(row_lo, row_hi)
+
+
 def netcdf4_table(
     spark: SparkSession,
     path: str,
     variables: list[str],
     records_per_task: int = 65536,
     index_name: str = "idx",
+    row_range: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """NetCDF-4 scan via the native minimal HDF5 reader (sources/hdf5.py):
     same ``(idx, var1, ...)`` contract as :func:`netcdf_table`, 2-D variables
@@ -275,8 +357,15 @@ def netcdf4_table(
                 f"variable {v!r} has dim-0 length {m['shape'][0]}, expected {n_rows}"
             )
 
-    n_chunks = max(1, -(-n_rows // records_per_task))
-    chunk_index = spark.range(n_chunks).toDF("chunk_id")
+    # row_range pruning (pair with h5_time_row_range for time slices): the
+    # plan holds only the overlapping row-block tasks, and since _rows
+    # skips chunks outside its [lo, hi), no out-of-slice chunk is ever
+    # fetched or decoded — native-format partition pruning
+    row_lo, row_hi = row_range if row_range is not None else (0, n_rows)
+    row_lo, row_hi = max(0, row_lo), min(n_rows, row_hi)
+    blk_lo = row_lo // records_per_task
+    blk_hi = -(-row_hi // records_per_task) if row_hi > row_lo else blk_lo
+    chunk_index = spark.range(blk_lo, max(blk_lo, blk_hi)).toDF("chunk_id")
 
     def _rows(r, m: dict, lo: int, hi: int) -> np.ndarray:
         shape, dtype = m["shape"], m["dtype"]
@@ -308,8 +397,8 @@ def netcdf4_table(
         # would issue ranged GETs) — one pread per chunk/slab, no shared state
         for pdf in batches:
             for chunk_id in pdf["chunk_id"]:
-                lo = int(chunk_id) * records_per_task
-                hi = min(lo + records_per_task, n_rows)
+                lo = max(int(chunk_id) * records_per_task, row_lo)
+                hi = min(int(chunk_id) * records_per_task + records_per_task, n_rows, row_hi)
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
                     arr = _rows(metas[v]["rd"] or rd, metas[v], lo, hi).astype(np.float64)

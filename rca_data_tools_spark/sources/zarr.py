@@ -317,11 +317,64 @@ def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
     return _decode_buf(raw, meta)
 
 
+def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
+    """[row_lo, row_hi) of the rows whose ``time_var`` value t satisfies
+    ``lo <= t < hi``, assuming the coordinate is non-decreasing (the
+    reference's time axis). Found with O(log n_chunks) DRIVER-side chunk
+    decodes — two binary searches over chunk boundary values, then a
+    searchsorted inside the two boundary chunks — so the pruning cost is
+    metadata-scale no matter how long the series: this is partition
+    pruning for a native store, the analogue of the parquet path's
+    date-partition pruning (readers.load_table)."""
+    store = as_store(root)
+    m = _load_array_meta(store, time_var)
+    if len(m["shape"]) != 1:
+        raise ValueError(f"time variable {time_var!r} must be 1-D")
+    n_rows = m["shape"][0]
+    c0 = m["chunks"][0]
+    n_chunks = -(-n_rows // c0)
+    if n_rows == 0:
+        return 0, 0
+    cache: dict[int, np.ndarray] = {}
+
+    def chunk(cid: int) -> np.ndarray:
+        if cid not in cache:
+            arr = _decode_chunk(store, f"{time_var}/{_chunk_key(m, (cid,))}", m)
+            cache[cid] = arr[: min(c0, n_rows - cid * c0)]
+        return cache[cid]
+
+    def bsearch(pred) -> int:
+        """Smallest chunk id satisfying the monotone predicate (n_chunks
+        when none does)."""
+        a, b = 0, n_chunks
+        while a < b:
+            mid = (a + b) // 2
+            if pred(mid):
+                b = mid
+            else:
+                a = mid + 1
+        return a
+
+    start = bsearch(lambda cid: chunk(cid)[-1] >= lo)
+    if start == n_chunks:
+        return n_rows, n_rows
+    row_lo = start * c0 + int(np.searchsorted(chunk(start), lo, side="left"))
+    end = bsearch(lambda cid: chunk(cid)[-1] >= hi)
+    if end == n_chunks:
+        row_hi = n_rows
+    else:
+        row_hi = end * c0 + int(np.searchsorted(chunk(end), hi, side="left"))
+    return row_lo, max(row_lo, row_hi)
+
+
 def zarr_table(
     spark: SparkSession,
     root: str,
     variables: list[str],
     index_name: str = "idx",
+    row_range: "tuple[int, int] | None" = None,
+    time_var: "str | None" = None,
+    time_range: "tuple | None" = None,
 ) -> DataFrame:
     """Scan Zarr variables sharing dim-0 (the time dimension) into one
     DataFrame: ``(idx, var1, var2, ...)`` with 2-D variables as array
@@ -336,6 +389,13 @@ def zarr_table(
     KeyValueStore (sources/bytes_io.py) — an object-store implementation
     plugs in without touching the scan (one GET per chunk key, exactly the
     reference's fsspec-mapper access pattern).
+
+    Pruning: pass ``row_range=(lo, hi)`` to scan only the dim-0 slice, or
+    ``time_var`` + ``time_range=(t_lo, t_hi)`` to derive that slice from a
+    non-decreasing time coordinate (time_row_range) — either way the plan
+    contains ONLY the overlapping chunk tasks, so executors never fetch or
+    decode chunks outside the slice (tested by corrupting out-of-slice
+    chunks: the pruned scan must not touch them).
     """
     store = as_store(root)
     metas = {v: _load_array_meta(store, v) for v in variables}
@@ -359,21 +419,29 @@ def zarr_table(
         if m.get("order", "C") != "C":
             raise ValueError(f"variable {v!r} is not C-order")
 
-    n_chunks = -(-n_rows // chunk0)
-    chunk_index = spark.range(n_chunks).toDF("chunk_id")
+    if time_var is not None and time_range is not None:
+        if row_range is not None:
+            raise ValueError("pass row_range OR time_var/time_range, not both")
+        row_range = time_row_range(store, time_var, *time_range)
+    row_lo, row_hi = row_range if row_range is not None else (0, n_rows)
+    row_lo, row_hi = max(0, row_lo), min(n_rows, row_hi)
+    c_lo = row_lo // chunk0
+    c_hi = -(-row_hi // chunk0) if row_hi > row_lo else c_lo
+    chunk_index = spark.range(c_lo, c_hi).toDF("chunk_id")
 
     def _scan(batches):
         for pdf in batches:
             for chunk_id in pdf["chunk_id"]:
                 cid = int(chunk_id)
-                lo = cid * chunk0
-                hi = min(lo + chunk0, n_rows)
+                lo = max(cid * chunk0, row_lo)
+                hi = min(cid * chunk0 + chunk0, n_rows, row_hi)
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
+                base = cid * chunk0
                 for v in variables:
                     m = metas[v]
                     two_d = len(m["shape"]) == 2
                     fname = _chunk_key(m, (cid, 0) if two_d else (cid,))
-                    arr = _decode_chunk(store, f"{v}/{fname}", m)[: hi - lo]
+                    arr = _decode_chunk(store, f"{v}/{fname}", m)[lo - base : hi - base]
                     fill = m.get("fill_value")
                     if fill is not None and np.issubdtype(arr.dtype, np.floating):
                         # Zarr v2 JSON-encodes non-finite fills as the strings

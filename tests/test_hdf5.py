@@ -503,3 +503,34 @@ def test_group_ancestor_cycle_raises(tmp_path):
         f.write(bytes(blob))
     with pytest.raises(ValueError, match="cyclic"):
         H5File(p)
+
+
+def test_netcdf4_row_range_pruned_scan(spark, h5_file):
+    """row_range pruning: only the overlapping row-block tasks are planned
+    and each clips to the slice; result equals the full scan filtered on
+    idx. Time-based bounds come from h5_time_row_range, bisecting the
+    monotone time variable without reading it whole."""
+    from rca_data_tools_spark.sources.netcdf import h5_time_row_range, netcdf4_table
+
+    path, arrays = h5_file
+    t = arrays["time"]
+    lo_t, hi_t = float(t[23]), float(t[77])
+    row_lo, row_hi = h5_time_row_range(path, "time", lo_t, hi_t)
+    assert (row_lo, row_hi) == (23, 77)
+
+    full = netcdf4_table(
+        spark, path, ["time", "temp", "spectra"], records_per_task=17
+    ).collect()
+    expect = sorted(
+        (r["idx"], r["time"], r["temp"], tuple(r["spectra"])) for r in full
+        if 23 <= r["idx"] < 77
+    )
+    pruned = netcdf4_table(
+        spark, path, ["time", "temp", "spectra"], records_per_task=17,
+        row_range=(row_lo, row_hi),
+    ).collect()
+    assert sorted((r["idx"], r["time"], r["temp"], tuple(r["spectra"])) for r in pruned) == expect
+    assert len(pruned) == 54
+
+    empty = netcdf4_table(spark, path, ["time"], row_range=(5, 5))
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["idx", "time"]

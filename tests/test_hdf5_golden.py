@@ -212,3 +212,27 @@ def test_golden_netcdf_to_parquet_ingest(spark, tmp_path):
     assert str(agg["t0"]).startswith("2014")  # deployment-era archive start
     assert str(agg["t1"]).startswith("2025")  # through the current window
     assert df.filter(F.col("ts").isNull()).count() == 0
+
+
+@needs_golden
+def test_golden_time_row_range_matches_numpy():
+    """The time-slice bisect must agree with numpy searchsorted over the
+    REAL libhdf5-written time coordinate (64,725 rows) at a spread of
+    slice positions, including out-of-range and degenerate slices."""
+    import numpy as np
+
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+    from rca_data_tools_spark.sources.netcdf import h5_time_row_range
+
+    t = read_dataset(H5File(_PARAM), "time")
+    assert (np.diff(t) >= 0).all()
+    qs = np.quantile(t, [0.0, 0.1, 0.25, 0.5, 0.9, 1.0])
+    cases = [
+        (qs[1], qs[4]), (qs[0], qs[5]), (qs[2], qs[3]),
+        (t[0] - 10, t[0]), (t[-1] + 1, t[-1] + 2), (qs[3], qs[3]),
+    ]
+    for lo, hi in cases:
+        got = h5_time_row_range(_PARAM, "time", lo, hi)
+        want_lo = int(np.searchsorted(t, lo, side="left"))
+        want_hi = max(want_lo, int(np.searchsorted(t, hi, side="left")))
+        assert got == (want_lo, want_hi), (lo, hi, got, (want_lo, want_hi))

@@ -453,3 +453,72 @@ def test_zarr_v3_missing_whole_shard_reads_as_fill(spark, tmp_path):
     assert len(rows) == 20
     assert rows[3] == 3.0 and rows[8] == 8.0
     assert all(rows[i] is None for i in range(10, 20))  # fill -> NULL
+
+
+def test_zarr_time_range_pruned_scan(spark, tmp_path):
+    """Time-slice pruning: the scan plan contains only the chunk tasks
+    overlapping the slice — proven by CORRUPTING every out-of-slice chunk
+    (decode would raise if touched) — and the pruned result equals the
+    full scan filtered on the same time values. The row bounds come from
+    O(log n_chunks) driver-side boundary decodes (time_row_range)."""
+    from rca_data_tools_spark.sources.zarr import time_row_range, zarr_table
+
+    root = str(tmp_path / "pruned.zarr")
+    os.makedirs(root)
+    n, c0 = 97, 10
+    time = (np.arange(n, dtype="<i8") * 60 + 1_000) * 1_000_000_000
+    vals = np.arange(n, dtype="<f8") * 0.5
+    _write_array(root, "time", time, [c0])
+    _write_array(root, "v", vals, [c0], compressor={"id": "zlib", "level": 1})
+
+    t_lo, t_hi = int(time[33]), int(time[61])  # rows 33..60 -> chunks 3..6
+    row_lo, row_hi = time_row_range(root, "time", t_lo, t_hi)
+    assert (row_lo, row_hi) == (33, 61)
+
+    full = zarr_table(spark, root, ["time", "v"]).collect()
+    expect = sorted(
+        (r["idx"], r["time"], r["v"]) for r in full if t_lo <= r["time"] < t_hi
+    )
+    via_time = zarr_table(
+        spark, root, ["time", "v"], time_var="time", time_range=(t_lo, t_hi)
+    ).collect()
+    assert sorted((r["idx"], r["time"], r["v"]) for r in via_time) == expect
+    assert len(via_time) == 28
+
+    # corrupt every chunk outside chunks 3..6 of BOTH variables (the bisect
+    # itself probes O(log n) arbitrary chunks, so prune by the precomputed
+    # row bounds here): zlib 'v' chunks fail loudly on decode; raw 'time'
+    # chunks are truncated to a size _decode_chunk rejects — so a fetch of
+    # ANY out-of-slice chunk, driver or executor side, would raise
+    for var in ("time", "v"):
+        for cid in range(-(-n // c0)):
+            if 3 <= cid <= 6:
+                continue
+            with open(os.path.join(root, var, str(cid)), "wb") as f:
+                f.write(b"\x01\x02\x03")
+
+    pruned = zarr_table(
+        spark, root, ["time", "v"], row_range=(row_lo, row_hi)
+    ).collect()
+    assert sorted((r["idx"], r["time"], r["v"]) for r in pruned) == expect
+
+    # empty slice: empty-but-well-typed, zero chunk tasks, nothing decoded
+    empty = zarr_table(
+        spark, root, ["time", "v"], row_range=(5, 5)
+    )
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["idx", "time", "v"]
+
+
+def test_zarr_time_row_range_edges(tmp_path):
+    from rca_data_tools_spark.sources.zarr import time_row_range
+
+    root = str(tmp_path / "edges.zarr")
+    os.makedirs(root)
+    time = np.array([10, 10, 20, 30, 30, 30, 40, 50, 60], dtype="<i8")
+    _write_array(root, "time", time, [4])
+    assert time_row_range(root, "time", 10, 61) == (0, 9)     # everything
+    assert time_row_range(root, "time", 0, 10) == (0, 0)      # before start
+    assert time_row_range(root, "time", 61, 99) == (9, 9)     # past end
+    assert time_row_range(root, "time", 30, 31) == (3, 6)     # dup run
+    assert time_row_range(root, "time", 15, 45) == (2, 7)     # mid chunks
+    assert time_row_range(root, "time", 35, 35) == (6, 6)     # degenerate
