@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     cz.add_argument("out")
     cz.add_argument("--variables", nargs="+", required=True)
     cz.add_argument("--time-var", default=None)
+    cz.add_argument(
+        "--time-range", nargs=2, type=float, default=None, metavar=("LO", "HI"),
+        help="convert only rows with LO <= time-var < HI (raw coordinate "
+        "units); the scan prunes to the overlapping chunks",
+    )
 
     cn = sub.add_parser("convert-nc", help="NetCDF file -> Parquet ingest")
     cn.add_argument("src", help="local .nc path or http(s):// URL")
@@ -143,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
         from rca_data_tools_spark.sources.zarr import zarr_to_parquet
 
         df = zarr_to_parquet(
-            spark, args.src, args.variables, args.out, time_var=args.time_var
+            spark, args.src, args.variables, args.out, time_var=args.time_var,
+            time_range=tuple(args.time_range) if args.time_range else None,
         )
         print(f"rows: {df.count()} -> {args.out}")
         return 0

@@ -477,6 +477,7 @@ def zarr_to_parquet(
     time_var: str | None = None,
     epoch: str = "1970-01-01",
     time_unit: str = "s",
+    time_range: "tuple | None" = None,
 ) -> DataFrame:
     """Ingest conversion: one distributed pass from a Zarr v2 store (any codec
     the scan supports, including the pure-Python blosc path) into the engine's
@@ -493,7 +494,13 @@ def zarr_to_parquet(
     cols = list(variables)
     if time_var and time_var not in cols:
         cols.insert(0, time_var)
-    df = zarr_table(spark, root, cols)
+    if time_range is not None and not time_var:
+        raise ValueError("time_range needs time_var")
+    df = zarr_table(
+        spark, root, cols,
+        time_var=time_var if time_range is not None else None,
+        time_range=time_range,
+    )
     if time_var:
         unit_us = {"s": 1_000_000, "ms": 1_000, "us": 1}[time_unit]
         df = df.withColumn(

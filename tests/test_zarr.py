@@ -522,3 +522,22 @@ def test_zarr_time_row_range_edges(tmp_path):
     assert time_row_range(root, "time", 30, 31) == (3, 6)     # dup run
     assert time_row_range(root, "time", 15, 45) == (2, 7)     # mid chunks
     assert time_row_range(root, "time", 35, 35) == (6, 6)     # degenerate
+
+
+def test_zarr_to_parquet_time_range(spark, tmp_path, store):
+    """Sliced ingest: --time-range converts only the requested span (the
+    pruned scan under the hood), producing a ts column bounded by it."""
+    from rca_data_tools_spark.sources.zarr import zarr_to_parquet
+
+    root, time, temp, _ = store
+    t_lo, t_hi = int(time[7]), int(time[19])
+    out = str(tmp_path / "sliced.parquet")
+    df = zarr_to_parquet(
+        spark, root, ["temp"], out, time_var="time", time_unit="us",
+        time_range=(t_lo, t_hi),
+    )
+    rows = df.orderBy("idx").collect()
+    assert [r["idx"] for r in rows] == list(range(7, 19))
+    got = np.array([r["temp"] for r in rows], dtype=float)
+    expect = temp[7:19].copy()
+    np.testing.assert_allclose(np.nan_to_num(got, nan=-1), np.nan_to_num(expect, nan=-1))
