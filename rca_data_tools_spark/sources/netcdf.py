@@ -422,6 +422,8 @@ def netcdf_dataset_table(
     records_per_task: int = 65536,
     index_name: str = "idx",
     file_col: str = "file_id",
+    time_var: "str | None" = None,
+    time_range: "tuple | None" = None,
 ) -> DataFrame:
     """Scan a collection of NetCDF files (classic or NetCDF-4, mixed is
     fine) as one DataFrame with a ``file_id`` provenance column — the
@@ -433,7 +435,16 @@ def netcdf_dataset_table(
     over files x record-ranges, so a directory of a thousand deployments
     parallelizes like a partitioned table. Schema mismatches fail loudly at
     plan time via the per-file variable checks.
-    """
+
+    ``time_var`` + ``time_range=(lo, hi)`` prune the collection: a
+    NetCDF-4 file whose time slice is empty drops out of the plan entirely
+    at O(log n) driver probes per file, and a non-empty one scans only its
+    overlapping blocks (h5_time_row_range). Classic-format files decode
+    fully and filter on the time column (their record layout interleaves
+    variables, so a row skip saves little) — the FILE-skip still applies
+    to them via their first/last time values when the variable is scanned.
+    ``time_var`` must be in ``variables`` when a range is given, so the
+    classic-path filter and the returned columns agree."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -445,13 +456,34 @@ def netcdf_dataset_table(
         if not found:
             raise FileNotFoundError(f"no .nc files under {paths!r}")
         paths = found
+    if time_range is not None and (time_var is None or time_var not in variables):
+        raise ValueError("time_range needs time_var, listed in variables")
     parts = []
     for i, p in enumerate(paths):
-        df = netcdf_table(
-            spark, p, variables,
-            records_per_task=records_per_task, index_name=index_name,
-        )
+        row_range = None
+        if time_range is not None and as_reader(p).pread(0, 4) == b"\x89HDF":
+            row_range = h5_time_row_range(p, time_var, *time_range)
+            if row_range[0] == row_range[1]:
+                continue  # whole file outside the slice: not in the plan
+            df = netcdf4_table(
+                spark, p, variables,
+                records_per_task=records_per_task, index_name=index_name,
+                row_range=row_range,
+            )
+        else:
+            df = netcdf_table(
+                spark, p, variables,
+                records_per_task=records_per_task, index_name=index_name,
+            )
+            if time_range is not None:
+                df = df.filter(
+                    (F.col(time_var) >= time_range[0])
+                    & (F.col(time_var) < time_range[1])
+                )
         parts.append(df.select(F.lit(i).alias(file_col), "*"))
+    if not parts:
+        fields = [f"{file_col} int", f"{index_name} long"] + [f"`{v}` double" for v in variables]
+        return spark.createDataFrame([], ", ".join(fields))
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)

@@ -534,3 +534,55 @@ def test_netcdf4_row_range_pruned_scan(spark, h5_file):
 
     empty = netcdf4_table(spark, path, ["time"], row_range=(5, 5))
     assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["idx", "time"]
+
+
+def test_dataset_collection_time_pruning(spark, tmp_path):
+    """Collection-level time pruning over a MIXED directory: a NetCDF-4
+    file entirely outside the slice drops out of the plan (file skip), a
+    NetCDF-4 file overlapping it scans only its rows, and a classic file
+    filters to the same semantics — one table, exact slice."""
+    from tests.test_netcdf import _write_classic
+
+    from rca_data_tools_spark.sources.netcdf import netcdf_dataset_table
+
+    d = tmp_path / "coll"
+    d.mkdir()
+    rng = np.random.RandomState(3)
+    # file a: HDF5, time 0..990 — fully OUTSIDE the slice
+    write_h5(str(d / "a.nc"), {
+        "time": {"array": np.arange(100, dtype="<f8") * 10.0, "chunks": None},
+        "temp": {"array": rng.randn(100).astype("<f8"), "chunks": (32,), "filters": [("deflate", 4)]},
+    })
+    # file b: HDF5, time 1000..1990 — slice overlaps rows 20..49
+    tb = 1000.0 + np.arange(100, dtype="<f8") * 10.0
+    vb = rng.randn(100).astype("<f8")
+    write_h5(str(d / "b.nc"), {
+        "time": {"array": tb, "chunks": None},
+        "temp": {"array": vb, "chunks": (32,), "filters": [("deflate", 4)]},
+    })
+    # file c: classic CDF-1, time 1100..1400 step 20 — partly inside
+    tc = 1100.0 + np.arange(16, dtype=np.float64) * 20.0
+    vc = rng.uniform(2, 10, 16)
+    _write_classic(str(d / "c.nc"), tc, vc, rng.uniform(0, 1, (16, 3)), np.array([5.0]))
+
+    lo, hi = 1200.0, 1500.0
+    df = netcdf_dataset_table(
+        spark, str(d), ["time", "temp"], records_per_task=33,
+        time_var="time", time_range=(lo, hi),
+    )
+    rows = df.collect()
+    # file a (file_id 0) skipped entirely; b and c contribute their slices
+    assert {r["file_id"] for r in rows} == {1, 2}
+    for r in rows:
+        assert lo <= r["time"] < hi
+    got_b = sorted(r["time"] for r in rows if r["file_id"] == 1)
+    assert got_b == [t for t in tb if lo <= t < hi]
+    got_c = sorted(r["time"] for r in rows if r["file_id"] == 2)
+    assert got_c == [t for t in tc if lo <= t < hi]
+
+    # slice hitting nothing: empty but well-typed
+    none = netcdf_dataset_table(
+        spark, str(d), ["time", "temp"], time_var="time", time_range=(9e9, 9.1e9)
+    )
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["file_id", "idx", "time", "temp"]
