@@ -57,8 +57,16 @@ def main(argv: list[str] | None = None) -> int:
     cz.add_argument("out")
     cz.add_argument("--variables", nargs="+", required=True)
     cz.add_argument("--time-var", default=None)
+    def _bound(s: str):
+        # int64 ns-epoch coordinates exceed float64's 2^53 integer range;
+        # parse integers as integers so slice edges stay exact
+        try:
+            return int(s)
+        except ValueError:
+            return float(s)
+
     cz.add_argument(
-        "--time-range", nargs=2, type=float, default=None, metavar=("LO", "HI"),
+        "--time-range", nargs=2, type=_bound, default=None, metavar=("LO", "HI"),
         help="convert only rows with LO <= time-var < HI (raw coordinate "
         "units); the scan prunes to the overlapping chunks",
     )

@@ -212,18 +212,21 @@ def netcdf_table(
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
 
 
-def h5_time_row_range(path, time_var: str, lo, hi) -> tuple[int, int]:
+def h5_time_row_range(path, time_var: str, lo, hi, h5=None) -> tuple[int, int]:
     """[row_lo, row_hi) of rows with ``lo <= time < hi`` in a NetCDF-4 /
     HDF5 file's non-decreasing 1-D time variable — the native-format
     analogue of parquet date-partition pruning (and of the Zarr path's
-    time_row_range). Driver cost is metadata-scale regardless of series
-    length: a contiguous time variable bisects with O(log n) single-element
-    preads; a chunked one bisects over its chunk map decoding only the
-    O(log n_chunks) probe chunks."""
+    time_row_range; both delegate the boundary semantics to
+    sources/timeslice.bisect_row_range). Driver cost is metadata-scale
+    regardless of series length: a contiguous time variable bisects with
+    O(log n) single-element preads; a chunked one bisects over its chunk
+    map decoding only the O(log n_chunks) probe chunks. Pass a pre-parsed
+    ``h5`` (H5File) to skip re-parsing the file's metadata."""
     from rca_data_tools_spark.sources.hdf5 import _UNDEF, H5File, decode_chunk
+    from rca_data_tools_spark.sources.timeslice import bisect_row_range
 
-    rd = as_reader(path)
-    h5 = H5File(rd)
+    if h5 is None:
+        h5 = H5File(as_reader(path))
     ds = h5.datasets[time_var]
     if len(ds.shape) != 1:
         raise ValueError(f"time variable {time_var!r} must be 1-D")
@@ -271,26 +274,7 @@ def h5_time_row_range(path, time_var: str, lo, hi) -> tuple[int, int]:
 
         n_units = n
 
-    def bsearch(pred) -> int:
-        a, b = 0, n_units
-        while a < b:
-            mid = (a + b) // 2
-            if pred(mid):
-                b = mid
-            else:
-                a = mid + 1
-        return a
-
-    start = bsearch(lambda i: chunk(i)[-1] >= lo)
-    if start == n_units:
-        return n, n
-    row_lo = base(start) + int(np.searchsorted(chunk(start), lo, side="left"))
-    end = bsearch(lambda i: chunk(i)[-1] >= hi)
-    if end == n_units:
-        row_hi = n
-    else:
-        row_hi = base(end) + int(np.searchsorted(chunk(end), hi, side="left"))
-    return row_lo, max(row_lo, row_hi)
+    return bisect_row_range(chunk, base, n_units, n, lo, hi)
 
 
 def netcdf4_table(
@@ -300,10 +284,13 @@ def netcdf4_table(
     records_per_task: int = 65536,
     index_name: str = "idx",
     row_range: "tuple[int, int] | None" = None,
+    h5=None,
 ) -> DataFrame:
     """NetCDF-4 scan via the native minimal HDF5 reader (sources/hdf5.py):
     same ``(idx, var1, ...)`` contract as :func:`netcdf_table`, 2-D variables
-    as array<double> columns.
+    as array<double> columns. Pass a pre-parsed ``h5`` (H5File) to reuse
+    metadata already walked (e.g. by h5_time_row_range) instead of
+    re-parsing.
 
     Scale shape: the driver mmap-parses only HDF5 metadata (superblock,
     object headers, chunk B-trees — KBs); the dim-sized chunk map ships in
@@ -315,8 +302,11 @@ def netcdf4_table(
     """
     from rca_data_tools_spark.sources.hdf5 import _UNDEF, H5File, decode_chunk
 
-    rd = as_reader(path)
-    h5 = H5File(rd)
+    if h5 is None:
+        rd = as_reader(path)
+        h5 = H5File(rd)
+    else:
+        rd = h5._buf
     display = getattr(rd, "path", "<byte-range source>")
     metas: dict[str, dict] = {}
     for v in variables:
@@ -436,18 +426,21 @@ def netcdf_dataset_table(
     parallelizes like a partitioned table. Schema mismatches fail loudly at
     plan time via the per-file variable checks.
 
-    ``time_var`` + ``time_range=(lo, hi)`` prune the collection: a
-    NetCDF-4 file whose time slice is empty drops out of the plan entirely
-    at O(log n) driver probes per file, and a non-empty one scans only its
-    overlapping blocks (h5_time_row_range). Classic-format files decode
-    fully and filter on the time column (their record layout interleaves
-    variables, so a row skip saves little) — the FILE-skip still applies
-    to them via their first/last time values when the variable is scanned.
-    ``time_var`` must be in ``variables`` when a range is given, so the
-    classic-path filter and the returned columns agree."""
+    ``time_var`` + ``time_range=(lo, hi)`` prune the collection: a file
+    whose time slice is empty drops out of the plan entirely — a NetCDF-4
+    file at O(log n) driver bisect probes, a classic file at two record
+    preads (its first/last time values) — and a surviving NetCDF-4 file
+    scans only its overlapping blocks (the file's metadata is parsed
+    ONCE, shared between the bisect and the scan). Surviving classic
+    files decode fully and filter on the time column (their record layout
+    interleaves variables, so a row skip saves little decode). ``time_var``
+    must be in ``variables`` when a range is given, so the classic-path
+    filter and the returned columns agree."""
     import glob as _glob
 
     from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.hdf5 import H5File
 
     if isinstance(paths, str):
         found = sorted(
@@ -459,18 +452,55 @@ def netcdf_dataset_table(
     if time_range is not None and (time_var is None or time_var not in variables):
         raise ValueError("time_range needs time_var, listed in variables")
     parts = []
+    typed_empty = None  # correctly-typed empty frame in case every file skips
     for i, p in enumerate(paths):
-        row_range = None
-        if time_range is not None and as_reader(p).pread(0, 4) == b"\x89HDF":
-            row_range = h5_time_row_range(p, time_var, *time_range)
-            if row_range[0] == row_range[1]:
-                continue  # whole file outside the slice: not in the plan
+        rd = as_reader(p)
+        is_h5 = rd.pread(0, 4) == b"\x89HDF"
+        if is_h5:
+            h5 = H5File(rd)  # parsed once: bisect and scan share it
+            if time_range is not None:
+                tvar, v0 = h5.datasets[time_var], h5.datasets[variables[0]]
+                if tvar.shape[0] != v0.shape[0]:
+                    raise ValueError(
+                        f"{p!r}: time variable {time_var!r} has "
+                        f"{tvar.shape[0]} rows, {variables[0]!r} has "
+                        f"{v0.shape[0]} — bounds from a different axis"
+                    )
+                row_range = h5_time_row_range(p, time_var, *time_range, h5=h5)
+                if row_range[0] == row_range[1]:
+                    if typed_empty is None:
+                        typed_empty = netcdf4_table(
+                            spark, p, variables, index_name=index_name,
+                            row_range=(0, 0), h5=h5,
+                        )
+                    continue  # whole file outside the slice: not in the plan
+            else:
+                row_range = None
             df = netcdf4_table(
                 spark, p, variables,
                 records_per_task=records_per_task, index_name=index_name,
-                row_range=row_range,
+                row_range=row_range, h5=h5,
             )
         else:
+            if time_range is not None:
+                header = read_header(rd)
+                n = header["numrecs"] if header["variables"][time_var]["record"] else header["variables"][time_var]["shape"][0]
+                if n == 0:
+                    if typed_empty is None:
+                        typed_empty = netcdf_table(
+                            spark, p, variables, index_name=index_name
+                        ).limit(0)
+                    continue
+                first = float(_read_var_range(rd, header, time_var, 0, 1)[0])
+                last = float(_read_var_range(rd, header, time_var, n - 1, n)[0])
+                if last < time_range[0] or first >= time_range[1]:
+                    if typed_empty is None:
+                        # limit(0) folds to an empty relation at plan time —
+                        # schema preserved, zero tasks
+                        typed_empty = netcdf_table(
+                            spark, p, variables, index_name=index_name
+                        ).limit(0)
+                    continue  # two preads proved the file disjoint: skip it
             df = netcdf_table(
                 spark, p, variables,
                 records_per_task=records_per_task, index_name=index_name,
@@ -482,8 +512,9 @@ def netcdf_dataset_table(
                 )
         parts.append(df.select(F.lit(i).alias(file_col), "*"))
     if not parts:
-        fields = [f"{file_col} int", f"{index_name} long"] + [f"`{v}` double" for v in variables]
-        return spark.createDataFrame([], ", ".join(fields))
+        # every file was skipped: empty but typed EXACTLY like a non-empty
+        # scan (incl. array<double> 2-D columns), from the first file's plan
+        return typed_empty.select(F.lit(0).alias(file_col), "*")
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)

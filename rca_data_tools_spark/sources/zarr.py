@@ -326,6 +326,8 @@ def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
     metadata-scale no matter how long the series: this is partition
     pruning for a native store, the analogue of the parquet path's
     date-partition pruning (readers.load_table)."""
+    from rca_data_tools_spark.sources.timeslice import bisect_row_range
+
     store = as_store(root)
     m = _load_array_meta(store, time_var)
     if len(m["shape"]) != 1:
@@ -333,8 +335,6 @@ def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
     n_rows = m["shape"][0]
     c0 = m["chunks"][0]
     n_chunks = -(-n_rows // c0)
-    if n_rows == 0:
-        return 0, 0
     cache: dict[int, np.ndarray] = {}
 
     def chunk(cid: int) -> np.ndarray:
@@ -343,28 +343,7 @@ def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
             cache[cid] = arr[: min(c0, n_rows - cid * c0)]
         return cache[cid]
 
-    def bsearch(pred) -> int:
-        """Smallest chunk id satisfying the monotone predicate (n_chunks
-        when none does)."""
-        a, b = 0, n_chunks
-        while a < b:
-            mid = (a + b) // 2
-            if pred(mid):
-                b = mid
-            else:
-                a = mid + 1
-        return a
-
-    start = bsearch(lambda cid: chunk(cid)[-1] >= lo)
-    if start == n_chunks:
-        return n_rows, n_rows
-    row_lo = start * c0 + int(np.searchsorted(chunk(start), lo, side="left"))
-    end = bsearch(lambda cid: chunk(cid)[-1] >= hi)
-    if end == n_chunks:
-        row_hi = n_rows
-    else:
-        row_hi = end * c0 + int(np.searchsorted(chunk(end), hi, side="left"))
-    return row_lo, max(row_lo, row_hi)
+    return bisect_row_range(chunk, lambda cid: cid * c0, n_chunks, n_rows, lo, hi)
 
 
 def zarr_table(
@@ -419,9 +398,20 @@ def zarr_table(
         if m.get("order", "C") != "C":
             raise ValueError(f"variable {v!r} is not C-order")
 
-    if time_var is not None and time_range is not None:
+    if (time_var is None) != (time_range is None):
+        # silently ignoring one half would return the FULL scan to a caller
+        # who believes they received the slice
+        raise ValueError("time_var and time_range must be passed together")
+    if time_range is not None:
         if row_range is not None:
             raise ValueError("pass row_range OR time_var/time_range, not both")
+        tm = _load_array_meta(store, time_var)
+        if tm["shape"][0] != n_rows:
+            raise ValueError(
+                f"time variable {time_var!r} has {tm['shape'][0]} rows but the "
+                f"scanned variables have {n_rows}: bounds from a different "
+                "axis would silently slice the wrong rows"
+            )
         row_range = time_row_range(store, time_var, *time_range)
     row_lo, row_hi = row_range if row_range is not None else (0, n_rows)
     row_lo, row_hi = max(0, row_lo), min(n_rows, row_hi)

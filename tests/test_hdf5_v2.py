@@ -1150,6 +1150,19 @@ def test_fuzz_corrupt_metadata_raises_typed_errors(tmp_path):
         ]))
         return w.finish(root)
 
+    # pin the hand-built seeds as VALID before mutating them — a malformed
+    # base would raise typed errors every iteration and silently void the
+    # coverage it is supposed to add
+    from rca_data_tools_spark.sources.hdf5 import read_dataset
+
+    for blob in (_ea_base(), _bt2_base(), _deep_bt2_base(), _depth2_base()):
+        h5ok = H5File(blob)
+        assert "x" in h5ok.datasets and len(read_dataset(h5ok, "x")) > 0
+    # the links seed deliberately ends in an unresolvable external link: a
+    # valid parse walks the soft links first, then raises exactly there
+    with pytest.raises(NotImplementedError, match="external link"):
+        H5File(_links_base())
+
     bases += [_ea_base(), _bt2_base(), _links_base(), _deep_bt2_base(), _depth2_base()]
     rng = random.Random(99)
     for _ in range(400):

@@ -541,3 +541,23 @@ def test_zarr_to_parquet_time_range(spark, tmp_path, store):
     got = np.array([r["temp"] for r in rows], dtype=float)
     expect = temp[7:19].copy()
     np.testing.assert_allclose(np.nan_to_num(got, nan=-1), np.nan_to_num(expect, nan=-1))
+
+
+def test_zarr_time_pruning_guards(spark, tmp_path, store):
+    """Misuse fails loudly: time_range without time_var (silently returning
+    the full scan would masquerade as the slice), and a time coordinate
+    whose length disagrees with the scanned variables' axis."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root, *_ = store
+    with pytest.raises(ValueError, match="together"):
+        zarr_table(spark, root, ["temp"], time_range=(0, 1))
+    with pytest.raises(ValueError, match="together"):
+        zarr_table(spark, root, ["temp"], time_var="time")
+
+    short = str(tmp_path / "short.zarr")
+    os.makedirs(short)
+    _write_array(short, "time", np.arange(50, dtype="<i8"), [10])
+    _write_array(short, "v", np.arange(25, dtype="<f8"), [10])
+    with pytest.raises(ValueError, match="different\\s+axis|50 rows"):
+        zarr_table(spark, short, ["v"], time_var="time", time_range=(0, 10))
