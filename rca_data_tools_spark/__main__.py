@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--variables", nargs="+", required=True)
     cn.add_argument("--time-var", default=None)
     cn.add_argument("--epoch", default="1900-01-01")
+    cn.add_argument(
+        "--time-range", nargs=2, type=_bound, default=None, metavar=("LO", "HI"),
+        help="convert only rows with LO <= time-var < HI (raw coordinate "
+        "units); NetCDF-4 inputs prune to the overlapping blocks",
+    )
 
     sub.add_parser("bench", help="run the headline benchmark")
 
@@ -168,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         df = netcdf_to_parquet(
             spark, args.src, args.variables, args.out,
             time_var=args.time_var, epoch=args.epoch,
+            time_range=tuple(args.time_range) if args.time_range else None,
         )
         print(f"rows: {df.count()} -> {args.out}")
         return 0

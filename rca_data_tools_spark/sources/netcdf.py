@@ -530,6 +530,7 @@ def netcdf_to_parquet(
     epoch: str = "1900-01-01",
     time_unit: str = "s",
     records_per_task: int = 65536,
+    time_range: "tuple | None" = None,
 ) -> DataFrame:
     """Ingest conversion: one distributed pass from a NetCDF file (classic
     or NetCDF-4, local path / URL / ByteRangeReader) into the engine's
@@ -547,7 +548,21 @@ def netcdf_to_parquet(
     cols = list(variables)
     if time_var and time_var not in cols:
         cols.insert(0, time_var)
-    df = netcdf_table(spark, path, cols, records_per_task=records_per_task)
+    if time_range is not None and not time_var:
+        raise ValueError("time_range needs time_var")
+    if time_range is not None and as_reader(path).pread(0, 4) == b"\x89HDF":
+        # sliced NetCDF-4 ingest prunes to the overlapping blocks
+        df = netcdf4_table(
+            spark, path, cols, records_per_task=records_per_task,
+            row_range=h5_time_row_range(path, time_var, *time_range),
+        )
+    else:
+        df = netcdf_table(spark, path, cols, records_per_task=records_per_task)
+        if time_range is not None:
+            df = df.filter(
+                (F.col(time_var) >= time_range[0])
+                & (F.col(time_var) < time_range[1])
+            )
     if time_var:
         unit_us = {"s": 1_000_000, "ms": 1_000, "us": 1}[time_unit]
         df = df.withColumn(

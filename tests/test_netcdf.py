@@ -205,3 +205,21 @@ def test_cdf2_64bit_offsets(spark, tmp_path):
     assert h["variables"]["v"]["begin"] == hlen
     rows = {r["idx"]: r["v"] for r in netcdf_table(spark, path, ["v"]).collect()}
     assert rows == {i: float(vals[i]) for i in range(n)}
+
+
+def test_netcdf_to_parquet_time_range(spark, tmp_path, nc_file):
+    """Sliced .nc ingest: --time-range converts only the requested span
+    (classic path filters; the NetCDF-4 path prunes blocks)."""
+    from rca_data_tools_spark.sources.netcdf import netcdf_to_parquet
+
+    path, time, temp, _, _ = nc_file
+    lo, hi = float(time[10]), float(time[40])
+    out = str(tmp_path / "sliced.parquet")
+    df = netcdf_to_parquet(
+        spark, path, ["temp"], out, time_var="time", time_unit="s",
+        epoch="1970-01-01", time_range=(lo, hi),
+    )
+    rows = df.orderBy("idx").collect()
+    assert [r["idx"] for r in rows] == list(range(10, 40))
+    np.testing.assert_allclose([r["temp"] for r in rows], temp[10:40])
+    assert all(r["ts"] is not None for r in rows)
