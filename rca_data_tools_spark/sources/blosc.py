@@ -22,14 +22,26 @@ loop costs no driver time and parallelizes with the chunk grid. It is still
 documents recompress-on-ingest (zlib/gzip) as the fast path; this decoder
 makes blosc archives *readable* without new native dependencies.
 
-Supported: byte-shuffle, memcpy chunks, LZ4 / zlib / zstd / snappy /
-blosclz-stored splits (zstd via the pure-Python RFC 8878 decoder in
+Supported: byte-shuffle, bit-shuffle, memcpy chunks, LZ4 / zlib / zstd /
+snappy / blosclz-stored splits (zstd via the pure-Python RFC 8878 decoder in
 sources/zstd.py, snappy via sources/snappy.py validated against pyarrow's
 bundled C++ codec; blosclz only when splits are stored uncompressed, its
-compressed form is a different spec). Bit-shuffle raises loudly — its bit
-layout is defined by the bitshuffle library's SIMD kernels and nothing in
-this runtime can produce golden output to validate a reimplementation
-against, so claiming support would be untested decoding.
+compressed form is a different spec).
+
+Bit-shuffle layout (public, two independent definitions that agree):
+the bitshuffle library's own pure-numpy reference model — a little-bitorder
+bit-matrix transpose, ``unpackbits(..., bitorder='little')`` of the block
+reshaped ``(n_elem, typesize*8)``, transposed, repacked little — and the C
+kernels themselves: ``bshuf_trans_bit_byte`` extracts planes MSB-down via
+movemask but stores plane ``7-kk`` (so plane p = bit p counting from the
+LSB, element i at mask bit i), then ``bshuf_trans_bitrow_eight`` reorders
+rows to ``8*byte_index + bit_index`` (byte-major). c-blosc's wrapper
+(shuffle.c ``bitshuffle``/``bitunshuffle``) transforms only the leading
+multiple-of-8 element count per block (``size -= size % 8``) and memcpys the
+remainder verbatim. No golden c-blosc bitshuffle output can be produced in
+this runtime (no bitshuffle/blosc wheel); validation is the published layout
+definition plus forward/inverse round-trip and hand-derived bit vectors in
+tests/test_blosc.py — the same bar the C kernels are tested to upstream.
 """
 
 from __future__ import annotations
@@ -97,6 +109,38 @@ def _unshuffle(buf: bytes, typesize: int) -> bytes:
     body = n_elem * typesize
     arr = np.frombuffer(buf[:body], dtype=np.uint8).reshape(typesize, n_elem)
     return arr.T.tobytes() + buf[body:]
+
+
+def _bit_shuffle(buf: bytes, typesize: int) -> bytes:
+    """Forward bit-shuffle of one block, c-blosc semantics (shuffle.c
+    ``bitshuffle``): bit-matrix transpose of the leading multiple-of-8
+    element count, remainder bytes copied verbatim. Shipped so tests can
+    round-trip the decoder and so the test encoder can author golden-free
+    fixtures; the scan path only ever calls the inverse."""
+    n_elem = len(buf) // typesize
+    core = n_elem - n_elem % 8
+    body = core * typesize
+    if core == 0:
+        return buf
+    bits = np.unpackbits(np.frombuffer(buf[:body], dtype=np.uint8), bitorder="little")
+    planes = bits.reshape(core, typesize * 8).T  # row r = bit r (8*byte+bit_lsb)
+    return np.packbits(planes.reshape(-1), bitorder="little").tobytes() + buf[body:]
+
+
+def _bit_unshuffle(buf: bytes, typesize: int) -> bytes:
+    """Inverse bit-shuffle (shuffle.c ``bitunshuffle``): the block holds
+    ``typesize*8`` bit-planes of ``core/8`` bytes each — plane ``r`` is bit
+    ``r`` (LSB-numbered within each byte, bytes in element order) of every
+    element, element ``i`` at little-endian bit ``i`` of the plane — followed
+    by the verbatim remainder (< 8 elements plus sub-element bytes)."""
+    n_elem = len(buf) // typesize
+    core = n_elem - n_elem % 8
+    body = core * typesize
+    if core == 0:
+        return buf
+    bits = np.unpackbits(np.frombuffer(buf[:body], dtype=np.uint8), bitorder="little")
+    elems = bits.reshape(typesize * 8, core).T  # row i = bits of element i
+    return np.packbits(elems.reshape(-1), bitorder="little").tobytes() + buf[body:]
 
 
 def _decode_split(codec: str, stream: bytes, out_size: int) -> bytes:
@@ -174,11 +218,6 @@ def blosc_decompress(raw: bytes) -> bytes:
     nbytes, blocksize, cbytes = struct.unpack_from("<iii", raw, 4)
     if version < 1 or version > 2:
         raise NotImplementedError(f"blosc chunk version {version} unsupported (blosc1/2 only)")
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle needs the bitshuffle codec, absent in this runtime "
-            "(byte-shuffle and unshuffled chunks are supported)"
-        )
     if flags & _MEMCPYED:
         if len(raw) < 16 + nbytes:
             raise ValueError("memcpy blosc chunk truncated")
@@ -205,7 +244,10 @@ def blosc_decompress(raw: bytes) -> bytes:
             if alt == nsplits:
                 raise
             block = _decode_block(codec, raw, lo, hi, bsize, alt)
-        if flags & _SHUFFLE and typesize > 1:
+        if flags & _BITSHUFFLE:
+            # meaningful even at typesize 1 (bit-transpose of plain bytes)
+            block = _bit_unshuffle(block, typesize)
+        elif flags & _SHUFFLE and typesize > 1:
             block = _unshuffle(block, typesize)
         out += block
     if len(out) != nbytes:

@@ -71,21 +71,30 @@ def blosc_chunk(
     data: bytes,
     typesize: int,
     codec: int = 1,  # 1 = lz4
-    shuffle: bool = True,
+    shuffle: "bool | str" = True,
     blocksize: int | None = None,
     nsplits_override: int | None = None,
 ) -> bytes:
-    """Encode one Blosc1 chunk the way c-blosc lays it out."""
-    from rca_data_tools_spark.sources.blosc import _split_rule, _CODECS
+    """Encode one Blosc1 chunk the way c-blosc lays it out.
+
+    ``shuffle`` may be True (byte shuffle), False, or ``"bit"`` (bitshuffle —
+    forward transform from the module under test; independence comes from the
+    hand-derived bit vectors in test_bitshuffle_layout_vectors)."""
+    from rca_data_tools_spark.sources.blosc import _split_rule, _CODECS, _bit_shuffle
 
     nbytes = len(data)
     blocksize = blocksize or nbytes
-    flags = (0x1 if shuffle else 0) | (codec << 5)
+    if shuffle == "bit":
+        flags = 0x4 | (codec << 5)
+    else:
+        flags = (0x1 if shuffle else 0) | (codec << 5)
     nblocks = -(-nbytes // blocksize)
     blocks = []
     for j in range(nblocks):
         raw = data[j * blocksize : (j + 1) * blocksize]
-        if shuffle and typesize > 1:
+        if shuffle == "bit":
+            raw = _bit_shuffle(raw, typesize)
+        elif shuffle and typesize > 1:
             n_elem = len(raw) // typesize
             body = n_elem * typesize
             arr = np.frombuffer(raw[:body], dtype=np.uint8).reshape(n_elem, typesize)
@@ -157,14 +166,103 @@ def test_blosc_memcpy_and_errors():
     data = b"\x01\x02\x03\x04" * 8
     chunk = struct.pack("<BBBB", 1, 1, 0x2, 4) + struct.pack("<iii", len(data), len(data), 16 + len(data)) + data
     assert blosc_decompress(chunk) == data
-    bit = struct.pack("<BBBB", 1, 1, 0x4, 4) + struct.pack("<iii", 4, 4, 20)
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        blosc_decompress(bit)
     zstd = blosc_chunk(data, typesize=4, codec=1, shuffle=False)
     zstd = bytearray(zstd)
     zstd[2] = (zstd[2] & 0x1F) | (4 << 5)  # rewrite codec code to zstd
     with pytest.raises((NotImplementedError, ValueError)):
         blosc_decompress(bytes(zstd))
+
+
+def test_bitshuffle_layout_vectors():
+    """Hand-derived vectors pin the exact public layout (bitshuffle's numpy
+    reference = little-bitorder bit-matrix transpose; c-blosc shuffle.c wraps
+    it with size -= size % 8 + verbatim remainder) independently of the
+    forward transform, so round-trip tests can't mask a mirrored layout."""
+    from rca_data_tools_spark.sources.blosc import _bit_shuffle, _bit_unshuffle
+
+    # typesize=1, 8 elements: plane p holds bit p (LSB-numbered) of each
+    # element, element i at little-endian bit i of the plane byte.
+    src = bytes([1, 0, 0, 0, 0, 0, 0, 0])  # only element 0 has bit 0 set
+    assert _bit_shuffle(src, 1) == bytes([1, 0, 0, 0, 0, 0, 0, 0])
+    src = bytes([0, 0, 0, 2, 0, 0, 0, 0])  # element 3, bit 1 -> plane 1, bit 3
+    assert _bit_shuffle(src, 1) == bytes([0, 0b00001000, 0, 0, 0, 0, 0, 0])
+    src = bytes([1] * 8)  # bit 0 of every element -> plane 0 = 0xFF
+    assert _bit_shuffle(src, 1) == bytes([0xFF, 0, 0, 0, 0, 0, 0, 0])
+    src = bytes([0x80] * 8)  # MSB of every element -> LAST plane (p=7)
+    assert _bit_shuffle(src, 1) == bytes([0, 0, 0, 0, 0, 0, 0, 0xFF])
+    # typesize=2: value 256 little-endian = byte 1 bit 0 -> plane row 8*1+0=8
+    src = struct.pack("<8H", 256, 0, 0, 0, 0, 0, 0, 0)
+    out = _bit_shuffle(src, 2)
+    assert out[8] == 1 and all(b == 0 for i, b in enumerate(out) if i != 8)
+    # remainder: 11 elements of 1 byte -> 8 transformed, last 3 verbatim
+    src = bytes([1] * 8 + [0xAA, 0xBB, 0xCC])
+    out = _bit_shuffle(src, 1)
+    assert out[:8] == bytes([0xFF, 0, 0, 0, 0, 0, 0, 0])
+    assert out[8:] == bytes([0xAA, 0xBB, 0xCC])
+    # every vector inverts exactly
+    for src, ts in [(bytes([0, 0, 0, 2, 0, 0, 0, 0]), 1), (struct.pack("<8H", 256, 0, 0, 0, 0, 0, 0, 0), 2)]:
+        assert _bit_unshuffle(_bit_shuffle(src, ts), ts) == src
+
+
+def test_bitshuffle_roundtrip_shapes():
+    from rca_data_tools_spark.sources.blosc import _bit_shuffle, _bit_unshuffle
+
+    rng = np.random.RandomState(11)
+    for typesize in (1, 2, 4, 8, 12):
+        for n_elem in (8, 16, 64, 65, 71, 7, 3):
+            buf = rng.bytes(n_elem * typesize)
+            assert _bit_unshuffle(_bit_shuffle(buf, typesize), typesize) == buf
+        # trailing sub-element bytes ride along verbatim
+        buf = rng.bytes(16 * typesize + max(0, typesize - 1))
+        assert _bit_unshuffle(_bit_shuffle(buf, typesize), typesize) == buf
+
+
+def test_blosc_bitshuffle_chunks():
+    """Full-container decode with the bitshuffle flag set, all split shapes."""
+    arr = (np.cos(np.arange(4096) / 7.0) * 500).astype("<f8")
+    data = arr.tobytes()
+    for blocksize in (8192, 4096, len(data)):
+        chunk = blosc_chunk(data, typesize=8, codec=1, shuffle="bit", blocksize=blocksize)
+        assert blosc_decompress(chunk) == data
+    # zlib inner codec + bitshuffle; and a non-multiple-of-8 leftover block
+    chunk = blosc_chunk(data[:1000], typesize=8, codec=3, shuffle="bit", blocksize=512)
+    assert blosc_decompress(chunk) == data[:1000]
+    # typesize=1 bitshuffle is a real transform (unlike byte shuffle)
+    text = (b"status-ok " * 120)[:1111]
+    chunk = blosc_chunk(text, typesize=1, codec=1, shuffle="bit", blocksize=512)
+    assert blosc_decompress(chunk) == text
+
+
+def test_zarr_scan_reads_bitshuffle_store(spark, tmp_path):
+    """A zarr v2 store written with Blosc(shuffle=BITSHUFFLE) scans natively."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "bitshuf.zarr")
+    d = os.path.join(root, "pressure")
+    os.makedirs(d)
+    n = 23
+    vals = (np.arange(n, dtype="<f4") * 1.5 + 3.25).astype("<f4")
+    meta = {
+        "zarr_format": 2,
+        "shape": [n],
+        "chunks": [8],
+        "dtype": "<f4",
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    for cid in range(3):
+        block = vals[cid * 8 : (cid + 1) * 8]
+        if len(block) < 8:
+            block = np.concatenate([block, np.zeros(8 - len(block), dtype="<f4")])
+        with open(os.path.join(d, str(cid)), "wb") as f:
+            f.write(blosc_chunk(block.astype("<f4").tobytes(), typesize=4, shuffle="bit"))
+    rows = {r["idx"]: r["pressure"] for r in zarr_table(spark, root, ["pressure"]).collect()}
+    assert len(rows) == n
+    assert all(abs(rows[i] - float(vals[i])) < 1e-6 for i in range(n))
 
 
 def test_zarr_scan_reads_blosc_store(spark, tmp_path):
