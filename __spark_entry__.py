@@ -78,7 +78,10 @@ _ROUND_WINDOW = [
     "text_quality_scores",
     "text_tfidf_topk",
     "corpus_curation",
-    "p9_regex_filter",
+    # new this round: content-defined-chunking dedup — takes the slot of the
+    # p9_regex_filter sentinel (r02-green; its regex machinery is exercised
+    # in-window by text_quality_scores and corpus_curation)
+    "dedup_cdc_chunks",
     "media_feature_extract",
     "calc_registry_flags",
     "calc_poly_fit",

@@ -783,3 +783,145 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_neardup_matches(
         d.filter(new_pred), d.filter(~new_pred), "doc_id", "text", threshold=0.5
     )
+
+
+# Content-defined chunking parameters (FastCDC, Xia et al., USENIX ATC'16,
+# simplified to the classic gear variant): a rolling gear hash over the
+# normalized character stream cuts a chunk when the hash's low MASK_BITS are
+# zero, subject to [MIN, MAX] length bounds; the hash resets after each cut.
+# The gear table is Knuth's multiplicative hash of the codepoint — pure
+# arithmetic, so the DuckDB oracle replays every boundary decision exactly.
+_CDC_MIN, _CDC_MAX, _CDC_MOD = 16, 128, 1 << 53
+_CDC_GEAR_MULT, _CDC_GEAR_MOD, _CDC_MASK_MOD = 2654435761, 1 << 32, 32
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=rf"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_NORM_SQL} AS nt, CAST(length({_NORM_SQL}) AS INT) AS n
+  FROM documents
+),
+walk AS (
+  SELECT doc_id, nt, n, 0 AS pos, CAST(0 AS BIGINT) AS h, 1 AS start,
+         CAST([] AS INT[]) AS ss, CAST([] AS INT[]) AS ee
+  FROM norm
+  UNION ALL
+  SELECT doc_id, nt, n, pos + 1,
+         CASE WHEN cut THEN CAST(0 AS BIGINT) ELSE h2 END,
+         CASE WHEN cut THEN pos + 2 ELSE start END,
+         CASE WHEN cut THEN list_append(ss, start) ELSE ss END,
+         CASE WHEN cut THEN list_append(ee, pos + 1) ELSE ee END
+  FROM (
+    SELECT doc_id, nt, n, pos, start, ss, ee,
+           (h * 2 + (unicode(substr(nt, pos + 1, 1)) * {_CDC_GEAR_MULT})
+                    % {_CDC_GEAR_MOD}) % {_CDC_MOD} AS h2,
+           (pos + 2 - start >= {_CDC_MIN})
+             AND ((h2 % {_CDC_MASK_MOD} = 0) OR (pos + 2 - start >= {_CDC_MAX}))
+             AS cut
+    FROM walk WHERE pos < n
+  )
+),
+done AS (
+  SELECT doc_id, nt,
+         CASE WHEN start <= n THEN list_append(ss, start) ELSE ss END AS ss,
+         CASE WHEN start <= n THEN list_append(ee, n) ELSE ee END AS ee
+  FROM walk WHERE pos = n
+),
+idx AS (
+  SELECT doc_id, nt, ss, ee, unnest(range(1, len(ss) + 1)) AS i FROM done
+),
+chunks AS (
+  SELECT doc_id,
+         substr(nt, CAST(ss[CAST(i AS INT)] AS INT),
+                CAST(ee[CAST(i AS INT)] - ss[CAST(i AS INT)] + 1 AS INT)) AS chunk
+  FROM idx
+),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac,
+       CAST(SUM(length(c.chunk)) AS BIGINT) AS chunk_chars
+FROM chunks c JOIN freq f ON c.chunk = f.chunk
+GROUP BY 1
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (FastCDC-style gear hash): cut each
+    document's normalized text at content-determined boundaries, then report
+    per doc how many of its chunks appear verbatim in at least one other
+    document. Unlike dedup_exact_spans' fixed 8-word grid, CDC boundaries
+    re-synchronize after insertions/deletions, so a one-word edit perturbs
+    only the chunk it lands in (tests/test_dedup.py proves shift resistance).
+
+    Reference analogy: span-level overlap diagnostics (qaqc/plots.py:500,543)
+    with storage-style chunking instead of a fixed grid.
+
+    Scale shape: the boundary scan is ONE pass per document inside a single
+    codegen'd ``F.aggregate`` expression — no UDF, no shuffle, state is
+    (hash, chunk-start, cut list) per row. Downstream is identical to
+    dedup_exact_spans: explode to chunks, md5 fingerprints, one
+    doc-frequency aggregation and one join, both shuffling 32-byte keys with
+    map-side partial aggregation — document text never shuffles. At 100 TB
+    the explode fan-out is ~len/48 chunks per doc and every stage stays
+    linear; chunk fingerprints could feed the same capped-components path as
+    minhash buckets if a boilerplate chunk ever mega-buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = normalize("text")
+    chars = F.filter(F.split(nt, ""), lambda c: c != "")
+    span_t = "array<struct<s:int,e:int>>"
+    init = F.struct(
+        F.lit(0).cast("long").alias("h"),
+        F.lit(1).alias("start"),
+        F.lit(0).alias("pos"),
+        F.array().cast(span_t).alias("chunks"),
+    )
+
+    def step(acc, c):
+        pos = acc.pos + F.lit(1)
+        gear = (F.ascii(c) * F.lit(_CDC_GEAR_MULT)) % F.lit(_CDC_GEAR_MOD)
+        h = (acc.h * F.lit(2) + gear) % F.lit(_CDC_MOD)
+        cur = pos - acc.start + F.lit(1)
+        cut = (cur >= _CDC_MIN) & ((h % _CDC_MASK_MOD == 0) | (cur >= _CDC_MAX))
+        return F.struct(
+            F.when(cut, F.lit(0).cast("long")).otherwise(h).alias("h"),
+            F.when(cut, pos + 1).otherwise(acc.start).alias("start"),
+            pos.alias("pos"),
+            F.when(
+                cut,
+                F.concat(
+                    acc.chunks,
+                    F.array(F.struct(acc.start.alias("s"), pos.alias("e"))),
+                ),
+            )
+            .otherwise(acc.chunks)
+            .alias("chunks"),
+        )
+
+    def finish(acc):
+        tail = F.array(F.struct(acc.start.alias("s"), acc.pos.alias("e")))
+        return F.when(acc.start <= acc.pos, F.concat(acc.chunks, tail)).otherwise(
+            acc.chunks
+        )
+
+    spans = F.aggregate(chars, init, step, finish)
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                spans,
+                lambda sp: F.substring(nt, sp.s, sp.e - sp.s + F.lit(1)),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("fp"), F.length("chunk").alias("clen"))
+    freq = chunks.groupBy("fp").agg(F.count_distinct("doc_id").alias("df"))
+    joined = chunks.join(freq, "fp")
+    n_dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        n_dup.cast("bigint").alias("n_dup"),
+        (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+        F.sum("clen").cast("bigint").alias("chunk_chars"),
+    )

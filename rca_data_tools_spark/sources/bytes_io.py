@@ -14,12 +14,14 @@ parsers and chunk decoders serve any byte source:
 - :class:`KeyValueStore` — keyed blob access for directory-shaped formats
   (Zarr: one blob per chunk/metadata key).
 
-Implementations here are local-file (mmap-backed, lazily opened, picklable —
-executors reopen after deserialization) and in-memory (tests, and the proof
-that the readers never assume a real file). An S3/HTTP implementation is a
-~20-line subclass issuing ranged GETs (boto3 ``get_object(Range=...)`` or
-fsspec ``cat_file(start, end)``); it is not shipped because this runtime has
-no network stack, but every reader accepts one via the same argument.
+Implementations here: local-file (mmap-backed, lazily opened, picklable —
+executors reopen after deserialization), in-memory (tests, and the proof
+that the readers never assume a real file), HTTP ranged-GET
+(:class:`HttpRangeReader` / :class:`HttpStore`, stdlib urllib, block-cached),
+and fsspec delegates (:class:`FsspecRangeReader` / :class:`FsspecStore`) that
+make the same scans object-store capable (s3://, gs://, abfs://) wherever
+fsspec + the protocol driver are installed — probed at call time, loud
+ImportError here where they are not.
 
 Scale notes: drivers parse metadata through a reader (KBs of tiny reads —
 mmap makes those page-cache hits); executors deserialize the picklable

