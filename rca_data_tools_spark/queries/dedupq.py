@@ -785,14 +785,68 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Content-defined chunking parameters (FastCDC, Xia et al., USENIX ATC'16,
-# simplified to the classic gear variant): a rolling gear hash over the
-# normalized character stream cuts a chunk when the hash's low MASK_BITS are
-# zero, subject to [MIN, MAX] length bounds; the hash resets after each cut.
-# The gear table is Knuth's multiplicative hash of the codepoint — pure
-# arithmetic, so the DuckDB oracle replays every boundary decision exactly.
+# Content-defined chunking parameters (classic LBFS/rsync-style gear CDC;
+# FastCDC, Xia et al., USENIX ATC'16, surveys the family): a gear rolling
+# hash over the normalized character stream marks a boundary CANDIDATE
+# wherever its low bits are zero; chunks are cut greedily at the first
+# candidate at least MIN chars in, forced at MAX. The hash is NEVER reset,
+# so a candidate is a pure function of the trailing 53 characters — that
+# locality is what makes the chunking shift-resistant AND what lets both
+# engines compute it without a stateful scan: Spark vectorizes it as 53
+# shifted adds per batch (mod 2^53 kills terms past shift 52), DuckDB
+# replays the same recurrence in a recursive CTE. The gear table is Knuth's
+# multiplicative hash of the codepoint — pure arithmetic on both sides.
 _CDC_MIN, _CDC_MAX, _CDC_MOD = 16, 128, 1 << 53
 _CDC_GEAR_MULT, _CDC_GEAR_MOD, _CDC_MASK_MOD = 2654435761, 1 << 32, 32
+
+
+def _cdc_chunk_kernel(batches):
+    """mapInPandas kernel: (doc_id, nt) -> (doc_id, chunk) rows.
+
+    Vectorized bit-plane evaluation of h_i = (2*h_{i-1} + gear(c_i)) mod 2^53
+    == sum_{s=0}^{52} gear(c_{i-s}) << s (mod 2^53): 53 shifted uint64 adds
+    over the whole text (wraparound mod 2^64 is harmless because 2^53 divides
+    2^64), then a greedy walk that touches only emitted cuts — next cut =
+    min(first candidate >= start+MIN-1, start+MAX-1, n) via searchsorted.
+    Python-level work is O(chunks), not O(chars)."""
+    import numpy as np
+    import pandas as pd
+
+    pad = "\x00" * 53  # gear(0)=0, so 53 NULs fully flush the 53-char window
+    for pdf in batches:
+        docs = [(i, t) for i, t in zip(pdf["doc_id"], pdf["nt"]) if len(t) > 0]
+        if not docs:
+            yield pd.DataFrame({"doc_id": [], "chunk": []})
+            continue
+        # one hash pass over the whole batch: texts joined with NUL padding,
+        # which zeroes the rolling window so each doc's h matches the
+        # stand-alone recurrence exactly
+        joined = pad + pad.join(t for _, t in docs)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        gear = (codes.astype(np.uint64) * np.uint64(_CDC_GEAR_MULT)) & np.uint64(
+            _CDC_GEAR_MOD - 1
+        )
+        h = np.zeros(len(codes), dtype=np.uint64)
+        for s in range(min(53, len(codes))):
+            h[s:] += gear[: len(codes) - s] << np.uint64(s)
+        h &= np.uint64(_CDC_MOD - 1)
+        all_cands = np.flatnonzero(h % np.uint64(_CDC_MASK_MOD) == 0)
+        doc_ids, chunks = [], []
+        off = 53  # 0-based offset of the current doc's first char in `joined`
+        for doc_id, nt in docs:
+            n = len(nt)
+            lo, hi = np.searchsorted(all_cands, (off, off + n))
+            cands = all_cands[lo:hi] - (off - 1)  # 1-indexed within the doc
+            start = 1
+            while start <= n:
+                ci = np.searchsorted(cands, start + _CDC_MIN - 1)
+                cut = int(cands[ci]) if ci < len(cands) else n + _CDC_MAX
+                cut = min(cut, start + _CDC_MAX - 1, n)
+                doc_ids.append(doc_id)
+                chunks.append(nt[start - 1 : cut])
+                start = cut + 1
+            off += n + 53
+        yield pd.DataFrame({"doc_id": doc_ids, "chunk": chunks})
 
 
 @query(
@@ -803,31 +857,39 @@ WITH RECURSIVE norm AS (
   FROM documents
 ),
 walk AS (
-  SELECT doc_id, nt, n, 0 AS pos, CAST(0 AS BIGINT) AS h, 1 AS start,
-         CAST([] AS INT[]) AS ss, CAST([] AS INT[]) AS ee
+  SELECT doc_id, nt, n, 0 AS pos, CAST(0 AS BIGINT) AS h,
+         CAST([] AS INT[]) AS cands
   FROM norm
   UNION ALL
-  SELECT doc_id, nt, n, pos + 1,
-         CASE WHEN cut THEN CAST(0 AS BIGINT) ELSE h2 END,
-         CASE WHEN cut THEN pos + 2 ELSE start END,
-         CASE WHEN cut THEN list_append(ss, start) ELSE ss END,
-         CASE WHEN cut THEN list_append(ee, pos + 1) ELSE ee END
+  SELECT doc_id, nt, n, pos + 1, h2,
+         CASE WHEN h2 % {_CDC_MASK_MOD} = 0 THEN list_append(cands, pos + 1)
+              ELSE cands END
   FROM (
-    SELECT doc_id, nt, n, pos, start, ss, ee,
+    SELECT doc_id, nt, n, pos, cands,
            (h * 2 + (unicode(substr(nt, pos + 1, 1)) * {_CDC_GEAR_MULT})
-                    % {_CDC_GEAR_MOD}) % {_CDC_MOD} AS h2,
-           (pos + 2 - start >= {_CDC_MIN})
-             AND ((h2 % {_CDC_MASK_MOD} = 0) OR (pos + 2 - start >= {_CDC_MAX}))
-             AS cut
+                    % {_CDC_GEAR_MOD}) % {_CDC_MOD} AS h2
     FROM walk WHERE pos < n
   )
 ),
-done AS (
-  SELECT doc_id, nt,
-         CASE WHEN start <= n THEN list_append(ss, start) ELSE ss END AS ss,
-         CASE WHEN start <= n THEN list_append(ee, n) ELSE ee END AS ee
-  FROM walk WHERE pos = n
+cand AS (SELECT doc_id, nt, n, cands FROM walk WHERE pos = n AND n > 0),
+cuts AS (
+  SELECT doc_id, nt, n, cands, 1 AS start,
+         CAST([] AS INT[]) AS ss, CAST([] AS INT[]) AS ee
+  FROM cand
+  UNION ALL
+  SELECT doc_id, nt, n, cands, cut + 1,
+         list_append(ss, start), list_append(ee, cut)
+  FROM (
+    SELECT doc_id, nt, n, cands, start, ss, ee,
+           LEAST(
+             COALESCE(list_aggregate(
+               list_filter(cands, c -> c >= start + {_CDC_MIN} - 1 AND c <= n),
+               'min'), start + {_CDC_MAX} - 1),
+             start + {_CDC_MAX} - 1, n) AS cut
+    FROM cuts WHERE start <= n
+  )
 ),
+done AS (SELECT doc_id, nt, ss, ee FROM cuts WHERE start > n),
 idx AS (
   SELECT doc_id, nt, ss, ee, unnest(range(1, len(ss) + 1)) AS i FROM done
 ),
@@ -849,73 +911,35 @@ GROUP BY 1
 """,
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined-chunking dedup (FastCDC-style gear hash): cut each
-    document's normalized text at content-determined boundaries, then report
-    per doc how many of its chunks appear verbatim in at least one other
-    document. Unlike dedup_exact_spans' fixed 8-word grid, CDC boundaries
-    re-synchronize after insertions/deletions, so a one-word edit perturbs
-    only the chunk it lands in (tests/test_dedup.py proves shift resistance).
+    """Content-defined-chunking dedup (gear rolling hash, LBFS/rsync family;
+    FastCDC surveys it): cut each document's normalized text at
+    content-determined boundaries, then report per doc how many of its
+    chunks appear verbatim in at least one other document. Unlike
+    dedup_exact_spans' fixed 8-word grid, CDC boundaries are a pure function
+    of the trailing 53 characters, so an inserted preamble perturbs only the
+    chunk it lands in (tests/test_dedup.py proves shift resistance).
 
     Reference analogy: span-level overlap diagnostics (qaqc/plots.py:500,543)
     with storage-style chunking instead of a fixed grid.
 
-    Scale shape: the boundary scan is ONE pass per document inside a single
-    codegen'd ``F.aggregate`` expression — no UDF, no shuffle, state is
-    (hash, chunk-start, cut list) per row. Downstream is identical to
-    dedup_exact_spans: explode to chunks, md5 fingerprints, one
-    doc-frequency aggregation and one join, both shuffling 32-byte keys with
-    map-side partial aggregation — document text never shuffles. At 100 TB
-    the explode fan-out is ~len/48 chunks per doc and every stage stays
-    linear; chunk fingerprints could feed the same capped-components path as
-    minhash buckets if a boilerplate chunk ever mega-buckets."""
+    Scale shape: the boundary scan runs in an Arrow-batched mapInPandas
+    kernel — the rolling hash is 53 vectorized shifted adds per batch (the
+    mod-2^53 recurrence unrolled into bit planes), and Python-level looping
+    is only over emitted cuts (~len/48 per doc). No shuffle feeds the
+    kernel; downstream is identical to dedup_exact_spans: explode to chunks,
+    md5 fingerprints, one doc-frequency aggregation and one join, both
+    shuffling 32-byte keys with map-side partial aggregation — document text
+    never shuffles. At 100 TB every stage is linear; chunk fingerprints
+    could feed the same capped-components path as minhash buckets if a
+    boilerplate chunk ever mega-buckets."""
     d = load_table(spark, sf_dir, "documents")
     nt = normalize("text")
-    chars = F.filter(F.split(nt, ""), lambda c: c != "")
-    span_t = "array<struct<s:int,e:int>>"
-    init = F.struct(
-        F.lit(0).cast("long").alias("h"),
-        F.lit(1).alias("start"),
-        F.lit(0).alias("pos"),
-        F.array().cast(span_t).alias("chunks"),
+    chunks_df = d.select("doc_id", nt.alias("nt")).mapInPandas(
+        _cdc_chunk_kernel, schema="doc_id long, chunk string"
     )
-
-    def step(acc, c):
-        pos = acc.pos + F.lit(1)
-        gear = (F.ascii(c) * F.lit(_CDC_GEAR_MULT)) % F.lit(_CDC_GEAR_MOD)
-        h = (acc.h * F.lit(2) + gear) % F.lit(_CDC_MOD)
-        cur = pos - acc.start + F.lit(1)
-        cut = (cur >= _CDC_MIN) & ((h % _CDC_MASK_MOD == 0) | (cur >= _CDC_MAX))
-        return F.struct(
-            F.when(cut, F.lit(0).cast("long")).otherwise(h).alias("h"),
-            F.when(cut, pos + 1).otherwise(acc.start).alias("start"),
-            pos.alias("pos"),
-            F.when(
-                cut,
-                F.concat(
-                    acc.chunks,
-                    F.array(F.struct(acc.start.alias("s"), pos.alias("e"))),
-                ),
-            )
-            .otherwise(acc.chunks)
-            .alias("chunks"),
-        )
-
-    def finish(acc):
-        tail = F.array(F.struct(acc.start.alias("s"), acc.pos.alias("e")))
-        return F.when(acc.start <= acc.pos, F.concat(acc.chunks, tail)).otherwise(
-            acc.chunks
-        )
-
-    spans = F.aggregate(chars, init, step, finish)
-    chunks = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                spans,
-                lambda sp: F.substring(nt, sp.s, sp.e - sp.s + F.lit(1)),
-            )
-        ).alias("chunk"),
-    ).select("doc_id", F.md5("chunk").alias("fp"), F.length("chunk").alias("clen"))
+    chunks = chunks_df.select(
+        "doc_id", F.md5("chunk").alias("fp"), F.length("chunk").alias("clen")
+    )
     freq = chunks.groupBy("fp").agg(F.count_distinct("doc_id").alias("df"))
     joined = chunks.join(freq, "fp")
     n_dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
