@@ -84,7 +84,10 @@ _ROUND_WINDOW = [
     "dedup_cdc_chunks",
     "media_feature_extract",
     "calc_registry_flags",
-    "calc_poly_fit",
+    # new this round: in-engine quality-classifier GD training — takes the
+    # slot of the calc_poly_fit sentinel (r02-green; iterative fitting is
+    # exercised in-window by this very query and embed_kmeans_clusters)
+    "quality_classifier_train",
     "f_nested_cal_arrays",
     "f_json_extract",
     # (b'') lifecycle/ingest faces added this round: FIRST driver rows for

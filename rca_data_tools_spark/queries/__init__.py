@@ -20,3 +20,4 @@ from rca_data_tools_spark.queries import bpeq  # noqa: F401, E402
 from rca_data_tools_spark.queries import retrq  # noqa: F401, E402
 from rca_data_tools_spark.queries import sketchq  # noqa: F401, E402
 from rca_data_tools_spark.queries import lifecycleq  # noqa: F401, E402
+from rca_data_tools_spark.queries import mlq  # noqa: F401, E402

@@ -1,0 +1,154 @@
+"""In-engine model training: a distributed quality-classifier trainer.
+
+CCNet / Dolma-style corpus pipelines train a lightweight quality model and
+score every document with it; this module expresses that stage as pure
+engine aggregation. The model is a linear-probability classifier (least
+squares on a binary "high-quality source" label) trained by full-batch
+gradient descent — deliberately transcendental-free, so every iteration is
+IEEE-exact on both engines and the ENTIRE trajectory replays in the DuckDB
+oracle (the same bar embed_kmeans_clusters set for iterative algorithms).
+
+Scale shape: one features projection (codegen'd Column expressions — length, mean-token-length, stopword and type-token-ratio signals in the
+text_quality_scores family),
+then per iteration ONE map-side-combinable aggregation producing 5 decimal
+sums + count; only the 6-double weight row ever reaches the driver. At
+100 TB each GD step is a single scan-agg with a KB of state — the textbook
+distributed-GD plan (no parameter server needed at this dimensionality).
+
+Reference analogy: the QC-parameter fitting loops (climatology regressions
+in qaqc/climatology.py) — iterative parameter estimation over the full
+archive, here for corpus quality rather than seasonal cycles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.functions.numeric import davg, davg_sql
+from rca_data_tools_spark.functions.text import LANG_MARKERS, stopword_ratio
+from rca_data_tools_spark.queries._registry import query
+from rca_data_tools_spark.sources.readers import load_table
+
+_LR = 0.5
+_ITERS = 12
+_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_FEATS = ("x0", "x1", "x2", "x3", "x4")
+_WCOLS = ("w_bias", "w_len", "w_toklen", "w_stop", "w_ttr")
+
+_IN_POS = ", ".join(f"'{s}'" for s in _POS_SOURCES)
+_IN_STOP = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = rf"list_filter(str_split_regex(trim({_NORM}), '\s+'), t -> t <> '')"
+
+_FEAT_SQL = rf"""
+  SELECT
+    1.0 AS x0,
+    ROUND(LEAST(1.0, length(text) / 500.0), 6) AS x1,
+    ROUND(CASE WHEN len({_TOKS}) > 0
+      THEN length(replace({_NORM}, ' ', '')) / len({_TOKS}) / 10.0
+      ELSE 0.0 END, 6) AS x2,
+    ROUND(CASE WHEN len({_TOKS}) > 0
+      THEN len(list_filter({_TOKS}, t -> t IN ({_IN_STOP}))) / len({_TOKS})
+      ELSE 0.0 END, 6) AS x3,
+    ROUND(CASE WHEN len({_TOKS}) > 0
+      THEN len(list_distinct({_TOKS})) / len({_TOKS})
+      ELSE 0.0 END, 6) AS x4,
+    CASE WHEN source IN ({_IN_POS}) THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+"""
+
+
+def _gd_oracle() -> str:
+    """Chain one CTE per GD iteration (the kmeans-oracle pattern): each
+    computes the residual against the PREVIOUS weights, the decimal-exact
+    gradient means, the pre-update MSE, and the rounded weight update."""
+    pred = " + ".join(f"w.{c} * f.{x}" for c, x in zip(_WCOLS, _FEATS))
+    grads = ", ".join(
+        f"{davg_sql(f'r * {x}', 12)} AS g{j}" for j, x in enumerate(_FEATS)
+    )
+    parts = [
+        f"feat AS MATERIALIZED ({_FEAT_SQL})",
+        "it0 AS (SELECT "
+        + ", ".join(f"0.0 AS {c}" for c in _WCOLS)
+        + ", 0.0 AS mse)",
+    ]
+    for k in range(1, _ITERS + 1):
+        prev = f"it{k - 1}"
+        parts.append(
+            f"""it{k} AS MATERIALIZED (
+  SELECT {", ".join(
+      f"ROUND((SELECT {c} FROM {prev}) - {_LR} * g{j}, 6) AS {c}"
+      for j, c in enumerate(_WCOLS)
+  )}, mse
+  FROM (
+    SELECT {grads}, {davg_sql('r * r', 12)} AS mse
+    FROM (SELECT f.*, ROUND({pred}, 6) - f.y AS r FROM feat f, {prev} w)
+  )
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS iter, {', '.join(_WCOLS)}, mse FROM it{k}"
+        for k in range(1, _ITERS + 1)
+    )
+    return f"WITH {', '.join(parts)}\n{union}"
+
+
+@query("quality_classifier_train", oracle=_gd_oracle())
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier: 12 full-batch GD iterations of a
+    linear-probability model on (length, token-length, stopword,
+    type-token-ratio) features with a binary high-quality-source label. Returns the full
+    weight trajectory plus the pre-update training MSE per iteration —
+    the oracle replays every step, so the hash match proves the whole
+    training run, not a spot check.
+
+    Determinism contract: features and predictions round to 6 decimals
+    (products of 6-decimal values are exact in double), gradient/MSE means
+    accumulate via round->DECIMAL sums at scale 12 — the products of two
+    6-decimal factors are EXACTLY 12-decimal values, so that rounding is
+    lossless and never sits on a half-way boundary (functions/numeric.py), and the
+    weight update itself is computed and rounded INSIDE the engine
+    aggregation — the driver only carries the 6-double row between
+    iterations (the kmeans-loop precedent)."""
+    from rca_data_tools_spark.functions.text import normalize, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize("text")
+    toks = tokens(norm)
+    n_toks = F.size(toks)
+    tok_len = F.when(
+        n_toks > 0,
+        F.length(F.regexp_replace(norm, " ", "")) / n_toks / F.lit(10.0),
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(n_toks > 0, F.size(F.array_distinct(toks)) / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    feat = d.select(
+        F.lit(1.0).alias("x0"),
+        F.round(F.least(F.lit(1.0), F.length("text") / F.lit(500.0)), 6).alias("x1"),
+        F.round(tok_len, 6).alias("x2"),
+        F.round(stopword_ratio("text"), 6).alias("x3"),
+        F.round(ttr, 6).alias("x4"),
+        F.when(F.col("source").isin(*_POS_SOURCES), 1.0).otherwise(0.0).alias("y"),
+    )
+    w = [0.0] * len(_FEATS)
+    rows = []
+    for it in range(1, _ITERS + 1):
+        pred = F.round(
+            sum((F.lit(wj) * F.col(x) for wj, x in zip(w, _FEATS)), F.lit(0.0)),
+            6,
+        )
+        r = pred - F.col("y")
+        agg = feat.agg(
+            *[
+                F.round(F.lit(wj) - F.lit(_LR) * davg(r * F.col(x), 12), 6).alias(c)
+                for wj, x, c in zip(w, _FEATS, _WCOLS)
+            ],
+            davg(r * r, 12).alias("mse"),
+        ).collect()[0]
+        w = [agg[c] for c in _WCOLS]
+        rows.append((it, *w, float(agg["mse"])))
+    return spark.createDataFrame(
+        rows, "iter int, " + ", ".join(f"{c} double" for c in _WCOLS) + ", mse double"
+    )
