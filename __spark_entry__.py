@@ -89,7 +89,11 @@ _ROUND_WINDOW = [
     # exercised in-window by this very query and embed_kmeans_clusters)
     "quality_classifier_train",
     "f_nested_cal_arrays",
-    "f_json_extract",
+    # new this round: the deploy half of the classifier (train chain +
+    # scoring aggregation) — takes the slot of the f_json_extract sentinel
+    # (r02-green; the JSON scalar family keeps j7/f_string_parse coverage
+    # in the cumulative record)
+    "quality_classifier_score",
     # (b'') lifecycle/ingest faces added this round: FIRST driver rows for
     # the components the coverage table long carried as test-only (S12+ST-4
     # overwrite, S15 anti-entropy, S13 JSON index, S14 CSV export, S11

@@ -59,11 +59,39 @@ _FEAT_SQL = rf"""
 """
 
 
-def _gd_oracle() -> str:
-    """Chain one CTE per GD iteration (the kmeans-oracle pattern): each
-    computes the residual against the PREVIOUS weights, the decimal-exact
-    gradient means, the pre-update MSE, and the rounded weight update."""
-    pred = " + ".join(f"w.{c} * f.{x}" for c, x in zip(_WCOLS, _FEATS))
+_PRED_SQL = " + ".join(f"w.{c} * f.{x}" for c, x in zip(_WCOLS, _FEATS))
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _FEAT_SQL: 6-decimal feature projection + label."""
+    from rca_data_tools_spark.functions.text import normalize, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize("text")
+    toks = tokens(norm)
+    n_toks = F.size(toks)
+    tok_len = F.when(
+        n_toks > 0,
+        F.length(F.regexp_replace(norm, " ", "")) / n_toks / F.lit(10.0),
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(n_toks > 0, F.size(F.array_distinct(toks)) / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    return d.select(
+        F.lit(1.0).alias("x0"),
+        F.round(F.least(F.lit(1.0), F.length("text") / F.lit(500.0)), 6).alias("x1"),
+        F.round(tok_len, 6).alias("x2"),
+        F.round(stopword_ratio("text"), 6).alias("x3"),
+        F.round(ttr, 6).alias("x4"),
+        F.when(F.col("source").isin(*_POS_SOURCES), 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _gd_chain() -> list[str]:
+    """The shared CTE chain, one per GD iteration (the kmeans-oracle
+    pattern): each computes the residual against the PREVIOUS weights, the
+    decimal-exact gradient means, the pre-update MSE, and the rounded
+    weight update."""
     grads = ", ".join(
         f"{davg_sql(f'r * {x}', 12)} AS g{j}" for j, x in enumerate(_FEATS)
     )
@@ -83,15 +111,19 @@ def _gd_oracle() -> str:
   )}, mse
   FROM (
     SELECT {grads}, {davg_sql('r * r', 12)} AS mse
-    FROM (SELECT f.*, ROUND({pred}, 6) - f.y AS r FROM feat f, {prev} w)
+    FROM (SELECT f.*, ROUND({_PRED_SQL}, 6) - f.y AS r FROM feat f, {prev} w)
   )
 )"""
         )
+    return parts
+
+
+def _gd_oracle() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INT) AS iter, {', '.join(_WCOLS)}, mse FROM it{k}"
         for k in range(1, _ITERS + 1)
     )
-    return f"WITH {', '.join(parts)}\n{union}"
+    return f"WITH {', '.join(_gd_chain())}\n{union}"
 
 
 @query("quality_classifier_train", oracle=_gd_oracle())
@@ -111,27 +143,7 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight update itself is computed and rounded INSIDE the engine
     aggregation — the driver only carries the 6-double row between
     iterations (the kmeans-loop precedent)."""
-    from rca_data_tools_spark.functions.text import normalize, tokens
-
-    d = load_table(spark, sf_dir, "documents")
-    norm = normalize("text")
-    toks = tokens(norm)
-    n_toks = F.size(toks)
-    tok_len = F.when(
-        n_toks > 0,
-        F.length(F.regexp_replace(norm, " ", "")) / n_toks / F.lit(10.0),
-    ).otherwise(F.lit(0.0))
-    ttr = F.when(n_toks > 0, F.size(F.array_distinct(toks)) / n_toks).otherwise(
-        F.lit(0.0)
-    )
-    feat = d.select(
-        F.lit(1.0).alias("x0"),
-        F.round(F.least(F.lit(1.0), F.length("text") / F.lit(500.0)), 6).alias("x1"),
-        F.round(tok_len, 6).alias("x2"),
-        F.round(stopword_ratio("text"), 6).alias("x3"),
-        F.round(ttr, 6).alias("x4"),
-        F.when(F.col("source").isin(*_POS_SOURCES), 1.0).otherwise(0.0).alias("y"),
-    )
+    feat = _features(spark, sf_dir)
     w = [0.0] * len(_FEATS)
     rows = []
     for it in range(1, _ITERS + 1):
@@ -151,4 +163,57 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((it, *w, float(agg["mse"])))
     return spark.createDataFrame(
         rows, "iter int, " + ", ".join(f"{c} double" for c in _WCOLS) + ", mse double"
+    )
+
+
+def _score_oracle() -> str:
+    """Training chain + inference: score every document with the final
+    iteration's weights and aggregate per label class — the deploy half of
+    the pipeline, chained onto the same CTE replay."""
+    return f"""WITH {", ".join(_gd_chain())},
+scored AS (
+  SELECT f.y, ROUND({_PRED_SQL}, 6) AS score
+  FROM feat f, it{_ITERS} w
+)
+SELECT CAST(y AS BIGINT) AS is_quality,
+       COUNT(*) AS n_docs,
+       {davg_sql('score', 12)} AS mean_score,
+       CAST(MIN(score) AS DOUBLE) AS min_score,
+       CAST(MAX(score) AS DOUBLE) AS max_score
+FROM scored GROUP BY 1
+"""
+
+
+@query("quality_classifier_score", oracle=_score_oracle())
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the trained quality classifier: score every document with the
+    final iteration's weights and report the score distribution per label
+    class — the separation readout a pipeline uses to pick a filter
+    threshold. Train + score is ONE composition: the oracle chains the full
+    GD replay into the scoring aggregation, so the hash match covers the
+    whole train->deploy path.
+
+    Scale shape: training as in quality_classifier_train (iters x scan-agg,
+    KB of driver state), then scoring is a single codegen'd projection with
+    the 5 weights inlined as literals (broadcast-free — they ARE the plan),
+    one map-side-combinable aggregation. At 100 TB: train on a sample or
+    the full corpus, score everything in one pass.
+
+    Honest caveat: the driver's synthetic sources are near-homogeneous word
+    soup, so class separation on THIS corpus is small (the trajectory is
+    dominated by the bias term) — what the hash match certifies is the
+    distributed train->score machinery, not the synthetic data's
+    separability."""
+    train = quality_classifier_train(spark, sf_dir)
+    last = train.orderBy(F.col("iter").desc()).limit(1).collect()[0]
+    w = [last[c] for c in _WCOLS]
+    feat = _features(spark, sf_dir)
+    score = F.round(
+        sum((F.lit(wj) * F.col(x) for wj, x in zip(w, _FEATS)), F.lit(0.0)), 6
+    )
+    return feat.groupBy(F.col("y").cast("bigint").alias("is_quality")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(score, 12).alias("mean_score"),
+        F.min(score).cast("double").alias("min_score"),
+        F.max(score).cast("double").alias("max_score"),
     )

@@ -34,3 +34,16 @@ def test_gd_weights_deterministic_across_partitionings(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_score_face_shape_and_bounds(spark):
+    rows = {
+        r["is_quality"]: r
+        for r in QUERIES["quality_classifier_score"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_docs"] + rows[1]["n_docs"] == 500
+    for r in rows.values():
+        assert r["min_score"] <= r["mean_score"] <= r["max_score"]
