@@ -70,7 +70,10 @@ _ROUND_WINDOW = [
     "dedup_simhash_fingerprints",
     "calc_nutnr_nitrate",
     "ann_topk_cosine",
-    "ann_lsh_topk",
+    # new this round: CDC chunk-match streaming face — takes the slot of
+    # the ann_lsh_topk sentinel (r02-green; the ANN family keeps cosine /
+    # IVF / PQ rows in this window)
+    "streaming_cdc_matches",
     "ann_ivf_topk",
     "sample_stratified",
     "sample_uniform_topk",

@@ -605,3 +605,67 @@ def simhash_neardup_pairs(fp: DataFrame, id_col: str, max_hamming: int = 3) -> D
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# Content-defined chunking parameters (classic LBFS/rsync-style gear CDC;
+# FastCDC, Xia et al., USENIX ATC'16, surveys the family): a gear rolling
+# hash over the normalized character stream marks a boundary CANDIDATE
+# wherever its low bits are zero; chunks are cut greedily at the first
+# candidate at least MIN chars in, forced at MAX. The hash is NEVER reset,
+# so a candidate is a pure function of the trailing 53 characters — that
+# locality is what makes the chunking shift-resistant AND what lets both
+# engines compute it without a stateful scan: Spark vectorizes it as 53
+# shifted adds per batch (mod 2^53 kills terms past shift 52), DuckDB
+# replays the same recurrence in a recursive CTE. The gear table is Knuth's
+# multiplicative hash of the codepoint — pure arithmetic on both sides.
+CDC_MIN, CDC_MAX, CDC_MOD = 16, 128, 1 << 53
+CDC_GEAR_MULT, CDC_GEAR_MOD, CDC_MASK_MOD = 2654435761, 1 << 32, 32
+
+
+def cdc_chunk_kernel(batches):
+    """mapInPandas kernel: (doc_id, nt) -> (doc_id, chunk) rows.
+
+    Vectorized bit-plane evaluation of h_i = (2*h_{i-1} + gear(c_i)) mod 2^53
+    == sum_{s=0}^{52} gear(c_{i-s}) << s (mod 2^53): 53 shifted uint64 adds
+    over the whole text (wraparound mod 2^64 is harmless because 2^53 divides
+    2^64), then a greedy walk that touches only emitted cuts — next cut =
+    min(first candidate >= start+MIN-1, start+MAX-1, n) via searchsorted.
+    Python-level work is O(chunks), not O(chars)."""
+    import numpy as np
+    import pandas as pd
+
+    pad = "\x00" * 53  # gear(0)=0, so 53 NULs fully flush the 53-char window
+    for pdf in batches:
+        docs = [(i, t) for i, t in zip(pdf["doc_id"], pdf["nt"]) if len(t) > 0]
+        if not docs:
+            yield pd.DataFrame({"doc_id": [], "chunk": []})
+            continue
+        # one hash pass over the whole batch: texts joined with NUL padding,
+        # which zeroes the rolling window so each doc's h matches the
+        # stand-alone recurrence exactly
+        joined = pad + pad.join(t for _, t in docs)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        gear = (codes.astype(np.uint64) * np.uint64(CDC_GEAR_MULT)) & np.uint64(
+            CDC_GEAR_MOD - 1
+        )
+        h = np.zeros(len(codes), dtype=np.uint64)
+        for s in range(min(53, len(codes))):
+            h[s:] += gear[: len(codes) - s] << np.uint64(s)
+        h &= np.uint64(CDC_MOD - 1)
+        all_cands = np.flatnonzero(h % np.uint64(CDC_MASK_MOD) == 0)
+        doc_ids, chunks = [], []
+        off = 53  # 0-based offset of the current doc's first char in `joined`
+        for doc_id, nt in docs:
+            n = len(nt)
+            lo, hi = np.searchsorted(all_cands, (off, off + n))
+            cands = all_cands[lo:hi] - (off - 1)  # 1-indexed within the doc
+            start = 1
+            while start <= n:
+                ci = np.searchsorted(cands, start + CDC_MIN - 1)
+                cut = int(cands[ci]) if ci < len(cands) else n + CDC_MAX
+                cut = min(cut, start + CDC_MAX - 1, n)
+                doc_ids.append(doc_id)
+                chunks.append(nt[start - 1 : cut])
+                start = cut + 1
+            off += n + 53
+        yield pd.DataFrame({"doc_id": doc_ids, "chunk": chunks})

@@ -10,12 +10,19 @@ from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.text import normalize, tokens, word_ngrams
 from rca_data_tools_spark.operators.dedup import (
+    CDC_GEAR_MOD,
+    CDC_GEAR_MULT,
+    CDC_MASK_MOD,
+    CDC_MAX,
+    CDC_MIN,
+    CDC_MOD,
     MINHASH_A,
     MINHASH_B,
     MINHASH_BANDS,
     MINHASH_K,
     MINHASH_P,
     MINHASH_ROWS,
+    cdc_chunk_kernel,
     minhash_dedup_pairs,
     simhash_fingerprints,
     simhash_neardup_pairs,
@@ -785,74 +792,10 @@ def streaming_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Content-defined chunking parameters (classic LBFS/rsync-style gear CDC;
-# FastCDC, Xia et al., USENIX ATC'16, surveys the family): a gear rolling
-# hash over the normalized character stream marks a boundary CANDIDATE
-# wherever its low bits are zero; chunks are cut greedily at the first
-# candidate at least MIN chars in, forced at MAX. The hash is NEVER reset,
-# so a candidate is a pure function of the trailing 53 characters — that
-# locality is what makes the chunking shift-resistant AND what lets both
-# engines compute it without a stateful scan: Spark vectorizes it as 53
-# shifted adds per batch (mod 2^53 kills terms past shift 52), DuckDB
-# replays the same recurrence in a recursive CTE. The gear table is Knuth's
-# multiplicative hash of the codepoint — pure arithmetic on both sides.
-_CDC_MIN, _CDC_MAX, _CDC_MOD = 16, 128, 1 << 53
-_CDC_GEAR_MULT, _CDC_GEAR_MOD, _CDC_MASK_MOD = 2654435761, 1 << 32, 32
-
-
-def _cdc_chunk_kernel(batches):
-    """mapInPandas kernel: (doc_id, nt) -> (doc_id, chunk) rows.
-
-    Vectorized bit-plane evaluation of h_i = (2*h_{i-1} + gear(c_i)) mod 2^53
-    == sum_{s=0}^{52} gear(c_{i-s}) << s (mod 2^53): 53 shifted uint64 adds
-    over the whole text (wraparound mod 2^64 is harmless because 2^53 divides
-    2^64), then a greedy walk that touches only emitted cuts — next cut =
-    min(first candidate >= start+MIN-1, start+MAX-1, n) via searchsorted.
-    Python-level work is O(chunks), not O(chars)."""
-    import numpy as np
-    import pandas as pd
-
-    pad = "\x00" * 53  # gear(0)=0, so 53 NULs fully flush the 53-char window
-    for pdf in batches:
-        docs = [(i, t) for i, t in zip(pdf["doc_id"], pdf["nt"]) if len(t) > 0]
-        if not docs:
-            yield pd.DataFrame({"doc_id": [], "chunk": []})
-            continue
-        # one hash pass over the whole batch: texts joined with NUL padding,
-        # which zeroes the rolling window so each doc's h matches the
-        # stand-alone recurrence exactly
-        joined = pad + pad.join(t for _, t in docs)
-        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-        gear = (codes.astype(np.uint64) * np.uint64(_CDC_GEAR_MULT)) & np.uint64(
-            _CDC_GEAR_MOD - 1
-        )
-        h = np.zeros(len(codes), dtype=np.uint64)
-        for s in range(min(53, len(codes))):
-            h[s:] += gear[: len(codes) - s] << np.uint64(s)
-        h &= np.uint64(_CDC_MOD - 1)
-        all_cands = np.flatnonzero(h % np.uint64(_CDC_MASK_MOD) == 0)
-        doc_ids, chunks = [], []
-        off = 53  # 0-based offset of the current doc's first char in `joined`
-        for doc_id, nt in docs:
-            n = len(nt)
-            lo, hi = np.searchsorted(all_cands, (off, off + n))
-            cands = all_cands[lo:hi] - (off - 1)  # 1-indexed within the doc
-            start = 1
-            while start <= n:
-                ci = np.searchsorted(cands, start + _CDC_MIN - 1)
-                cut = int(cands[ci]) if ci < len(cands) else n + _CDC_MAX
-                cut = min(cut, start + _CDC_MAX - 1, n)
-                doc_ids.append(doc_id)
-                chunks.append(nt[start - 1 : cut])
-                start = cut + 1
-            off += n + 53
-        yield pd.DataFrame({"doc_id": doc_ids, "chunk": chunks})
-
-
-@query(
-    "dedup_cdc_chunks",
-    oracle=rf"""
-WITH RECURSIVE norm AS (
+# Shared oracle CTE chain: normalized text -> rolling-hash candidates ->
+# greedy cuts -> chunks(doc_id, chunk). Used by dedup_cdc_chunks and the
+# streaming face streaming_cdc_matches.
+_CDC_CHUNKS_CTES = rf"""norm AS (
   SELECT doc_id, {_NORM_SQL} AS nt, CAST(length({_NORM_SQL}) AS INT) AS n
   FROM documents
 ),
@@ -862,12 +805,12 @@ walk AS (
   FROM norm
   UNION ALL
   SELECT doc_id, nt, n, pos + 1, h2,
-         CASE WHEN h2 % {_CDC_MASK_MOD} = 0 THEN list_append(cands, pos + 1)
+         CASE WHEN h2 % {CDC_MASK_MOD} = 0 THEN list_append(cands, pos + 1)
               ELSE cands END
   FROM (
     SELECT doc_id, nt, n, pos, cands,
-           (h * 2 + (unicode(substr(nt, pos + 1, 1)) * {_CDC_GEAR_MULT})
-                    % {_CDC_GEAR_MOD}) % {_CDC_MOD} AS h2
+           (h * 2 + (unicode(substr(nt, pos + 1, 1)) * {CDC_GEAR_MULT})
+                    % {CDC_GEAR_MOD}) % {CDC_MOD} AS h2
     FROM walk WHERE pos < n
   )
 ),
@@ -883,9 +826,9 @@ cuts AS (
     SELECT doc_id, nt, n, cands, start, ss, ee,
            LEAST(
              COALESCE(list_aggregate(
-               list_filter(cands, c -> c >= start + {_CDC_MIN} - 1 AND c <= n),
-               'min'), start + {_CDC_MAX} - 1),
-             start + {_CDC_MAX} - 1, n) AS cut
+               list_filter(cands, c -> c >= start + {CDC_MIN} - 1 AND c <= n),
+               'min'), start + {CDC_MAX} - 1),
+             start + {CDC_MAX} - 1, n) AS cut
     FROM cuts WHERE start <= n
   )
 ),
@@ -898,7 +841,13 @@ chunks AS (
          substr(nt, CAST(ss[CAST(i AS INT)] AS INT),
                 CAST(ee[CAST(i AS INT)] - ss[CAST(i AS INT)] + 1 AS INT)) AS chunk
   FROM idx
-),
+)"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=rf"""
+WITH RECURSIVE {_CDC_CHUNKS_CTES},
 freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
 SELECT c.doc_id,
        COUNT(*) AS n_chunks,
@@ -935,7 +884,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     nt = normalize("text")
     chunks_df = d.select("doc_id", nt.alias("nt")).mapInPandas(
-        _cdc_chunk_kernel, schema="doc_id long, chunk string"
+        cdc_chunk_kernel, schema="doc_id long, chunk string"
     )
     chunks = chunks_df.select(
         "doc_id", F.md5("chunk").alias("fp"), F.length("chunk").alias("clen")
@@ -948,4 +897,40 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dup.cast("bigint").alias("n_dup"),
         (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
         F.sum("clen").cast("bigint").alias("chunk_chars"),
+    )
+
+
+@query(
+    "streaming_cdc_matches",
+    oracle=rf"""
+WITH RECURSIVE {_CDC_CHUNKS_CTES},
+side AS (
+  SELECT doc_id, CASE WHEN source IN ('src18', 'src19') THEN 1 ELSE 0 END AS is_new
+  FROM documents
+),
+freq AS (
+  SELECT chunk, COUNT(DISTINCT c.doc_id) AS df
+  FROM chunks c JOIN side s ON s.doc_id = c.doc_id AND s.is_new = 0
+  GROUP BY 1
+)
+SELECT c.doc_id AS new_id, md5(c.chunk) AS fp,
+       CAST(length(c.chunk) AS INT) AS clen, f.df
+FROM chunks c
+JOIN side s ON s.doc_id = c.doc_id AND s.is_new = 1
+JOIN freq f ON f.chunk = c.chunk
+""",
+)
+def streaming_cdc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static CDC chunk-match transform
+    (streaming/joins.py:stream_cdc_chunk_matches) on batch frames — the
+    unified-API contract that lets tests prove stream ≡ batch, and gives
+    the driver a hash row. src18/src19 play the arriving stream; one row
+    per arriving chunk instance found verbatim in the standing corpus,
+    with the corpus doc-frequency of that chunk."""
+    from rca_data_tools_spark.streaming.joins import stream_cdc_chunk_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    new_pred = F.col("source").isin("src18", "src19")
+    return stream_cdc_chunk_matches(
+        d.filter(new_pred), d.filter(~new_pred), "doc_id", "text"
     )

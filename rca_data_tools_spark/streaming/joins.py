@@ -223,3 +223,48 @@ def stream_neardup_matches(
         .filter(F.col("jaccard") >= threshold)
         .select("band_id", "new_id", "old_id", "jaccard")
     )
+
+
+def stream_cdc_chunk_matches(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Streaming face of content-defined-chunk dedup (queries/dedupq.py
+    dedup_cdc_chunks): every arriving document is CDC-chunked by the SAME
+    Arrow kernel the batch query uses (operators/dedup.cdc_chunk_kernel —
+    a stateless per-row transform, so mapInPandas runs unchanged on a
+    stream), chunks are md5-fingerprinted, and fingerprints join the static
+    corpus's chunk doc-frequency table (stream-static equi-join — no
+    watermark, no state store). Emits one row per arriving chunk that
+    appears verbatim in the standing corpus: (new_id, fp, clen, df).
+    Multiplicity is deterministic (one row per chunk INSTANCE, so a chunk
+    repeated inside an arriving doc emits twice) — stream and batch agree
+    exactly; keep/drop aggregation is a downstream batch decision, which
+    the stateless path deliberately avoids.
+
+    Scale shape: per micro-batch cost is the batch-sized chunk kernel plus
+    one equi-join on 32-byte fingerprints against the (persisted,
+    bucketable) corpus frequency dim; the corpus is never re-chunked per
+    batch (persist) and no streaming state accumulates."""
+    from rca_data_tools_spark.functions.text import normalize
+    from rca_data_tools_spark.operators.dedup import cdc_chunk_kernel
+
+    corp = corpus.select(
+        F.col(id_col).alias("doc_id"), normalize(text_col).alias("nt")
+    ).mapInPandas(cdc_chunk_kernel, "doc_id long, chunk string")
+    freq = (
+        corp.groupBy(F.md5("chunk").alias("fp"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .persist()
+    )
+    inc = incoming.select(
+        F.col(id_col).alias("doc_id"), normalize(text_col).alias("nt")
+    ).mapInPandas(cdc_chunk_kernel, "doc_id long, chunk string")
+    new = inc.select(
+        F.col("doc_id").alias("new_id"),
+        F.md5("chunk").alias("fp"),
+        F.length("chunk").alias("clen"),
+    )
+    return new.join(freq, "fp", "inner").select("new_id", "fp", "clen", "df")

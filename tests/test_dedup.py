@@ -489,7 +489,7 @@ def test_cdc_chunks_shift_resistant(spark, tmp_path):
     short final tail), chunks concatenate back to the normalized text."""
     import pandas as pd
     from pyspark.sql import functions as F
-    from rca_data_tools_spark.queries.dedupq import _CDC_MIN, _CDC_MAX
+    from rca_data_tools_spark.operators.dedup import CDC_MIN, CDC_MAX
     from rca_data_tools_spark.queries import QUERIES
 
     base = (
@@ -523,5 +523,5 @@ def test_cdc_chunks_shift_resistant(spark, tmp_path):
     d = load_table(spark, sf, "documents")
     n_chunks, chunk_chars = out[0]["n_chunks"], out[0]["chunk_chars"]
     # every non-final chunk >= MIN; all chunks <= MAX
-    assert chunk_chars <= n_chunks * _CDC_MAX
-    assert chunk_chars >= (n_chunks - 1) * _CDC_MIN
+    assert chunk_chars <= n_chunks * CDC_MAX
+    assert chunk_chars >= (n_chunks - 1) * CDC_MIN

@@ -682,3 +682,57 @@ def test_stream_qaqc_rollup_matches_batch(spark, tmp_path):
     assert got <= batch
     # all but the final (never-closed) window per key must have emitted
     assert len(got) >= 2 * 2
+
+
+def test_stream_cdc_chunk_matches_batch(spark, tmp_path):
+    """The stream-static CDC chunk-match transform must emit EXACTLY the
+    batch row set when the incoming docs arrive as a file stream against
+    the static corpus — per-chunk-instance multiplicity included
+    (stateless: the Arrow chunk kernel + one fingerprint equi-join)."""
+    from rca_data_tools_spark.streaming.joins import stream_cdc_chunk_matches
+
+    shared = (
+        "the shared boilerplate paragraph that rides along every report "
+        "and is long enough to span several content defined chunks " * 3
+    )
+    corpus = spark.createDataFrame(
+        [(1, shared + " plus corpus-only trailing analysis"),
+         (2, "a fully distinct standing corpus document " * 6)],
+        "doc_id long, text string",
+    )
+    incoming_rows = [
+        (100, "fresh preamble before " + shared),
+        (101, "totally novel arriving text with nothing shared at all " * 4),
+    ]
+    in_dir = str(tmp_path / "cdc_incoming")
+    spark.createDataFrame(incoming_rows, "doc_id long, text string").repartition(
+        2
+    ).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    expect = sorted(
+        (r.new_id, r.fp, r.clen, r.df)
+        for r in stream_cdc_chunk_matches(
+            spark.read.schema(schema).parquet(in_dir), corpus, "doc_id", "text"
+        ).collect()
+    )
+    # the shared suffix re-synchronizes into matching chunks; the novel doc
+    # contributes nothing
+    assert expect and {e[0] for e in expect} == {100}
+
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        stream_cdc_chunk_matches(st, corpus, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.new_id, r.fp, r.clen, r.df)
+        for r in spark.sql("SELECT * FROM cdc_stream").collect()
+    )
+    assert got == expect
