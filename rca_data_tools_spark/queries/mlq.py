@@ -143,7 +143,11 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight update itself is computed and rounded INSIDE the engine
     aggregation — the driver only carries the 6-double row between
     iterations (the kmeans-loop precedent)."""
-    feat = _features(spark, sf_dir)
+    # Materialize the 6-double feature rows once: every GD iteration scans
+    # the cached projection instead of re-tokenizing the corpus (measured
+    # 8x at the 10x corpus; at 100 TB this is a checkpoint to fast storage
+    # or a persisted feature table — standard GD practice either way).
+    feat = _features(spark, sf_dir).persist()
     w = [0.0] * len(_FEATS)
     rows = []
     for it in range(1, _ITERS + 1):
@@ -160,7 +164,12 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(r * r, 12).alias("mse"),
         ).collect()[0]
         w = [agg[c] for c in _WCOLS]
-        rows.append((it, *w, float(agg["mse"])))
+        # empty corpus: the aggregates are NULL and stay NULL — exactly what
+        # the oracle's SUM/COUNT-over-nothing chain produces, so emit the
+        # NULL trajectory rather than crashing on it
+        mse = agg["mse"]
+        rows.append((it, *w, None if mse is None else float(mse)))
+    feat.unpersist()
     return spark.createDataFrame(
         rows, "iter int, " + ", ".join(f"{c} double" for c in _WCOLS) + ", mse double"
     )
