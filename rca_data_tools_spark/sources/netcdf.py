@@ -1,4 +1,4 @@
-"""Native NetCDF scan (SURVEY §2.1 S2) — classic CDF-1/2 parsed from the
+"""Native NetCDF scan (SURVEY §2.1 S2) — classic CDF-1/2/5 parsed from the
 public format spec with numpy alone; NetCDF-4 (HDF5 container) served by the
 native minimal HDF5 reader in sources/hdf5.py (superblock v0 / v1 headers /
 deflate+shuffle chunked datasets; anything beyond raises loudly).
@@ -37,12 +37,21 @@ _DTYPES = {
     4: np.dtype(">i4"),
     5: np.dtype(">f4"),
     6: np.dtype(">f8"),
+    # CDF-5 (64-bit data) additions
+    7: np.dtype(">u1"),
+    8: np.dtype(">u2"),
+    9: np.dtype(">u4"),
+    10: np.dtype(">i8"),
+    11: np.dtype(">u8"),
 }
 
 
 class _Parser:
-    def __init__(self, buf: bytes):
-        self.buf, self.pos = buf, 0
+    def __init__(self, buf: bytes, wide: bool = False):
+        # ``wide``: CDF-5 ("64-bit data") — every NON_NEG in the BNF widens
+        # to 8 bytes (counts, dim lengths, name lengths, ndims, dimids,
+        # vsize); tags and nc_type stay 4 bytes, padding stays 4-byte.
+        self.buf, self.pos, self.wide = buf, 0, wide
 
     def take(self, n: int) -> bytes:
         out = self.buf[self.pos : self.pos + n]
@@ -52,19 +61,25 @@ class _Parser:
     def u4(self) -> int:
         return struct.unpack(">I", self.take(4))[0]
 
+    def nn(self) -> int:
+        """One NON_NEG per the spec: 4 bytes classic, 8 bytes in CDF-5."""
+        if self.wide:
+            return struct.unpack(">Q", self.take(8))[0]
+        return struct.unpack(">I", self.take(4))[0]
+
     def name(self) -> str:
-        n = self.u4()
+        n = self.nn()
         s = self.take(n).decode()
         self.pos += (4 - n % 4) % 4  # names pad to 4-byte boundary
         return s
 
     def skip_attrs(self) -> None:
-        tag, count = self.u4(), self.u4()
+        tag, count = self.u4(), self.nn()
         if tag not in (_NC_ATTRIBUTE, 0):
             raise ValueError("malformed attribute list")
         for _ in range(count):
             self.name()
-            typ, n = self.u4(), self.u4()
+            typ, n = self.u4(), self.nn()
             width = _DTYPES[typ].itemsize
             self.pos += n * width + (4 - (n * width) % 4) % 4
 
@@ -84,29 +99,30 @@ def read_header(source) -> dict:
             "minimal HDF5 reader, sources/hdf5.py); netcdf_table also "
             "routes there automatically"
         )
-    if head[:3] != b"CDF" or head[3] not in (1, 2):
+    if head[:3] != b"CDF" or head[3] not in (1, 2, 5):
         raise ValueError(f"not a classic NetCDF file: {path!r}")
-    offset64 = head[3] == 2
-    p = _Parser(head)
+    offset64 = head[3] in (2, 5)
+    wide = head[3] == 5  # CDF-5: 64-bit counts/sizes throughout
+    p = _Parser(head, wide=wide)
     p.pos = 4
-    numrecs = p.u4()
+    numrecs = p.nn()
     dims: list[tuple[str, int]] = []
-    tag, count = p.u4(), p.u4()
+    tag, count = p.u4(), p.nn()
     if tag == _NC_DIMENSION:
         for _ in range(count):
-            dims.append((p.name(), p.u4()))
+            dims.append((p.name(), p.nn()))
     p.skip_attrs()
     variables: dict[str, dict] = {}
-    tag, count = p.u4(), p.u4()
+    tag, count = p.u4(), p.nn()
     if tag not in (_NC_VARIABLE, 0):
         raise ValueError("malformed variable list")
     rec_size = 0
     for _ in range(count):
         vname = p.name()
-        ndims = p.u4()
-        dimids = [p.u4() for _ in range(ndims)]
+        ndims = p.nn()
+        dimids = [p.nn() for _ in range(ndims)]
         p.skip_attrs()
-        typ, vsize = p.u4(), p.u4()
+        typ, vsize = p.u4(), p.nn()
         begin = struct.unpack(">Q", p.take(8))[0] if offset64 else p.u4()
         shape = [dims[d][1] for d in dimids]
         is_record = bool(dimids) and dims[dimids[0]][1] == 0
@@ -127,7 +143,7 @@ def read_header(source) -> dict:
         m = variables[record_vars[0]]
         inner = int(np.prod(m["shape"][1:], dtype=np.int64)) if len(m["shape"]) > 1 else 1
         rec_size = inner * m["dtype"].itemsize
-    if numrecs == 0xFFFFFFFF:
+    if numrecs == (0xFFFFFFFFFFFFFFFF if wide else 0xFFFFFFFF):
         # STREAMING sentinel: the writer did not know the record count. Derive
         # it from the file size and the record stride instead of producing an
         # absurd row count.

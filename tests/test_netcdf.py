@@ -207,6 +207,69 @@ def test_cdf2_64bit_offsets(spark, tmp_path):
     assert rows == {i: float(vals[i]) for i in range(n)}
 
 
+def test_cdf5_64bit_data(spark, tmp_path):
+    """CDF-5 ('CDF\\x05', the PnetCDF 64-bit data variant): every NON_NEG in
+    the BNF widens to 8 bytes (numrecs, counts, name lengths, dim lengths,
+    ndims, dimids, vsize) and the new unsigned/64-bit types decode. Fixture
+    hand-written from the public classic-format spec appendix, with an
+    int64 record variable and a uint fixed variable."""
+    import struct
+
+    from rca_data_tools_spark.sources.netcdf import netcdf_table, read_header
+
+    n = 6
+    # .astype AFTER the arithmetic: numpy promotion drops the explicit
+    # big-endian order on mixed scalar ops
+    big = (np.arange(n) * 3_000_000_000).astype(">i8")  # beyond int32
+    uvals = (np.arange(4) + 4_000_000_000).astype(">u4")  # beyond int32
+
+    def name5(sname: str) -> bytes:
+        b = sname.encode()
+        return struct.pack(">Q", len(b)) + b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    absent = struct.pack(">I", 0) + struct.pack(">Q", 0)
+
+    def header(begin_big, begin_u):
+        h = b"CDF\x05" + struct.pack(">Q", n)  # numrecs: 8 bytes
+        # dim_list: tag u4, nelems u8; dims: time (record), x=4
+        h += struct.pack(">I", 0x0A) + struct.pack(">Q", 2)
+        h += name5("time") + struct.pack(">Q", 0)
+        h += name5("x") + struct.pack(">Q", 4)
+        h += absent  # gatt_list
+        h += struct.pack(">I", 0x0B) + struct.pack(">Q", 2)  # var_list
+        h += (
+            name5("big")
+            + struct.pack(">Q", 1)  # ndims: 8 bytes
+            + struct.pack(">Q", 0)  # dimid:  8 bytes
+            + absent
+            + struct.pack(">I", 10)  # NC_INT64
+            + struct.pack(">Q", 8)  # vsize: 8 bytes
+            + struct.pack(">Q", begin_big)
+        )
+        h += (
+            name5("u")
+            + struct.pack(">Q", 1)
+            + struct.pack(">Q", 1)  # dimid -> x
+            + absent
+            + struct.pack(">I", 9)  # NC_UINT
+            + struct.pack(">Q", 16)
+            + struct.pack(">Q", begin_u)
+        )
+        return h
+
+    hlen = len(header(0, 0))
+    path = str(tmp_path / "cdf5.nc")
+    with open(path, "wb") as f:
+        f.write(header(hlen + 16, hlen) + uvals.tobytes() + big.tobytes())
+    h = read_header(path)
+    assert h["numrecs"] == n and dict(h["dims"]) == {"time": 0, "x": 4}
+    assert h["variables"]["big"]["dtype"] == np.dtype(">i8")
+    rows = {r["idx"]: r["big"] for r in netcdf_table(spark, path, ["big"]).collect()}
+    assert rows == {i: int(big[i]) for i in range(n)}
+    urows = {r["idx"]: r["u"] for r in netcdf_table(spark, path, ["u"]).collect()}
+    assert urows == {i: int(uvals[i]) for i in range(4)}
+
+
 def test_netcdf_to_parquet_time_range(spark, tmp_path, nc_file):
     """Sliced .nc ingest: --time-range converts only the requested span
     (classic path filters; the NetCDF-4 path prunes blocks)."""
