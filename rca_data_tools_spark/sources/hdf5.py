@@ -18,9 +18,10 @@ offset 0, in both the earliest format and the 1.8+ "latest" format):
 - messages: dataspace (v1/v2), datatype (fixed-point and IEEE float,
   little/big endian), data layout v3 (contiguous and chunked) and v4
   (contiguous/compact/chunked with Single Chunk, Implicit, unpaged Fixed
-  Array, inline Extensible Array, or version-2 B-tree chunk indexes of any
-  depth — the full latest-format family for fixed-shape AND
-  unlimited-dimension chunked datasets),
+  Array, Extensible Array — inline elements AND unpaged data blocks, the
+  shape libhdf5 writes for appendable time series; super blocks raise —
+  or version-2 B-tree chunk indexes of any depth — the full latest-format
+  family for fixed-shape AND unlimited-dimension chunked datasets),
   filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
   link info, link, symbol table, continuation
 - hard AND soft links in both group styles (old-style cache-type-2 symbol
@@ -1011,14 +1012,23 @@ class H5File:
         self, addr: int, shape, chunk_shape, filtered: bool
     ) -> list[tuple[tuple[int, ...], int, int, int]]:
         """Chunk map from a v4 Extensible Array index (EAHD header + EAIB
-        index block) — the latest-format index for datasets with ONE
-        unlimited dimension. Supported subset: every element stored INLINE
-        in the index block (element count <= the header's index-block
-        element capacity — libhdf5's default capacity is 4, covering small
-        appendable datasets); data/secondary blocks raise loudly with the
-        same conversion hint the other edges use. Elements are in C order
-        over the chunk grid of the CURRENT shape, matching the swizzled
-        dim-0-unlimited layout netCDF time series use."""
+        index block + EADB data blocks) — the latest-format index for
+        datasets with ONE unlimited dimension, i.e. appendable time series.
+        Elements live first INLINE in the index block (libhdf5 default: 4),
+        then in data blocks addressed from the index block whose capacities
+        follow the EA doubling schedule — super-block level u holds
+        2^(u//2) blocks of data_blk_min_elmts * 2^((u+1)//2) elements, and
+        the index block addresses the blocks of the first
+        2*log2(sup_blk_min_data_ptrs) levels directly (H5EA's published
+        layout math). Two loud self-checks make a placement-math error
+        impossible to hit silently: every EADB carries its own element
+        offset, which must equal the derived start (in either the
+        with-or-without-index-block-elements convention, consistently), and
+        the final chunk map must tile the chunk grid without duplicates.
+        Super blocks (beyond the index block's direct span) and paged data
+        blocks raise loudly with the usual conversion hint. Elements are in
+        C order over the chunk grid of the CURRENT shape, matching the
+        swizzled dim-0-unlimited layout netCDF time series use."""
         b = self._buf
         if b[addr : addr + 4] != b"EAHD":
             raise ValueError("HDF5: bad extensible array header signature")
@@ -1026,7 +1036,11 @@ class H5File:
             raise NotImplementedError(f"HDF5 extensible array version {b[addr + 4]}")
         client = b[addr + 5]
         elmt_size = b[addr + 6]
+        max_nelmts_bits = b[addr + 7]
         idx_blk_elmts = b[addr + 8]
+        dblk_min_elmts = b[addr + 9]
+        sup_min_ptrs = b[addr + 10]
+        dblk_page_bits = b[addr + 11]
         if client not in (0, 1):
             raise NotImplementedError(f"HDF5 extensible array client id {client}")
         if client != (1 if filtered else 0):
@@ -1034,15 +1048,7 @@ class H5File:
                 "HDF5: extensible-array client id disagrees with the "
                 "layout's filtered flag"
             )
-        n_sec_blks = self._u(addr + 12, 8)
-        n_data_blks = self._u(addr + 28, 8)
         iblk_addr = self._u(addr + 60, 8)
-        if n_sec_blks or n_data_blks:
-            raise NotImplementedError(
-                "HDF5 extensible array with data/secondary blocks (more "
-                "chunks than fit the index block) not supported — repack "
-                "with h5repack -L or ingest via convert-zarr"
-            )
         if iblk_addr == _UNDEF:
             return []
         if b[iblk_addr : iblk_addr + 4] != b"EAIB":
@@ -1055,22 +1061,83 @@ class H5File:
         n_chunks = 1
         for g in grids:
             n_chunks *= len(g)
-        if n_chunks > idx_blk_elmts:
-            raise NotImplementedError(
-                f"HDF5 extensible array: {n_chunks} chunks exceed the "
-                f"{idx_blk_elmts}-element index block"
-            )
-        pos = iblk_addr + 4 + 1 + 1 + 8  # sig, version, client id, header addr
-        out = []
-        for offs in itertools.product(*grids):
+
+        def parse_elmt(pos: int):
             a = self._u(pos, 8)
             if client == 1:
                 sz_w = elmt_size - 12  # element: addr(8) + size + mask(4)
-                nb = self._u(pos + 8, sz_w)
-                mask = self._u(pos + 8 + sz_w, 4)
-            else:
-                nb, mask = -1, 0
+                return a, self._u(pos + 8, sz_w), self._u(pos + 8 + sz_w, 4)
+            return a, -1, 0
+
+        pos = iblk_addr + 4 + 1 + 1 + 8  # sig, version, client id, header addr
+        elements: list[tuple[int, int, int]] = []
+        for _ in range(min(idx_blk_elmts, n_chunks)):
+            elements.append(parse_elmt(pos))
             pos += elmt_size
+        if n_chunks > idx_blk_elmts:
+            # data blocks: index block directly addresses the blocks of the
+            # first 2*log2(sup_blk_min_data_ptrs) doubling levels
+            iblock_nsblks = 2 * (sup_min_ptrs.bit_length() - 1)
+            ndblk_addrs = 2 * (sup_min_ptrs - 1)
+            schedule: list[tuple[int, int]] = []  # (start_elmt, nelmts) per block
+            start = 0
+            for u in range(iblock_nsblks):
+                nelmts_u = dblk_min_elmts << ((u + 1) // 2)
+                for _ in range(1 << (u // 2)):
+                    schedule.append((start, nelmts_u))
+                    start += nelmts_u
+            assert len(schedule) == ndblk_addrs
+            if n_chunks > idx_blk_elmts + start:
+                raise NotImplementedError(
+                    f"HDF5 extensible array: {n_chunks} chunks exceed the "
+                    f"index block's direct span ({idx_blk_elmts + start}); "
+                    "super blocks not supported — repack with h5repack -L "
+                    "or ingest via convert-zarr"
+                )
+            off_w = (max_nelmts_bits + 7) // 8
+            off_delta: "int | None" = None  # stored-offset convention, fixed by 1st block
+            for blk_i, (start_e, nelmts_b) in enumerate(schedule):
+                dblk_addr = self._u(pos, 8)
+                pos += 8
+                if dblk_addr == _UNDEF:
+                    elements.extend([(_UNDEF, -1, 0)] * nelmts_b)
+                    continue
+                if nelmts_b > (1 << dblk_page_bits):
+                    raise NotImplementedError(
+                        "HDF5 extensible array: paged data block not supported"
+                    )
+                if b[dblk_addr : dblk_addr + 4] != b"EADB":
+                    raise ValueError("HDF5: bad extensible array data block signature")
+                if b[dblk_addr + 4] != 0 or b[dblk_addr + 5] != client:
+                    raise ValueError("HDF5: extensible array data block mismatch")
+                if self._u(dblk_addr + 6, 8) != addr:
+                    raise ValueError("HDF5: EADB does not point back to its header")
+                stored_off = self._u(dblk_addr + 14, off_w)
+                if off_delta is None:
+                    off_delta = stored_off - start_e
+                    if off_delta not in (0, idx_blk_elmts):
+                        raise ValueError(
+                            f"HDF5: EADB element offset {stored_off} does not match "
+                            f"the derived block start {start_e} under either offset "
+                            "convention — layout math disagreement, refusing to guess"
+                        )
+                elif stored_off != start_e + off_delta:
+                    raise ValueError(
+                        f"HDF5: EADB element offset {stored_off} inconsistent with "
+                        f"derived start {start_e + off_delta}"
+                    )
+                epos = dblk_addr + 14 + off_w
+                for _ in range(nelmts_b):
+                    elements.append(parse_elmt(epos))
+                    epos += elmt_size
+        if n_chunks > len(elements):
+            raise ValueError(
+                "HDF5: extensible array holds fewer elements than the "
+                "chunk grid — layout math disagreement"
+            )
+        out = []
+        for i, offs in enumerate(itertools.product(*grids)):
+            a, nb, mask = elements[i]
             if a != _UNDEF:
                 out.append((offs, a, nb, mask))
         return out

@@ -569,14 +569,59 @@ def _layout_v4_ext_array(addr: int, chunk_shape, filtered: bool = False) -> byte
     return out + b"\x04" + bytes([32, 4, 4, 16, 10]) + struct.pack("<Q", addr)
 
 
+def _ea_schedule(idx_blk_elmts: int = 4, min_elmts: int = 16, min_ptrs: int = 4):
+    """The EA doubling schedule for the blocks the index block addresses
+    directly: level u holds 2^(u//2) blocks of min_elmts * 2^((u+1)//2)
+    elements, for 2*log2(min_ptrs) levels."""
+    out = []
+    start = 0
+    for u in range(2 * (min_ptrs.bit_length() - 1)):
+        nelmts = min_elmts << ((u + 1) // 2)
+        for _ in range(1 << (u // 2)):
+            out.append((start, nelmts))
+            start += nelmts
+    return out
+
+
 def _ext_array_index(w: _WriterV3, entries: list, filtered: bool,
-                     idx_blk_elmts: int = 4, n_data_blks: int = 0) -> int:
-    """Write an EAHD header + EAIB index block with every element inline;
-    entries are address|None (unfiltered) or (address, nbytes, mask)|None.
-    Returns the EAHD address."""
+                     idx_blk_elmts: int = 4) -> int:
+    """Write an EAHD header + EAIB index block; entries beyond the inline
+    capacity spill into EADB data blocks laid out per the EA doubling
+    schedule (each full-capacity, trailing slots UNDEF, carrying its own
+    element offset in the exclude-index-block convention). Entries are
+    address|None (unfiltered) or (address, nbytes, mask)|None. Returns the
+    EAHD address."""
     client = 1 if filtered else 0
     elmt_size = 16 if filtered else 8  # addr [+ 4-byte size + 4-byte mask]
+
+    def enc(e) -> bytes:
+        if e is None:
+            return UNDEF + (struct.pack("<II", 0, 0) if filtered else b"")
+        if filtered:
+            a, nb, mask = e
+            return struct.pack("<QII", a, nb, mask)
+        return struct.pack("<Q", e)
+
+    inline, spill = entries[:idx_blk_elmts], entries[idx_blk_elmts:]
+    schedule = _ea_schedule(idx_blk_elmts)
+    n_data_blks = 0
+    dblk_addrs: list[int] = []
+    for start_e, nelmts in schedule:
+        blk = spill[start_e : start_e + nelmts]
+        if not blk:
+            dblk_addrs.append(None)
+            continue
+        blk = blk + [None] * (nelmts - len(blk))
+        body = b"EADB" + bytes([0, client])
+        # header address patched below (EAHD comes after the data blocks)
+        body += b"\x00" * 8 + struct.pack("<I", start_e)
+        body += b"".join(enc(e) for e in blk) + b"\x00" * 4
+        dblk_addrs.append(w.append(body))
+        n_data_blks += 1
     eahd_addr = len(w.buf)
+    for a in dblk_addrs:
+        if a is not None:  # patch the header back-pointer
+            w.buf[a + 6 : a + 14] = struct.pack("<Q", eahd_addr)
     eaib_addr = eahd_addr + 4 + 8 + 7 * 8 + 4
     hdr = b"EAHD" + bytes([0, client, elmt_size, 32, idx_blk_elmts, 16, 4, 10])
     hdr += struct.pack(
@@ -584,14 +629,11 @@ def _ext_array_index(w: _WriterV3, entries: list, filtered: bool,
     )
     hdr += b"\x00" * 4  # checksum (not verified)
     body = b"EAIB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
-    for e in entries:
-        if e is None:
-            body += UNDEF + (struct.pack("<II", 0, 0) if filtered else b"")
-        elif filtered:
-            a, nb, mask = e
-            body += struct.pack("<QII", a, nb, mask)
-        else:
-            body += struct.pack("<Q", e)
+    for e in inline + [None] * (idx_blk_elmts - len(inline)):
+        body += enc(e)
+    if spill:
+        for a in dblk_addrs:
+            body += UNDEF if a is None else struct.pack("<Q", a)
     body += b"\x00" * 4
     assert len(w.buf) == eahd_addr
     w.append(hdr)
@@ -655,15 +697,70 @@ def test_v2_layout_v4_extensible_array_reads(tmp_path):
     np.testing.assert_allclose(read_dataset(h5, "f"), arr)
 
 
-def test_v2_layout_v4_extensible_array_beyond_inline_raises(tmp_path):
-    """Elements spilled to data blocks (chunk count beyond the index
-    block) are outside the subset and must raise with the feature name."""
+def test_v2_layout_v4_extensible_array_data_blocks(tmp_path):
+    """Chunk counts beyond the inline capacity spill into EADB data blocks
+    (the shape libhdf5 writes for any real appendable time series): 52
+    chunks = 4 inline + data blocks 16/32 per the doubling schedule, with
+    one whole data block missing (those chunks read as zeros) and a
+    deflate-filtered variant."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    w = _WriterV3()
+    n_chunks = 52
+    arr = (np.arange(n_chunks * 4) * 0.25).astype("<f8")
+
+    def chunk_blob(ci):
+        return arr[ci * 4 : (ci + 1) * 4].tobytes()
+
+    # unfiltered: drop chunks 20..51 (the second data block entirely absent)
+    u_entries = [w.append(chunk_blob(ci)) if ci < 20 else None
+                 for ci in range(n_chunks)]
+    u_idx = _ext_array_index(w, u_entries, filtered=False)
+    # the second data block (elements 16..47 of the spill) is all-None ->
+    # builder writes no block; rewrite entries so it exercises BOTH a
+    # present partial block and an UNDEF block address
+    f_entries = []
+    for ci in range(n_chunks):
+        blob = zlib.compress(chunk_blob(ci), 6)
+        f_entries.append((w.append(blob), len(blob), 0))
+    f_idx = _ext_array_index(w, f_entries, filtered=True)
+
+    u_ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_ext_array(u_idx, (4,))),
+    ]))
+    f_ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_ext_array(f_idx, (4,), filtered=True)),
+        _msg2(0x0B, _filter_pipeline([(1, (6,))])),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("u", u_ds)),
+        _msg2(0x06, _link_msg("f", f_ds)),
+    ]))
+    p = str(tmp_path / "ea_dblocks.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    h5 = H5File(p)
+    want = arr.copy()
+    want[20 * 4 :] = 0.0  # all chunks past 20 unwritten
+    np.testing.assert_allclose(read_dataset(h5, "u"), want)
+    np.testing.assert_allclose(read_dataset(h5, "f"), arr)
+
+
+def test_v2_layout_v4_extensible_array_super_blocks_raise(tmp_path):
+    """Chunk counts beyond the index block's direct span (244 with libhdf5
+    defaults) need EASB super blocks — outside the subset, loud raise."""
     from rca_data_tools_spark.sources.hdf5 import H5File
 
     w = _WriterV3()
-    arr = np.arange(8, dtype="<f8")
-    idx = _ext_array_index(w, [w.append(arr[:4].tobytes())], filtered=False,
-                           n_data_blks=1)
+    n_chunks = 250
+    arr = np.zeros(n_chunks * 4, dtype="<f8")
+    entries = [None] * n_chunks
+    idx = _ext_array_index(w, entries, filtered=False)
     ds = w.append(_ohdr2([
         _msg2(0x01, _dataspace(arr.shape)),
         _msg2(0x03, _datatype(arr.dtype)),
@@ -673,10 +770,42 @@ def test_v2_layout_v4_extensible_array_beyond_inline_raises(tmp_path):
         _msg2(0x02, _link_info()),
         _msg2(0x06, _link_msg("x", ds)),
     ]))
-    p = str(tmp_path / "ea_blocks.h5")
+    p = str(tmp_path / "ea_super.h5")
     with open(p, "wb") as f:
         f.write(w.finish(root))
-    with pytest.raises(NotImplementedError, match="data/secondary blocks"):
+    with pytest.raises(NotImplementedError, match="super blocks"):
+        H5File(p)
+
+
+def test_v2_layout_v4_extensible_array_offset_mismatch_raises(tmp_path):
+    """A data block whose stored element offset disagrees with the derived
+    doubling-schedule start (under both conventions) must refuse loudly —
+    the self-check that turns any layout-math disagreement into an error
+    instead of silently misplaced chunks."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    w = _WriterV3()
+    n_chunks = 8
+    arr = np.arange(n_chunks * 4, dtype="<f8")
+    entries = [w.append(arr[ci * 4 : (ci + 1) * 4].tobytes())
+               for ci in range(n_chunks)]
+    idx = _ext_array_index(w, entries, filtered=False)
+    # corrupt the first EADB's stored offset (it follows sig+ver+client+hdr)
+    dblk = bytes(w.buf).index(b"EADB")
+    w.buf[dblk + 14 : dblk + 18] = struct.pack("<I", 7)  # neither 0 nor 4
+    ds = w.append(_ohdr2([
+        _msg2(0x01, _dataspace(arr.shape)),
+        _msg2(0x03, _datatype(arr.dtype)),
+        _msg2(0x08, _layout_v4_ext_array(idx, (4,))),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("x", ds)),
+    ]))
+    p = str(tmp_path / "ea_badoff.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(ValueError, match="offset"):
         H5File(p)
 
 
