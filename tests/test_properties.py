@@ -270,7 +270,7 @@ def test_lz4_block_roundtrip_property(data):
 @given(
     n_elems=st.integers(1, 600),
     typesize=st.sampled_from([1, 2, 4, 8]),
-    shuffle=st.booleans(),
+    shuffle=st.sampled_from([False, True, "bit"]),
     codec=st.sampled_from([1, 3]),  # lz4, zlib
     blocks=st.integers(1, 4),
     seed=st.integers(0, 2**31 - 1),
@@ -289,6 +289,32 @@ def test_blosc_chunk_roundtrip_property(n_elems, typesize, shuffle, codec, block
     blocksize = max(typesize, (len(data) // blocks) // typesize * typesize) or typesize
     chunk = blosc_chunk(data, typesize=typesize, codec=codec, shuffle=shuffle, blocksize=blocksize)
     assert blosc_decompress(chunk) == data
+
+
+@given(
+    n_bytes=st.integers(0, 2000),
+    typesize=st.sampled_from([1, 2, 3, 4, 8, 12]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_bitshuffle_roundtrip_property(n_bytes, typesize, seed):
+    """Forward/inverse bit-shuffle invert each other on arbitrary buffers,
+    including non-multiple-of-8 element counts and trailing sub-element
+    bytes (the c-blosc verbatim-remainder rule)."""
+    from rca_data_tools_spark.sources.blosc import _bit_shuffle, _bit_unshuffle
+
+    rng = np.random.RandomState(seed)
+    buf = rng.bytes(n_bytes)
+    shuffled = _bit_shuffle(buf, typesize)
+    assert len(shuffled) == len(buf)
+    assert _bit_unshuffle(shuffled, typesize) == buf
+    # bit-count conservation: a pure transpose permutes bits in the core
+    core = (len(buf) // typesize - (len(buf) // typesize) % 8) * typesize
+    if core:
+        assert (
+            bin(int.from_bytes(shuffled[:core], "big")).count("1")
+            == bin(int.from_bytes(buf[:core], "big")).count("1")
+        )
 
 
 # --- interval union/gap sweep vs brute force --------------------------------
