@@ -15,9 +15,13 @@ sums + count; only the 6-double weight row ever reaches the driver. At
 100 TB each GD step is a single scan-agg with a KB of state — the textbook
 distributed-GD plan (no parameter server needed at this dimensionality).
 
-Reference analogy: the QC-parameter fitting loops (climatology regressions
-in qaqc/climatology.py) — iterative parameter estimation over the full
-archive, here for corpus quality rather than seasonal cycles.
+Reference analogy: the reference consumes pre-fit QC parameter tables
+(climatology / gross-range CSVs, qaqc/qartod.py:25-108) whose parameters
+are estimated offline from the archive; this module brings that estimation
+loop itself in-engine — iterative parameter fitting over the full corpus,
+for document quality rather than seasonal climatology. It is primarily an
+LLM-pipeline extra (the curation stage CCNet/Dolma-style pipelines run),
+not a port of reference code.
 """
 
 from __future__ import annotations
