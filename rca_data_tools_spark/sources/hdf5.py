@@ -22,7 +22,8 @@ offset 0, in both the earliest format and the 1.8+ "latest" format):
   shape libhdf5 writes for appendable time series; super blocks raise —
   or version-2 B-tree chunk indexes of any depth — the full latest-format
   family for fixed-shape AND unlimited-dimension chunked datasets),
-  filter pipeline v1/v2 (deflate id=1, shuffle id=2), attributes v1/v2/v3,
+  filter pipeline v1/v2 (deflate id=1, shuffle id=2, fletcher32 id=3 —
+  checksum verified, mismatch raises), attributes v1/v2/v3,
   link info, link, symbol table, continuation
 - hard AND soft links in both group styles (old-style cache-type-2 symbol
   table entries with the link value in the local heap, and 1.8+ type-1
@@ -783,10 +784,10 @@ class H5File:
             elif ds.data_address != _UNDEF:
                 ds.chunks = self._chunk_btree_entries(ds.data_address, ndims)
         for fid, _ in ds.filters:
-            if fid not in (_DEFLATE, _SHUFFLE):
+            if fid not in (_DEFLATE, _SHUFFLE, _FLETCHER32):
                 raise NotImplementedError(
                     f"HDF5 filter id {fid} on {name!r} not supported "
-                    "(supported: deflate, shuffle)"
+                    "(supported: deflate, shuffle, fletcher32)"
                 )
         return ds
 
@@ -1245,6 +1246,29 @@ class H5File:
         return out
 
 
+def fletcher32(data: bytes) -> int:
+    """HDF5's Fletcher-32 variant (H5checksum.c H5_checksum_fletcher32,
+    public): big-endian 16-bit words, an odd trailing byte padded low, both
+    running sums folded to 16 bits. The C loop folds every 360 words purely
+    to avoid uint32 overflow; with arbitrary-precision sums the result is
+    the same congruence class mod 0xffff, with 0xffff (not 0) as the
+    representative of a non-zero multiple — exactly the C fixpoint, since
+    fold(0xffff) == 0xffff. Differentially tested against a literal
+    transliteration of the C loop in tests/test_hdf5_v2.py."""
+    arr = np.frombuffer(data[: len(data) // 2 * 2], dtype=">u2").astype(np.int64)
+    s1 = int(arr.sum())
+    # sum2 accumulates the running sum1 after every word: Σ (m - j) * w_j
+    s2 = int((arr * np.arange(len(arr), 0, -1, dtype=np.int64)).sum())
+    if len(data) % 2:
+        w = data[-1] << 8
+        s1 += w
+        s2 += s1
+    def fold(x: int) -> int:
+        r = x % 0xFFFF
+        return 0xFFFF if (r == 0 and x != 0) else r
+    return (fold(s2) << 16) | fold(s1)
+
+
 def decode_chunk(
     raw: bytes,
     dtype: np.dtype,
@@ -1266,6 +1290,14 @@ def decode_chunk(
             arr = np.frombuffer(data, dtype=np.uint8)
             n = len(arr) // elem
             data = arr.reshape(elem, n).T.tobytes()
+        elif fid == _FLETCHER32:
+            payload, stored = data[:-4], int.from_bytes(data[-4:], "little")
+            if fletcher32(payload) != stored:
+                raise ValueError(
+                    f"HDF5 fletcher32 checksum mismatch on chunk "
+                    f"(stored {stored:#010x})"
+                )
+            data = payload
         else:  # pragma: no cover - gated at metadata parse
             raise NotImplementedError(f"HDF5 filter id {fid}")
     return np.frombuffer(data, dtype=dtype).reshape(chunk_shape)

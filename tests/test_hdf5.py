@@ -296,13 +296,13 @@ def test_unknown_filter_raises(tmp_path):
     path = str(tmp_path / "bad.nc")
     arr = np.arange(10, dtype="<f8")
     write_h5(path, {"x": {"array": arr, "chunks": (4,), "filters": [("deflate", 1)]}})
-    # patch the filter id to fletcher32 (unsupported)
+    # patch the filter id to szip (unsupported)
     data = bytearray(open(path, "rb").read())
     idx = data.find(struct.pack("<HHHH", 1, 0, 0, 1))
     assert idx > 0
-    data[idx : idx + 2] = struct.pack("<H", 3)
+    data[idx : idx + 2] = struct.pack("<H", 4)
     open(path, "wb").write(bytes(data))
-    with pytest.raises(NotImplementedError, match="filter id 3"):
+    with pytest.raises(NotImplementedError, match="filter id 4"):
         H5File(path)
 
 
