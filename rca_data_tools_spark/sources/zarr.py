@@ -27,13 +27,16 @@ codec, so real OOI archives read natively; the pure-Python inner loops are
 ~100x slower than the C codecs, so for repeated scans recompress to zlib on
 ingest), float and int dtypes, 1-D ``(time,)`` and 2-D ``(time, k)``
 variables — the reference's data model (§1.1: 2-D params become array
-columns; snappy inner codec via sources/snappy.py). Bit-shuffle blosc
-chunks raise with a clear message rather than silently mis-decoding.
+columns; snappy inner codec via sources/snappy.py), byte- AND bit-shuffled
+blosc chunks (blosc.py), and the numcodecs ``delta`` v2 filter (cumsum
+decode — common on monotone coordinates); any other v2 filter refuses at
+metadata time rather than silently mis-decoding.
 
 Zarr v3 stores (zarr.json array documents) are normalized onto the same
 decode path: regular chunk grids, `bytes` (either endian) +
-gzip/zlib/zstd/blosc codecs, default or v2-style chunk key encodings.
-Sharding, transpose, crc32c, and other codecs raise loudly.
+gzip/zlib/zstd/blosc codecs, `sharding_indexed` stores (inner-chunk
+assembly with crc32c-verified indexes), default or v2-style chunk key
+encodings. Transpose, chunk-level crc32c, and other codecs raise loudly.
 """
 
 from __future__ import annotations
@@ -167,14 +170,37 @@ def _load_array_meta(store, var: str) -> dict:
         consolidated = json.loads(store.get(".zmetadata"))["metadata"]
         key = f"{var}/.zarray"
         if key in consolidated:
-            return consolidated[key]
+            return _check_v2_filters(consolidated[key])
     if store.exists(f"{var}/.zarray"):
-        return json.loads(store.get(f"{var}/.zarray"))
+        return _check_v2_filters(json.loads(store.get(f"{var}/.zarray")))
     if store.exists(f"{var}/zarr.json"):
         return _normalize_v3_meta(json.loads(store.get(f"{var}/zarr.json")))
     raise FileNotFoundError(
         f"no zarr v2 (.zarray) or v3 (zarr.json) metadata for {var!r} in store"
     )
+
+
+def _check_v2_filters(meta: dict) -> dict:
+    """Gate the v2 ``filters`` chain at metadata time: a filter this scan
+    cannot reverse must refuse HERE, loudly — decoding a filtered chunk as
+    if it were plain would return silently wrong values, the one failure
+    mode worse than an error. Supported: a single numcodecs ``delta``
+    (diff-encode; common on monotone coordinate arrays), reversed in
+    _decode_buf by cumsum in the filter's declared dtypes."""
+    filters = meta.get("filters") or []
+    if not filters:
+        return meta
+    if len(filters) > 1:
+        raise NotImplementedError(
+            f"zarr v2 filter chain of {len(filters)} filters not supported "
+            "(single delta filter, or none)"
+        )
+    fid = (filters[0] or {}).get("id")
+    if fid != "delta":
+        raise NotImplementedError(
+            f"zarr v2 filter {fid!r} not supported (delta only)"
+        )
+    return meta
 
 
 _CRC32C_POLY = 0x82F63B78
@@ -281,7 +307,21 @@ def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
             "this runtime (supported here: raw, zlib, gzip, zstd, lz4, "
             "blosc[lz4/zlib/zstd])"
         )
-    arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
+    filters = meta.get("filters") or []
+    if filters:
+        # single delta filter (gated at metadata load): chunk bytes are in
+        # the filter's storage dtype (astype), decode = cumsum in its
+        # computation dtype — numcodecs Delta's published semantics
+        f = filters[0]
+        enc_dt = np.dtype(f.get("astype") or f.get("dtype") or meta["dtype"])
+        dec_dt = np.dtype(f.get("dtype") or meta["dtype"])
+        arr = (
+            np.frombuffer(buf, dtype=enc_dt)
+            .cumsum(dtype=dec_dt)
+            .astype(np.dtype(meta["dtype"]), copy=False)
+        )
+    else:
+        arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
     return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
 
 
