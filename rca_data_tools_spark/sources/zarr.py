@@ -180,27 +180,90 @@ def _load_array_meta(store, var: str) -> dict:
     )
 
 
+#: numcodecs filters this scan can reverse (published semantics; see
+#: _decode_v2_filters). Anything else refuses at metadata time.
+_V2_FILTERS = {"delta", "fixedscaleoffset", "quantize", "shuffle", "astype", "packbits"}
+
+
 def _check_v2_filters(meta: dict) -> dict:
     """Gate the v2 ``filters`` chain at metadata time: a filter this scan
     cannot reverse must refuse HERE, loudly — decoding a filtered chunk as
     if it were plain would return silently wrong values, the one failure
-    mode worse than an error. Supported: a single numcodecs ``delta``
-    (diff-encode; common on monotone coordinate arrays), reversed in
-    _decode_buf by cumsum in the filter's declared dtypes."""
-    filters = meta.get("filters") or []
-    if not filters:
-        return meta
-    if len(filters) > 1:
-        raise NotImplementedError(
-            f"zarr v2 filter chain of {len(filters)} filters not supported "
-            "(single delta filter, or none)"
-        )
-    fid = (filters[0] or {}).get("id")
-    if fid != "delta":
-        raise NotImplementedError(
-            f"zarr v2 filter {fid!r} not supported (delta only)"
-        )
+    mode worse than an error. Supported (chains of any length, decoded in
+    reverse): numcodecs ``delta`` (diff-encode; monotone coordinates),
+    ``fixedscaleoffset`` / ``quantize`` (lossy float packing — the two
+    filters real ocean archives put on measurement variables),
+    ``shuffle`` (byte transpose), ``astype`` and ``packbits``."""
+    for f in meta.get("filters") or []:
+        fid = (f or {}).get("id")
+        if fid not in _V2_FILTERS:
+            raise NotImplementedError(
+                f"zarr v2 filter {fid!r} not supported (supported: "
+                + ", ".join(sorted(_V2_FILTERS))
+                + ")"
+            )
     return meta
+
+
+def _v2_filter_storage_dtype(f: dict, in_dt: np.dtype) -> np.dtype:
+    """dtype of the byte stream AFTER filter ``f`` encodes an ``in_dt``
+    array (numcodecs convention: cfg ``dtype`` is the input side, ``astype``
+    the stored side; shuffle permutes bytes without retyping)."""
+    fid = f["id"]
+    if fid in ("delta", "fixedscaleoffset", "quantize"):
+        return np.dtype(f.get("astype") or f.get("dtype") or in_dt)
+    if fid == "astype":
+        return np.dtype(f["encode_dtype"])
+    if fid == "packbits":
+        return np.dtype("u1")
+    return in_dt  # shuffle
+
+
+def _decode_v2_filters(buf: bytes, filters: list, out_dt: np.dtype) -> np.ndarray:
+    """Reverse a numcodecs filter chain: chunk bytes were produced by
+    filters[0] ∘ filters[1] ∘ … so decode walks the chain BACKWARD, each
+    step reading the downstream filter's storage dtype and emitting its own
+    input dtype. Semantics per filter are numcodecs' published ones:
+    Delta = cumsum of stored diffs; FixedScaleOffset dec = enc/scale +
+    offset; Quantize decode is a cast (the loss happened at encode);
+    Shuffle = byte transpose of elementsize-wide items; AsType / PackBits
+    are casts / bool bit-packing with a leading leftover-bit count byte."""
+    dts = [np.dtype(out_dt)]
+    for f in filters:
+        dts.append(_v2_filter_storage_dtype(f, dts[-1]))
+    for i in range(len(filters) - 1, -1, -1):
+        f, in_dt, enc_dt = filters[i], dts[i], dts[i + 1]
+        fid = f["id"]
+        if fid == "delta":
+            dec_dt = np.dtype(f.get("dtype") or in_dt)
+            arr = np.frombuffer(buf, dtype=enc_dt).cumsum(dtype=dec_dt)
+        elif fid == "fixedscaleoffset":
+            enc = np.frombuffer(buf, dtype=enc_dt)
+            arr = enc / float(f["scale"]) + float(f["offset"])
+        elif fid in ("quantize", "astype"):
+            arr = np.frombuffer(buf, dtype=enc_dt)
+        elif fid == "packbits":
+            enc = np.frombuffer(buf, dtype="u1")
+            bits = np.unpackbits(enc[1:])
+            if enc[0] > 0:
+                bits = bits[: bits.size - 8 + int(enc[0])]
+            arr = bits
+        elif fid == "shuffle":
+            es = int(f.get("elementsize") or in_dt.itemsize)
+            b = np.frombuffer(buf, dtype="u1")
+            if es > 1:
+                if b.size % es:
+                    raise ValueError(
+                        f"shuffled zarr chunk of {b.size} bytes is not a "
+                        f"multiple of elementsize {es}"
+                    )
+                b = b.reshape(es, -1).T
+            buf = b.tobytes()
+            continue
+        else:  # unreachable: gated in _check_v2_filters
+            raise NotImplementedError(f"zarr v2 filter {fid!r}")
+        buf = np.ascontiguousarray(arr.astype(in_dt, copy=False)).tobytes()
+    return np.frombuffer(buf, dtype=np.dtype(out_dt))
 
 
 _CRC32C_POLY = 0x82F63B78
@@ -309,17 +372,9 @@ def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
         )
     filters = meta.get("filters") or []
     if filters:
-        # single delta filter (gated at metadata load): chunk bytes are in
-        # the filter's storage dtype (astype), decode = cumsum in its
-        # computation dtype — numcodecs Delta's published semantics
-        f = filters[0]
-        enc_dt = np.dtype(f.get("astype") or f.get("dtype") or meta["dtype"])
-        dec_dt = np.dtype(f.get("dtype") or meta["dtype"])
-        arr = (
-            np.frombuffer(buf, dtype=enc_dt)
-            .cumsum(dtype=dec_dt)
-            .astype(np.dtype(meta["dtype"]), copy=False)
-        )
+        # numcodecs filter chain (gated at metadata load) reversed
+        # last-to-first; see _decode_v2_filters for per-filter semantics
+        arr = _decode_v2_filters(buf, filters, np.dtype(meta["dtype"]))
     else:
         arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
     return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
