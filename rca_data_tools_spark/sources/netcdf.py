@@ -73,15 +73,28 @@ class _Parser:
         self.pos += (4 - n % 4) % 4  # names pad to 4-byte boundary
         return s
 
-    def skip_attrs(self) -> None:
+    def read_attrs(self) -> dict:
+        """Attribute list → {name: value} for SCALAR NUMERIC attributes
+        (the CF packing/missing-data vocabulary: _FillValue, missing_value,
+        scale_factor, add_offset); strings and vector attributes are
+        skipped — the scan has no use for them yet."""
         tag, count = self.u4(), self.nn()
         if tag not in (_NC_ATTRIBUTE, 0):
             raise ValueError("malformed attribute list")
+        out: dict = {}
         for _ in range(count):
-            self.name()
+            name = self.name()
             typ, n = self.u4(), self.nn()
-            width = _DTYPES[typ].itemsize
-            self.pos += n * width + (4 - (n * width) % 4) % 4
+            dt = _DTYPES[typ]
+            nbytes = n * dt.itemsize
+            raw = self.take(nbytes)
+            self.pos += (4 - nbytes % 4) % 4
+            if n == 1 and dt.kind in "iuf":
+                out[name] = float(np.frombuffer(raw, dtype=dt)[0])
+        return out
+
+    def skip_attrs(self) -> None:
+        self.read_attrs()
 
 
 def read_header(source) -> dict:
@@ -121,7 +134,7 @@ def read_header(source) -> dict:
         vname = p.name()
         ndims = p.nn()
         dimids = [p.nn() for _ in range(ndims)]
-        p.skip_attrs()
+        attrs = p.read_attrs()
         typ, vsize = p.u4(), p.nn()
         begin = struct.unpack(">Q", p.take(8))[0] if offset64 else p.u4()
         shape = [dims[d][1] for d in dimids]
@@ -132,6 +145,7 @@ def read_header(source) -> dict:
             "begin": begin,
             "vsize": vsize,
             "record": is_record,
+            "attrs": attrs,
         }
         if is_record:
             rec_size += vsize
@@ -171,6 +185,25 @@ def _read_var_range(rd, header: dict, var: str, lo: int, hi: int) -> np.ndarray:
     raw = rd.pread(m["begin"] + lo * inner * width, (hi - lo) * inner * width)
     arr = np.frombuffer(raw, dtype=m["dtype"])
     return arr.reshape(hi - lo, inner) if len(m["shape"]) > 1 else arr
+
+
+def _apply_cf_packing(arr: np.ndarray, attrs: dict) -> np.ndarray:
+    """CF packed-data conventions (CF-1.x §8.1, netCDF best practices) on a
+    float64 array: declared ``_FillValue`` / ``missing_value`` match against
+    the PACKED values and become NaN (Spark NULL), then
+    ``unpacked = packed * scale_factor + add_offset``. Undeclared default
+    fills are deliberately NOT guessed — masking spec-default sentinels a
+    writer never promised would silently drop real data."""
+    attrs = attrs or {}
+    fill = attrs.get("_FillValue", attrs.get("missing_value"))
+    if fill is not None and not np.isnan(fill):
+        arr = np.where(arr == fill, np.nan, arr)
+    scale, offset = attrs.get("scale_factor"), attrs.get("add_offset")
+    if scale is not None or offset is not None:
+        arr = arr * (1.0 if scale is None else scale) + (
+            0.0 if offset is None else offset
+        )
+    return arr
 
 
 def netcdf_table(
@@ -218,6 +251,7 @@ def netcdf_table(
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
                     arr = _read_var_range(rd, header, v, lo, hi).astype(np.float64)
+                    arr = _apply_cf_packing(arr, metas[v].get("attrs"))
                     out[v] = list(arr) if arr.ndim == 2 else arr
                 yield pd.DataFrame(out)
 
@@ -352,9 +386,11 @@ def netcdf4_table(
             "chunks": ds.chunks,
             "filters": ds.filters,
             "rd": ds.owner,  # None -> the scanned file's own reader
-            # netCDF-4 missing-data convention: _FillValue -> SQL NULL,
-            # same contract as the Zarr scan's fill handling
-            "fill": ds.attrs.get("_FillValue"),
+            # CF missing-data + packing conventions (_FillValue /
+            # missing_value -> SQL NULL on packed values, then
+            # scale_factor/add_offset unpack) — same contract as the Zarr
+            # scan's fill handling; applied in _apply_cf_packing
+            "attrs": dict(ds.attrs),
         }
     n_rows = metas[variables[0]]["shape"][0]
     for v, m in metas.items():
@@ -408,9 +444,7 @@ def netcdf4_table(
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
                     arr = _rows(metas[v]["rd"] or rd, metas[v], lo, hi).astype(np.float64)
-                    fill = metas[v]["fill"]
-                    if fill is not None and not np.isnan(fill):
-                        arr = np.where(arr == fill, np.nan, arr)
+                    arr = _apply_cf_packing(arr, metas[v]["attrs"])
                     out[v] = list(arr) if len(metas[v]["shape"]) == 2 else arr[:, 0]
                 yield pd.DataFrame(out)
 

@@ -157,6 +157,8 @@ def write_h5(path, datasets: dict[str, dict]) -> None:
         msgs = [_msg(0x0001, _dataspace(arr.shape)), _msg(0x0003, _datatype(arr.dtype))]
         if spec.get("fill") is not None:
             msgs.append(_msg(0x000C, _attribute("_FillValue", spec["fill"], arr.dtype)))
+        for aname, (aval, adt) in (spec.get("attrs") or {}).items():
+            msgs.append(_msg(0x000C, _attribute(aname, aval, np.dtype(adt))))
         if spec.get("chunks") is None:
             raw = arr.tobytes()
             addr = w.append(raw)
@@ -586,3 +588,28 @@ def test_dataset_collection_time_pruning(spark, tmp_path):
     )
     assert none.count() == 0
     assert [f.name for f in none.schema.fields] == ["file_id", "idx", "time", "temp"]
+
+
+def test_cf_packed_netcdf4_unpacks(spark, tmp_path):
+    """CF packed data through the native HDF5 path: int16 + scale_factor /
+    add_offset attributes scan as unpacked doubles, declared _FillValue
+    matching the PACKED value -> NULL (fill masks BEFORE unpacking)."""
+    from rca_data_tools_spark.sources.netcdf import netcdf4_table
+
+    path = str(tmp_path / "packed4.nc")
+    packed = np.array([100, 250, -32768, -50, 0], dtype="<i2")
+    write_h5(
+        path,
+        {"sst": {
+            "array": packed, "chunks": (3,), "filters": [("deflate", 1)],
+            "fill": -32768,
+            "attrs": {"scale_factor": (0.01, "<f8"),
+                      "add_offset": (20.0, "<f8")},
+        }},
+    )
+    rows = netcdf4_table(spark, path, ["sst"], records_per_task=2).orderBy("idx").collect()
+    got = [r["sst"] for r in rows]
+    assert got[2] is None
+    np.testing.assert_allclose(
+        [got[0], got[1], got[3], got[4]], [21.0, 22.5, 19.5, 20.0]
+    )

@@ -286,3 +286,52 @@ def test_netcdf_to_parquet_time_range(spark, tmp_path, nc_file):
     assert [r["idx"] for r in rows] == list(range(10, 40))
     np.testing.assert_allclose([r["temp"] for r in rows], temp[10:40])
     assert all(r["ts"] is not None for r in rows)
+
+
+def test_cf_packed_classic_unpacks(spark, tmp_path):
+    """CF packed data (CF-1.x §8.1): a short variable with scale_factor /
+    add_offset / _FillValue attributes scans as unpacked doubles with the
+    declared fill (matched on the PACKED value) reading as NULL."""
+    from rca_data_tools_spark.sources.netcdf import netcdf_table, read_header
+
+    path = str(tmp_path / "packed.nc")
+    packed = np.array([100, 250, -32768, -50], dtype=">i2")
+
+    def attr_num(name, typ, fmt, val):
+        raw = struct.pack(fmt, val)
+        return (
+            _name(name) + struct.pack(">II", typ, 1)
+            + raw + b"\x00" * ((4 - len(raw) % 4) % 4)
+        )
+
+    attrs = struct.pack(">II", 0x0C, 4)
+    attrs += attr_num("_FillValue", 3, ">h", -32768)          # NC_SHORT
+    attrs += attr_num("scale_factor", 6, ">d", 0.01)          # NC_DOUBLE
+    attrs += attr_num("add_offset", 6, ">d", 20.0)
+    # a string attr in the same list must parse-and-skip cleanly
+    attrs += _name("units") + struct.pack(">II", 2, 4) + b"degC"
+
+    def header(begin):
+        h = b"CDF\x01" + struct.pack(">I", 4)  # numrecs=4
+        h += struct.pack(">II", 0x0A, 1) + _name("time") + struct.pack(">I", 0)
+        h += struct.pack(">II", 0, 0)  # no global attrs
+        h += struct.pack(">II", 0x0B, 1)
+        h += (
+            _name("sst") + struct.pack(">I", 1) + struct.pack(">I", 0)
+            + attrs + struct.pack(">III", 3, 4, begin)  # NC_SHORT, vsize 2+pad
+        )
+        return h
+
+    hlen = len(header(0))
+    with open(path, "wb") as f:
+        # single record variable: slabs pack WITHOUT per-record padding
+        f.write(header(hlen) + packed.tobytes())
+
+    h = read_header(path)
+    assert h["variables"]["sst"]["attrs"] == {
+        "_FillValue": -32768.0, "scale_factor": 0.01, "add_offset": 20.0,
+    }
+    rows = netcdf_table(spark, path, ["sst"]).orderBy("idx").collect()
+    got = [r["sst"] for r in rows]
+    assert got[2] is None
+    np.testing.assert_allclose([got[0], got[1], got[3]], [21.0, 22.5, 19.5])
