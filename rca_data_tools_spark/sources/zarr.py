@@ -62,13 +62,21 @@ _V3_DTYPES = {
 
 
 def _normalize_codecs(codecs: list, allow_sharding: bool = True):
-    """(endian, compressor, shard_conf) from a v3 codec chain. shard_conf is
-    None unless the chain is `sharding_indexed` (whose inner chain is
-    normalized recursively — nested sharding raises)."""
-    endian, compressor, shard = "little", None, None
+    """(endian, compressor, shard_conf, transpose, checksum) from a v3 codec
+    chain. shard_conf is None unless the chain is `sharding_indexed` (whose
+    inner chain is normalized recursively — nested sharding raises).
+    ``transpose`` is the codec's order list (or None); ``checksum`` is True
+    when a trailing crc32c codec protects the stored chunk bytes."""
+    endian, compressor, shard, transpose, checksum = "little", None, None, None, False
     for c in codecs:
         name = c.get("name")
         conf = c.get("configuration", {}) or {}
+        if name != "crc32c" and checksum:
+            # the scan verifies ONE trailing checksum over the stored bytes;
+            # a codec after crc32c would mean the crc sits mid-chain
+            raise NotImplementedError(
+                f"zarr v3 codec {name!r} after crc32c (checksum must be last)"
+            )
         if name == "bytes":
             endian = conf.get("endian", "little")
         elif name in ("gzip", "zlib"):
@@ -80,14 +88,13 @@ def _normalize_codecs(codecs: list, allow_sharding: bool = True):
             # v3 blosc chunks carry the same blosc1 frame the shim decodes
             compressor = {"id": "blosc"}
         elif name == "crc32c":
-            raise NotImplementedError(
-                "zarr v3 crc32c checksum codec on chunk data not supported "
-                "by this scan (it is handled inside shard indexes)"
-            )
+            # stored chunk = payload + 4-byte little-endian CRC-32C; decode
+            # verifies and strips it (same algorithm as shard indexes)
+            checksum = True
         elif name == "sharding_indexed":
             if not allow_sharding:
                 raise NotImplementedError("zarr v3 nested sharding")
-            i_endian, i_comp, i_shard = _normalize_codecs(
+            i_endian, i_comp, i_shard, i_transpose, i_checksum = _normalize_codecs(
                 conf.get("codecs", [{"name": "bytes"}]), allow_sharding=False
             )
             assert i_shard is None
@@ -103,15 +110,19 @@ def _normalize_codecs(codecs: list, allow_sharding: bool = True):
                 "inner_chunks": list(conf["chunk_shape"]),
                 "endian": i_endian,
                 "compressor": i_comp,
+                "transpose": i_transpose,
+                "checksum": i_checksum,
                 "index_crc32c": "crc32c" in index_codecs,
                 "index_location": conf.get("index_location", "end"),
             }
             endian = i_endian
         elif name == "transpose":
-            raise NotImplementedError("zarr v3 transpose codec not supported")
+            # array->array codec: the stored layout is the chunk transposed
+            # by `order`; decode reshapes to the permuted shape and inverts
+            transpose = [int(o) for o in conf["order"]]
         else:
             raise NotImplementedError(f"zarr v3 codec {name!r} not supported")
-    return endian, compressor, shard
+    return endian, compressor, shard, transpose, checksum
 
 
 def _normalize_v3_meta(meta: dict) -> dict:
@@ -125,7 +136,9 @@ def _normalize_v3_meta(meta: dict) -> dict:
     grid = meta["chunk_grid"]
     if grid.get("name") != "regular":
         raise NotImplementedError(f"zarr v3 chunk grid {grid.get('name')!r}")
-    endian, compressor, shard = _normalize_codecs(meta.get("codecs", []))
+    endian, compressor, shard, transpose, checksum = _normalize_codecs(
+        meta.get("codecs", [])
+    )
     if meta["data_type"] not in _V3_DTYPES:
         raise NotImplementedError(f"zarr v3 data_type {meta['data_type']!r}")
     dtype = ("<" if endian == "little" else ">") + _V3_DTYPES[meta["data_type"]]
@@ -139,6 +152,8 @@ def _normalize_v3_meta(meta: dict) -> dict:
         "fill_value": meta.get("fill_value"),
         "compressor": compressor,
         "shard": shard,
+        "transpose": transpose,
+        "checksum": checksum,
         "chunk_key": {
             "name": cke.get("name", "default"),
             "separator": (cke.get("configuration") or {}).get(
@@ -316,6 +331,8 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
     out = np.full(outer, _fill_scalar(meta), dtype=dtype)
     inner_meta = {
         "compressor": shard["compressor"],
+        "transpose": shard.get("transpose"),
+        "checksum": shard.get("checksum", False),
         "dtype": meta["dtype"],
         "chunks": inner,
     }
@@ -335,6 +352,13 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
 
 
 def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
+    if meta.get("checksum"):
+        # v3 crc32c codec: stored chunk = payload + 4-byte LE CRC-32C
+        if len(raw) < 4:
+            raise ValueError("zarr chunk smaller than its crc32c")
+        if _crc32c(raw[:-4]) != int.from_bytes(raw[-4:], "little"):
+            raise ValueError("zarr chunk crc32c mismatch")
+        raw = raw[:-4]
     comp = meta.get("compressor")
     if comp is None:
         buf = raw
@@ -377,6 +401,11 @@ def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
         arr = _decode_v2_filters(buf, filters, np.dtype(meta["dtype"]))
     else:
         arr = np.frombuffer(buf, dtype=np.dtype(meta["dtype"]))
+    order = meta.get("transpose")
+    if order:
+        # stored layout is the chunk permuted by `order`; invert it
+        perm_shape = [int(meta["chunks"][o]) for o in order]
+        return arr.reshape(perm_shape).transpose(np.argsort(order))
     return arr.reshape(meta["chunks"])  # chunks are stored at full chunk shape
 
 

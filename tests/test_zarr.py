@@ -220,7 +220,7 @@ def test_zarr_v3_v2_style_keys_and_unsupported_codec(spark, tmp_path):
         [r["v"] for r in df.orderBy("idx").collect()], vals
     )
     # genuinely-unsupported codecs still raise loudly at metadata parse
-    d = os.path.join(root, "transposed")
+    d = os.path.join(root, "pcodec")
     os.makedirs(d)
     with open(os.path.join(d, "zarr.json"), "w") as f:
         json.dump(
@@ -228,12 +228,12 @@ def test_zarr_v3_v2_style_keys_and_unsupported_codec(spark, tmp_path):
                 "zarr_format": 3, "node_type": "array", "shape": [4],
                 "data_type": "float64",
                 "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
-                "codecs": [{"name": "transpose", "configuration": {"order": [0]}}],
+                "codecs": [{"name": "pcodec", "configuration": {}}],
             },
             f,
         )
-    with pytest.raises(NotImplementedError, match="transpose"):
-        _load_array_meta(root, "transposed")
+    with pytest.raises(NotImplementedError, match="pcodec"):
+        _load_array_meta(root, "pcodec")
 
 
 def _crc32c_ref(data: bytes) -> int:
@@ -561,3 +561,87 @@ def test_zarr_time_pruning_guards(spark, tmp_path, store):
     _write_array(short, "v", np.arange(25, dtype="<f8"), [10])
     with pytest.raises(ValueError, match="different\\s+axis|50 rows"):
         zarr_table(spark, short, ["v"], time_var="time", time_range=(0, 10))
+
+
+def test_zarr_v3_crc32c_chunk_codec(spark, tmp_path):
+    """v3 crc32c codec on chunk DATA: stored chunk = gzip(payload) + 4-byte
+    little-endian CRC-32C; the scan verifies and strips it, and a corrupted
+    chunk fails loudly instead of decoding garbage."""
+    import zlib as _zlib
+
+    from rca_data_tools_spark.sources.zarr import _crc32c, zarr_table
+
+    root = str(tmp_path / "crc.zarr")
+    d = os.path.join(root, "v")
+    os.makedirs(d)
+    vals = np.arange(9, dtype="<f8") * 1.5
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [9],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [5]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": None,
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 1}},
+            {"name": "crc32c"},
+        ],
+    }
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    for cid in range(2):
+        block = np.zeros(5, dtype="<f8")
+        part = vals[cid * 5 : (cid + 1) * 5]
+        block[: len(part)] = part
+        payload = _zlib.compress(block.tobytes())
+        payload += _crc32c(payload).to_bytes(4, "little")
+        os.makedirs(os.path.join(d, "c"), exist_ok=True)
+        with open(os.path.join(d, "c", str(cid)), "wb") as f:
+            f.write(payload)
+    got = {r["idx"]: r["v"] for r in zarr_table(spark, root, ["v"]).collect()}
+    assert got == {i: vals[i] for i in range(9)}
+
+    # flip one byte -> the chunk's scan must fail, not return wrong values
+    p = os.path.join(d, "c", "0")
+    raw = bytearray(open(p, "rb").read())
+    raw[3] ^= 0xFF
+    with open(p, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(Exception, match="crc32c mismatch"):
+        zarr_table(spark, root, ["v"]).collect()
+
+
+def test_zarr_v3_transpose_codec(spark, tmp_path):
+    """v3 transpose codec: a (time, k) chunk stored column-major as order
+    [1, 0]; decode inverts the permutation so rows come back as written."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "tr.zarr")
+    d = os.path.join(root, "spec")
+    os.makedirs(os.path.join(d, "c", "0"))
+    os.makedirs(os.path.join(d, "c", "1"))
+    rng = np.random.RandomState(11)
+    arr = rng.uniform(0, 1, (7, 3)).astype("<f8")
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [7, 3],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 3]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+        ],
+    }
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    for cid in range(2):
+        block = np.zeros((4, 3), dtype="<f8")
+        part = arr[cid * 4 : (cid + 1) * 4]
+        block[: len(part)] = part
+        with open(os.path.join(d, "c", str(cid), "0"), "wb") as f:
+            f.write(np.ascontiguousarray(block.T).tobytes())  # stored permuted
+    rows = zarr_table(spark, root, ["spec"]).orderBy("idx").collect()
+    np.testing.assert_allclose([list(r["spec"]) for r in rows], arr)
