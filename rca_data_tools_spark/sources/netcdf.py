@@ -215,8 +215,12 @@ def netcdf_table(
 ) -> DataFrame:
     """Scan classic-NetCDF variables sharing dim-0 into ``(idx, var1, ...)``;
     2-D (time, k) variables become array<double> columns, matching the
-    engine's multi-dimensional parameter model (SURVEY §1.1). NetCDF-4 files
-    (HDF5 containers) route to :func:`netcdf4_table` automatically.
+    engine's multi-dimensional parameter model (SURVEY §1.1). ``char``
+    variables — the classic format's only text type, conventionally shaped
+    (time, strlen) — become string columns: each row's bytes joined, decoded
+    UTF-8 (bad bytes replaced, never raised mid-scan), trailing NUL/space
+    padding stripped. NetCDF-4 files (HDF5 containers) route to
+    :func:`netcdf4_table` automatically.
 
     ``path`` may be a local path or any picklable ByteRangeReader
     (sources/bytes_io.py) — executors deserialize it and issue positional
@@ -250,14 +254,31 @@ def netcdf_table(
                 hi = min(lo + records_per_task, n_rows)
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
-                    arr = _read_var_range(rd, header, v, lo, hi).astype(np.float64)
-                    arr = _apply_cf_packing(arr, metas[v].get("attrs"))
-                    out[v] = list(arr) if arr.ndim == 2 else arr
+                    arr = _read_var_range(rd, header, v, lo, hi)
+                    if metas[v]["dtype"].kind == "S":
+                        raw = arr.reshape(hi - lo, -1)
+                        joined = raw.view(f"S{raw.shape[1]}")[:, 0]
+                        out[v] = (
+                            pd.Series(joined)
+                            .str.decode("utf-8", errors="replace")
+                            .str.rstrip("\x00 ")
+                        )
+                    else:
+                        arr = _apply_cf_packing(
+                            arr.astype(np.float64), metas[v].get("attrs")
+                        )
+                        out[v] = list(arr) if arr.ndim == 2 else arr
                 yield pd.DataFrame(out)
 
+    def _field(v: str) -> str:
+        if metas[v]["dtype"].kind == "S":
+            return f"`{v}` string"
+        return (
+            f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
+        )
+
     fields = [f"{index_name} long"] + [
-        f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
-        for v in variables
+        _field(v) for v in variables
     ]
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
 

@@ -441,6 +441,41 @@ def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
     return _decode_buf(raw, meta)
 
 
+def _load_attrs(store, var: str) -> dict:
+    """User attributes for ``var``: v2 ``.zattrs`` (consolidated-first, like
+    array metadata), v3 the ``attributes`` key of zarr.json. Missing → {}."""
+    store = as_store(store)
+    if store.exists(".zmetadata"):
+        md = json.loads(store.get(".zmetadata"))["metadata"]
+        key = f"{var}/.zattrs"
+        if key in md:
+            return md[key] or {}
+    if store.exists(f"{var}/.zattrs"):
+        return json.loads(store.get(f"{var}/.zattrs")) or {}
+    if store.exists(f"{var}/zarr.json"):
+        return json.loads(store.get(f"{var}/zarr.json")).get("attributes") or {}
+    return {}
+
+
+def _cf_numeric(attrs: dict) -> dict:
+    """The four CF packing/missing-data attributes as floats (JSON may
+    string-encode non-finite values); non-numeric values are ignored rather
+    than crashing the scan over a malformed attribute."""
+    out: dict = {}
+    for k in ("_FillValue", "missing_value", "scale_factor", "add_offset"):
+        val = attrs.get(k)
+        if isinstance(val, bool):
+            continue
+        if isinstance(val, (int, float)):
+            out[k] = float(val)
+        elif isinstance(val, str):
+            try:
+                out[k] = float(val.replace("Infinity", "inf"))
+            except ValueError:
+                pass
+    return out
+
+
 def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
     """[row_lo, row_hi) of the rows whose ``time_var`` value t satisfies
     ``lo <= t < hi``, assuming the coordinate is non-decreasing (the
@@ -449,13 +484,26 @@ def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
     searchsorted inside the two boundary chunks — so the pruning cost is
     metadata-scale no matter how long the series: this is partition
     pruning for a native store, the analogue of the parquet path's
-    date-partition pruning (readers.load_table)."""
+    date-partition pruning (readers.load_table).
+
+    A CF-packed time coordinate (scale_factor/add_offset in .zattrs) is
+    handled by transforming the PHYSICAL bounds into packed space before
+    bisecting — the chunks hold packed values, and comparing physical
+    bounds against them would silently slice the wrong rows."""
     from rca_data_tools_spark.sources.timeslice import bisect_row_range
 
     store = as_store(root)
     m = _load_array_meta(store, time_var)
     if len(m["shape"]) != 1:
         raise ValueError(f"time variable {time_var!r} must be 1-D")
+    cfa = _cf_numeric(_load_attrs(store, time_var))
+    scale, offset = cfa.get("scale_factor"), cfa.get("add_offset")
+    if scale is not None or offset is not None:
+        s = 1.0 if scale is None else scale
+        o = 0.0 if offset is None else offset
+        lo, hi = (lo - o) / s, (hi - o) / s
+        if s < 0:
+            lo, hi = hi, lo
     n_rows = m["shape"][0]
     c0 = m["chunks"][0]
     n_chunks = -(-n_rows // c0)
@@ -502,6 +550,10 @@ def zarr_table(
     """
     store = as_store(root)
     metas = {v: _load_array_meta(store, v) for v in variables}
+    # CF packing/missing-data attributes (xarray writes them to .zattrs /
+    # v3 attributes): applied per-variable after decode, like the NetCDF
+    # scans (netcdf._apply_cf_packing)
+    cf_attrs = {v: _cf_numeric(_load_attrs(store, v)) for v in variables}
     shapes = {v: m["shape"] for v, m in metas.items()}
     n_rows = shapes[variables[0]][0]
     chunk0 = metas[variables[0]]["chunks"][0]
@@ -569,6 +621,14 @@ def zarr_table(
                         # fill is already the sentinel; ±inf needs the rewrite.
                         if not np.isnan(fill):
                             arr = np.where(arr == fill, np.nan, arr)
+                    if cf_attrs[v]:
+                        from rca_data_tools_spark.sources.netcdf import (
+                            _apply_cf_packing,
+                        )
+
+                        arr = _apply_cf_packing(
+                            arr.astype(np.float64), cf_attrs[v]
+                        )
                     if two_d:
                         k = m["shape"][1]
                         out[v] = list(arr[:, :k].astype(np.float64))

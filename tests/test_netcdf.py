@@ -335,3 +335,47 @@ def test_cf_packed_classic_unpacks(spark, tmp_path):
     got = [r["sst"] for r in rows]
     assert got[2] is None
     np.testing.assert_allclose([got[0], got[1], got[3]], [21.0, 22.5, 19.5])
+
+
+def test_char_variables_scan_as_strings(spark, tmp_path):
+    """Classic char variables — the format's only text type — scan as
+    string columns: (time, strlen) rows joined, NUL/space padding
+    stripped; interleaved alongside a numeric record variable."""
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    path = str(tmp_path / "chars.nc")
+    codes = [b"CE04", b"RS03", b"\x00\x00\x00\x00", b"AX01"]  # all-NUL -> ""
+    temps = [4.5, 5.25, 6.0, 7.75]
+    n = 4
+    absent = struct.pack(">II", 0, 0)
+
+    def header(begins):
+        h = b"CDF\x01" + struct.pack(">I", n)
+        h += struct.pack(">II", 0x0A, 2)
+        h += _name("time") + struct.pack(">I", 0)
+        h += _name("strlen") + struct.pack(">I", 4)
+        h += absent  # global attrs
+        h += struct.pack(">II", 0x0B, 2)
+        h += (
+            _name("station") + struct.pack(">I", 2)
+            + struct.pack(">II", 0, 1) + absent
+            + struct.pack(">III", 2, 4, begins[0])  # NC_CHAR, 4 bytes/rec
+        )
+        h += (
+            _name("temp") + struct.pack(">I", 1) + struct.pack(">I", 0)
+            + absent + struct.pack(">III", 6, 8, begins[1])  # NC_DOUBLE
+        )
+        return h
+
+    hlen = len(header([0, 0]))
+    body = b""
+    for r in range(n):  # two record vars interleave: station slab, temp slab
+        body += codes[r] + struct.pack(">d", temps[r])
+    with open(path, "wb") as f:
+        f.write(header([hlen, hlen + 4]) + body)
+
+    df = netcdf_table(spark, path, ["station", "temp"])
+    assert dict(df.dtypes)["station"] == "string"
+    rows = df.orderBy("idx").collect()
+    assert [r["station"] for r in rows] == ["CE04", "RS03", "", "AX01"]
+    np.testing.assert_allclose([r["temp"] for r in rows], temps)

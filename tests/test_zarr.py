@@ -645,3 +645,35 @@ def test_zarr_v3_transpose_codec(spark, tmp_path):
             f.write(np.ascontiguousarray(block.T).tobytes())  # stored permuted
     rows = zarr_table(spark, root, ["spec"]).orderBy("idx").collect()
     np.testing.assert_allclose([list(r["spec"]) for r in rows], arr)
+
+
+def test_zarr_cf_packed_attrs_unpack(spark, tmp_path):
+    """xarray-style CF packing in .zattrs: int16 chunks + scale_factor /
+    add_offset / _FillValue unpack to doubles with fill -> NULL, and
+    time-slice pruning transforms PHYSICAL bounds into packed space before
+    bisecting the packed time coordinate."""
+    from rca_data_tools_spark.sources.zarr import time_row_range, zarr_table
+
+    root = str(tmp_path / "cf.zarr")
+    os.makedirs(root)
+    # packed time: physical t = packed * 10 + 1000 -> packed 0..11
+    tpacked = np.arange(12, dtype="<i2")
+    _write_array(root, "time", tpacked, [5])
+    with open(os.path.join(root, "time", ".zattrs"), "w") as f:
+        json.dump({"scale_factor": 10.0, "add_offset": 1000.0}, f)
+    # packed sst: physical = packed * 0.01 + 20, fill -32768
+    sp = np.array([100, 250, -32768, -50, 0, 75, 125, -32768, 10, 20, 30, 40],
+                  dtype="<i2")
+    _write_array(root, "sst", sp, [5])
+    with open(os.path.join(root, "sst", ".zattrs"), "w") as f:
+        json.dump({"scale_factor": 0.01, "add_offset": 20.0,
+                   "_FillValue": -32768}, f)
+
+    rows = {r["idx"]: r["sst"]
+            for r in zarr_table(spark, root, ["sst"]).collect()}
+    assert rows[2] is None and rows[7] is None
+    assert rows[0] == pytest.approx(21.0)
+    assert rows[3] == pytest.approx(19.5)
+
+    # physical bounds 1020 <= t < 1070 -> packed 2 <= p < 7 -> rows [2, 7)
+    assert time_row_range(root, "time", 1020.0, 1070.0) == (2, 7)
