@@ -813,6 +813,8 @@ class H5File:
             dtype = self._parse_datatype(d[pos : pos + dt_size])
         except NotImplementedError:
             return None
+        if dtype.kind not in "iuf":  # numeric attributes only (strings skip)
+            return None
         pos += pad(dt_size)
         space = d[pos : pos + sp_size]
         pos += pad(sp_size)
@@ -849,8 +851,13 @@ class H5File:
             if size not in (4, 8):
                 raise NotImplementedError(f"HDF5 float size {size}")
             return np.dtype(f"{order}f{size}")
+        if cls == 3:  # fixed-length string (netCDF-4 NC_CHAR = 1-byte S1);
+            # padding/charset bits accepted — trailing pad is stripped at
+            # the scan face, and bad bytes replace rather than raise
+            return np.dtype(f"S{size}")
         raise NotImplementedError(
-            f"HDF5 datatype class {cls} (fixed-point and float supported)"
+            f"HDF5 datatype class {cls} (fixed-point, float, and "
+            "fixed-length strings supported)"
         )
 
     def _parse_layout(self, d: bytes, ds: Dataset) -> str:

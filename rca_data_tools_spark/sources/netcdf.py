@@ -464,15 +464,32 @@ def netcdf4_table(
                 hi = min(int(chunk_id) * records_per_task + records_per_task, n_rows, row_hi)
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
-                    arr = _rows(metas[v]["rd"] or rd, metas[v], lo, hi).astype(np.float64)
-                    arr = _apply_cf_packing(arr, metas[v]["attrs"])
+                    raw = _rows(metas[v]["rd"] or rd, metas[v], lo, hi)
+                    if metas[v]["dtype"].kind == "S":
+                        # NC_CHAR (2-D of S1) or fixed-length HDF5 strings
+                        # (1-D of Sn): either way one string per row
+                        if raw.dtype.itemsize == 1 and raw.shape[1] > 1:
+                            raw = raw.view(f"S{raw.shape[1]}")
+                        out[v] = (
+                            pd.Series(raw[:, 0])
+                            .str.decode("utf-8", errors="replace")
+                            .str.rstrip("\x00 ")
+                        )
+                        continue
+                    arr = _apply_cf_packing(
+                        raw.astype(np.float64), metas[v]["attrs"]
+                    )
                     out[v] = list(arr) if len(metas[v]["shape"]) == 2 else arr[:, 0]
                 yield pd.DataFrame(out)
 
-    fields = [f"{index_name} long"] + [
-        f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
-        for v in variables
-    ]
+    def _field4(v: str) -> str:
+        if metas[v]["dtype"].kind == "S":
+            return f"`{v}` string"
+        return (
+            f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
+        )
+
+    fields = [f"{index_name} long"] + [_field4(v) for v in variables]
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
 
 

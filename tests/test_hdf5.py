@@ -48,6 +48,8 @@ def _datatype(dtype: np.dtype) -> bytes:
         else:
             props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
         return head + props
+    if dtype.kind == "S":  # fixed-length string, null-padded ASCII
+        return struct.pack("<BBBBI", 0x13, 0, 0, 0, dtype.itemsize)
     raise AssertionError(dtype)
 
 
@@ -613,3 +615,34 @@ def test_cf_packed_netcdf4_unpacks(spark, tmp_path):
     np.testing.assert_allclose(
         [got[0], got[1], got[3], got[4]], [21.0, 22.5, 19.5, 20.0]
     )
+
+
+def test_char_and_fixed_string_datasets_scan_as_strings(spark, tmp_path):
+    """netCDF-4 NC_CHAR arrays (2-D of S1) and HDF5 fixed-length strings
+    (1-D of Sn) both scan as string columns with padding stripped."""
+    from rca_data_tools_spark.sources.netcdf import netcdf4_table
+
+    path = str(tmp_path / "strings.nc")
+    chars = np.array(
+        [list(b"CE04"), list(b"RS03"), list(b"\x00\x00\x00\x00"),
+         list(b"AX1\x00")],
+        dtype="u1",
+    ).view("S1")
+    fixed = np.array([b"alpha", b"beta\x00", b"\x00" * 5, b"gamma"], dtype="S5")
+    temps = np.array([4.5, 5.25, 6.0, 7.75], dtype="<f8")
+    write_h5(
+        path,
+        {
+            "station": {"array": chars, "chunks": None},
+            "label": {"array": fixed, "chunks": None},
+            "temp": {"array": temps, "chunks": (2,), "filters": [("deflate", 1)]},
+        },
+    )
+    df = netcdf4_table(spark, path, ["station", "label", "temp"],
+                       records_per_task=3)
+    types = dict(df.dtypes)
+    assert types["station"] == "string" and types["label"] == "string"
+    rows = df.orderBy("idx").collect()
+    assert [r["station"] for r in rows] == ["CE04", "RS03", "", "AX1"]
+    assert [r["label"] for r in rows] == ["alpha", "beta", "", "gamma"]
+    np.testing.assert_allclose([r["temp"] for r in rows], temps)
