@@ -301,6 +301,17 @@ def h5_time_row_range(path, time_var: str, lo, hi, h5=None) -> tuple[int, int]:
     ds = h5.datasets[time_var]
     if len(ds.shape) != 1:
         raise ValueError(f"time variable {time_var!r} must be 1-D")
+    # CF-packed time coordinate: bisect in PACKED space (the chunks hold
+    # packed values) by transforming the physical bounds — mirror of the
+    # Zarr path's time_row_range
+    scale = ds.attrs.get("scale_factor")
+    offset = ds.attrs.get("add_offset")
+    if scale is not None or offset is not None:
+        s = 1.0 if scale is None else float(scale)
+        o = 0.0 if offset is None else float(offset)
+        lo, hi = (lo - o) / s, (hi - o) / s
+        if s < 0:
+            lo, hi = hi, lo
     n = ds.shape[0]
     if n == 0:
         return 0, 0

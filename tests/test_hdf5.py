@@ -646,3 +646,19 @@ def test_char_and_fixed_string_datasets_scan_as_strings(spark, tmp_path):
     assert [r["station"] for r in rows] == ["CE04", "RS03", "", "AX1"]
     assert [r["label"] for r in rows] == ["alpha", "beta", "", "gamma"]
     np.testing.assert_allclose([r["temp"] for r in rows], temps)
+
+
+def test_h5_time_row_range_cf_packed(tmp_path):
+    """Physical time bounds bisect correctly against a CF-packed (int16 +
+    scale/offset) time coordinate: bounds transform into packed space."""
+    from rca_data_tools_spark.sources.netcdf import h5_time_row_range
+
+    path = str(tmp_path / "ptime.nc")
+    packed = np.arange(12, dtype="<i2")  # physical t = p*10 + 1000
+    write_h5(
+        path,
+        {"time": {"array": packed, "chunks": (5,), "filters": [("deflate", 1)],
+                  "attrs": {"scale_factor": (10.0, "<f8"),
+                            "add_offset": (1000.0, "<f8")}}},
+    )
+    assert h5_time_row_range(path, "time", 1020.0, 1070.0) == (2, 7)
