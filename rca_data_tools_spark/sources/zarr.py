@@ -186,6 +186,9 @@ def _load_array_meta(store, var: str) -> dict:
         key = f"{var}/.zarray"
         if key in consolidated:
             return _check_v2_filters(consolidated[key])
+    doc = _v3_consolidated_doc(store, var)
+    if doc is not None:
+        return _normalize_v3_meta(doc)
     if store.exists(f"{var}/.zarray"):
         return _check_v2_filters(json.loads(store.get(f"{var}/.zarray")))
     if store.exists(f"{var}/zarr.json"):
@@ -193,6 +196,21 @@ def _load_array_meta(store, var: str) -> dict:
     raise FileNotFoundError(
         f"no zarr v2 (.zarray) or v3 (zarr.json) metadata for {var!r} in store"
     )
+
+
+def _v3_consolidated_doc(store, var: str):
+    """``var``'s array document from v3 consolidated metadata (the root
+    group's zarr.json carries every child node's metadata inline — ONE
+    store read for the whole dataset, zarr-python 3's successor to the v2
+    .zmetadata document), or None when absent."""
+    if not store.exists("zarr.json"):
+        return None
+    root_doc = json.loads(store.get("zarr.json"))
+    cm = (root_doc.get("consolidated_metadata") or {}).get("metadata") or {}
+    doc = cm.get(var)
+    if doc is not None and doc.get("node_type") == "array":
+        return doc
+    return None
 
 
 #: numcodecs filters this scan can reverse (published semantics; see
@@ -450,6 +468,9 @@ def _load_attrs(store, var: str) -> dict:
         key = f"{var}/.zattrs"
         if key in md:
             return md[key] or {}
+    doc = _v3_consolidated_doc(store, var)
+    if doc is not None:
+        return doc.get("attributes") or {}
     if store.exists(f"{var}/.zattrs"):
         return json.loads(store.get(f"{var}/.zattrs")) or {}
     if store.exists(f"{var}/zarr.json"):

@@ -677,3 +677,45 @@ def test_zarr_cf_packed_attrs_unpack(spark, tmp_path):
 
     # physical bounds 1020 <= t < 1070 -> packed 2 <= p < 7 -> rows [2, 7)
     assert time_row_range(root, "time", 1020.0, 1070.0) == (2, 7)
+
+
+def test_zarr_v3_consolidated_metadata(spark, tmp_path):
+    """zarr-python 3 consolidated metadata: every array's document inline in
+    the ROOT zarr.json — the scan must resolve metadata AND attributes from
+    it without any per-variable zarr.json (one GET on object stores)."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "cons3.zarr")
+    t = np.arange(8, dtype="<f8")
+    sp = np.array([10, 20, -99, 40, 50, -99, 70, 80], dtype="<i4")
+    docs = {}
+    for name, arr in [("t", t), ("sst", sp)]:
+        d = os.path.join(root, name, "c")
+        os.makedirs(d)
+        with open(os.path.join(d, "0"), "wb") as f:
+            f.write(arr.tobytes())
+        docs[name] = {
+            "zarr_format": 3, "node_type": "array", "shape": [8],
+            "data_type": {"<f8": "float64", "<i4": "int32"}[arr.dtype.str],
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [8]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": None,
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+        }
+    docs["sst"]["attributes"] = {
+        "scale_factor": 0.5, "add_offset": 100.0, "_FillValue": -99,
+    }
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump({
+            "zarr_format": 3, "node_type": "group",
+            "consolidated_metadata": {"kind": "inline", "metadata": docs},
+        }, f)
+    # NO per-variable zarr.json files exist: consolidated is the only source
+    rows = {r["idx"]: r for r in zarr_table(spark, root, ["t", "sst"]).collect()}
+    assert rows[2]["sst"] is None and rows[5]["sst"] is None
+    assert rows[0]["sst"] == pytest.approx(105.0)  # 10*0.5+100
+    assert rows[7]["sst"] == pytest.approx(140.0)
+    np.testing.assert_allclose([rows[i]["t"] for i in range(8)], t)
