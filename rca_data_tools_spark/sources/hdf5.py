@@ -57,6 +57,12 @@ from rca_data_tools_spark.sources.bytes_io import as_reader
 _SIGNATURE = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
+#: stored element of a variable-length STRING dataset (netCDF-4 NC_STRING):
+#: byte count + global heap ID (collection address, object index)
+VLEN_STR_DTYPE = np.dtype(
+    {"names": ["len", "gcol", "idx"], "formats": ["<u4", "<u8", "<u4"]}
+)
+
 # filter ids from the spec / registered filters
 _DEFLATE, _SHUFFLE, _FLETCHER32 = 1, 2, 3
 
@@ -855,9 +861,20 @@ class H5File:
             # padding/charset bits accepted — trailing pad is stripped at
             # the scan face, and bad bytes replace rather than raise
             return np.dtype(f"S{size}")
+        if cls == 9:  # variable-length: the string variant is netCDF-4's
+            # NC_STRING. Stored element = uint32 byte count + global heap ID
+            # (8-byte collection address, 4-byte object index) — spec
+            # "Datatype Message, Class 9" + III.E Global Heap; resolved
+            # executor-side by read_vlen_strings.
+            if (bits0 & 0x0F) != 1:
+                raise NotImplementedError(
+                    "HDF5 variable-length SEQUENCE datatype (only vlen "
+                    "strings supported)"
+                )
+            return VLEN_STR_DTYPE
         raise NotImplementedError(
-            f"HDF5 datatype class {cls} (fixed-point, float, and "
-            "fixed-length strings supported)"
+            f"HDF5 datatype class {cls} (fixed-point, float, fixed-length "
+            "strings, and vlen strings supported)"
         )
 
     def _parse_layout(self, d: bytes, ds: Dataset) -> str:
@@ -1308,6 +1325,57 @@ def decode_chunk(
         else:  # pragma: no cover - gated at metadata parse
             raise NotImplementedError(f"HDF5 filter id {fid}")
     return np.frombuffer(data, dtype=dtype).reshape(chunk_shape)
+
+
+def _parse_gcol(raw: bytes) -> dict[int, bytes]:
+    """One Global Heap Collection (spec III.E): 'GCOL' + version + size,
+    then objects of (index u2, refcount u2, reserved, size u8, data padded
+    to 8). Object index 0 marks the free space and ends the walk."""
+    if raw[:4] != b"GCOL":
+        raise ValueError("HDF5: bad global heap collection signature")
+    if raw[4] != 1:
+        raise NotImplementedError(f"HDF5 global heap version {raw[4]}")
+    total = int.from_bytes(raw[8:16], "little")
+    out: dict[int, bytes] = {}
+    pos = 16
+    while pos + 16 <= min(total, len(raw)):
+        idx = int.from_bytes(raw[pos : pos + 2], "little")
+        if idx == 0:
+            break
+        size = int.from_bytes(raw[pos + 8 : pos + 16], "little")
+        out[idx] = raw[pos + 16 : pos + 16 + size]
+        pos += 16 + size + ((8 - size % 8) % 8)
+    return out
+
+
+def read_vlen_strings(r, desc: np.ndarray, cache: "dict | None" = None) -> list:
+    """Resolve a VLEN_STR_DTYPE descriptor array to Python strings via the
+    file's global heap. One pread per DISTINCT collection (descriptors in a
+    row range overwhelmingly share one collection), cached across calls
+    when the caller threads ``cache`` through. A zero heap address — the
+    never-written element — reads as ''."""
+    if cache is None:
+        cache = {}
+    out = []
+    for d in desc.reshape(-1):
+        n, addr, idx = int(d["len"]), int(d["gcol"]), int(d["idx"])
+        if addr in (0, _UNDEF) or n == 0:
+            out.append("")
+            continue
+        col = cache.get(addr)
+        if col is None:
+            head = r.pread(addr, 16)
+            total = int.from_bytes(head[8:16], "little")
+            col = _parse_gcol(r.pread(addr, total))
+            cache[addr] = col
+        blob = col.get(idx)
+        if blob is None:
+            raise ValueError(
+                f"HDF5: vlen string references missing global heap object "
+                f"{idx} in collection at {addr:#x}"
+            )
+        out.append(blob[:n].decode("utf-8", errors="replace"))
+    return out
 
 
 def read_dataset(h5: "H5File", name: str) -> np.ndarray:

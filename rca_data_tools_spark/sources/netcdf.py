@@ -382,7 +382,12 @@ def netcdf4_table(
     Unsupported HDF5 features (superblock v2/v3, v2 headers, filters beyond
     deflate+shuffle) raise loudly at plan time, never silently mis-read.
     """
-    from rca_data_tools_spark.sources.hdf5 import _UNDEF, H5File, decode_chunk
+    from rca_data_tools_spark.sources.hdf5 import (
+        _UNDEF,
+        H5File,
+        decode_chunk,
+        read_vlen_strings,
+    )
 
     if h5 is None:
         rd = as_reader(path)
@@ -469,6 +474,7 @@ def netcdf4_table(
     def _scan(batches):
         # rd deserializes per task (LocalFileReader reopens; a remote reader
         # would issue ranged GETs) — one pread per chunk/slab, no shared state
+        heap_cache: dict = {}  # global-heap collections, shared per task
         for pdf in batches:
             for chunk_id in pdf["chunk_id"]:
                 lo = max(int(chunk_id) * records_per_task, row_lo)
@@ -476,6 +482,11 @@ def netcdf4_table(
                 out = {index_name: np.arange(lo, hi, dtype=np.int64)}
                 for v in variables:
                     raw = _rows(metas[v]["rd"] or rd, metas[v], lo, hi)
+                    if metas[v]["dtype"].kind == "V":  # vlen strings
+                        out[v] = read_vlen_strings(
+                            metas[v]["rd"] or rd, raw[:, 0], heap_cache
+                        )
+                        continue
                     if metas[v]["dtype"].kind == "S":
                         # NC_CHAR (2-D of S1) or fixed-length HDF5 strings
                         # (1-D of Sn): either way one string per row
@@ -494,7 +505,7 @@ def netcdf4_table(
                 yield pd.DataFrame(out)
 
     def _field4(v: str) -> str:
-        if metas[v]["dtype"].kind == "S":
+        if metas[v]["dtype"].kind in "SV":
             return f"`{v}` string"
         return (
             f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"

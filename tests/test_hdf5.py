@@ -155,6 +155,31 @@ def write_h5(path, datasets: dict[str, dict]) -> None:
     ohdr_addrs = {}
     for n in names:
         spec = datasets[n]
+        if "vlen" in spec:  # variable-length strings via the global heap
+            strs = [s.encode() for s in spec["vlen"]]
+            body = b""
+            for i, s in enumerate(strs, 1):
+                body += struct.pack("<HH4xQ", i, 1, len(s)) + s
+                body += b"\x00" * ((8 - len(s) % 8) % 8)
+            total = 16 + len(body) + 16  # header + objects + free space
+            gcol = (
+                b"GCOL" + struct.pack("<B3x", 1) + struct.pack("<Q", total)
+                + body + struct.pack("<HH4xQ", 0, 0, 16)
+            )
+            gaddr = w.append(gcol)
+            desc = b"".join(
+                struct.pack("<IQI", len(s), gaddr, i)
+                for i, s in enumerate(strs, 1)
+            )
+            daddr = w.append(desc)
+            vdt = struct.pack("<BBBBI", 0x19, 0x01, 0, 0, 16)  # class 9, string
+            vdt += struct.pack("<BBBBI", 0x13, 0, 0, 0, 1)  # base: S1
+            ohdr_addrs[n] = w.append(_object_header([
+                _msg(0x0001, _dataspace((len(strs),))),
+                _msg(0x0003, vdt),
+                _msg(0x0008, _layout_contiguous(daddr, len(desc))),
+            ]))
+            continue
         arr = np.ascontiguousarray(spec["array"])
         msgs = [_msg(0x0001, _dataspace(arr.shape)), _msg(0x0003, _datatype(arr.dtype))]
         if spec.get("fill") is not None:
@@ -662,3 +687,60 @@ def test_h5_time_row_range_cf_packed(tmp_path):
                             "add_offset": (1000.0, "<f8")}}},
     )
     assert h5_time_row_range(path, "time", 1020.0, 1070.0) == (2, 7)
+
+
+def test_vlen_string_dataset_scans(spark, tmp_path):
+    """netCDF-4 NC_STRING (HDF5 vlen strings): descriptors resolve through
+    the global heap into a string column; empty strings round-trip."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_vlen_strings
+    from rca_data_tools_spark.sources.netcdf import netcdf4_table
+
+    path = str(tmp_path / "vlen.nc")
+    labels = ["surface", "mid-water column", "", "benthic", "profiler-leg-7"]
+    temps = np.array([1.5, 2.5, 3.5, 4.5, 5.5], dtype="<f8")
+    write_h5(
+        path,
+        {"label": {"vlen": labels},
+         "temp": {"array": temps, "chunks": None}},
+    )
+    # driver-side resolution helper
+    h5 = H5File(path)
+    ds = h5.datasets["label"]
+    assert ds.dtype.kind == "V" and ds.dtype.itemsize == 16
+    # distributed scan face
+    df = netcdf4_table(spark, path, ["label", "temp"], records_per_task=2)
+    assert dict(df.dtypes)["label"] == "string"
+    rows = df.orderBy("idx").collect()
+    assert [r["label"] for r in rows] == labels
+    np.testing.assert_allclose([r["temp"] for r in rows], temps)
+
+
+def test_vlen_sequence_datatype_refuses(tmp_path):
+    """A vlen SEQUENCE (netCDF-4 user vlen types) must refuse loudly, not
+    mis-read descriptors as data."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    path = str(tmp_path / "vseq.nc")
+    w = _Writer()
+    vdt = struct.pack("<BBBBI", 0x19, 0x00, 0, 0, 16)  # class 9, sequence
+    vdt += struct.pack("<BBBBI", 0x10, 0x08, 0, 0, 4) + struct.pack("<HH", 0, 32)
+    daddr = w.append(b"\x00" * 32)
+    ohdr = w.append(_object_header([
+        _msg(0x0001, _dataspace((2,))),
+        _msg(0x0003, vdt),
+        _msg(0x0008, _layout_contiguous(daddr, 32)),
+    ]))
+    heap_data = bytearray(b"\x00" * 8) + b"seq\x00" + b"\x00" * 4
+    hd = w.append(bytes(heap_data))
+    heap = w.append(b"HEAP" + struct.pack("<B3x", 0) + struct.pack("<QQQ", len(heap_data), 0, hd))
+    snod = b"SNOD" + struct.pack("<BxH", 1, 1)
+    snod += struct.pack("<QQII", 8, ohdr, 0, 0) + b"\x00" * 16
+    sa = w.append(snod)
+    btree = (b"TREE" + struct.pack("<BBH", 0, 0, 1) + UNDEF + UNDEF
+             + struct.pack("<Q", 8) + struct.pack("<Q", sa) + struct.pack("<Q", 8))
+    ba = w.append(btree)
+    root = w.append(_object_header([_msg(0x0011, struct.pack("<QQ", ba, heap))]))
+    with open(path, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="SEQUENCE"):
+        H5File(path)
