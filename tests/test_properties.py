@@ -401,3 +401,105 @@ def test_pack_greedy_composite_order_matches_sequential(spark, rows):
         for d, c, n in items:
             assert got[(s, d, c)] == cum // target, (s, d, c)
             cum += n
+
+
+# --- zarr v2 filter-chain property: forward-encode per numcodecs' published
+# semantics, decode through the scan's chain decoder, recover the input ------
+
+_filter_chain = st.lists(
+    st.sampled_from(["delta", "shuffle", "astype", "fixedscaleoffset"]),
+    min_size=0, max_size=3,
+)
+
+
+@given(
+    chain=_filter_chain,
+    n=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_zarr_v2_filter_chain_roundtrip(chain, n, seed):
+    """Encode an int64 array forward through a random supported filter
+    chain (per numcodecs' published per-filter semantics), then decode via
+    _decode_v2_filters: bit-exact recovery, any chain order/length."""
+    import numpy as np
+
+    from rca_data_tools_spark.sources.zarr import (
+        _decode_v2_filters,
+        _v2_filter_storage_dtype,
+    )
+
+    rng = np.random.RandomState(seed)
+    # values small enough to survive <i4 astype stages without overflow
+    arr = rng.randint(-1000, 1000, size=n).astype("<i8")
+    arr.flags.writeable = False
+    filters = []
+    data = arr
+    for kind in chain:
+        in_dt = data.dtype
+        if kind == "delta":
+            f = {"id": "delta", "dtype": in_dt.str, "astype": "<i8"}
+            enc = np.empty(n, dtype="<i8")
+            enc[0] = data[0]
+            enc[1:] = np.diff(data.astype("<i8"))
+            data = enc
+        elif kind == "shuffle":
+            f = {"id": "shuffle", "elementsize": in_dt.itemsize}
+            data = np.frombuffer(
+                data.view("u1").reshape(-1, in_dt.itemsize).T.tobytes(), dtype=in_dt
+            )
+        elif kind == "astype":
+            f = {"id": "astype", "encode_dtype": "<i8", "decode_dtype": in_dt.str}
+            data = data.astype("<i8")
+        else:  # fixedscaleoffset on integers: scale 1, offset 0 is lossless
+            f = {"id": "fixedscaleoffset", "offset": 0, "scale": 1,
+                 "dtype": in_dt.str, "astype": "<i8"}
+            data = np.round(data.astype("<f8")).astype("<i8")
+        assert _v2_filter_storage_dtype(f, in_dt) == data.dtype
+        filters.append(f)
+    out = _decode_v2_filters(data.tobytes(), filters, np.dtype("<i8"))
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    strings=st.lists(
+        st.text(max_size=40).map(lambda s: s.replace("\x00", "")),
+        min_size=1, max_size=30,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_global_heap_vlen_roundtrip(strings):
+    """GCOL encode (per spec III.E: 16-byte object headers, 8-padded data,
+    index-0 free-space terminator) -> read_vlen_strings recovers every
+    string, including empties, via descriptor (len, collection, index)."""
+    import struct
+
+    import numpy as np
+
+    from rca_data_tools_spark.sources.hdf5 import read_vlen_strings
+
+    class _Buf:
+        def __init__(self, b):
+            self.b = b
+
+        def pread(self, off, n):
+            return self.b[off : off + n]
+
+    strs = [s.encode("utf-8") for s in strings]
+    base = 48  # arbitrary non-zero collection address
+    body = b""
+    for i, s in enumerate(strs, 1):
+        body += struct.pack("<HH4xQ", i, 1, len(s)) + s
+        body += b"\x00" * ((8 - len(s) % 8) % 8)
+    total = 16 + len(body) + 16
+    gcol = (
+        b"GCOL" + struct.pack("<B3x", 1) + struct.pack("<Q", total)
+        + body + struct.pack("<HH4xQ", 0, 0, 16)
+    )
+    buf = _Buf(b"\x00" * base + gcol)
+    desc = np.zeros(len(strs) + 1, dtype=[("len", "<u4"), ("gcol", "<u8"), ("idx", "<u4")])
+    for i, s in enumerate(strs):
+        desc[i] = (len(s), base, i + 1)
+    # trailing never-written element: zero address -> ""
+    got = read_vlen_strings(buf, desc)
+    assert got == [s.decode("utf-8") for s in strs] + [""]
