@@ -430,8 +430,21 @@ def _decode_buf(raw: bytes, meta: dict) -> np.ndarray:
 def _fill_scalar(meta: dict):
     """Normalize a .zarray/zarr.json fill_value to a numpy-usable scalar
     (the v2 spec JSON-encodes non-finite floats as "NaN"/"Infinity"/
-    "-Infinity" strings; absent means 0)."""
+    "-Infinity" strings, and bytes fills for ``|S`` dtypes as base64;
+    absent means 0 / empty string)."""
     fill = meta.get("fill_value")
+    kind = np.dtype(meta["dtype"]).kind
+    if kind in "SU":
+        if fill is None:
+            return b"" if kind == "S" else ""
+        if isinstance(fill, str) and kind == "S":
+            import base64
+
+            try:
+                return base64.b64decode(fill)
+            except Exception:
+                return fill.encode()
+        return fill
     if fill is None:
         return 0
     if isinstance(fill, (int, float)):
@@ -587,6 +600,11 @@ def zarr_table(
             )
         if len(m["shape"]) > 2:
             raise ValueError(f"variable {v!r} is {len(m['shape'])}-D; supported: 1-D/2-D")
+        if np.dtype(m["dtype"]).kind in "SU" and len(m["shape"]) == 2:
+            raise ValueError(
+                f"variable {v!r} is a 2-D string array; string variables "
+                "are supported 1-D (one value per dim-0 row)"
+            )
         if len(m["shape"]) == 2 and m["chunks"][1] < m["shape"][1]:
             raise ValueError(
                 f"variable {v!r} chunks its second dimension; expected one "
@@ -629,6 +647,19 @@ def zarr_table(
                     two_d = len(m["shape"]) == 2
                     fname = _chunk_key(m, (cid, 0) if two_d else (cid,))
                     arr = _decode_chunk(store, f"{v}/{fname}", m)[lo - base : hi - base]
+                    kind = np.dtype(m["dtype"]).kind
+                    if kind in "SU":  # fixed-width strings -> string column
+                        if kind == "S":
+                            out[v] = (
+                                pd.Series(arr)
+                                .str.decode("utf-8", errors="replace")
+                                .str.rstrip("\x00 ")
+                            )
+                        else:
+                            out[v] = pd.Series(
+                                [str(x).rstrip("\x00 ") for x in arr]
+                            )
+                        continue
                     fill = m.get("fill_value")
                     if fill is not None and np.issubdtype(arr.dtype, np.floating):
                         # Zarr v2 JSON-encodes non-finite fills as the strings
@@ -657,10 +688,14 @@ def zarr_table(
                         out[v] = arr.astype(np.float64)
                 yield pd.DataFrame(out)
 
-    fields = [f"{index_name} long"] + [
-        f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
-        for v in variables
-    ]
+    def _zfield(v: str) -> str:
+        if np.dtype(metas[v]["dtype"]).kind in "SU":
+            return f"`{v}` string"
+        return (
+            f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
+        )
+
+    fields = [f"{index_name} long"] + [_zfield(v) for v in variables]
     return chunk_index.mapInPandas(_scan, schema=", ".join(fields))
 
 

@@ -719,3 +719,25 @@ def test_zarr_v3_consolidated_metadata(spark, tmp_path):
     assert rows[0]["sst"] == pytest.approx(105.0)  # 10*0.5+100
     assert rows[7]["sst"] == pytest.approx(140.0)
     np.testing.assert_allclose([rows[i]["t"] for i in range(8)], t)
+
+
+def test_zarr_v2_fixed_width_string_variables(spark, tmp_path):
+    """v2 |S and <U dtypes scan as string columns (padding stripped) beside
+    numeric variables — the station/id metadata arrays real stores carry."""
+    from rca_data_tools_spark.sources.zarr import zarr_table
+
+    root = str(tmp_path / "strs.zarr")
+    os.makedirs(root)
+    sta = np.array([b"CE04", b"RS03", b"", b"AX1"], dtype="S4")
+    uni = np.array(["alpha", "beta", "", "gam"], dtype="<U5")
+    t = np.arange(4, dtype="<f8") * 2
+    _write_array(root, "sta", sta, [2], compressor={"id": "zlib", "level": 1})
+    _write_array(root, "uni", uni, [2])
+    _write_array(root, "t", t, [2])
+    df = zarr_table(spark, root, ["sta", "uni", "t"])
+    types = dict(df.dtypes)
+    assert types["sta"] == "string" and types["uni"] == "string"
+    rows = df.orderBy("idx").collect()
+    assert [r["sta"] for r in rows] == ["CE04", "RS03", "", "AX1"]
+    assert [r["uni"] for r in rows] == ["alpha", "beta", "", "gam"]
+    np.testing.assert_allclose([r["t"] for r in rows], t)
