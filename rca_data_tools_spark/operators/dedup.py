@@ -240,8 +240,58 @@ def signature_agreement_expr(k: int, a_name, b_name):
     return agree / F.lit(k)
 
 
+#: Pair-list size above which verify/estimate stop broadcasting the
+#: candidate pairs and fall back to a shuffle equi-join. 1M pairs of two
+#: longs is ~16 MB serialized (a HashedRelation a few times that) —
+#: comfortably under driver/executor broadcast budgets; past that, a
+#: forced broadcast is the one all-drivers-die failure mode left in the
+#: near-dup path at corpus scale. Measured at the sf1 dup-dense corpus
+#: (cand = 3.99M pairs, pruned = 1.04M): the shuffle fallback is
+#: noise-equivalent to the broadcast (8.2 s vs 8.9 s warm), so the
+#: conservative limit costs nothing (SCALING.md).
+BROADCAST_PAIR_LIMIT = 1_000_000
+
+#: Sentinel: "caller did not choose" — the session conf
+#: spark.rca.dedup.broadcastPairLimit (int, or 'force' to skip the count
+#: and broadcast unconditionally) then overrides BROADCAST_PAIR_LIMIT.
+#: An explicit keyword argument always wins over the conf.
+PAIR_LIMIT_DEFAULT = object()
+
+PAIR_LIMIT_CONF = "spark.rca.dedup.broadcastPairLimit"
+
+
+def _pair_side(cand: DataFrame, limit):
+    """Return the candidate-pair side for the verify/estimate joins:
+    broadcast-hinted when the pair list is provably small (counted on the
+    persisted pair list — the count materializes work the joins need
+    anyway), un-hinted past ``limit`` so Spark plans a shuffle equi-join
+    (AQE may still runtime-broadcast if the actual bytes allow; the point
+    is we never FORCE an unbounded driver-side broadcast). ``limit=None``
+    forces the broadcast hint unconditionally (no count job — legacy
+    behavior, plan inspection)."""
+    if limit is PAIR_LIMIT_DEFAULT:
+        conf = cand.sparkSession.conf.get(PAIR_LIMIT_CONF, "")
+        if conf == "force":
+            limit = None
+        elif conf:
+            limit = int(conf)
+        else:
+            limit = BROADCAST_PAIR_LIMIT
+    if limit is None:
+        return F.broadcast(cand)
+    from pyspark import StorageLevel
+
+    if cand.storageLevel == StorageLevel(False, False, False, False):
+        cand = cand.persist()
+    return F.broadcast(cand) if cand.count() <= limit else cand
+
+
 def verify_jaccard(
-    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    broadcast_pair_limit=PAIR_LIMIT_DEFAULT,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold.
 
@@ -251,9 +301,12 @@ def verify_jaccard(
     called for — or falls back to the (id, shs) string-array / exploded
     forms. Each side of a candidate pair picks up its array via one
     equi-join, then the intersection is a per-row array_intersect in codegen.
-    Candidate pairs are the small side (LSH plus the estimate filter has
-    already cut them to near-final size), so both joins broadcast the pair
-    list — the big shingle side is never shuffled.
+    Candidate pairs are usually the small side (LSH plus the estimate filter
+    has already cut them to near-final size), so up to
+    ``broadcast_pair_limit`` pairs both joins broadcast the pair list — the
+    big shingle side is never shuffled. Past the limit (dup-dense corpora
+    where even the pruned pair list is GBs) the pair list joins by shuffle
+    instead: two exchanges of (id, array) rows, but no unbounded broadcast.
     """
     set_col = "h60" if "h60" in sh.columns else "shs"
     if set_col not in sh.columns:
@@ -262,7 +315,7 @@ def verify_jaccard(
     s2 = sh.select(F.col(id_col).alias("id2"), F.col(set_col).alias("shs2"))
     jac = jaccard_expr(F.col("shs1"), F.col("shs2"))
     return (
-        s1.join(F.broadcast(cand), "id1")
+        s1.join(_pair_side(cand, broadcast_pair_limit), "id1")
         .join(s2, "id2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -271,7 +324,12 @@ def verify_jaccard(
 
 
 def estimate_filter(
-    cand: DataFrame, sig: DataFrame, id_col: str, min_estimate: float, k: int = MINHASH_K
+    cand: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    min_estimate: float,
+    k: int = MINHASH_K,
+    broadcast_pair_limit=PAIR_LIMIT_DEFAULT,
 ) -> DataFrame:
     """Cheap candidate pruning: estimated Jaccard = fraction of agreeing
     signature components. Banding over-generates on corpora with shared
@@ -280,11 +338,13 @@ def estimate_filter(
 
     The broadcast side is the candidate pair list (two longs per row), never
     the signature table — the signatures stream through untouched, which is
-    what survives a corpus whose signature table itself is tens of GB."""
+    what survives a corpus whose signature table itself is tens of GB. The
+    pair list itself is size-guarded like verify_jaccard's: past
+    ``broadcast_pair_limit`` it shuffle-joins instead of broadcasting."""
     s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
     s2 = sig.select(F.col(id_col).alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
     return (
-        s1.join(F.broadcast(cand), "id1")
+        s1.join(_pair_side(cand, broadcast_pair_limit), "id1")
         .join(s2, "id2")
         .withColumn("est", signature_agreement_expr(k, "a{i}", "b{i}"))
         .filter(F.col("est") >= min_estimate)

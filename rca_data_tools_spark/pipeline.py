@@ -38,6 +38,98 @@ DEPLOY_HALF_WINDOW_DAYS = 15
 # above which LTTB kicks in.
 DEFAULT_THRESHOLD = 5_000_000
 
+# --- per-(site, span) resource-hint catalog -------------------------------
+#
+# The reference routes known-heavy (site, span) jobs to bigger ECS task
+# definitions: COMPUTE_EXCEPTIONS (qaqc/constants.py:126, loaded from
+# params/compute_exceptions.yaml, schema `{site: {span: tier_name}}` with
+# span keys as strings of days, e.g. "365") is consulted at launch
+# (qaqc/pipeline.py:151-168) and picks a Prefect deployment named after an
+# ECS cpu/memory tier (prefect.yaml:18-113: 2vcpu_16gb default, 4vcpu_30gb,
+# 8vcpu_60gb, 16vcpu_80gb...16vcpu_104gb). The Spark analog of "run this
+# job on a bigger task" is a per-job SQLConf: shuffle-partition count and
+# scan-split size scale with the tier's cpu, the broadcast budget with its
+# memory. `spark.newSession()` gives an isolated SQLConf over the shared
+# SparkContext, so a hinted job's conf never leaks into sibling jobs.
+
+COMPUTE_TIER_CONF: dict[str, dict[str, str]] = {
+    # tier name (reference prefect.yaml work-pool deployments) -> SQLConf.
+    # shuffle partitions ~ 8x tier vcpus (2-4 waves on a task of that
+    # size); maxPartitionBytes grows with memory so scans make fewer,
+    # larger splits when there is RAM to hold them; the broadcast
+    # threshold grows with executor memory.
+    "2vcpu_16gb": {
+        "spark.sql.shuffle.partitions": "16",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    },
+    "4vcpu_30gb": {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.autoBroadcastJoinThreshold": "20971520",
+    },
+    "8vcpu_60gb": {
+        "spark.sql.shuffle.partitions": "64",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.autoBroadcastJoinThreshold": "41943040",
+    },
+    "16vcpu_104gb": {
+        "spark.sql.shuffle.partitions": "128",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    },
+}
+DEFAULT_COMPUTE_TIER = "2vcpu_16gb"
+
+
+def load_compute_exceptions(src) -> dict[str, dict[str, str]]:
+    """Load a `{site: {span: tier}}` exception catalog. ``src`` is a dict
+    (already parsed), or a path to a YAML/JSON file matching the
+    reference's params/compute_exceptions.yaml schema. Span keys are kept
+    as strings (the reference uses day-count strings; this engine also
+    accepts its named spans)."""
+    if isinstance(src, dict):
+        return {s: {str(k): v for k, v in spans.items()} for s, spans in src.items()}
+    text = open(src).read()
+    try:
+        import yaml
+
+        parsed = yaml.safe_load(text)
+    except ImportError:  # pragma: no cover - yaml ships with this env
+        import json
+
+        parsed = json.loads(text)
+    return load_compute_exceptions(parsed or {})
+
+
+def resolve_compute_tier(
+    site: str, span: str, exceptions: dict[str, dict[str, str]] | None
+) -> str:
+    """The reference's routing rule verbatim (qaqc/pipeline.py:151-168):
+    exception hit -> that tier's deployment, miss -> the 2vcpu_16gb
+    default."""
+    if exceptions and site in exceptions and str(span) in exceptions[site]:
+        return exceptions[site][str(span)]
+    return DEFAULT_COMPUTE_TIER
+
+
+def session_for_tier(spark: SparkSession, tier: str) -> SparkSession:
+    """Return a session whose SQLConf carries the tier's hints. The default
+    tier reuses the caller's session untouched; a hinted tier gets
+    `spark.newSession()` — same SparkContext (no new JVM/executors, the
+    local analog of 'same cluster, bigger task definition'), isolated conf."""
+    if tier == DEFAULT_COMPUTE_TIER:
+        return spark
+    conf = COMPUTE_TIER_CONF.get(tier)
+    if conf is None:
+        raise ValueError(
+            f"unknown compute tier {tier!r}; known: {sorted(COMPUTE_TIER_CONF)}"
+        )
+    hinted = spark.newSession()
+    for k, v in conf.items():
+        hinted.conf.set(k, v)
+    return hinted
+
 
 @dataclass
 class QAQCJobSpec:

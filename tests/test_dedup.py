@@ -525,3 +525,43 @@ def test_cdc_chunks_shift_resistant(spark, tmp_path):
     # every non-final chunk >= MIN; all chunks <= MAX
     assert chunk_chars <= n_chunks * CDC_MAX
     assert chunk_chars >= (n_chunks - 1) * CDC_MIN
+
+
+def test_verify_shuffle_fallback_matches_broadcast(spark):
+    """The pair-list size guard (operators/dedup.py _pair_side): with
+    broadcast_pair_limit=0 every pair list exceeds the limit, so verify and
+    estimate run the shuffle-equi-join fallback — and must produce exactly
+    the pairs the forced-broadcast path (limit=None) produces. Also asserts
+    the fallback really activates: no broadcast HINT survives in the
+    analyzed plan of the guarded verify join (AQE may still runtime-convert,
+    which is allowed — the guard's contract is only 'never FORCE an
+    unbounded broadcast')."""
+    from rca_data_tools_spark.operators.dedup import (
+        estimate_filter,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_arrays,
+        shingle_hashes,
+        verify_jaccard,
+    )
+
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    hashed = shingle_hashes(shingle_arrays(d, "doc_id", "text", 5), "doc_id").persist()
+    sig = minhash_signatures(hashed, "doc_id").persist()
+    cand = lsh_candidate_pairs(sig, "doc_id")
+
+    pruned_bc = estimate_filter(cand, sig, "doc_id", 0.45, broadcast_pair_limit=None).persist()
+    pruned_sh = estimate_filter(cand, sig, "doc_id", 0.45, broadcast_pair_limit=0).persist()
+    assert sorted(map(tuple, pruned_bc.collect())) == sorted(map(tuple, pruned_sh.collect()))
+
+    got_bc = verify_jaccard(pruned_bc, hashed, "doc_id", 0.7, broadcast_pair_limit=None)
+    got_sh = verify_jaccard(pruned_sh, hashed, "doc_id", 0.7, broadcast_pair_limit=0)
+    rows_bc = sorted((r.id1, r.id2, r.jaccard) for r in got_bc.collect())
+    rows_sh = sorted((r.id1, r.id2, r.jaccard) for r in got_sh.collect())
+    assert rows_bc == rows_sh and rows_bc, "fallback must reproduce the broadcast result"
+
+    # the guarded plan carries no broadcast hint; the forced one does
+    analyzed_sh = got_sh._jdf.queryExecution().analyzed().toString()
+    analyzed_bc = got_bc._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed_sh and "ResolvedHint" not in analyzed_sh
+    assert "ResolvedHint" in analyzed_bc or "UnresolvedHint" in analyzed_bc

@@ -16,9 +16,25 @@ def plan_of(spark, name: str) -> str:
     # Cold plans only: queries with persisted fragments (e.g. the MinHash
     # pipeline) otherwise plan against InMemoryTableScan when an earlier test
     # already ran them, shifting Exchange counts run-order-dependently.
+    # The dedup pair-list size guard is pinned to 'force' (broadcast, no
+    # count job) so plan construction stays action-free — an executed count
+    # materializes caches and the formatted explain then double-prints the
+    # cache-build exchanges (AQE Initial+Final), corrupting the budget
+    # counts. The guard's shuffle fallback has its own equivalence test
+    # (tests/test_dedup.py::test_verify_shuffle_fallback_matches_broadcast).
+    from rca_data_tools_spark.operators.dedup import PAIR_LIMIT_CONF
+
     spark.catalog.clearCache()
-    df = QUERIES[name](spark, SF_CORRECTNESS)
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    prev = spark.conf.get(PAIR_LIMIT_CONF, "")
+    spark.conf.set(PAIR_LIMIT_CONF, "force")
+    try:
+        df = QUERIES[name](spark, SF_CORRECTNESS)
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    finally:
+        if prev:
+            spark.conf.set(PAIR_LIMIT_CONF, prev)
+        else:
+            spark.conf.unset(PAIR_LIMIT_CONF)
 
 
 def test_time_filter_pushed_down(spark):

@@ -406,10 +406,27 @@ def test_pack_greedy_composite_order_matches_sequential(spark, rows):
 # --- zarr v2 filter-chain property: forward-encode per numcodecs' published
 # semantics, decode through the scan's chain decoder, recover the input ------
 
+def _chain_is_realizable(chain: list) -> bool:
+    """Reject chains where ``fixedscaleoffset`` follows a ``shuffle``:
+    shuffle byte-transposes the int64 items, so downstream values reach
+    ~2^63, and numcodecs' own FixedScaleOffset.decode (``enc/scale +
+    offset``) runs through float64 — lossy above 2^53 — so bit-exact
+    round-trip to the original is impossible *in numcodecs itself*, not
+    just in our decoder. Real writers apply value filters before byte
+    filters; the lossy regime gets its own regression test below."""
+    seen_shuffle = False
+    for kind in chain:
+        if kind == "shuffle":
+            seen_shuffle = True
+        elif kind == "fixedscaleoffset" and seen_shuffle:
+            return False
+    return True
+
+
 _filter_chain = st.lists(
     st.sampled_from(["delta", "shuffle", "astype", "fixedscaleoffset"]),
     min_size=0, max_size=3,
-)
+).filter(_chain_is_realizable)
 
 
 @given(
@@ -454,11 +471,52 @@ def test_zarr_v2_filter_chain_roundtrip(chain, n, seed):
         else:  # fixedscaleoffset on integers: scale 1, offset 0 is lossless
             f = {"id": "fixedscaleoffset", "offset": 0, "scale": 1,
                  "dtype": in_dt.str, "astype": "<i8"}
-            data = np.round(data.astype("<f8")).astype("<i8")
+            # faithful to numcodecs FixedScaleOffset.encode: (arr-offset)*scale
+            # stays in the input's integer dtype, then np.around + astype —
+            # no float detour for integer inputs.
+            data = np.around((data - 0) * 1).astype("<i8")
         assert _v2_filter_storage_dtype(f, in_dt) == data.dtype
         filters.append(f)
     out = _decode_v2_filters(data.tobytes(), filters, np.dtype("<i8"))
     np.testing.assert_array_equal(out, arr)
+
+
+def test_zarr_v2_fixedscaleoffset_after_shuffle_matches_numcodecs_decode():
+    """Permanent regression for the round-5 Hypothesis falsifying example
+    (chain=['shuffle','fixedscaleoffset'], n=2, seed=1). After shuffle the
+    int64 items sit near 2^60, and numcodecs' FixedScaleOffset.decode
+    (``enc/scale + offset`` through float64) is lossy above 2^53 — so the
+    correct contract is NOT round-trip to the original array, it is
+    bit-parity with numcodecs' own decode. Encode faithfully (integer
+    arithmetic, per FixedScaleOffset.encode), decode via the engine, and
+    compare against a literal model of numcodecs' decode for this chain."""
+    import numpy as np
+
+    from rca_data_tools_spark.sources.zarr import _decode_v2_filters
+
+    rng = np.random.RandomState(1)
+    arr = rng.randint(-1000, 1000, size=2).astype("<i8")
+    # forward encode: shuffle (byte transpose), then fixedscaleoffset
+    # (offset=0 scale=1 → integer identity per numcodecs encode semantics)
+    shuffled = np.frombuffer(
+        arr.view("u1").reshape(-1, 8).T.tobytes(), dtype="<i8"
+    )
+    enc = np.around((shuffled - 0) * 1).astype("<i8")
+    filters = [
+        {"id": "shuffle", "elementsize": 8},
+        {"id": "fixedscaleoffset", "offset": 0, "scale": 1,
+         "dtype": "<i8", "astype": "<i8"},
+    ]
+    out = _decode_v2_filters(enc.tobytes(), filters, np.dtype("<i8"))
+    # numcodecs decode model: fso dec = enc/scale + offset (float64, lossy),
+    # cast back to <i8, then un-shuffle
+    fso_dec = (enc / 1.0 + 0.0).astype("<i8")
+    expected = np.frombuffer(
+        fso_dec.view("u1").reshape(8, -1).T.tobytes(), dtype="<i8"
+    )
+    np.testing.assert_array_equal(out, expected)
+    # and the lossy regime is real: this chain does NOT round-trip
+    assert not np.array_equal(out, arr)
 
 
 @given(
