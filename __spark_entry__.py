@@ -17,106 +17,72 @@ from pyspark.sql import DataFrame, SparkSession
 from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
-# The driver verifies the first 50 entries of queries() per round. Rounds
-# 1-4 accumulated driver-green rows for 169 of the 174 registered queries
-# (CORRECTNESS_r0{1,2,3,4}.json; agg_approx_distinct is the documented
-# no-oracle row). This round-5 window carries (a) the four late round-4
-# additions that missed the round-4 window (qc_spike_test,
-# qc_rate_of_change, sample_temperature_mix, w_seasonal_decompose — the
-# last registered queries without a driver row), (b) the three queries
-# whose semantics changed this round and therefore need a fresh row
-# (sketch_* gained a NULL-key filter to match COUNT(DISTINCT) semantics;
-# pipeline_pretrain_corpus gained a collision-free composite pack-ordering
-# key), and (c) spot-recheck sentinels drawn from the round-2 cohort (the
-# r01 cohort was re-proven in round 4) — every r02 row not already
-# re-checked in round 4, plus the verdict's shortlist (q7/q10/q18,
-# a7/a13).
+# The driver verifies the first 50 entries of queries() per round.
+# Cumulative state after round 5: 196 registered, 195 with a driver-green
+# row in some round (agg_approx_distinct is the documented no-oracle row —
+# its exactness bound is pytest-checked in tests/test_parity.py).
+#
+# Round-6 window = (a) the two queries ADDED this round, (b) fresh rows for
+# the three near-dup queries whose pair-list broadcast was size-guarded
+# this round (operators/dedup.py _pair_side) — results must be identical,
+# but changed code deserves a fresh row — and (c) the ENTIRE r03 cohort as
+# sentinels: the 44 queries whose last driver row is round 3, now the
+# oldest greens (rotation discipline: r01 cohort re-proven r04, r02 cohort
+# r05). pipeline_qaqc_job is both r03-cohort and touched this round
+# (compute-tier hints + optional status overlay, defaults unchanged).
 _ROUND_WINDOW = [
-    # (a) late round-4 additions: the only registered queries without a
-    # cumulative driver row
-    "qc_spike_test",
-    "qc_rate_of_change",
-    "sample_temperature_mix",
-    "w_seasonal_decompose",
-    # (b) modified this round -> need fresh rows
-    "sketch_cms_heavyhitters",
-    "sketch_hll_cardinality",
-    "pipeline_pretrain_corpus",
-    # (b') ADDED this round (real-WAV audio decode; Heaps-law vocab
-    # growth; incremental ingestion dedup)
-    "media_audio_features",
-    "text_vocab_growth",
-    "dedup_incremental",
-    "ann_pq_topk",
-    "media_audio_frames",
-    "embed_quantize_int8",
-    "layout_zorder_clustering",
-    "streaming_neardup_matches",
-    # (b''') the two streaming faces added late this round, plus fresh
-    # rows for the three queries whose ORACLES changed to the rank-based
-    # seed selection (results identical on the dense driver corpus, but a
-    # changed oracle deserves a fresh driver row; ann_ivf_topk, the fourth
-    # such query, is already a sentinel below) — displacing FOUR unchanged
-    # r02 sentinels (a15_percentiles, text_contamination,
-    # f_math_conversions, and pack_sequences — whose packing machinery the
-    # in-window pipeline_pretrain_corpus exercises by composition), all of
-    # which stay cumulative-green
-    "w10_windowed_lttb",
-    "streaming_qaqc_rollup",
-    "dedup_semantic",
-    "embed_kmeans_clusters",
-    # (c) sentinels: the r02 cohort not re-checked in round 4
-    "q1_pricing_summary",
-    "dedup_simhash_fingerprints",
-    "calc_nutnr_nitrate",
-    "ann_topk_cosine",
-    # new this round: CDC chunk-match streaming face — takes the slot of
-    # the ann_lsh_topk sentinel (r02-green; the ANN family keeps cosine /
-    # IVF / PQ rows in this window)
-    "streaming_cdc_matches",
-    "ann_ivf_topk",
-    "sample_stratified",
-    "sample_uniform_topk",
-    "sample_domain_cap",
-    "text_quality_scores",
-    "text_tfidf_topk",
-    "corpus_curation",
-    # new this round: content-defined-chunking dedup — takes the slot of the
-    # p9_regex_filter sentinel (r02-green; its regex machinery is exercised
-    # in-window by text_quality_scores and corpus_curation)
-    "dedup_cdc_chunks",
-    "media_feature_extract",
-    "calc_registry_flags",
-    # new this round: in-engine quality-classifier GD training — takes the
-    # slot of the calc_poly_fit sentinel (r02-green; iterative fitting is
-    # exercised in-window by this very query and embed_kmeans_clusters)
-    "quality_classifier_train",
-    "f_nested_cal_arrays",
-    # new this round: the deploy half of the classifier (train chain +
-    # scoring aggregation) — takes the slot of the f_json_extract sentinel
-    # (r02-green; the JSON scalar family keeps j7/f_string_parse coverage
-    # in the cumulative record)
-    "quality_classifier_score",
-    # (b'') lifecycle/ingest faces added this round: FIRST driver rows for
-    # the components the coverage table long carried as test-only (S12+ST-4
-    # overwrite, S15 anti-entropy, S13 JSON index, S14 CSV export, S11
-    # catalog resolution, S3/S4 HTTP CSV, S9 HTML scrape, S10 sheet ingest)
-    # — worth more than the 8 r02 sentinels they displace (those stay
-    # cumulative-green from rounds 2-3; every family keeps a sentinel).
-    "sink_partition_overwrite",
-    "sink_stale_reconcile",
-    "sink_json_index_roundtrip",
-    "sink_csv_roundtrip",
-    "catalog_variable_resolution",
-    "ingest_http_csv",
-    "ingest_html_camera_index",
-    "ingest_sheet_hitl",
-    # (c) verdict shortlist top-up
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_large_orders",
-    "a7_array_median",
-    "a13_bracket_midpoint",
+    # (a) added this round
+    "ingest_status_degrade",    # S8 degrade-to-empty contract, live+dead feed
+    "ann_ivf_refined_topk",     # Lloyd-refined IVF search, refinement in-oracle
+    # (b) pair-list broadcast guard landed this round -> fresh rows
+    "dedup_minhash_lsh",
+    "dedup_lsh_capped",
+    "dedup_components",
+    # (c) the r03 cohort, oldest-green sentinels (44)
+    "a4_resample_interpolate",
+    "a8_k_of_n_array",
+    "a9_row_stddev_array",
+    "agg_approx_distinct",      # rows-only (documented no-oracle row)
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_rollup",
+    "calc_anomaly_surface",
+    "calc_griddata_surface",
+    "contamination_bloom",
+    "dedup_embedding_cosine",
+    "dedup_exact_spans",
+    "dedup_strip_boilerplate",
+    "e3_set_difference",
+    "e4_set_intersection",
+    "embed_gram_entries",
+    "hitl_latest_note",
+    "j10_latest_deploy_window",
+    "j1_asof_forward",
+    "j1_asof_nearest",
+    "j3_profile_phase_split",
+    "join_cross_matrix",
+    "pipeline_qaqc_job",        # r03-cohort AND touched this round
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotable_suppliers",
+    "q22_idle_customers",
+    "sample_importance",
+    "sessionize_events",
+    "skew_two_stage_agg",
+    "streaming_session_window",
+    "streaming_tumbling_agg",
+    "text_ngram_freq",
+    "text_perplexity",
+    "text_pii_redaction",
+    "text_repetition",
+    "text_url_filter",
+    "w7_profile_regrid",
+    "w8_cell_aggregation",
+    "w_ewma",
+    "w_moving_stats",
+    "w_ntile_deciles",
+    "w_rank_tail",
 ]
 
 

@@ -333,6 +333,7 @@ def ivf_topk(
     n_lists: int = 16,
     stride: int = 29,
     nprobe: int = 4,
+    centroids: DataFrame | list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed by nearest centroid
     (the inverted lists); each query probes its ``nprobe`` nearest lists and
@@ -342,8 +343,13 @@ def ivf_topk(
     O(N * n_lists) assignment (broadcast, one corpus scan) + an equi-join on
     cid that touches only probed lists — candidates shrink by ~n_lists/nprobe.
     Recall tunes with nprobe; n_lists scales with sqrt(N) in the usual IVF
-    sizing. The one shuffle is the per-query top-k window over candidates."""
-    cent_rows = ivf_centroids(corpus, id_col, vec_col, n_lists, stride).collect()
+    sizing. The one shuffle is the per-query top-k window over candidates.
+
+    ``centroids`` overrides the quantizer (e.g. Lloyd-refined via
+    ivf_refine); default is the closed-form strided seeds."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_lists, stride)
+    cent_rows = centroids if isinstance(centroids, list) else centroids.collect()
     lists = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
     probes = ivf_assign(queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe)
     cand = lists.join(F.broadcast(probes), "cid").filter(F.col(q_id_col) != F.col(id_col))
@@ -445,12 +451,19 @@ def ivf_refine(
 
     Scale shape per iteration: one broadcast-literal assignment pass (zero
     shuffles, see ivf_assign) + one partial-aggregated groupBy on cid —
-    64 avg columns, map-side combined. Empty lists keep their old centroid."""
+    64 avg columns, map-side combined. Empty lists keep their old centroid.
+
+    The list means use the decimal-exact ``davg`` (round -> DECIMAL sum ->
+    double), not float ``avg``: partition-order-insensitive (the same
+    centroids on any cluster layout) and bit-replayable by the SQL oracle
+    of ann_ivf_refined_topk."""
+    from rca_data_tools_spark.functions.numeric import davg
+
     cents = centroids
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
         means = assigned.groupBy("cid").agg(
-            *[F.avg(F.element_at(to_double_array(vec_col), d + 1)).alias(f"m{d}") for d in range(dim)]
+            *[davg(F.element_at(to_double_array(vec_col), d + 1)).alias(f"m{d}") for d in range(dim)]
         )
         new = means.select(
             "cid", F.array(*[F.col(f"m{d}") for d in range(dim)]).alias("cvec")

@@ -145,6 +145,16 @@ class QAQCJobSpec:
     window_end: str  # anchor timestamp "YYYY-MM-DD HH:MM:SS" (now() in prod)
     threshold: int = DEFAULT_THRESHOLD
     extra_cols: list[str] = field(default_factory=list)
+    # Per-(site, span) resource hints — the reference's COMPUTE_EXCEPTIONS
+    # catalog (params/compute_exceptions.yaml, schema {site: {span: tier}};
+    # routing rule qaqc/pipeline.py:151-168). None = every job on the
+    # default tier. Known tiers mirror prefect.yaml's ECS deployments and
+    # map to SQLConf in COMPUTE_TIER_CONF.
+    compute_exceptions: dict[str, dict[str, str]] | None = None
+
+    @property
+    def compute_tier(self) -> str:
+        return resolve_compute_tier(self.site, self.span, self.compute_exceptions)
 
 
 def span_window(spec: QAQCJobSpec, deploy_start: str | None = None) -> tuple[str, str]:
@@ -186,6 +196,7 @@ def run_qaqc_job(
     gross_range_dim: DataFrame,
     out_dir: str | None = None,
     deploy_start: str | None = None,
+    status_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Execute one job: windowed scan (pushed-down bounds) -> gross-range
     flags (broadcast dim) -> summary rollup -> LTTB decimation -> optional
@@ -195,7 +206,13 @@ def run_qaqc_job(
     also written with dynamic partition overwrite under (site, span), so
     re-running a window replaces exactly that window's output — the
     reference's regenerate-and-delete-stale contract (qaqc/plots.py:467-511)
-    without an explicit delete pass."""
+    without an explicit delete pass.
+
+    When the spec carries a compute-exception catalog and this (site, span)
+    hits it, the whole job plans against a tier-hinted `spark.newSession()`
+    — the reference's route-to-a-bigger-ECS-task move, expressed as per-job
+    SQLConf over the shared SparkContext."""
+    spark = session_for_tier(spark, spec.compute_tier)
     lo, hi = span_window(spec, deploy_start)
     facts = load_table(
         spark, sf_dir, spec.table,
@@ -218,6 +235,13 @@ def run_qaqc_job(
     )
 
     out = decimated.withColumn("site", F.lit(spec.site)).withColumn("span", F.lit(spec.span))
+    if status_dim is not None:
+        # operational-status overlay (S8): broadcast left join; an empty dim
+        # (the degrade-to-empty contract of sources/ingest.ingest_status_json)
+        # or a miss yields 'UNAVAILABLE', never a failure.
+        from rca_data_tools_spark.sources.ingest import status_overlay
+
+        out = status_overlay(out, status_dim)
     if out_dir is not None:
         write_partitioned(out, out_dir, ["site", "span"])
     return out

@@ -409,3 +409,63 @@ def ingest_sheet_hitl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rca_data_tools_spark.sources.ingest import ingest_hitl_sheets
 
     return ingest_hitl_sheets(spark, _HITL_SHEETS)
+
+
+@query(
+    "ingest_status_degrade",
+    oracle="""
+SELECT * FROM (VALUES
+  ('SITE01', 'live',     'OPERATIONAL'),
+  ('SITE02', 'live',     'UNAVAILABLE'),
+  ('SITE03', 'live',     'OFFLINE'),
+  ('SITE01', 'degraded', 'UNAVAILABLE'),
+  ('SITE02', 'degraded', 'UNAVAILABLE'),
+  ('SITE03', 'degraded', 'UNAVAILABLE')
+) AS t(site, feed, status)
+""",
+)
+def ingest_status_degrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 with the degrade-to-empty contract (reference
+    qaqc/dashboard.py:290-302 loadStatus): the SAME overlay is driven twice —
+    once against a LIVE localhost status feed (sites present take the feed
+    value, absent sites fall back to 'UNAVAILABLE') and once against a dead
+    endpoint (connection refused -> EMPTY typed dim -> every site
+    'UNAVAILABLE', no exception). The oracle is the expected-literal table a
+    correct fetch+degrade+overlay must produce; a hash match certifies both
+    the happy parse and the outage path."""
+    import http.server
+    import json
+    import threading
+
+    from rca_data_tools_spark.sources.ingest import ingest_status_json, status_overlay
+
+    payload = json.dumps({"SITE01": "OPERATIONAL", "SITE03": "OFFLINE"}).encode()
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        live = ingest_status_json(
+            spark, f"http://127.0.0.1:{srv.server_address[1]}/api/status"
+        )
+        live_rows = live.collect()  # fetch before the server goes away
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    live = spark.createDataFrame(live_rows, "site string, status string")
+    # dead endpoint: discard port, nothing listens -> degrade to empty
+    degraded = ingest_status_json(spark, "http://127.0.0.1:9/api/status", timeout=0.5)
+
+    sites = spark.createDataFrame([("SITE01",), ("SITE02",), ("SITE03",)], "site string")
+    out_live = status_overlay(sites, live).withColumn("feed", F.lit("live"))
+    out_dead = status_overlay(sites, degraded).withColumn("feed", F.lit("degraded"))
+    return out_live.unionByName(out_dead).select("site", "feed", "status")

@@ -705,3 +705,82 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec_cosine(F.col("v"), F.col("rv")), 6).alias("cos_fidelity"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def _refine_step_sql(cents_in: str, a_name: str, m_name: str, out_name: str) -> str:
+    """One Lloyd iteration as oracle CTE clauses: assign to ``cents_in``,
+    decimal-exact list means, and empty lists keep their old centroid
+    (ivf_refine's contract)."""
+    return f"""{a_name} AS MATERIALIZED {_kmeans_assign_sql('embeddings', cents_in)},
+{m_name} AS MATERIALIZED {_kmeans_means_sql(a_name)},
+{out_name} AS MATERIALIZED (
+  SELECT cid, cvec FROM {m_name}
+  UNION ALL
+  SELECT cid, cvec FROM {cents_in}
+  WHERE cid NOT IN (SELECT cid FROM {m_name})
+)"""
+
+
+_IVF_REFINED_ORACLE = f"""
+WITH cents0 AS MATERIALIZED (
+  SELECT CAST((rn - 1) / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE (rn - 1) % 29 = 0 AND rn <= 29 * 16
+),
+{_refine_step_sql('cents0', 'a1', 'm1', 'cents1')},
+{_refine_step_sql('cents1', 'a2', 'm2', 'cents2')},
+lists AS MATERIALIZED {_kmeans_assign_sql('embeddings', 'cents2')},
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM q, cents2 c
+  ) WHERE r <= 4
+),
+scored AS (
+  SELECT p.q_id, l.vec_id, ROUND({_cos_sql('p.q_vec', 'l.embedding')}, 6) AS cos_sim
+  FROM lists l JOIN probes p ON l.cid = p.cid
+  WHERE p.q_id <> l.vec_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_refined_topk", oracle=_IVF_REFINED_ORACLE)
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a Lloyd-REFINED quantizer: the strided closed-form
+    seeds (same rule as ann_ivf_topk) are improved with two spherical
+    k-means iterations (operators/similarity.ivf_refine — broadcast assign
+    + decimal-exact list means per iteration, empty lists keep their old
+    centroid), then the search probes nprobe=4 refined lists and re-ranks
+    exactly. The ENTIRE pipeline — seeds, both Lloyd iterations, assignment,
+    probing, scoring, ranking — replays in the DuckDB oracle, so the
+    refinement step the production index would always run is hash-checked,
+    not just pytest-checked (the improves-quantization property lives in
+    tests/test_dedup.py).
+
+    Scale shape: each refinement iteration is one zero-shuffle corpus scan
+    + one map-side-combinable groupBy(cid) of 64 decimal sums; search cost
+    is identical to ann_ivf_topk. Nothing new shuffles."""
+    from rca_data_tools_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_refine,
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    seeds = ivf_centroids(e, "vec_id", "embedding", n_lists=16, stride=29)
+    refined = ivf_refine(e, seeds, "vec_id", "embedding", iters=2)
+    return ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, nprobe=4, centroids=refined
+    ).select("q_id", "vec_id", "cos_sim", "rank")

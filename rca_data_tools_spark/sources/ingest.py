@@ -173,3 +173,58 @@ def ingest_hitl_sheets(spark: SparkSession, sheets: dict[str, list[dict]]) -> Da
                     continue
                 rows.append((sheet, str(field), idx, str(value).replace(",", ".")))
     return spark.createDataFrame(rows, HITL_SCHEMA)
+
+
+STATUS_SCHEMA = "site string, status string"
+
+#: The call-site fallback the reference uses when the status feed is down
+#: or a site is missing from it (qaqc/dashboard.py:290-302 + call sites).
+STATUS_UNAVAILABLE = "UNAVAILABLE"
+
+
+def ingest_status_json(spark: SparkSession, url: str, timeout: float = 30.0) -> DataFrame:
+    """S8 with the reference's degrade-to-empty contract
+    (qaqc/dashboard.py:290-302 loadStatus): GET a JSON operational-status
+    feed and return a typed (site, status) lookup dim — and on ANY failure
+    (dead host, timeout, non-JSON body, unexpected shape) return an EMPTY
+    frame of the same schema instead of raising, so a status-API outage can
+    never kill a QA/QC run. Call sites overlay it as a left join whose
+    misses coalesce to 'UNAVAILABLE' (status_overlay), reproducing the
+    reference's fallback string.
+
+    The feed is a config-sized dimension (one row per instrument), so a
+    driver-side fetch + createDataFrame is the right cost model; the frame
+    broadcasts into the job like every other config dim."""
+    import json
+    import urllib.request
+
+    rows: list[tuple[str, str]] = []
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            parsed = json.loads(resp.read().decode("utf-8"))
+        if isinstance(parsed, dict):
+            rows = [(str(k), str(v)) for k, v in parsed.items()]
+        elif isinstance(parsed, list):  # [{'referenceDesignator':…,'status':…}]
+            for item in parsed:
+                site = item.get("referenceDesignator") or item.get("site")
+                if site is not None:
+                    rows = rows + [(str(site), str(item.get("status")))]
+    except Exception:
+        rows = []  # degrade: empty, never raise (dashboard.py:290-302)
+    return spark.createDataFrame(rows, STATUS_SCHEMA)
+
+
+def status_overlay(df: DataFrame, status_dim: DataFrame, site_col: str = "site") -> DataFrame:
+    """Overlay the operational status onto a per-site frame: broadcast left
+    join on site, misses (including the whole-feed-down empty dim) coalesce
+    to 'UNAVAILABLE' — the reference's call-site fallback."""
+    from pyspark.sql import functions as F
+
+    dim = status_dim.select(
+        F.col("site").alias(site_col), F.col("status").alias("__status")
+    )
+    return (
+        df.join(F.broadcast(dim), site_col, "left")
+        .withColumn("status", F.coalesce(F.col("__status"), F.lit(STATUS_UNAVAILABLE)))
+        .drop("__status")
+    )

@@ -117,3 +117,84 @@ def test_ingest_hitl_sheets_skips_missing_keys(spark):
     assert ("Stage1", "Note", 1) not in rows
     assert rows[("Stage1", "Note", 0)] == "ok"
     assert rows[("Stage1", "Instrument", 1)] == "ADCPTE101"
+
+
+def test_status_ingest_degrades_to_empty_on_dead_endpoint(spark):
+    """The S8 degrade contract (reference qaqc/dashboard.py:290-302): a dead
+    status API yields an EMPTY well-typed frame, never an exception — and
+    the overlay then backfills 'UNAVAILABLE' at every site."""
+    from rca_data_tools_spark.sources.ingest import (
+        STATUS_UNAVAILABLE,
+        ingest_status_json,
+        status_overlay,
+    )
+
+    # port 9 (discard) with a connect that can't succeed; must not raise
+    dead = ingest_status_json(spark, "http://127.0.0.1:9/api/status", timeout=0.5)
+    assert dead.columns == ["site", "status"]
+    assert dead.count() == 0
+
+    base = spark.createDataFrame([("SITE01", 1.0), ("SITE02", 2.0)], "site string, v double")
+    got = {r.site: r.status for r in status_overlay(base, dead).collect()}
+    assert got == {"SITE01": STATUS_UNAVAILABLE, "SITE02": STATUS_UNAVAILABLE}
+
+
+def test_status_ingest_parses_live_feed_and_overlays(spark):
+    """Happy path over a live localhost socket: dict-shaped JSON feed parses
+    to the lookup dim; overlay hits use the feed value, misses fall back."""
+    import http.server
+    import json
+    import threading
+
+    from rca_data_tools_spark.sources.ingest import ingest_status_json, status_overlay
+
+    payload = json.dumps({"SITE01": "OPERATIONAL", "SITE03": "OFFLINE"}).encode()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/api/status"
+        dim = ingest_status_json(spark, url)
+        assert {(r.site, r.status) for r in dim.collect()} == {
+            ("SITE01", "OPERATIONAL"),
+            ("SITE03", "OFFLINE"),
+        }
+        base = spark.createDataFrame([("SITE01",), ("SITE02",)], "site string")
+        got = {r.site: r.status for r in status_overlay(base, dim).collect()}
+        assert got == {"SITE01": "OPERATIONAL", "SITE02": "UNAVAILABLE"}
+    finally:
+        srv.shutdown()
+
+
+def test_qaqc_job_with_status_overlay(spark):
+    """pipeline.run_qaqc_job(status_dim=...) carries the overlay through the
+    whole job — with an empty (degraded) dim the job still completes and
+    every row reads UNAVAILABLE."""
+    from rca_data_tools_spark.pipeline import QAQCJobSpec, run_qaqc_job
+    from rca_data_tools_spark.sources.ingest import ingest_status_json
+    from tests.conftest import SF_SMOKE
+
+    spec = QAQCJobSpec(
+        site="SITE01", span="week", table="events", key_col="user_id",
+        ts_col="ts", value_col="value", window_end="2024-01-20 00:00:00",
+        threshold=40,
+    )
+    dim = spark.createDataFrame(
+        [(u, 0.0, 400.0, 10.0, 300.0) for u in range(150)],
+        "user_id long, fail_lo double, fail_hi double, sus_lo double, sus_hi double",
+    )
+    degraded = ingest_status_json(spark, "http://127.0.0.1:9/x", timeout=0.5)
+    out = run_qaqc_job(spark, SF_SMOKE, spec, dim, status_dim=degraded)
+    rows = out.collect()
+    assert rows and all(r.status == "UNAVAILABLE" for r in rows)

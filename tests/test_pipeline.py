@@ -117,3 +117,73 @@ def test_empty_window_yields_typed_empty_result(spark, tmp_path):
     assert names["value"] == "double"
     # decimation, flagging and the sink all tolerated the empty frame
     assert os.path.isdir(out_dir)
+
+
+def test_compute_exception_routing_matches_reference_rule():
+    """The routing rule of qaqc/pipeline.py:151-168: exception hit -> named
+    tier, miss (site unknown, or span not listed for the site) -> default."""
+    from rca_data_tools_spark.pipeline import (
+        DEFAULT_COMPUTE_TIER,
+        load_compute_exceptions,
+        resolve_compute_tier,
+    )
+
+    exc = load_compute_exceptions(
+        {"SITE01": {"year": "8vcpu_60gb", "month": "4vcpu_30gb"}}
+    )
+    assert resolve_compute_tier("SITE01", "year", exc) == "8vcpu_60gb"
+    assert resolve_compute_tier("SITE01", "month", exc) == "4vcpu_30gb"
+    assert resolve_compute_tier("SITE01", "day", exc) == DEFAULT_COMPUTE_TIER
+    assert resolve_compute_tier("SITE99", "year", exc) == DEFAULT_COMPUTE_TIER
+    assert resolve_compute_tier("SITE01", "year", None) == DEFAULT_COMPUTE_TIER
+
+
+def test_compute_exceptions_yaml_roundtrip(tmp_path):
+    from rca_data_tools_spark.pipeline import load_compute_exceptions
+
+    p = tmp_path / "compute_exceptions.yaml"
+    p.write_text('SITE01:\n  "365": "8vcpu_60gb"\n  "30": "8vcpu_60gb"\n')
+    exc = load_compute_exceptions(str(p))
+    assert exc == {"SITE01": {"365": "8vcpu_60gb", "30": "8vcpu_60gb"}}
+
+
+def test_hinted_job_runs_with_hinted_conf(spark, tmp_path):
+    """A (site, span) that hits the exception catalog must plan against the
+    tier's SQLConf — and the hint must not leak into the caller's session
+    or into sibling (unhinted) jobs."""
+    from rca_data_tools_spark.pipeline import (
+        COMPUTE_TIER_CONF,
+        run_qaqc_job,
+        session_for_tier,
+    )
+
+    spec = _spec("week")
+    spec.compute_exceptions = {"SITE01": {"week": "8vcpu_60gb"}}
+    assert spec.compute_tier == "8vcpu_60gb"
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    hinted = session_for_tier(spark, spec.compute_tier)
+    assert hinted is not spark
+    want = COMPUTE_TIER_CONF["8vcpu_60gb"]["spark.sql.shuffle.partitions"]
+    assert hinted.conf.get("spark.sql.shuffle.partitions") == want
+    # isolation: the caller's session conf is untouched
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # a shuffle planned on the hinted session uses the tier's partition
+    # count (AQE disabled for the probe so the static count is visible)
+    probe = hinted.range(1000).withColumn("k", F.col("id") % 7)
+    hinted.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        agg_plan = probe.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+    finally:
+        hinted.conf.set("spark.sql.adaptive.enabled", "true")
+    assert f"hashpartitioning(k#" in agg_plan and f", {want})" in agg_plan, agg_plan
+
+    # the hinted job itself executes end-to-end
+    out = run_qaqc_job(spark, SF_SMOKE, spec, _dim(spark))
+    assert out.count() > 0
+
+    # default-tier spec on the same session is untouched by the sibling hint
+    plain = _spec("week")
+    assert plain.compute_tier == "2vcpu_16gb"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
