@@ -316,7 +316,17 @@ class H5File:
                 return None
             if isinstance(target, tuple):  # a link in the chain
                 if target[0] != "soft":
-                    return None  # soft paths do not cross file boundaries
+                    # an EXTERNAL link met mid-chain: silently dropping it
+                    # would make data reachable only through this chain
+                    # vanish from the listing, while the same link reached
+                    # directly fails loudly (_import_external) — keep the
+                    # failure policy consistent and name the target
+                    raise NotImplementedError(
+                        f"HDF5 soft-link chain at {path!r} crosses an "
+                        f"external link to {target[1]!r}:{target[2]!r}; "
+                        "open that file directly or link it without the "
+                        "soft-link indirection"
+                    )
                 target = self._resolve_path(cur, target[1], depth + 1)
                 if target is None:
                     return None

@@ -309,9 +309,17 @@ def h5_time_row_range(path, time_var: str, lo, hi, h5=None) -> tuple[int, int]:
     if scale is not None or offset is not None:
         s = 1.0 if scale is None else float(scale)
         o = 0.0 if offset is None else float(offset)
-        lo, hi = (lo - o) / s, (hi - o) / s
         if s < 0:
-            lo, hi = hi, lo
+            # A physically non-decreasing time axis stored with a negative
+            # scale_factor is DECREASING in packed space; bisect_row_range
+            # assumes non-decreasing input, so proceeding would silently
+            # return a wrong row range — refuse loudly instead.
+            raise NotImplementedError(
+                f"time variable {time_var!r} has negative scale_factor {s}: "
+                "the packed coordinate is decreasing and packed-space "
+                "bisection would silently mis-slice; pass row_range instead"
+            )
+        lo, hi = (lo - o) / s, (hi - o) / s
     n = ds.shape[0]
     if n == 0:
         return 0, 0

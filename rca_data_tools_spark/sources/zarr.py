@@ -535,9 +535,16 @@ def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
     if scale is not None or offset is not None:
         s = 1.0 if scale is None else scale
         o = 0.0 if offset is None else offset
-        lo, hi = (lo - o) / s, (hi - o) / s
         if s < 0:
-            lo, hi = hi, lo
+            # negative scale -> the packed sequence is DECREASING while the
+            # physical axis is non-decreasing; bisect_row_range assumes a
+            # non-decreasing sequence, so this would silently mis-slice
+            raise NotImplementedError(
+                f"time variable {time_var!r} has negative scale_factor {s}: "
+                "the packed coordinate is decreasing and packed-space "
+                "bisection would silently mis-slice; pass row_range instead"
+            )
+        lo, hi = (lo - o) / s, (hi - o) / s
     n_rows = m["shape"][0]
     c0 = m["chunks"][0]
     n_chunks = -(-n_rows // c0)

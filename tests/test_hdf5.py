@@ -744,3 +744,23 @@ def test_vlen_sequence_datatype_refuses(tmp_path):
         f.write(w.finish(root))
     with pytest.raises(NotImplementedError, match="SEQUENCE"):
         H5File(path)
+
+
+def test_h5_time_row_range_negative_scale_refuses(tmp_path):
+    """A negative scale_factor makes the PACKED coordinate decreasing while
+    the physical axis is non-decreasing; the bisect assumes non-decreasing
+    input, so the scan must refuse loudly (silent mis-slice otherwise)."""
+    import pytest
+
+    from rca_data_tools_spark.sources.netcdf import h5_time_row_range
+
+    path = str(tmp_path / "negscale.nc")
+    packed = -np.arange(12, dtype="<i2")  # physical t = p*(-10) + 1000, rising
+    write_h5(
+        path,
+        {"time": {"array": packed, "chunks": (5,), "filters": [],
+                  "attrs": {"scale_factor": (-10.0, "<f8"),
+                            "add_offset": (1000.0, "<f8")}}},
+    )
+    with pytest.raises(NotImplementedError, match="negative scale_factor"):
+        h5_time_row_range(path, "time", 1020.0, 1070.0)

@@ -236,3 +236,45 @@ def test_golden_time_row_range_matches_numpy():
         want_lo = int(np.searchsorted(t, lo, side="left"))
         want_hi = max(want_lo, int(np.searchsorted(t, hi, side="left")))
         assert got == (want_lo, want_hi), (lo, hi, got, (want_lo, want_hi))
+
+
+# --- latest-format golden (v4 chunk indexes: EA, v2 B-tree, FA, single) ----
+#
+# The hand-built fixtures in tests/test_hdf5_v2.py model libhdf5 1.10+'s
+# chunk-index layouts from the spec alone; a real-library file closes the
+# same spec-circularity the toy_data files close for the earliest format.
+# Generated OUT-OF-BAND (this container has no h5py by design) with:
+#     python tools/make_golden_latest_format.py tests/golden/latest_format.h5
+# and skipped cleanly until that file is dropped in.
+
+_LATEST = os.path.join(os.path.dirname(__file__), "golden", "latest_format.h5")
+
+needs_latest = pytest.mark.skipif(
+    not os.path.exists(_LATEST),
+    reason="latest-format golden file not present "
+    "(generate with tools/make_golden_latest_format.py where h5py exists)",
+)
+
+
+@needs_latest
+def test_golden_latest_format_chunk_indexes():
+    """Every v4 chunk-index kind as REAL libhdf5 wrote it: the Extensible
+    Array (1 unlimited dim), the v2 B-tree (2 unlimited dims), the Fixed
+    Array, and the Single Chunk index all decode to the generator's
+    deterministic patterns bit-for-bit."""
+    from rca_data_tools_spark.sources.hdf5 import H5File, read_dataset
+
+    h5 = H5File(_LATEST)
+    np.testing.assert_array_equal(
+        read_dataset(h5, "ea"), np.arange(1000, dtype="<f8") * 0.5
+    )
+    np.testing.assert_array_equal(
+        read_dataset(h5, "btree2"),
+        np.arange(300, dtype="<i4").reshape(30, 10),
+    )
+    np.testing.assert_array_equal(
+        read_dataset(h5, "fa"), np.arange(500, dtype="<f8") ** 2
+    )
+    np.testing.assert_array_equal(
+        read_dataset(h5, "single"), np.arange(32, dtype="<i8")
+    )

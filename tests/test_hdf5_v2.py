@@ -1638,3 +1638,32 @@ def test_v2_fletcher32_filtered_dataset_reads_and_verifies(tmp_path):
         f.write(w2.finish(root2))
     with pytest.raises(ValueError, match="fletcher32"):
         read_dataset(H5File(p2), "v")
+
+
+def test_v2_soft_link_chain_crossing_external_link_raises_with_target(tmp_path):
+    """A soft link whose chain CROSSES an external link must fail loudly
+    naming the external target — not silently vanish from the listing
+    (the pre-round-6 behavior), which dropped data reachable only through
+    the chain while the directly-reached link worked. The external link
+    itself resolves fine here (sibling target file exists), so the raise
+    isolates the CHAIN path in _resolve_path, not the direct import."""
+    from rca_data_tools_spark.sources.hdf5 import H5File
+
+    arr = np.arange(9, dtype="<f8")
+    _write_target_file(tmp_path, arr)
+    w = _WriterV3()
+    g = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _external_link_msg("ext_g", "target.h5", "/g")),
+    ]))
+    root = w.append(_ohdr2([
+        _msg2(0x02, _link_info()),
+        _msg2(0x06, _link_msg("g", g)),
+        # chain: /g/ext_g is an external link, /x lies beyond it
+        _msg2(0x06, _soft_link_msg("via", "/g/ext_g/x")),
+    ]))
+    p = str(tmp_path / "soft_across_ext.h5")
+    with open(p, "wb") as f:
+        f.write(w.finish(root))
+    with pytest.raises(NotImplementedError, match="target.h5"):
+        H5File(p)

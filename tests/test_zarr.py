@@ -741,3 +741,19 @@ def test_zarr_v2_fixed_width_string_variables(spark, tmp_path):
     assert [r["sta"] for r in rows] == ["CE04", "RS03", "", "AX1"]
     assert [r["uni"] for r in rows] == ["alpha", "beta", "", "gam"]
     np.testing.assert_allclose([r["t"] for r in rows], t)
+
+
+def test_zarr_time_row_range_negative_scale_refuses(tmp_path):
+    """Mirror of the HDF5-side guard: a CF-packed time coordinate with a
+    negative scale_factor is decreasing in packed space — refuse loudly
+    instead of bisecting a sequence the bisect's contract forbids."""
+    from rca_data_tools_spark.sources.zarr import time_row_range
+
+    root = str(tmp_path / "negscale.zarr")
+    os.makedirs(root)
+    packed = -np.arange(20, dtype="<i8")  # physical t = p*(-2) + 50, rising
+    _write_array(root, "time", packed, chunks=(8,))
+    with open(os.path.join(root, "time", ".zattrs"), "w") as f:
+        json.dump({"scale_factor": -2.0, "add_offset": 50.0}, f)
+    with pytest.raises(NotImplementedError, match="negative scale_factor"):
+        time_row_range(root, "time", 10.0, 30.0)
