@@ -34,19 +34,26 @@ _ROUND_WINDOW = [
     # (a) added this round
     "ingest_status_degrade",    # S8 degrade-to-empty contract, live+dead feed
     "ann_ivf_refined_topk",     # Lloyd-refined IVF search, refinement in-oracle
+    "dedup_substring_spans",    # ExactSubstr spans (Lee et al. 2022)
+    "dedup_substring_removal",  # ...and its text-cut face
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
     "dedup_components",
+    # (b) q18 re-planned this round (broadcast semi-gate -> windowed
+    # having; unbounded-broadcast removal, SCALING.md) -> fresh row
+    "q18_large_orders",
     # (c) the r03 cohort, oldest-green sentinels (44)
     "a4_resample_interpolate",
     "a8_k_of_n_array",
     "a9_row_stddev_array",
     "agg_approx_distinct",      # rows-only (documented no-oracle row)
-    "agg_cube",
+    # (agg_cube / agg_rollup yield their slots to the two round-6
+    # substring-dedup additions; agg_grouping_sets — the general form the
+    # other two sugar over — keeps the family's sentinel. Both stay
+    # cumulative-green from r03 and rotate back next round.)
     "agg_grouping_sets",
     "agg_multi_distinct",
-    "agg_rollup",
     "calc_anomaly_surface",
     "calc_griddata_surface",
     "contamination_bloom",

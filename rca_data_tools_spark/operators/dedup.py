@@ -436,7 +436,11 @@ def incremental_neardup(
     s_new = in_hash.select(F.col(id_col).alias("new_id"), F.col("h60").alias("h_new"))
     s_old = ex_hash.select(F.col(id_col).alias("old_id"), F.col("h60").alias("h_old"))
     scored = (
-        s_old.join(F.broadcast(cand), "old_id")
+        # the collision pair list is batch-x-collision sized — usually tiny,
+        # but boilerplate-heavy batches can explode it, so it gets the same
+        # size guard as the batch pipeline's verify (broadcast <= limit,
+        # shuffle equi-join past it; _pair_side)
+        s_old.join(_pair_side(cand, PAIR_LIMIT_DEFAULT), "old_id")
         .join(F.broadcast(s_new), "new_id")
         .withColumn("jaccard", jaccard_expr(F.col("h_new"), F.col("h_old")))
         .filter(F.col("jaccard") >= threshold)
@@ -729,3 +733,112 @@ def cdc_chunk_kernel(batches):
                 start = cut + 1
             off += n + 53
         yield pd.DataFrame({"doc_id": doc_ids, "chunk": chunks})
+
+
+def repeated_substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring detection (the ExactSubstr signal of Lee et
+    al. 2022, arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", adapted from suffix arrays to a distributable
+    fingerprint formulation): per document, the MAXIMAL token spans covered
+    by ``window``-token sliding windows whose exact text occurs in at least
+    ``min_df`` distinct documents. Returns (id, span_start, span_end,
+    n_windows) with 0-based token positions, end exclusive.
+
+    The paper's suffix-array construction is inherently sequential over a
+    concatenated corpus; the sliding-window fingerprint form finds the same
+    spans for repeats >= window tokens (a repeat of length R >= W is covered
+    by exactly R-W+1 flagged windows, which merge back into the maximal
+    span) and is three shuffle-free fan-outs plus two hash-key shuffles:
+
+    - windows: per-row transform + explode -> (id, pos, md5(window-text)) —
+      token work stays row-local, only 32-byte fingerprints leave the row
+    - doc frequency: groupBy(fp) with count_distinct(id), map-side combined
+      on uniform md5 keys (boilerplate-heavy fps partial-aggregate)
+    - span merge: per-doc window over flagged positions — new span when the
+      position gap exceeds ``window`` (coverage no longer overlaps/abuts),
+      the lag-sessionize pattern; partitioned by doc, never global.
+
+    Sub-window repeats (< window tokens) are invisible by construction —
+    the paper's own floor (they use 50 BPE tokens); window tunes it.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(normalize(text_col))
+    n_win = F.size(toks) - F.lit(window - 1)
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))).alias("fp"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.when(n_win > 0, wins)).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    rep = (
+        exploded.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("fp")
+    )
+    flagged = exploded.join(rep, "fp").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grouped = (
+        flagged.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(window), 1
+            ).otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0)),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return grouped.groupBy(id_col, "__span").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(window)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def remove_substring_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The removal face of repeated_substring_spans (Lee et al. 2022 cut
+    every repeated substring occurrence): rebuild each document's normalized
+    text with all tokens inside any flagged span dropped. Returns
+    (id, clean_text, n_tokens, n_removed).
+
+    Scale shape: spans aggregate to ONE array row per flagged doc (shuffle
+    of span triples only — never tokens), left-join onto the docs, and the
+    cut itself is a per-row indexed ``filter`` HOF in codegen; document
+    token arrays never leave their row, there is no token-level shuffle."""
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    toks = tokens(normalize(text_col))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__sp"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    out = docs.join(span_arr, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__sp").isNull(), F.concat_ws(" ", toks))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias("clean_text"),
+        F.size(toks).alias("n_tokens"),
+        F.when(F.col("__sp").isNull(), F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .alias("n_removed"),
+    )
+    return out

@@ -500,23 +500,23 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: group-having produces the key set, then a semi-join
-    gates the detail join. The having aggregate is map-side combinable and
-    its output (few keys) joins as a broadcast semi-join — no second full
-    shuffle of lineitem."""
+    """TPC-H Q18 shape: group-having gates the detail rows. Expressed as a
+    windowed sum over l_orderkey, NOT a broadcast semi-join of the having
+    key set: the key set grows with the data (every qualifying order), so
+    broadcasting it is an unbounded driver-side build — the round-6 scale
+    study measured the broadcast shape at 9-40s (unstable, memory-pressure
+    bound) vs 4.8s stable for this one at the 100x corpus, and at 100 TB
+    the broadcast would simply die. The window needs the same
+    hash-partition of lineitem the aggregation needed anyway, scans
+    lineitem ONCE (the semi-join scanned it twice), and everything
+    downstream reuses that partitioning."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
+    gated = (
+        l.select("l_orderkey", "l_quantity")
+        .withColumn("__q", F.sum("l_quantity").over(Window.partitionBy("l_orderkey")))
         .filter(F.col("__q") > 150)
-        .select("l_orderkey")
-    )
-    gated = l.join(
-        F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
-        F.col("l_orderkey") == F.col("__bk"),
-        "left_semi",
     )
     return (
         gated.join(o, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -934,3 +934,115 @@ def streaming_cdc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_cdc_chunk_matches(
         d.filter(new_pred), d.filter(~new_pred), "doc_id", "text"
     )
+
+
+# --- ExactSubstr-style repeated-substring dedup (Lee et al. 2022) ----------
+
+_SUBSTR_SPAN_CTES = rf"""
+norm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), wins AS (
+  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS fp
+  FROM norm, unnest(range(len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8
+), rep AS (
+  SELECT fp FROM wins GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT w.doc_id, w.i FROM wins w JOIN rep r ON w.fp = r.fp
+), grp AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM (SELECT doc_id, i,
+               LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM flagged)
+), spans AS (
+  SELECT doc_id, MIN(i) AS span_start, MAX(i) + 8 AS span_end,
+         COUNT(*) AS n_windows
+  FROM grp GROUP BY doc_id, span_id
+)"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTES}
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr repeated-substring detection (Lee et al. 2022,
+    arXiv:2107.06499): maximal token spans covered by 8-token sliding
+    windows whose exact text recurs in >= 2 distinct documents — the
+    suffix-array signal of the paper in a distributable fingerprint form
+    (operators/dedup.repeated_substring_spans: a repeat of length R >= W is
+    covered by R-W+1 flagged windows, which merge back into the maximal
+    span via per-doc lag-sessionization). The oracle replays windowing,
+    doc-frequency, flagging, and the merge in SQL, so the span arithmetic
+    is hash-checked, not spot-checked.
+
+    Scale shape: token work stays row-local (transform + explode emits only
+    (id, pos, 32-byte fp)); two shuffles on uniform md5 keys (the
+    doc-frequency agg, map-side combined, and the flag join); the merge
+    window is partitioned by doc — never global."""
+    from rca_data_tools_spark.operators.dedup import repeated_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = repeated_substring_spans(d, "doc_id", "text", window=8, min_df=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+@query(
+    "dedup_substring_removal",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTES}
+, cover AS (
+  SELECT doc_id, unnest(range(span_start, span_end)) AS p FROM spans
+), toks AS (
+  SELECT doc_id, i, ws[CAST(i + 1 AS INT)] AS tok, len(ws) AS n
+  FROM norm, unnest(range(len(ws))) AS t(i)
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM toks t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.i = c.p
+  WHERE c.p IS NULL
+)
+SELECT n.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+       CAST(len(n.ws) AS BIGINT) AS n_tokens,
+       CAST(len(n.ws) - COUNT(k.tok) AS BIGINT) AS n_removed
+FROM norm n LEFT JOIN kept k ON n.doc_id = k.doc_id
+GROUP BY n.doc_id, len(n.ws)
+""",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal face of ExactSubstr (Lee et al. 2022 delete every
+    occurrence of a repeated substring): rebuild each document's normalized
+    text with all flagged-span tokens cut
+    (operators/dedup.remove_substring_spans). The oracle reconstructs the
+    same text token-by-token in SQL, so the cut positions and the re-joined
+    text hash-match end-to-end.
+
+    Scale shape on top of the span op: spans aggregate to one array row per
+    flagged doc (span triples shuffle, tokens never), and the cut is a
+    per-row indexed filter HOF in codegen — no token-level shuffle, no
+    Python."""
+    from rca_data_tools_spark.operators.dedup import (
+        remove_substring_spans,
+        repeated_substring_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(d, "doc_id", "text", window=8, min_df=2)
+    out = remove_substring_spans(d, spans, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -565,3 +565,53 @@ def test_verify_shuffle_fallback_matches_broadcast(spark):
     analyzed_bc = got_bc._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in analyzed_sh and "ResolvedHint" not in analyzed_sh
     assert "ResolvedHint" in analyzed_bc or "UnresolvedHint" in analyzed_bc
+
+
+def test_repeated_substring_spans_planted(spark):
+    """Planted ExactSubstr scenario: a 12-token passage shared verbatim by
+    two docs must come back as ONE maximal merged span per doc covering
+    exactly the repeat (12 tokens ≥ window 8 -> 12-8+1 = 5 flagged windows
+    merging to [start, start+12)); a doc without the passage yields no
+    spans; removal cuts exactly the passage tokens."""
+    from rca_data_tools_spark.operators.dedup import (
+        remove_substring_spans,
+        repeated_substring_spans,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [
+        (1, "unique one two three " + passage + " tail1 tail2"),       # repeat at tok 4
+        (2, passage + " other words here entirely"),                    # repeat at tok 0
+        (3, "completely different text with no shared passage at all nine ten"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_substring_spans(d, "doc_id", "text", window=8, min_df=2)
+    got = {r.doc_id: (r.span_start, r.span_end, r.n_windows) for r in spans.collect()}
+    assert got == {1: (4, 16, 5), 2: (0, 12, 5)}, got
+
+    out = {r.doc_id: r for r in remove_substring_spans(d, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == "unique one two three tail1 tail2"
+    assert out[1].n_removed == 12 and out[1].n_tokens == 18
+    assert out[2].clean_text == "other words here entirely"
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == rows[2][1]
+
+
+def test_repeated_substring_two_separate_repeats_stay_separate(spark):
+    """Two repeats in one doc separated by more than the window length must
+    NOT merge into one span (the gap > window rule)."""
+    from rca_data_tools_spark.operators.dedup import repeated_substring_spans
+
+    r1 = "r1a r1b r1c r1d r1e r1f r1g r1h"              # 8 tokens
+    r2 = "r2a r2b r2c r2d r2e r2f r2g r2h"              # 8 tokens
+    gap = " ".join(f"g{i}" for i in range(12))           # 12 unique tokens
+    d = spark.createDataFrame(
+        [(1, f"{r1} {gap} {r2}"), (2, r1 + " x y z unrelated"), (3, r2 + " p q r unrelated2")],
+        "doc_id long, text string",
+    )
+    spans = repeated_substring_spans(d, "doc_id", "text", window=8, min_df=2)
+    got = sorted(
+        (r.span_start, r.span_end)
+        for r in spans.filter(F.col("doc_id") == 1).collect()
+    )
+    assert got == [(0, 8), (20, 28)], got
