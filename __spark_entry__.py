@@ -22,20 +22,24 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the two queries ADDED this round, (b) fresh rows for
-# the three near-dup queries whose pair-list broadcast was size-guarded
-# this round (operators/dedup.py _pair_side) — results must be identical,
-# but changed code deserves a fresh row — and (c) the ENTIRE r03 cohort as
-# sentinels: the 44 queries whose last driver row is round 3, now the
-# oldest greens (rotation discipline: r01 cohort re-proven r04, r02 cohort
-# r05). pipeline_qaqc_job is both r03-cohort and touched this round
-# (compute-tier hints + optional status overlay, defaults unchanged).
+# Round-6 window = (a) the five queries ADDED this round, (b) fresh rows
+# for the four queries whose plans changed this round (the three near-dup
+# queries gained the pair-list broadcast size guard — operators/dedup.py
+# _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
+# having; results must be identical, but changed code deserves a fresh
+# row), and (c) the r03 cohort as sentinels: the queries whose last driver
+# row is round 3, now the oldest greens (rotation discipline: r01 cohort
+# re-proven r04, r02 cohort r05; the three r03 entries displaced by (a)
+# stay cumulative-green and rotate back next round). pipeline_qaqc_job is
+# both r03-cohort and touched this round (compute-tier hints + optional
+# status overlay, defaults unchanged).
 _ROUND_WINDOW = [
     # (a) added this round
     "ingest_status_degrade",    # S8 degrade-to-empty contract, live+dead feed
     "ann_ivf_refined_topk",     # Lloyd-refined IVF search, refinement in-oracle
     "dedup_substring_spans",    # ExactSubstr spans (Lee et al. 2022)
     "dedup_substring_removal",  # ...and its text-cut face
+    "sample_token_budget",      # per-domain greedy token-budget selection
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -60,7 +64,9 @@ _ROUND_WINDOW = [
     "dedup_embedding_cosine",
     "dedup_exact_spans",
     "dedup_strip_boilerplate",
-    "e3_set_difference",
+    # (e3_set_difference yields its slot to sample_token_budget;
+    # e4_set_intersection keeps the set-op family sentinel. e3 stays
+    # cumulative-green from r03 and rotates back next round.)
     "e4_set_intersection",
     "embed_gram_entries",
     "hitl_latest_note",

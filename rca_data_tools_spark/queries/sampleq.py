@@ -378,3 +378,57 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sa").cast("double") / F.col("z"), 6).alias("temp_share"),
         F.round(F.col("sa").cast("double") / F.col("z") / F.col("share"), 6).alias("resample_weight"),
     )
+
+
+_DOMAIN_TOKEN_BUDGET = 600
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOK_SQL} AS n_tokens, {_u_sql('budget')} AS u
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_DOMAIN_TOKEN_BUDGET}
+""",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed per-domain TOKEN budget selection — the mixture-building step
+    where each domain contributes at most B tokens, not at most N docs
+    (domain docs differ wildly in length, so doc caps misallocate the
+    actual training budget): walk each domain in deterministic hash order
+    and keep documents while the running token total stays within budget.
+    A doc that would cross the boundary is dropped, as are all later ones
+    (the greedy prefix rule — deterministic, engine-independent).
+
+    Scale shape: one shuffle on source for the per-domain running-sum
+    window (partitioned by domain, never global), token counting is a
+    per-row expression, and the hash order makes the selection a stable
+    uniform subsample within each domain. At 100 TB this is exactly one
+    fact shuffle; skewed domains are bounded by the budget itself."""
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), "budget")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__u"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = d.select(
+        "doc_id", "source", token_count("text").alias("n_tokens"), u.alias("__u")
+    )
+    out = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.filter(F.col("cum_tokens") <= _DOMAIN_TOKEN_BUDGET).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
