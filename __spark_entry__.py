@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the five queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the six queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -40,6 +40,7 @@ _ROUND_WINDOW = [
     "dedup_substring_spans",    # ExactSubstr spans (Lee et al. 2022)
     "dedup_substring_removal",  # ...and its text-cut face
     "sample_token_budget",      # per-domain greedy token-budget selection
+    "dedup_keep_best",          # highest-quality representative per cluster
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -58,7 +59,8 @@ _ROUND_WINDOW = [
     # cumulative-green from r03 and rotate back next round.)
     "agg_grouping_sets",
     "agg_multi_distinct",
-    "calc_anomaly_surface",
+    # (calc_anomaly_surface yields its slot to dedup_keep_best;
+    # calc_griddata_surface keeps the griddata family sentinel.)
     "calc_griddata_surface",
     "contamination_bloom",
     "dedup_embedding_cosine",

@@ -1046,3 +1046,88 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+def _quality_sql() -> str:
+    """DuckDB twin of functions.text.quality_score (same formula the
+    text_quality_scores oracle replays — shared here so the keep-best rule
+    can never drift from the scoring query)."""
+    from rca_data_tools_spark.functions.text import LANG_MARKERS
+    from rca_data_tools_spark.queries.textq import _NTOKS_SQL, _in_list
+
+    return rf"""ROUND(
+      LEAST(1.0, length(text) / 500.0) * 0.4
+      + (1.0 - LEAST(1.0, CASE WHEN length(text) > 0
+          THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)
+          ELSE 0.0 END * 4.0)) * 0.3
+      + LEAST(1.0, CASE WHEN len({_NTOKS_SQL}) > 0
+          THEN len(list_filter({_NTOKS_SQL}, t -> t IN ({_in_list(LANG_MARKERS['en'])}))) / len({_NTOKS_SQL})
+          ELSE 0.0 END * 4.0) * 0.3, 6)"""
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_simhash_pairs_oracle()}),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         {_quality_sql()} AS quality
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component, quality,
+       (ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+FROM scored
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the curation rule real pipelines
+    apply AFTER near-dup clustering: within each connected component keep
+    the HIGHEST-QUALITY document (composite quality heuristic, doc_id
+    tie-break), not the arbitrary min-id canonical. Singletons form their
+    own component and keep themselves. Output: every document with its
+    component, quality, and keep verdict.
+
+    Composition proof: simhash pairs -> distributed min-label components
+    (operators/dedup.connected_components) -> quality_score
+    (functions/text.py, the text_quality_scores formula) -> per-component
+    argmax — all four stages replay in the oracle, so the END-TO-END
+    keep/drop decision is hash-checked, not just each stage alone.
+
+    Scale shape: quality is a per-row expression on the doc scan; the only
+    data-sized shuffles are the component propagation (O(log diameter)
+    rounds over the PAIR graph, a tiny fraction of the corpus) and ONE
+    window shuffle on component for the argmax. Nothing collects."""
+    from pyspark.sql.window import Window
+
+    from rca_data_tools_spark.functions.text import quality_score
+    from rca_data_tools_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    pairs = simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    scored = d.select("doc_id", quality_score("text").alias("quality")).join(
+        comp, "doc_id", "left"
+    )
+    scored = scored.select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("component"),
+        "quality",
+    )
+    w = Window.partitionBy("component").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return scored.withColumn("keep", F.row_number().over(w) == 1)
