@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the six queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the seven queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -41,6 +41,7 @@ _ROUND_WINDOW = [
     "dedup_substring_removal",  # ...and its text-cut face
     "sample_token_budget",      # per-domain greedy token-budget selection
     "dedup_keep_best",          # highest-quality representative per cluster
+    "streaming_substring_matches",  # stream-static ExactSubstr window face
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -76,7 +77,9 @@ _ROUND_WINDOW = [
     "j1_asof_forward",
     "j1_asof_nearest",
     "j3_profile_phase_split",
-    "join_cross_matrix",
+    # (join_cross_matrix yields its slot to streaming_substring_matches;
+    # the intended-BNLJ shape stays permanently plan-swept via
+    # tests/test_plans.py BNLJ_ALLOWED and rotates back next round.)
     "pipeline_qaqc_job",        # r03-cohort AND touched this round
     "q11_important_parts",
     "q16_supplier_counts",

@@ -1131,3 +1131,40 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("component").orderBy(F.col("quality").desc(), F.col("doc_id"))
     return scored.withColumn("keep", F.row_number().over(w) == 1)
+
+
+@query(
+    "streaming_substring_matches",
+    oracle=rf"""
+WITH norm AS (
+  SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), wins AS (
+  SELECT doc_id, source, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS fp
+  FROM norm, unnest(range(len(ws) - 7)) AS t(i)
+  WHERE len(ws) >= 8
+), freq AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS df
+  FROM wins WHERE source NOT IN ('src18', 'src19')
+  GROUP BY 1
+)
+SELECT w.doc_id AS new_id, w.i AS pos, w.fp, f.df
+FROM wins w JOIN freq f ON w.fp = f.fp
+WHERE w.source IN ('src18', 'src19')
+""",
+)
+def streaming_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static repeated-substring transform
+    (streaming/joins.py:stream_substring_matches) on batch frames — the
+    unified-API contract that lets tests prove stream ≡ batch and gives the
+    driver a hash row. src18/src19 play the arriving stream; one row per
+    arriving 8-token window found verbatim in the standing corpus, with
+    the corpus doc-frequency of that window. The per-doc span merge is the
+    downstream batch step (dedup_substring_spans)."""
+    from rca_data_tools_spark.streaming.joins import stream_substring_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    new_pred = F.col("source").isin("src18", "src19")
+    out = stream_substring_matches(
+        d.filter(new_pred), d.filter(~new_pred), "doc_id", "text"
+    )
+    return out.select("new_id", F.col("pos").cast("long").alias("pos"), "fp", "df")

@@ -268,3 +268,51 @@ def stream_cdc_chunk_matches(
         F.length("chunk").alias("clen"),
     )
     return new.join(freq, "fp", "inner").select("new_id", "fp", "clen", "df")
+
+
+def stream_substring_matches(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Streaming face of ExactSubstr repeated-substring detection
+    (operators/dedup.repeated_substring_spans): every arriving document's
+    ``window``-token sliding-window fingerprints (a stateless per-row
+    transform + explode — runs unchanged on a stream) join the static
+    corpus's window doc-frequency table (stream-static equi-join — no
+    watermark, no state store). Emits one row per arriving window whose
+    exact text occurs anywhere in the standing corpus:
+    (new_id, pos, fp, df). Multiplicity is deterministic (one row per
+    window POSITION), so stream and batch agree exactly; the per-doc span
+    MERGE is an ordered aggregation and stays a downstream batch step —
+    exactly the split the CDC face makes (stream_cdc_chunk_matches).
+
+    Scale shape: per micro-batch cost is the batch-sized windowing plus one
+    equi-join on 32-byte fingerprints against the (persisted, bucketable)
+    corpus window-frequency dim; the corpus is never re-windowed per batch
+    and no streaming state accumulates."""
+    from rca_data_tools_spark.functions.text import normalize, tokens
+
+    def _wins(df: DataFrame) -> DataFrame:
+        toks = tokens(normalize(text_col))
+        n_win = F.size(toks) - F.lit(window - 1)
+        wins = F.transform(
+            F.sequence(F.lit(0), n_win - F.lit(1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))).alias("fp"),
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.when(n_win > 0, wins)).alias("w")
+        ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+
+    freq = (
+        _wins(corpus).groupBy("fp").agg(F.count_distinct("doc_id").alias("df")).persist()
+    )
+    new = _wins(incoming).select(
+        F.col("doc_id").alias("new_id"), "pos", "fp"
+    )
+    return new.join(freq, "fp", "inner").select("new_id", "pos", "fp", "df")

@@ -736,3 +736,54 @@ def test_stream_cdc_chunk_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cdc_stream").collect()
     )
     assert got == expect
+
+
+def test_stream_substring_matches_batch(spark, tmp_path):
+    """The stream-static repeated-substring transform must emit EXACTLY the
+    batch row set when the incoming docs arrive as a file stream against
+    the static corpus — per-window-position multiplicity included
+    (stateless: windowing projection + one fingerprint equi-join)."""
+    from rca_data_tools_spark.streaming.joins import stream_substring_matches
+
+    passage = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    corpus = spark.createDataFrame(
+        [(1, "corpus preamble " + passage + " corpus tail"),
+         (2, "a fully distinct standing corpus document with its own words entirely")],
+        "doc_id long, text string",
+    )
+    incoming_rows = [
+        (100, "fresh lead-in before " + passage + " and a fresh tail"),
+        (101, "totally novel arriving text sharing nothing with anyone at all today"),
+    ]
+    in_dir = str(tmp_path / "substr_incoming")
+    spark.createDataFrame(incoming_rows, "doc_id long, text string").repartition(
+        2
+    ).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    expect = sorted(
+        (r.new_id, r.pos, r.fp, r.df)
+        for r in stream_substring_matches(
+            spark.read.schema(schema).parquet(in_dir), corpus, "doc_id", "text"
+        ).collect()
+    )
+    # the planted 12-token passage yields 12-8+1 = 5 matching windows for
+    # doc 100; the novel doc contributes nothing
+    assert {e[0] for e in expect} == {100} and len(expect) == 5
+
+    st = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        stream_substring_matches(st, corpus, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("substr_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.new_id, r.pos, r.fp, r.df)
+        for r in spark.sql("SELECT * FROM substr_stream").collect()
+    )
+    assert got == expect
