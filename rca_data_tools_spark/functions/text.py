@@ -47,24 +47,45 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
 
 
+def let_(col: Column, fn) -> Column:
+    """Expression-level let binding: evaluate ``col`` ONCE and pass it to
+    ``fn`` as a lambda variable. An outer-scope expression captured inside
+    a ``transform``/``filter`` lambda re-evaluates PER ELEMENT (no CSE
+    across the lambda boundary — measured 147s vs 17.6s for char 5-grams
+    over the sf1 corpus, 8.4x); a lambda VARIABLE is a cheap reference.
+    The binding is a transform over a single-element array."""
+    return F.get(F.transform(F.array(col), fn), 0)
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams (shingles) of the normalized text.
 
     Built with sequence+transform so the whole thing stays in the JVM;
-    used as the shingle stage of MinHash / Jaccard dedup.
-    """
-    norm = normalize(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+    used as the shingle stage of MinHash / Jaccard dedup. The normalized
+    string is let-bound (see let_) so the regex normalization runs once
+    per row, not once per character position."""
+    return let_(
+        normalize(text),
+        lambda norm: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1))),
+                lambda i: norm.substr(i, F.lit(n)),
+            )
+        ),
+    )
 
 
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
-    toks = tokens(normalize(text))
-    count = F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
-    idx = F.sequence(F.lit(0), count - F.lit(1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)))
+    """Distinct word n-grams of the normalized text (token array let-bound:
+    tokenization runs once per row, not once per n-gram position)."""
+    return let_(
+        tokens(normalize(text)),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)) - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+            )
+        ),
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rca_data_tools_spark.functions.text import char_ngrams, normalize, tokens
+from rca_data_tools_spark.functions.text import char_ngrams, normalize, tokens, word_ngrams
 
 # MinHash family: K universal-hash permutations, banded b x r for candidates.
 MINHASH_K = 16
@@ -735,6 +735,43 @@ def cdc_chunk_kernel(batches):
         yield pd.DataFrame({"doc_id": doc_ids, "chunk": chunks})
 
 
+def _window_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, pos, fp) sliding-window fingerprint rows: fp is the first 60
+    bits of md5(window text) as a long — the shingle_hashes trick: a 60-bit
+    key is collision-free at any realistic window population (P ~ n²/2⁶¹)
+    and longs group/join several times cheaper than 32-char hex strings,
+    which the sf1 dup-dense measurement showed dominating the spans
+    pipeline (every window of every clone repeats, so nearly all 10M
+    window rows survive into the doc-frequency agg and the flag join).
+
+    The token array materializes in its own projection BEFORE the window
+    transform: an expression referenced inside a ``transform`` lambda
+    re-evaluates PER ELEMENT, so leaving ``tokens(normalize(text))``
+    inline re-ran the regex split once per window position — measured 57s
+    for the bare windowing pass at sf1; a column reference inside the
+    lambda is free (5.3s after this split, 11x)."""
+    toked = docs.select(
+        F.col(id_col), tokens(normalize(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n_win = F.size(toks) - F.lit(window - 1)
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))), 1, 15),
+                16, 10,
+            ).cast("long").alias("fp"),
+        ),
+    )
+    return toked.select(
+        F.col(id_col), F.explode(F.when(n_win > 0, wins)).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+
+
 def repeated_substring_spans(
     docs: DataFrame,
     id_col: str,
@@ -769,18 +806,7 @@ def repeated_substring_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = tokens(normalize(text_col))
-    n_win = F.size(toks) - F.lit(window - 1)
-    wins = F.transform(
-        F.sequence(F.lit(0), n_win - F.lit(1)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))).alias("fp"),
-        ),
-    )
-    exploded = docs.select(
-        F.col(id_col), F.explode(F.when(n_win > 0, wins)).alias("w")
-    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    exploded = _window_fingerprints(docs, id_col, text_col, window)
     rep = (
         exploded.groupBy("fp")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
@@ -823,7 +849,11 @@ def remove_substring_spans(
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
     )
-    toks = tokens(normalize(text_col))
+    # tokenize ONCE per row in its own projection (same hoist as
+    # _window_fingerprints: re-evaluating the regex split in every output
+    # expression quadruples the scan cost)
+    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(
@@ -831,7 +861,7 @@ def remove_substring_spans(
             lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
         ),
     )
-    out = docs.join(span_arr, id_col, "left").select(
+    out = toked.join(span_arr, id_col, "left").select(
         F.col(id_col),
         F.when(F.col("__sp").isNull(), F.concat_ws(" ", toks))
         .otherwise(F.concat_ws(" ", kept))
@@ -842,3 +872,75 @@ def remove_substring_spans(
         .alias("n_removed"),
     )
     return out
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_pair_limit=PAIR_LIMIT_DEFAULT,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 "Scaling Up All Pairs
+    Similarity Search"): lossless for pairs with Jaccard >= threshold,
+    without the naive inverted index's hot-gram pair explosion.
+
+    Why: a plain index self-join emits sum_g df(g)^2/2 candidate rows — on
+    the sf1 dup-dense corpus that is 138M joined rows collapsing to 250k
+    true pairs (measured; the naive shape ran 220s+). Prefix filtering
+    indexes only each document's FIRST p = |d| - ceil(t*|d|) + 1 grams in a
+    global rarest-first order (df asc, gram asc): if two sets share NO
+    prefix gram, every shared gram lies in a suffix smaller than
+    ceil(t*|d|) <= |intersection|, a contradiction — so every qualifying
+    pair collides in the prefix index, and rare-first ordering makes those
+    collisions scarce.
+
+    Plan: one explode for the df table (map-side-combined groupBy on 60-bit
+    hashed grams), one per-doc window for the prefix ranks (partitioned by
+    doc, never global), a prefix-only self-join, then exact verify via
+    per-pair array_intersect on the full hashed-gram arrays — candidate
+    pairs ride the same _pair_side broadcast guard as the MinHash verify.
+
+    Returns (id1, id2, jaccard) with jaccard rounded at the engine-parity
+    scale — bit-identical to the naive formulation (the SQL oracle replays
+    the naive index join; results must hash-match)."""
+    from pyspark.sql.window import Window
+
+    g60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    gram_arr = F.transform(word_ngrams(text_col, n), g60)
+    base = docs.select(F.col(id_col).alias("__id"), gram_arr.alias("__gs")).persist()
+
+    grams = base.select("__id", F.explode("__gs").alias("g"))
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    # prefix size per doc: |d| - ceil(t*|d|) + 1
+    ranked = (
+        grams.join(dfreq, "g")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(F.col("__df"), F.col("g"))
+            ),
+        )
+        .join(base.select("__id", F.size("__gs").alias("__n")), "__id")
+        .filter(F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+        .select("__id", "g")
+    )
+    cand = (
+        ranked.withColumnRenamed("__id", "id1")
+        .join(ranked.withColumnRenamed("__id", "id2"), "g")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = base.select(F.col("__id").alias("id1"), F.col("__gs").alias("gs1"))
+    s2 = base.select(F.col("__id").alias("id2"), F.col("__gs").alias("gs2"))
+    jac = jaccard_expr(F.col("gs1"), F.col("gs2"))
+    return (
+        s1.join(_pair_side(cand, broadcast_pair_limit), "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

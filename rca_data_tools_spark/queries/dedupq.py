@@ -237,32 +237,18 @@ WHERE ROUND(i.n_inter / (z1.n + z2.n - i.n_inter), 6) >= 0.5
 
 @query("dedup_ngram_jaccard", oracle=_word_jaccard_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs >= 0.5, candidates = pairs sharing any
-    gram (inverted-index join, never a cross product)."""
+    """Exact word-3-gram Jaccard pairs >= 0.5 via PREFIX FILTERING
+    (operators/dedup.set_similarity_join, the AllPairs/PPJoin family —
+    lossless for the threshold, so the ORACLE stays the naive inverted
+    index and the hash-match proves the pruned plan exact). The naive
+    index self-join measured 138M candidate rows / 220s+ at the sf1
+    dup-dense corpus; the prefix index collides qualifying pairs on their
+    rarest grams only."""
     d = load_table(spark, sf_dir, "documents")
-    # word_ngrams dedupes inside the row (array_distinct), so the exploded
-    # (doc_id, g) stream is already distinct — no .distinct() shuffle — and
-    # each doc's gram-set size is just the array length — no groupBy shuffle.
-    gram_arr = word_ngrams("text", 3)
-    grams = d.select("doc_id", F.explode(gram_arr).alias("g"))
-    sizes = d.select("doc_id", F.size(gram_arr).alias("n"))
-    a = grams.select(F.col("doc_id").alias("id1"), "g")
-    b = grams.select(F.col("doc_id").alias("id2"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    z1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
-    jac = F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6)
-    return (
-        inter.join(z1, "id1")
-        .join(z2, "id2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id1", "id2", "jaccard")
+    from rca_data_tools_spark.operators.dedup import set_similarity_join
+
+    return set_similarity_join(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id1", "id2", "jaccard"
     )
 
 
@@ -384,13 +370,17 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(span) — 32-byte keys, map-side combined — never on document text.
     Two shuffles total on uniform hash keys; no skew (spans are near-unique
     outside boilerplate, and boilerplate keys partial-aggregate map-side)."""
+    from rca_data_tools_spark.functions.text import let_
+
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(normalize("text"))
-    n_span = F.floor(F.size(toks) / F.lit(8))
-    spans = F.transform(
-        F.sequence(F.lit(0), n_span - F.lit(1)),
+    # let-bound token array: tokenization once per row, not once per span
+    spans_of = lambda toks: F.transform(
+        F.sequence(F.lit(0), F.floor(F.size(toks) / F.lit(8)) - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(toks, (i * F.lit(8)) + F.lit(1), 8)),
     )
+    toks0 = tokens(normalize("text"))
+    n_span = F.floor(F.size(toks0) / F.lit(8))
+    spans = let_(toks0, spans_of)
     exploded = (
         d.select("doc_id", F.explode(F.when(n_span > 0, spans)).alias("span"))
         .withColumn("fp", F.md5("span"))
@@ -942,7 +932,7 @@ _SUBSTR_SPAN_CTES = rf"""
 norm AS (
   SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
 ), wins AS (
-  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS fp
+  SELECT doc_id, i, CAST(('0x' || substr(md5(array_to_string(ws[(i+1):(i+8)], ' ')), 1, 15)) AS BIGINT) AS fp
   FROM norm, unnest(range(len(ws) - 7)) AS t(i)
   WHERE len(ws) >= 8
 ), rep AS (
@@ -1139,7 +1129,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH norm AS (
   SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS ws FROM documents
 ), wins AS (
-  SELECT doc_id, source, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS fp
+  SELECT doc_id, source, i, CAST(('0x' || substr(md5(array_to_string(ws[(i+1):(i+8)], ' ')), 1, 15)) AS BIGINT) AS fp
   FROM norm, unnest(range(len(ws) - 7)) AS t(i)
   WHERE len(ws) >= 8
 ), freq AS (

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rca_data_tools_spark.functions.text import (
+    let_,
     BPE_TOKEN_RE,
     LANG_MARKERS,
     bpe_token_count,
@@ -421,11 +422,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda dtok: F.size(F.filter(toks, lambda x: x == dtok)),
-        )
+    # let-bound (functions/text.let_): the captured token split would
+    # otherwise re-run once per DISTINCT token inside the nested filter
+    top_count = let_(
+        toks,
+        lambda tk: F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda dtok: F.size(F.filter(tk, lambda x: x == dtok)),
+            )
+        ),
     )
     s = d.select(
         "doc_id",

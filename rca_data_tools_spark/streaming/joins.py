@@ -293,26 +293,13 @@ def stream_substring_matches(
     equi-join on 32-byte fingerprints against the (persisted, bucketable)
     corpus window-frequency dim; the corpus is never re-windowed per batch
     and no streaming state accumulates."""
-    from rca_data_tools_spark.functions.text import normalize, tokens
-
-    def _wins(df: DataFrame) -> DataFrame:
-        toks = tokens(normalize(text_col))
-        n_win = F.size(toks) - F.lit(window - 1)
-        wins = F.transform(
-            F.sequence(F.lit(0), n_win - F.lit(1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))).alias("fp"),
-            ),
-        )
-        return df.select(
-            F.col(id_col).alias("doc_id"), F.explode(F.when(n_win > 0, wins)).alias("w")
-        ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    from rca_data_tools_spark.operators.dedup import _window_fingerprints
 
     freq = (
-        _wins(corpus).groupBy("fp").agg(F.count_distinct("doc_id").alias("df")).persist()
+        _window_fingerprints(corpus, id_col, text_col, window)
+        .groupBy("fp").agg(F.count_distinct(id_col).alias("df")).persist()
     )
-    new = _wins(incoming).select(
-        F.col("doc_id").alias("new_id"), "pos", "fp"
+    new = _window_fingerprints(incoming, id_col, text_col, window).select(
+        F.col(id_col).alias("new_id"), "pos", "fp"
     )
     return new.join(freq, "fp", "inner").select("new_id", "pos", "fp", "df")
