@@ -44,6 +44,18 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--window-end", default=None)
     j.add_argument("--threshold", type=int, default=5_000_000)
     j.add_argument("--out-dir", default=None)
+    j.add_argument(
+        "--compute-exceptions", default=None, metavar="YAML",
+        help="per-(site,span) resource-hint catalog (the reference's "
+        "params/compute_exceptions.yaml schema {site: {span: tier}}); a "
+        "hit routes this job onto the tier's SQLConf (pipeline.py "
+        "COMPUTE_TIER_CONF), a miss runs the default tier",
+    )
+    j.add_argument(
+        "--status-url", default=None,
+        help="operational-status JSON feed; failures degrade to an empty "
+        "dim and every row reads UNAVAILABLE (dashboard.py:290-302 contract)",
+    )
 
     ix = sub.add_parser("index", help="write the output-directory JSON index")
     ix.add_argument("--out-dir", required=True)
@@ -126,11 +138,19 @@ def main(argv: list[str] | None = None) -> int:
         from rca_data_tools_spark.pipeline import QAQCJobSpec, run_qaqc_job
         from rca_data_tools_spark.sources.readers import load_table
 
+        exceptions = None
+        if args.compute_exceptions:
+            from rca_data_tools_spark.pipeline import load_compute_exceptions
+
+            exceptions = load_compute_exceptions(args.compute_exceptions)
         spec = QAQCJobSpec(
             site=args.site, span=args.span, table=args.table,
             key_col=args.key_col, ts_col=args.ts_col, value_col=args.value_col,
             window_end=args.window_end, threshold=args.threshold,
+            compute_exceptions=exceptions,
         )
+        if exceptions is not None:
+            print(f"compute tier: {spec.compute_tier}")
         # default gross-range dim: per-key fail span from observed min/max
         # padded 10% (a stand-in for the QARTOD config CSVs; pass real spans
         # through sources/readers.read_csv in production)
@@ -145,7 +165,14 @@ def main(argv: list[str] | None = None) -> int:
             F.col("lo").alias("sus_lo"),
             F.col("hi").alias("sus_hi"),
         )
-        out = run_qaqc_job(spark, args.sf_dir, spec, dim, out_dir=args.out_dir)
+        status_dim = None
+        if args.status_url:
+            from rca_data_tools_spark.sources.ingest import ingest_status_json
+
+            status_dim = ingest_status_json(spark, args.status_url)
+        out = run_qaqc_job(
+            spark, args.sf_dir, spec, dim, out_dir=args.out_dir, status_dim=status_dim
+        )
         print(f"rows: {out.count()}"
               + (f" -> {args.out_dir} (site={args.site}/span={args.span})" if args.out_dir else ""))
         return 0

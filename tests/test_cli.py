@@ -31,3 +31,23 @@ def test_query_and_qaqc_and_index(spark, tmp_path, capsys):
     assert "rows:" in capsys.readouterr().out
     assert main(["index", "--out-dir", out_dir]) == 0
     assert any("SUCCESS" in f or f.endswith(".json") for f in os.listdir(out_dir))
+
+
+def test_qaqc_with_compute_exceptions_and_degraded_status(tmp_path, capsys):
+    """CLI parity with the reference's launch surface: --compute-exceptions
+    routes the job onto the hinted tier (printed), and --status-url with a
+    dead endpoint degrades to UNAVAILABLE instead of failing the run."""
+    exc = tmp_path / "compute_exceptions.yaml"
+    exc.write_text('SITE01:\n  "week": "8vcpu_60gb"\n')
+    assert (
+        main(
+            ["qaqc", "--sf-dir", SF_SMOKE, "--window-end", "2024-01-20 00:00:00",
+             "--threshold", "50",
+             "--compute-exceptions", str(exc),
+             "--status-url", "http://127.0.0.1:9/api/status"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "compute tier: 8vcpu_60gb" in out
+    assert "rows:" in out
