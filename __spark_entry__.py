@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the seven queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the eight queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -42,6 +42,7 @@ _ROUND_WINDOW = [
     "sample_token_budget",      # per-domain greedy token-budget selection
     "dedup_keep_best",          # highest-quality representative per cluster
     "streaming_substring_matches",  # stream-static ExactSubstr window face
+    "text_chunk_windows",       # overlapping RAG chunking, zero-shuffle scan
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -83,7 +84,8 @@ _ROUND_WINDOW = [
     "pipeline_qaqc_job",        # r03-cohort AND touched this round
     "q11_important_parts",
     "q16_supplier_counts",
-    "q20_promotable_suppliers",
+    # (q20_promotable_suppliers yields its slot to text_chunk_windows;
+    # q11/q16/q22 keep the TPC-H family sentinels.)
     "q22_idle_customers",
     "sample_importance",
     "sessionize_events",

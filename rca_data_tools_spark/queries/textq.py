@@ -933,3 +933,68 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bn").alias("cum_vocab"),
         )
     )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48  # 16-token overlap
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(range(CAST(CASE WHEN len(ws) <= {_CHUNK_SIZE} THEN 1
+           ELSE ceil((len(ws) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) + 1 END AS BIGINT)))
+           AS chunk_idx
+  FROM norm WHERE len(ws) > 0
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(ws[(chunk_idx * {_CHUNK_STRIDE} + 1):(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE})], ' ')
+         AS chunk_text,
+       CAST(LEAST({_CHUNK_SIZE}, len(ws) - chunk_idx * {_CHUNK_STRIDE}) AS BIGINT)
+         AS n_tokens
+FROM idx
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/RAG ingestion
+    shape (chunk size 64 tokens, stride 48 = 16-token overlap, final
+    partial chunk kept): (doc_id, chunk_idx, chunk_text, n_tokens), with
+    chunk count ceil((n-size)/stride)+1 so every token lands in >= 1 chunk
+    and boundaries overlap for context continuity.
+
+    Scale shape: tokenization is let-bound (once per row — see
+    functions/text.let_), the chunk build is a per-row transform + explode
+    (no shuffle at all: this is a pure reshaping scan), and the output
+    partitions by whatever the sink needs. At 100 TB this is the
+    throughput-bound pass it should be."""
+    from rca_data_tools_spark.functions.text import let_
+
+    d = load_table(spark, sf_dir, "documents")
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+
+    def chunks_of(toks):
+        n = F.size(toks)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - size) / F.lit(float(stride))) + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - F.lit(1)),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("chunk_text"),
+                F.least(F.lit(size), F.size(toks) - i * stride).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    out = d.select(
+        "doc_id", F.explode(let_(tokens(normalize("text")), chunks_of)).alias("c")
+    ).filter(F.col("c.n_tokens") > 0)
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
