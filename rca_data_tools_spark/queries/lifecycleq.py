@@ -469,3 +469,51 @@ def ingest_status_degrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_live = status_overlay(sites, live).withColumn("feed", F.lit("live"))
     out_dead = status_overlay(sites, degraded).withColumn("feed", F.lit("degraded"))
     return out_live.unionByName(out_dead).select("site", "feed", "status")
+
+
+@query(
+    "sink_zarr_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       MAX(user_id) AS max_user,
+       MIN(epoch_ns(ts)) AS min_ts_ns,
+       MAX(epoch_ns(ts)) AS max_ts_ns
+FROM events
+""",
+)
+def sink_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-format WRITE lifecycle: the events table is written as a Zarr
+    v2 store by the distributed writer (sources/zarr_sink.write_zarr_v2 —
+    one executor task per chunk, consolidated metadata, edge-chunk
+    padding), read BACK through the engine's native Zarr scan
+    (sources/zarr.zarr_table), and aggregated; the oracle computes the
+    same aggregate straight from the parquet table. A hash match therefore
+    certifies the full write + layout + read-back + typing loop — raw
+    IEEE doubles and epoch-ns timestamps must survive bit-for-bit.
+
+    Scale shape: the write is chunk-parallel (groupBy chunk id, bounded
+    per-task memory), the read is chunk-parallel, and the aggregate is
+    map-side combined. The dense storage index comes from the DISTRIBUTED
+    global row number (operators/ranking.global_row_number — range shuffle
+    + parallel per-partition windows + broadcast offsets), never the
+    single-partition window Spark plans for a bare orderBy."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.operators.ranking import global_row_number
+    from rca_data_tools_spark.sources.zarr import zarr_table
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v2
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    staged = global_row_number(e, [F.col("ts"), F.col("event_id")], rank_col="__rank")
+    staged = staged.withColumn("idx", F.col("__rank") - 1)
+    root = os.path.join(tempfile.mkdtemp(prefix="rca_zarr_sink_"), "events.zarr")
+    write_zarr_v2(staged, root, "idx", ["ts", "user_id", "value"], chunk_rows=4096)
+
+    back = zarr_table(spark, root, ["ts", "user_id", "value"])
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("ts").cast("long").alias("min_ts_ns"),
+        F.max("ts").cast("long").alias("max_ts_ns"),
+    )

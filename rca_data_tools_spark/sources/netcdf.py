@@ -206,6 +206,16 @@ def _apply_cf_packing(arr: np.ndarray, attrs: dict) -> np.ndarray:
     return arr
 
 
+def _cdf_keeps_int(meta: dict) -> bool:
+    """Integer variable with no CF numeric semantics -> bigint column,
+    values exact (mirror of zarr._keeps_int; int64 payloads such as
+    epoch-ns times are not representable in float64 above 2^53)."""
+    attrs = meta.get("attrs") or {}
+    return meta["dtype"].kind in "iu" and not any(
+        k in attrs for k in ("_FillValue", "missing_value", "scale_factor", "add_offset")
+    )
+
+
 def netcdf_table(
     spark: SparkSession,
     path: str,
@@ -263,6 +273,8 @@ def netcdf_table(
                             .str.decode("utf-8", errors="replace")
                             .str.rstrip("\x00 ")
                         )
+                    elif arr.ndim == 1 and _cdf_keeps_int(metas[v]):
+                        out[v] = arr.astype(np.int64)
                     else:
                         arr = _apply_cf_packing(
                             arr.astype(np.float64), metas[v].get("attrs")
@@ -273,6 +285,8 @@ def netcdf_table(
     def _field(v: str) -> str:
         if metas[v]["dtype"].kind == "S":
             return f"`{v}` string"
+        if len(metas[v]["shape"]) == 1 and _cdf_keeps_int(metas[v]):
+            return f"`{v}` bigint"
         return (
             f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
         )
@@ -506,6 +520,9 @@ def netcdf4_table(
                             .str.rstrip("\x00 ")
                         )
                         continue
+                    if len(metas[v]["shape"]) == 1 and _cdf_keeps_int(metas[v]):
+                        out[v] = raw[:, 0].astype(np.int64)
+                        continue
                     arr = _apply_cf_packing(
                         raw.astype(np.float64), metas[v]["attrs"]
                     )
@@ -515,6 +532,8 @@ def netcdf4_table(
     def _field4(v: str) -> str:
         if metas[v]["dtype"].kind in "SV":
             return f"`{v}` string"
+        if len(metas[v]["shape"]) == 1 and _cdf_keeps_int(metas[v]):
+            return f"`{v}` bigint"
         return (
             f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
         )

@@ -559,6 +559,19 @@ def time_row_range(root, time_var: str, lo, hi) -> tuple[int, int]:
     return bisect_row_range(chunk, lambda cid: cid * c0, n_chunks, n_rows, lo, hi)
 
 
+def _keeps_int(meta: dict, cfa: dict) -> bool:
+    """True when a 1-D variable keeps its integer identity through the scan:
+    integer storage dtype and NO CF numeric semantics (no scale/offset and
+    no declared fill) — then the column is ``bigint`` and values are exact.
+    Any fill/packing routes through float64 + NaN, the engine's NULL
+    convention."""
+    return (
+        np.dtype(meta["dtype"]).kind in "iu"
+        and not cfa
+        and meta.get("fill_value") is None
+    )
+
+
 def zarr_table(
     spark: SparkSession,
     root: str,
@@ -691,6 +704,13 @@ def zarr_table(
                     if two_d:
                         k = m["shape"][1]
                         out[v] = list(arr[:, :k].astype(np.float64))
+                    elif _keeps_int(m, cf_attrs[v]):
+                        # integer data with no CF packing/missing semantics
+                        # keeps its integer identity: epoch-ns timestamps and
+                        # other int64 payloads are NOT representable in
+                        # float64 above 2^53 (a silent ±hundreds-of-ns error
+                        # the round-6 zarr-sink roundtrip caught)
+                        out[v] = arr.astype(np.int64)
                     else:
                         out[v] = arr.astype(np.float64)
                 yield pd.DataFrame(out)
@@ -698,6 +718,8 @@ def zarr_table(
     def _zfield(v: str) -> str:
         if np.dtype(metas[v]["dtype"]).kind in "SU":
             return f"`{v}` string"
+        if len(metas[v]["shape"]) == 1 and _keeps_int(metas[v], cf_attrs[v]):
+            return f"`{v}` bigint"
         return (
             f"`{v}` array<double>" if len(metas[v]["shape"]) == 2 else f"`{v}` double"
         )

@@ -1,0 +1,180 @@
+"""Distributed Zarr v2 writer — the write face of the native scan.
+
+The reference's corpus lives AS Zarr stores (its dashboards read them via
+fsspec mappers, qaqc/dashboard.py:305-313); stores are produced upstream by
+xarray.to_zarr. This module closes that loop engine-side: a DataFrame with a
+dense row index writes out as a Zarr v2 group — one chunk file per
+(variable, chunk id), produced IN PARALLEL by the executors — that the
+engine's own reader (sources/zarr.py zarr_table), zarr-python, and xarray
+can all open.
+
+Layout written (Zarr v2 spec, zarr.dev/spec/v2):
+- ``<root>/.zgroup``                 {"zarr_format": 2}
+- ``<root>/.zmetadata``              consolidated metadata (xarray convention)
+- ``<root>/<var>/.zarray``           shape/chunks/dtype/compressor/order
+- ``<root>/<var>/.zattrs``           optional CF attrs per variable
+- ``<root>/<var>/<cid>``             zlib-compressed C-order chunk bytes,
+                                     edge chunk zero-padded to full shape
+
+Scale shape: rows are assigned to chunks by ``idx // chunk_rows`` and each
+chunk is built by ONE task (applyInPandas over the chunk id — the group is
+at most ``chunk_rows`` rows, bounded memory), so the write parallelizes
+across the chunk grid exactly like the read does. The only shuffle is the
+groupBy on chunk id. ``root`` must be a path every executor can reach (a
+shared filesystem locally; an object-store mount/adapter in production —
+the read side's KeyValueStore abstraction is the model to mirror there).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Spark SQL type -> (numpy dtype str, fill value). Timestamps are epoch-ns
+#: int64 (the CF-style convention the reader's time pruning bisects over).
+_DTYPES = {
+    "double": ("<f8", "NaN"),
+    "float": ("<f4", "NaN"),
+    "bigint": ("<i8", None),
+    "int": ("<i4", None),
+    "smallint": ("<i2", None),
+    "timestamp": ("<i8", None),
+    "timestamp_ntz": ("<i8", None),
+}
+
+
+def write_zarr_v2(
+    df: DataFrame,
+    root: str,
+    idx_col: str,
+    columns: list[str],
+    chunk_rows: int = 16384,
+    level: int = 1,
+    attrs: "dict[str, dict] | None" = None,
+) -> int:
+    """Write ``columns`` of ``df`` as 1-D Zarr v2 arrays sharing dim-0.
+
+    ``idx_col`` must hold a DENSE 0..n-1 row index (it defines storage
+    order; build one with row_number over the store's sort order). Every
+    column must be numeric or timestamp — string columns refuse loudly
+    (the reader scans fixed-width strings, but a writer needs a length
+    policy the caller should set explicitly by encoding first). NULLs in
+    float columns become NaN; NULLs in integer columns refuse loudly
+    (Zarr v2 integers have no missing-value representation without a CF
+    fill attribute — pass one via ``attrs`` and fill beforehand).
+
+    Returns the row count written. The store is immediately readable by
+    sources/zarr.zarr_table (roundtrip-tested, including over HTTP).
+    """
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in [idx_col, *columns]:
+        if c not in fields:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    for c in columns:
+        if fields[c] not in _DTYPES:
+            raise NotImplementedError(
+                f"zarr writer supports numeric/timestamp columns; {c!r} is "
+                f"{fields[c]} — encode it to a numeric form first"
+            )
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("refusing to write an empty zarr store")
+
+    os.makedirs(root, exist_ok=True)
+    metas: dict[str, dict] = {}
+    for c in columns:
+        dt, _ = _DTYPES[fields[c]]
+        d = os.path.join(root, c)
+        os.makedirs(d, exist_ok=True)
+        meta = {
+            "zarr_format": 2,
+            "shape": [n],
+            "chunks": [chunk_rows],
+            "dtype": dt,
+            "compressor": {"id": "zlib", "level": level},
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+        }
+        metas[c] = meta
+        with open(os.path.join(d, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        var_attrs = (attrs or {}).get(c)
+        if var_attrs:
+            with open(os.path.join(d, ".zattrs"), "w") as f:
+                json.dump(var_attrs, f)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    consolidated = {"zarr_format": 2, "metadata": {".zgroup": {"zarr_format": 2}}}
+    for c, meta in metas.items():
+        consolidated["metadata"][f"{c}/.zarray"] = meta
+        var_attrs = (attrs or {}).get(c)
+        if var_attrs:
+            consolidated["metadata"][f"{c}/.zattrs"] = var_attrs
+    with open(os.path.join(root, ".zmetadata"), "w") as f:
+        json.dump({"zarr_format": 2, "consolidated_format": 1, **consolidated}, f)
+
+    col_dts = {c: _DTYPES[fields[c]][0] for c in columns}
+    col_types = {c: fields[c] for c in columns}
+    n_rows, cr = n, chunk_rows
+
+    def _write_chunk(pdf):
+        import pandas as pd
+
+        cid = int(pdf["__cid"].iloc[0])
+        lo = cid * cr
+        expect = min(cr, n_rows - lo)
+        if len(pdf) != expect:
+            raise ValueError(
+                f"chunk {cid}: {len(pdf)} rows, expected {expect} — the "
+                f"index column must be a dense 0..n-1 sequence"
+            )
+        pdf = pdf.sort_values("__idx")
+        idx = pdf["__idx"].to_numpy()
+        if idx[0] != lo or idx[-1] != lo + expect - 1:
+            raise ValueError(f"chunk {cid}: index rows not dense in [{lo}, {lo+expect})")
+        for c in cols_order:
+            dt = col_dts[c]
+            s = pdf[c]
+            if col_types[c].startswith("timestamp"):
+                vals = s.astype("datetime64[ns]").astype("int64").to_numpy()
+            elif dt in ("<f8", "<f4"):
+                vals = s.to_numpy(dtype=dt)  # NULL -> NaN via pandas
+            else:
+                if s.isna().any():
+                    raise ValueError(
+                        f"column {c!r} has NULLs; integer zarr needs an "
+                        "explicit fill — fill beforehand and declare it in attrs"
+                    )
+                vals = s.to_numpy(dtype=dt)
+            arr = np.asarray(vals, dtype=dt)
+            if expect < cr:  # edge chunk zero-pads to full shape (v2 spec)
+                arr = np.concatenate([arr, np.zeros(cr - expect, dtype=dt)])
+            payload = zlib.compress(np.ascontiguousarray(arr).tobytes(), level)
+            tmp = os.path.join(root, c, f".{cid}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, os.path.join(root, c, str(cid)))  # atomic publish
+        return pd.DataFrame({"cid": [cid], "rows": [expect]})
+
+    cols_order = list(columns)
+    staged = df.select(
+        F.col(idx_col).cast("long").alias("__idx"),
+        (F.col(idx_col).cast("long") / cr).cast("long").alias("__cid"),
+        *[F.col(c) for c in columns],
+    )
+    written = (
+        staged.groupBy("__cid")
+        .applyInPandas(_write_chunk, "cid long, rows long")
+        .agg(F.sum("rows").alias("n"))
+        .collect()[0]["n"]
+    )
+    if written != n:
+        raise ValueError(f"wrote {written} rows, expected {n}")
+    return int(written)
