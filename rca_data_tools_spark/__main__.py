@@ -9,6 +9,7 @@ equivalent operational surface:
   qaqc --site S --span P       run a QA/QC job lifecycle to a partitioned sink
   index --out-dir D            write the JSON output index (reference index.py)
   convert-zarr SRC OUT         one-pass Zarr (v2/v3) -> Parquet ingest
+  to-zarr TABLE OUT            parquet table -> Zarr v2 store (distributed)
   convert-nc SRC OUT           one-pass NetCDF (classic/NetCDF-4) -> Parquet
   bench                        the headline benchmark (same as bench.py)
 
@@ -82,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
         help="convert only rows with LO <= time-var < HI (raw coordinate "
         "units); the scan prunes to the overlapping chunks",
     )
+
+    tz = sub.add_parser("to-zarr", help="parquet table -> Zarr v2 store")
+    tz.add_argument("table", help="table name in --sf-dir (e.g. events)")
+    tz.add_argument("out", help="store root directory to create")
+    tz.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tz.add_argument("--columns", nargs="+", required=True)
+    tz.add_argument("--order-by", nargs="+", required=True,
+                    help="total order defining dim-0 (include a tiebreaker)")
+    tz.add_argument("--chunk-rows", type=int, default=16384)
 
     cn = sub.add_parser("convert-nc", help="NetCDF file -> Parquet ingest")
     cn.add_argument("src", help="local .nc path or http(s):// URL")
@@ -192,6 +202,23 @@ def main(argv: list[str] | None = None) -> int:
             time_range=tuple(args.time_range) if args.time_range else None,
         )
         print(f"rows: {df.count()} -> {args.out}")
+        return 0
+
+    if args.cmd == "to-zarr":
+        from pyspark.sql import functions as F
+
+        from rca_data_tools_spark.operators.ranking import global_row_number
+        from rca_data_tools_spark.sources.readers import load_table
+        from rca_data_tools_spark.sources.zarr_sink import write_zarr_v2
+
+        t = load_table(spark, args.sf_dir, args.table)
+        staged = global_row_number(
+            t, [F.col(c) for c in args.order_by], rank_col="__rank"
+        ).withColumn("idx", F.col("__rank") - 1)
+        n = write_zarr_v2(
+            staged, args.out, "idx", args.columns, chunk_rows=args.chunk_rows
+        )
+        print(f"rows: {n} -> {args.out} (vars: {', '.join(args.columns)})")
         return 0
 
     if args.cmd == "convert-nc":

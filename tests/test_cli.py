@@ -51,3 +51,19 @@ def test_qaqc_with_compute_exceptions_and_degraded_status(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compute tier: 8vcpu_60gb" in out
     assert "rows:" in out
+
+
+def test_to_zarr_then_convert_back(tmp_path, capsys):
+    """CLI write-read loop: to-zarr produces a store that convert-zarr can
+    round back into parquet with the same row count."""
+    store = str(tmp_path / "ev.zarr")
+    assert (
+        main(["to-zarr", "events", store, "--sf-dir", SF_SMOKE,
+              "--columns", "ts", "user_id", "value",
+              "--order-by", "ts", "event_id", "--chunk-rows", "512"])
+        == 0
+    )
+    assert "rows:" in capsys.readouterr().out
+    out_pq = str(tmp_path / "back")
+    assert main(["convert-zarr", store, out_pq, "--variables", "ts", "user_id", "value"]) == 0
+    assert "rows:" in capsys.readouterr().out
