@@ -504,12 +504,20 @@ def sink_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rca_data_tools_spark.sources.zarr_sink import write_zarr_v2
 
     e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    staged = global_row_number(e, [F.col("ts"), F.col("event_id")], rank_col="__rank")
-    staged = staged.withColumn("idx", F.col("__rank") - 1)
-    root = os.path.join(tempfile.mkdtemp(prefix="rca_zarr_sink_"), "events.zarr")
-    write_zarr_v2(staged, root, "idx", ["ts", "user_id", "value"], chunk_rows=4096)
-
-    back = zarr_table(spark, root, ["ts", "user_id", "value"])
+    if e.limit(1).count() == 0:
+        # empty-window contract (the engine-wide "No Data Available" rule):
+        # nothing to write — the writer refuses empty stores by design, so
+        # aggregate the empty frame directly; same 1-row 0/NULL result the
+        # oracle produces over zero rows
+        back = e.select(
+            F.unix_micros("ts") * 1000, F.col("user_id"), F.col("value")
+        ).toDF("ts", "user_id", "value")
+    else:
+        staged = global_row_number(e, [F.col("ts"), F.col("event_id")], rank_col="__rank")
+        staged = staged.withColumn("idx", F.col("__rank") - 1)
+        root = os.path.join(tempfile.mkdtemp(prefix="rca_zarr_sink_"), "events.zarr")
+        write_zarr_v2(staged, root, "idx", ["ts", "user_id", "value"], chunk_rows=4096)
+        back = zarr_table(spark, root, ["ts", "user_id", "value"])
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("value").alias("sum_value"),
