@@ -561,3 +561,96 @@ def test_global_heap_vlen_roundtrip(strings):
     # trailing never-written element: zero address -> ""
     got = read_vlen_strings(buf, desc)
     assert got == [s.decode("utf-8") for s in strs] + [""]
+
+
+# --- round-6 dedup algorithms vs brute-force Python references --------------
+
+_vocab = [f"w{i}" for i in range(12)]
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=0, max_size=30).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+def _py_word_ngrams(text: str, n: int) -> list:
+    # model functions.text.word_ngrams' published semantics exactly,
+    # including the short-doc edge: count = max(1, n_toks-(n-1)), so a doc
+    # with < n tokens yields one partial gram (and an empty doc the empty
+    # string) rather than no gram at all
+    toks = [t for t in text.strip().lower().split() if t]
+    count = max(1, len(toks) - (n - 1))
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(count)))
+
+
+@given(texts=_doc_strategy)
+@settings(**SETTINGS)
+def test_prefix_filtered_similarity_join_is_lossless(texts):
+    """set_similarity_join (AllPairs prefix filtering) must produce EXACTLY
+    the pairs the brute-force all-pairs Jaccard produces at the threshold —
+    losslessness is the whole point of the prefix bound, so any miss is a
+    bug in the prefix math, the global order, or the verify."""
+    from tests.conftest import get_shared_spark
+    from rca_data_tools_spark.operators.dedup import set_similarity_join
+
+    spark = get_shared_spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in set_similarity_join(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    expect = {}
+    grams = {i: set(_py_word_ngrams(t, 3)) for i, t in rows}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = grams[i], grams[j]
+            inter = len(a & b)
+            jac = round(inter / (len(a) + len(b) - inter), 6)
+            if jac >= 0.5:
+                expect[(i, j)] = jac
+    assert got == expect
+
+
+@given(texts=_doc_strategy)
+@settings(**SETTINGS)
+def test_repeated_substring_spans_match_python_reference(texts):
+    """repeated_substring_spans must equal a brute-force reference: flag
+    every 4-token window whose text occurs in >= 2 docs, merge flagged
+    positions with the gap > window rule, report (start, end, count)."""
+    from collections import Counter
+
+    from tests.conftest import get_shared_spark
+    from rca_data_tools_spark.operators.dedup import repeated_substring_spans
+
+    spark = get_shared_spark()
+    W = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in repeated_substring_spans(d, "doc_id", "text", window=W, min_df=2)
+        .select("doc_id", "span_start", "span_end", "n_windows").collect()
+    )
+    # reference
+    wins = {}
+    for i, t in rows:
+        toks = [x for x in t.strip().lower().split() if x]
+        wins[i] = [" ".join(toks[p : p + W]) for p in range(max(0, len(toks) - W + 1))]
+    df_count = Counter()
+    for i, ws in wins.items():
+        for w in set(ws):
+            df_count[w] += 1
+    expect = []
+    for i, ws in wins.items():
+        flagged = [p for p, w in enumerate(ws) if df_count[w] >= 2]
+        if not flagged:
+            continue
+        start, prev, cnt = flagged[0], flagged[0], 1
+        for p in flagged[1:]:
+            if p - prev > W:
+                expect.append((i, start, prev + W, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        expect.append((i, start, prev + W, cnt))
+    assert got == sorted(expect)
