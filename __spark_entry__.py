@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the nine queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the ten queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -44,6 +44,7 @@ _ROUND_WINDOW = [
     "streaming_substring_matches",  # stream-static ExactSubstr window face
     "text_chunk_windows",       # overlapping RAG chunking, zero-shuffle scan
     "sink_zarr_roundtrip",      # distributed Zarr v2 WRITE -> native read-back
+    "sink_netcdf_roundtrip",    # distributed CDF-5 WRITE -> native read-back
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -101,7 +102,8 @@ _ROUND_WINDOW = [
     "w7_profile_regrid",
     "w8_cell_aggregation",
     "w_ewma",
-    "w_moving_stats",
+    # (w_moving_stats yields its slot to sink_netcdf_roundtrip; w_ewma
+    # keeps the rolling-window family sentinel.)
     # (w_ntile_deciles yields its slot to sink_zarr_roundtrip; its
     # two-phase global-ranking machinery is exercised in-window by
     # text_perplexity, which uses the same global_ntile operator.)

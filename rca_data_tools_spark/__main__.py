@@ -10,6 +10,7 @@ equivalent operational surface:
   index --out-dir D            write the JSON output index (reference index.py)
   convert-zarr SRC OUT         one-pass Zarr (v2/v3) -> Parquet ingest
   to-zarr TABLE OUT            parquet table -> Zarr v2 store (distributed)
+  to-netcdf TABLE OUT          parquet table -> classic NetCDF (CDF-2/5)
   convert-nc SRC OUT           one-pass NetCDF (classic/NetCDF-4) -> Parquet
   bench                        the headline benchmark (same as bench.py)
 
@@ -92,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
     tz.add_argument("--order-by", nargs="+", required=True,
                     help="total order defining dim-0 (include a tiebreaker)")
     tz.add_argument("--chunk-rows", type=int, default=16384)
+
+    tn = sub.add_parser("to-netcdf", help="parquet table -> classic NetCDF file")
+    tn.add_argument("table")
+    tn.add_argument("out")
+    tn.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tn.add_argument("--columns", nargs="+", required=True)
+    tn.add_argument("--order-by", nargs="+", required=True)
 
     cn = sub.add_parser("convert-nc", help="NetCDF file -> Parquet ingest")
     cn.add_argument("src", help="local .nc path or http(s):// URL")
@@ -218,6 +226,21 @@ def main(argv: list[str] | None = None) -> int:
         n = write_zarr_v2(
             staged, args.out, "idx", args.columns, chunk_rows=args.chunk_rows
         )
+        print(f"rows: {n} -> {args.out} (vars: {', '.join(args.columns)})")
+        return 0
+
+    if args.cmd == "to-netcdf":
+        from pyspark.sql import functions as F
+
+        from rca_data_tools_spark.operators.ranking import global_row_number
+        from rca_data_tools_spark.sources.readers import load_table
+        from rca_data_tools_spark.sources.netcdf_sink import write_cdf
+
+        t = load_table(spark, args.sf_dir, args.table)
+        staged = global_row_number(
+            t, [F.col(c) for c in args.order_by], rank_col="__rank"
+        ).withColumn("idx", F.col("__rank") - 1)
+        n = write_cdf(staged, args.out, "idx", args.columns)
         print(f"rows: {n} -> {args.out} (vars: {', '.join(args.columns)})")
         return 0
 

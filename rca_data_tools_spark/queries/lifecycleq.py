@@ -525,3 +525,48 @@ def sink_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").cast("long").alias("min_ts_ns"),
         F.max("ts").cast("long").alias("max_ts_ns"),
     )
+
+
+@query(
+    "sink_netcdf_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       MAX(user_id) AS max_user,
+       MIN(epoch_ns(ts)) AS min_ts_ns,
+       MAX(epoch_ns(ts)) AS max_ts_ns
+FROM events
+""",
+)
+def sink_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-NetCDF WRITE lifecycle (the sibling of sink_zarr_roundtrip):
+    events written as a CDF-5 file by the distributed writer
+    (sources/netcdf_sink.write_cdf — executors pwrite row-slices at
+    driver-computed offsets, no record interleaving), read BACK through the
+    native CDF scan (sources/netcdf.netcdf_table), aggregated, and
+    hash-matched against the parquet truth — write + header + layout +
+    read-back typing certified end-to-end, epoch-ns exact."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.operators.ranking import global_row_number
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+    from rca_data_tools_spark.sources.netcdf_sink import write_cdf
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    if e.limit(1).count() == 0:
+        back = e.select(
+            F.unix_micros("ts") * 1000, F.col("user_id"), F.col("value")
+        ).toDF("ts", "user_id", "value")
+    else:
+        staged = global_row_number(
+            e, [F.col("ts"), F.col("event_id")], rank_col="__rank"
+        ).withColumn("idx", F.col("__rank") - 1)
+        path = os.path.join(tempfile.mkdtemp(prefix="rca_cdf_sink_"), "events.nc")
+        write_cdf(staged, path, "idx", ["ts", "user_id", "value"], rows_per_task=4096)
+        back = netcdf_table(spark, path, ["ts", "user_id", "value"])
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("ts").cast("long").alias("min_ts_ns"),
+        F.max("ts").cast("long").alias("max_ts_ns"),
+    )

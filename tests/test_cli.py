@@ -67,3 +67,16 @@ def test_to_zarr_then_convert_back(tmp_path, capsys):
     out_pq = str(tmp_path / "back")
     assert main(["convert-zarr", store, out_pq, "--variables", "ts", "user_id", "value"]) == 0
     assert "rows:" in capsys.readouterr().out
+
+
+def test_to_netcdf_then_convert_back(tmp_path, capsys):
+    nc = str(tmp_path / "ev.nc")
+    assert (
+        main(["to-netcdf", "events", nc, "--sf-dir", SF_SMOKE,
+              "--columns", "ts", "value", "--order-by", "ts", "event_id"])
+        == 0
+    )
+    assert "rows:" in capsys.readouterr().out
+    out_pq = str(tmp_path / "back")
+    assert main(["convert-nc", nc, out_pq, "--variables", "ts", "value"]) == 0
+    assert "rows:" in capsys.readouterr().out
