@@ -75,11 +75,26 @@ def write_zarr_v2(
     for c in [idx_col, *columns]:
         if c not in fields:
             raise ValueError(f"column {c!r} not in DataFrame")
+    widths: dict[str, int] = {}
     for c in columns:
-        if fields[c] not in _DTYPES:
+        ft = fields[c]
+        if ft.startswith("array<") and ft.endswith(">") and ft[6:-1] in ("double", "float"):
+            # fixed-width array column -> 2-D (n, k) variable; k is probed
+            # from the data and every row must match (the reader requires
+            # one chunk across dim 1, so k is part of the chunk grid)
+            k_row = df.select(F.size(F.col(c)).alias("k")).agg(
+                F.min("k").alias("kmin"), F.max("k").alias("kmax")
+            ).collect()[0]
+            if k_row["kmin"] != k_row["kmax"] or k_row["kmin"] is None:
+                raise ValueError(
+                    f"array column {c!r} is ragged ({k_row['kmin']}.."
+                    f"{k_row['kmax']}); zarr 2-D variables need a fixed width"
+                )
+            widths[c] = int(k_row["kmin"])
+        elif ft not in _DTYPES:
             raise NotImplementedError(
-                f"zarr writer supports numeric/timestamp columns; {c!r} is "
-                f"{fields[c]} — encode it to a numeric form first"
+                f"zarr writer supports numeric/timestamp columns (and fixed-"
+                f"width array<double>/array<float>); {c!r} is {ft}"
             )
 
     n = df.count()
@@ -89,13 +104,18 @@ def write_zarr_v2(
     os.makedirs(root, exist_ok=True)
     metas: dict[str, dict] = {}
     for c in columns:
-        dt, _ = _DTYPES[fields[c]]
+        if c in widths:
+            dt = "<f8" if fields[c] == "array<double>" else "<f4"
+            shape, chunks = [n, widths[c]], [chunk_rows, widths[c]]
+        else:
+            dt, _ = _DTYPES[fields[c]]
+            shape, chunks = [n], [chunk_rows]
         d = os.path.join(root, c)
         os.makedirs(d, exist_ok=True)
         meta = {
             "zarr_format": 2,
-            "shape": [n],
-            "chunks": [chunk_rows],
+            "shape": shape,
+            "chunks": chunks,
             "dtype": dt,
             "compressor": {"id": "zlib", "level": level},
             "fill_value": None,
@@ -120,8 +140,13 @@ def write_zarr_v2(
     with open(os.path.join(root, ".zmetadata"), "w") as f:
         json.dump({"zarr_format": 2, "consolidated_format": 1, **consolidated}, f)
 
-    col_dts = {c: _DTYPES[fields[c]][0] for c in columns}
+    col_dts = {
+        c: ("<f8" if fields[c] == "array<double>" else "<f4")
+        if c in widths else _DTYPES[fields[c]][0]
+        for c in columns
+    }
     col_types = {c: fields[c] for c in columns}
+    col_widths = dict(widths)
     n_rows, cr = n, chunk_rows
 
     def _write_chunk(pdf):
@@ -142,6 +167,21 @@ def write_zarr_v2(
         for c in cols_order:
             dt = col_dts[c]
             s = pdf[c]
+            if c in col_widths:
+                k = col_widths[c]
+                mat = np.stack(s.to_numpy()).astype(dt)  # (rows, k)
+                if mat.shape[1] != k:
+                    raise ValueError(f"chunk {cid}: {c!r} width drifted")
+                if expect < cr:
+                    mat = np.concatenate(
+                        [mat, np.zeros((cr - expect, k), dtype=dt)]
+                    )
+                payload = zlib.compress(np.ascontiguousarray(mat).tobytes(), level)
+                tmp = os.path.join(root, c, f".{cid}.0.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, os.path.join(root, c, f"{cid}.0"))
+                continue
             if col_types[c].startswith("timestamp"):
                 vals = s.astype("datetime64[ns]").astype("int64").to_numpy()
             elif dt in ("<f8", "<f4"):

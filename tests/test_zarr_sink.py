@@ -116,3 +116,31 @@ def test_int64_precision_survives_roundtrip(spark, tmp_path):
     assert dict(got.dtypes)["t"] == "bigint"
     vals = [r["t"] for r in got.orderBy("idx").collect()]
     assert vals == [big + i for i in range(10)]
+
+
+def test_2d_array_column_roundtrip(spark, tmp_path):
+    """array<double> columns write as (n, k) 2-D variables (one chunk across
+    dim 1, '<cid>.0' keys — the layout the reader's 2-D path expects) and
+    read back as array columns; ragged arrays refuse loudly."""
+    root = str(tmp_path / "m.zarr")
+    d = spark.range(40).select(
+        F.col("id").alias("idx"),
+        F.array(
+            F.col("id").cast("double"),
+            (F.col("id") * 2).cast("double"),
+            (F.col("id") * 3).cast("double"),
+        ).alias("spec"),
+        F.col("id").cast("double").alias("v"),
+    )
+    write_zarr_v2(d, root, "idx", ["spec", "v"], chunk_rows=16)
+    assert os.path.exists(os.path.join(root, "spec", "0.0"))
+    got = zarr_table(spark, root, ["spec", "v"]).orderBy("idx").collect()
+    assert len(got) == 40
+    np.testing.assert_allclose(got[7]["spec"], [7.0, 14.0, 21.0])
+    np.testing.assert_allclose(got[39]["spec"], [39.0, 78.0, 117.0])
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0])], "idx long, a array<double>"
+    )
+    with pytest.raises(Exception, match="ragged"):
+        write_zarr_v2(ragged, str(tmp_path / "r.zarr"), "idx", ["a"], chunk_rows=4)
