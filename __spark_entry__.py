@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the ten queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the eleven queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -45,6 +45,7 @@ _ROUND_WINDOW = [
     "text_chunk_windows",       # overlapping RAG chunking, zero-shuffle scan
     "sink_zarr_roundtrip",      # distributed Zarr v2 WRITE -> native read-back
     "sink_netcdf_roundtrip",    # distributed CDF-5 WRITE -> native read-back
+    "ann_recall_report",        # measured IVF recall@5 vs exact, in-oracle
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -75,7 +76,8 @@ _ROUND_WINDOW = [
     # cumulative-green from r03 and rotates back next round.)
     "e4_set_intersection",
     "embed_gram_entries",
-    "hitl_latest_note",
+    # (hitl_latest_note yields its slot to ann_recall_report; it is also
+    # exercised every round as a bench headline query and rotates back.)
     "j10_latest_deploy_window",
     "j1_asof_forward",
     "j1_asof_nearest",

@@ -784,3 +784,85 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, q, id_col="vec_id", vec_col="embedding", k=5, nprobe=4, centroids=refined
     ).select("q_id", "vec_id", "cos_sim", "rank")
+
+
+_IVF_TOPK_CTES = f"""cents AS (
+  SELECT CAST((rn - 1) / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE (rn - 1) % 29 = 0 AND rn <= 29 * 16
+), lists AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM embeddings e, cents c
+  ) WHERE r = 1
+), q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT q_id, q_vec, cid FROM (
+    SELECT q.q_id, q.q_vec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM q, cents c
+  ) WHERE r <= 4
+), ivf AS (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, l.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.q_id
+             ORDER BY ROUND({_cos_sql('p.q_vec', 'l.embedding')}, 6) DESC, l.vec_id) AS rank
+    FROM lists l JOIN probes p ON l.cid = p.cid
+    WHERE p.q_id <> l.vec_id
+  ) WHERE rank <= 5
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'e.embedding')}, 6) DESC, e.vec_id) AS rank
+    FROM embeddings e, q WHERE e.vec_id <> q.q_id
+  ) WHERE rank <= 5
+)"""
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+WITH {_IVF_TOPK_CTES}
+SELECT x.q_id,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(i.vec_id) / 5.0, 6) AS recall_at_5
+FROM exact x LEFT JOIN ivf i ON i.q_id = x.q_id AND i.vec_id = x.vec_id
+GROUP BY x.q_id
+""",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality as a first-class query: recall@5 of the IVF
+    index (16 lists, nprobe=4 — the ann_ivf_topk configuration) against
+    the exact brute-force top-5, per query vector. The oracle replays BOTH
+    searches and the intersection, so the recall numbers themselves are
+    hash-checked — "measure, don't guess" applied to the index's accuracy
+    claim, not only its speed.
+
+    Scale shape: exactly one IVF search + one brute-force search (the
+    baseline the recall is DEFINED against — at production scale this runs
+    on a sampled query set, which is what 10 query vectors model) + an
+    equi-join of two k-row-per-query sets."""
+    from rca_data_tools_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ivf = ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, n_lists=16, stride=29, nprobe=4
+    ).select("q_id", F.col("vec_id").alias("ivf_id"))
+    exact = brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5).select(
+        "q_id", "vec_id"
+    )
+    joined = exact.join(
+        ivf, (exact["q_id"] == ivf["q_id"]) & (exact["vec_id"] == ivf["ivf_id"]), "left"
+    ).select(exact["q_id"].alias("q_id"), ivf["ivf_id"])
+    return joined.groupBy("q_id").agg(
+        F.count("ivf_id").alias("n_hits"),
+        F.round(F.count("ivf_id") / F.lit(5.0), 6).alias("recall_at_5"),
+    )
