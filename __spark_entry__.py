@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the eleven queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the twelve queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -46,6 +46,7 @@ _ROUND_WINDOW = [
     "sink_zarr_roundtrip",      # distributed Zarr v2 WRITE -> native read-back
     "sink_netcdf_roundtrip",    # distributed CDF-5 WRITE -> native read-back
     "ann_recall_report",        # measured IVF recall@5 vs exact, in-oracle
+    "sink_compact_roundtrip",   # small-file compaction, content-invariant
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -95,7 +96,9 @@ _ROUND_WINDOW = [
     "sessionize_events",
     "skew_two_stage_agg",
     "streaming_session_window",
-    "streaming_tumbling_agg",
+    # (streaming_tumbling_agg yields its slot to sink_compact_roundtrip;
+    # streaming_session_window keeps the windowed-streaming sentinel and
+    # the round-6 window carries streaming_substring_matches besides.)
     "text_ngram_freq",
     "text_perplexity",
     "text_pii_redaction",

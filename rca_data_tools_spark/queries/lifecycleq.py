@@ -570,3 +570,38 @@ def sink_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").cast("long").alias("min_ts_ns"),
         F.max("ts").cast("long").alias("max_ts_ns"),
     )
+
+
+@query(
+    "sink_compact_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(1 AS BOOLEAN) AS compacted
+FROM events
+""",
+)
+def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction lifecycle: events are deliberately written as
+    64 tiny files (the micro-batch-append pathology), compacted to
+    target-size files (sources/sinks.compact_partitioned — ceil(total/
+    target) coalesce + atomic directory swap), and read back; the oracle is
+    the straight aggregate of the source table plus the asserted layout
+    verdict. A hash match certifies that compaction changed the FILE COUNT
+    (verdict column computed from the returned before/after stats) while
+    changing nothing a scan returns."""
+    from rca_data_tools_spark.sources.sinks import compact_partitioned
+
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="rca_compact_"), "events_small")
+    e.repartition(64).write.mode("overwrite").parquet(out_dir)
+    stats = compact_partitioned(spark, out_dir, target_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(out_dir)
+    compacted = stats["files_after"] < stats["files_before"]
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.lit(bool(compacted)).alias("compacted"),
+    )

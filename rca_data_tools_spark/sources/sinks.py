@@ -156,3 +156,46 @@ def write_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction (the OPTIMIZE maintenance job): rewrite a
+    parquet directory so each output file is ~``target_bytes``. Small files
+    are the classic death-by-metadata failure at 100 TB — a day of
+    per-minute micro-batch appends leaves thousands of KB-sized files whose
+    open/footers dominate every scan — and the fix is a periodic rewrite
+    sized from the data itself: n_files = ceil(total_bytes / target),
+    coalesce (no shuffle — compaction only narrows, never redistributes),
+    and an atomic directory swap so readers never see a half-compacted
+    state.
+
+    Returns {'files_before', 'files_after', 'bytes'} so the caller (or the
+    lifecycle query's oracle) can assert the layout actually changed.
+    Content is byte-identical up to row order — compaction must never
+    change WHAT a scan returns, only how many files it opens."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(f".{fmt}") or (not f.startswith(("_", ".")) and f.endswith(".parquet"))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_before = len(files)
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    swap = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, swap)
+    os.rename(tmp, path)
+    shutil.rmtree(swap)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
