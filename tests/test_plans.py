@@ -290,6 +290,9 @@ BNLJ_ALLOWED = {
     "a4_resample_interpolate",   # time-grid crossJoin (grid is dim-sized)
     "ann_threshold_neighbors",   # broadcast query vectors
     "ann_topk_cosine",           # broadcast query vectors
+    "ann_recall_report",         # contains the brute-force baseline: same
+                                 # broadcast-query BNLJ as ann_topk_cosine
+                                 # (recall is DEFINED against exact top-k)
     "j3_profile_phase_split",    # profile-interval range join (dim broadcast)
     "j3_profile_range_join",     # same
     "join_cross_matrix",         # explicit cross product, small side broadcast
