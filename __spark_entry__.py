@@ -22,7 +22,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # row in some round (agg_approx_distinct is the documented no-oracle row —
 # its exactness bound is pytest-checked in tests/test_parity.py).
 #
-# Round-6 window = (a) the twelve queries ADDED this round, (b) fresh rows
+# Round-6 window = (a) the thirteen queries ADDED this round, (b) fresh rows
 # for the four queries whose plans changed this round (the three near-dup
 # queries gained the pair-list broadcast size guard — operators/dedup.py
 # _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
@@ -47,6 +47,7 @@ _ROUND_WINDOW = [
     "sink_netcdf_roundtrip",    # distributed CDF-5 WRITE -> native read-back
     "ann_recall_report",        # measured IVF recall@5 vs exact, in-oracle
     "sink_compact_roundtrip",   # small-file compaction, content-invariant
+    "pipeline_rag_corpus",      # gate->substr-removal->dedup->budget->chunk
     # (b) pair-list broadcast guard landed this round -> fresh rows
     "dedup_minhash_lsh",
     "dedup_lsh_capped",
@@ -103,7 +104,8 @@ _ROUND_WINDOW = [
     "text_perplexity",
     "text_pii_redaction",
     "text_repetition",
-    "text_url_filter",
+    # (text_url_filter yields its slot to pipeline_rag_corpus; the text
+    # family keeps four other sentinels in-window.)
     "w7_profile_regrid",
     "w8_cell_aggregation",
     "w_ewma",

@@ -928,9 +928,15 @@ def streaming_cdc_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ExactSubstr-style repeated-substring dedup (Lee et al. 2022) ----------
 
-_SUBSTR_SPAN_CTES = rf"""
+def _substr_span_ctes(src: str = "documents") -> str:
+    """The ExactSubstr CTE chain (norm -> wins -> rep -> flagged -> grp ->
+    spans) parameterized on the source relation, so composition queries
+    can run it over a GATED subset (doc frequencies then count only
+    surviving docs, matching the Spark operator applied to the subset).
+    ``src`` must expose (doc_id, text)."""
+    return rf"""
 norm AS (
-  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM {src}
 ), wins AS (
   SELECT doc_id, i, CAST(('0x' || substr(md5(array_to_string(ws[(i+1):(i+8)], ' ')), 1, 15)) AS BIGINT) AS fp
   FROM norm, unnest(range(len(ws) - 7)) AS t(i)
@@ -952,6 +958,9 @@ norm AS (
          COUNT(*) AS n_windows
   FROM grp GROUP BY doc_id, span_id
 )"""
+
+
+_SUBSTR_SPAN_CTES = _substr_span_ctes("documents")
 
 
 @query(
@@ -1158,3 +1167,140 @@ def streaming_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(new_pred), d.filter(~new_pred), "doc_id", "text"
     )
     return out.select("new_id", F.col("pos").cast("long").alias("pos"), "fp", "df")
+
+
+_RAG_BUDGET = 1500
+
+
+@query(
+    "pipeline_rag_corpus",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE {_quality_sql()} >= 0.35
+),
+{_substr_span_ctes('gated')}
+, cover AS (
+  SELECT doc_id, unnest(range(span_start, span_end)) AS p FROM spans
+), toks AS (
+  SELECT doc_id, i, ws[CAST(i + 1 AS INT)] AS tok FROM norm, unnest(range(len(ws))) AS t(i)
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM toks t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.i = c.p
+  WHERE c.p IS NULL
+), cleaned AS (
+  SELECT n.doc_id, COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+  FROM norm n LEFT JOIN kept k ON n.doc_id = k.doc_id
+  GROUP BY n.doc_id
+), nonempty AS (
+  SELECT c.doc_id, g.source, c.clean_text
+  FROM cleaned c JOIN gated g ON g.doc_id = c.doc_id
+  WHERE c.clean_text <> ''
+), deduped AS (
+  SELECT doc_id, source, clean_text FROM (
+    SELECT doc_id, source, clean_text,
+           ROW_NUMBER() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+    FROM nonempty
+  ) WHERE rn = 1
+), budgeted AS (
+  SELECT doc_id, source, clean_text FROM (
+    SELECT doc_id, source, clean_text,
+           SUM(len(string_split(clean_text, ' ')))
+             OVER (PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('rag' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM deduped
+  ) WHERE cum <= {_RAG_BUDGET}
+), cw AS (
+  SELECT doc_id, source, string_split(clean_text, ' ') AS ws FROM budgeted
+), idx AS (
+  SELECT doc_id, source, ws,
+         unnest(range(CAST(CASE WHEN len(ws) <= 64 THEN 1
+           ELSE ceil((len(ws) - 64) / 48.0) + 1 END AS BIGINT))) AS chunk_idx
+  FROM cw
+)
+SELECT doc_id, source, chunk_idx,
+       array_to_string(ws[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' ') AS chunk_text,
+       CAST(LEAST(64, len(ws) - chunk_idx * 48) AS BIGINT) AS n_tokens
+FROM idx
+""",
+)
+def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern RAG/pretrain ingestion chain END-TO-END, every stage a
+    round-6-or-earlier engine operator and the WHOLE composition replayed
+    in one oracle: quality gate (composite heuristic >= 0.35) -> ExactSubstr
+    repeated-substring REMOVAL over the gated subset (window doc-frequency
+    counts only survivors — operator-on-subset semantics) -> exact dedup on
+    the cleaned text (md5 fingerprint, keep min doc_id; empty-after-cleaning
+    docs drop) -> per-domain token budget over CLEANED tokens (greedy hash
+    order, 1500/domain) -> 64/48 overlapping chunk windows. Output is the
+    chunk table a retrieval index ingests.
+
+    Scale shape: gates are scan-speed expressions; the substring stage is
+    the measured-linear fingerprint pipeline; dedup shuffles 32-byte
+    fingerprints; the budget is one per-domain window; chunking is a
+    zero-shuffle reshaping scan. Nothing quadratic, nothing collected."""
+    from pyspark.sql.window import Window
+
+    from rca_data_tools_spark.functions.text import let_, quality_score
+    from rca_data_tools_spark.operators.dedup import (
+        remove_substring_spans,
+        repeated_substring_spans,
+    )
+    from rca_data_tools_spark.operators.sampling import hash_uniform
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(quality_score("text") >= 0.35).select("doc_id", "source", "text")
+
+    spans = repeated_substring_spans(gated, "doc_id", "text", window=8, min_df=2)
+    cleaned = remove_substring_spans(gated, spans, "doc_id", "text").select(
+        "doc_id", "clean_text"
+    )
+    nonempty = cleaned.filter(F.col("clean_text") != "").join(
+        gated.select("doc_id", "source"), "doc_id"
+    )
+    w_dedup = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    deduped = (
+        nonempty.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n_tok = F.size(F.split(F.col("clean_text"), " "))
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(hash_uniform(F.col("doc_id"), "rag"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budgeted = (
+        deduped.withColumn("__cum", F.sum(n_tok).over(w_budget))
+        .filter(F.col("__cum") <= _RAG_BUDGET)
+        .drop("__cum")
+    )
+
+    size, stride = 64, 48
+
+    def chunks_of(toks):
+        n = F.size(toks)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - size) / F.lit(float(stride))) + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - F.lit(1)),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("chunk_text"),
+                F.least(F.lit(size), F.size(toks) - i * stride).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    out = budgeted.select(
+        "doc_id", "source",
+        F.explode(let_(F.split(F.col("clean_text"), " "), chunks_of)).alias("c"),
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
