@@ -528,6 +528,60 @@ def sink_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_zarr_v3_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       MAX(user_id) AS max_user,
+       MIN(epoch_ns(ts)) AS min_ts_ns,
+       MAX(epoch_ns(ts)) AS max_ts_ns
+FROM events
+""",
+)
+def sink_zarr_v3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr **v3 sharded** WRITE lifecycle: events written as a Zarr v3
+    store by the distributed writer (sources/zarr_sink.write_zarr_v3 —
+    ``sharding_indexed`` codec, 4096-row shards of 512-row gzip inner
+    chunks with a crc32c-protected offset index, consolidated metadata in
+    the root group document), read BACK through the engine's native v3
+    scan (sources/zarr.zarr_table -> _decode_shard), aggregated, and
+    hash-matched against the parquet truth. Certifies the v3 write + shard
+    packing + index crc + read-back + int64-identity loop end-to-end —
+    epoch-ns timestamps above 2^53 must survive bit-for-bit.
+
+    Scale shape: sharding is THE v3 object-store layout (few large PUTs,
+    ranged GETs per inner chunk); the write is shard-parallel (groupBy
+    shard id, bounded per-task memory) and the read decodes inner chunks
+    per outer task, so both sides parallelize across the shard grid."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.operators.ranking import global_row_number
+    from rca_data_tools_spark.sources.zarr import zarr_table
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    if e.limit(1).count() == 0:
+        back = e.select(
+            F.unix_micros("ts") * 1000, F.col("user_id"), F.col("value")
+        ).toDF("ts", "user_id", "value")
+    else:
+        staged = global_row_number(e, [F.col("ts"), F.col("event_id")], rank_col="__rank")
+        staged = staged.withColumn("idx", F.col("__rank") - 1)
+        root = os.path.join(tempfile.mkdtemp(prefix="rca_zarr3_sink_"), "events.zarr")
+        write_zarr_v3(
+            staged, root, "idx", ["ts", "user_id", "value"],
+            chunk_rows=4096, inner_rows=512,
+        )
+        back = zarr_table(spark, root, ["ts", "user_id", "value"])
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("ts").cast("long").alias("min_ts_ns"),
+        F.max("ts").cast("long").alias("max_ts_ns"),
+    )
+
+
+@query(
     "sink_netcdf_roundtrip",
     oracle="""
 SELECT COUNT(*) AS n_rows,

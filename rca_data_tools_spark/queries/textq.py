@@ -596,55 +596,6 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_chunk_windows",
-    oracle=rf"""
-WITH t AS (SELECT doc_id, {_NTOKS_SQL} AS ws FROM documents),
-c AS (
-  SELECT doc_id,
-         unnest([{{'k': k, 'c': ws[k*40+1 : k*40+50]}}
-                 FOR k IN range(CAST(ceil(len(ws) / 40.0) AS BIGINT))]) AS ch
-  FROM t
-)
-SELECT doc_id, ch.k AS chunk_id,
-       len(ch.c) AS n_tokens,
-       array_to_string(ch.c, ' ') AS chunk_text
-FROM c
-""",
-)
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping fixed-size chunking (50-token windows, stride 40) — the
-    standard RAG / pretraining-context splitter. Pure per-row array ops
-    (sequence + slice + join) inside codegen: no shuffle, no Python; output
-    order and content engine-exact.
-
-    Scale: chunking is a flat projection — a 100 TB corpus chunks at scan
-    speed, and the 10-token overlap costs exactly overlap/stride extra
-    output bytes.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    ws = tokens(F.lower(F.col("text")))
-    n = F.size(ws)
-    ks = F.when(
-        n > 0,
-        F.sequence(F.lit(0), F.ceil(n / F.lit(40.0)).cast("int") - 1),
-    ).otherwise(F.array().cast("array<int>"))
-    return (
-        d.select("doc_id", ws.alias("ws"), F.explode(ks).alias("chunk_id"))
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.slice(F.col("ws"), F.col("chunk_id") * 40 + 1, 50).alias("c"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.size("c").alias("n_tokens"),
-            F.array_join("c", " ").alias("chunk_text"),
-        )
-    )
-
-
-@query(
     "pipeline_pretrain_corpus",
     oracle=rf"""
 WITH m AS (

@@ -346,7 +346,7 @@ def _decode_shard(raw: bytes, meta: dict) -> np.ndarray:
         body = blob
     entries = np.frombuffer(body, dtype="<u8").reshape(n, 2)
     dtype = np.dtype(meta["dtype"])
-    out = np.full(outer, _fill_scalar(meta), dtype=dtype)
+    out = np.full(outer, _missing_scalar(meta), dtype=dtype)
     inner_meta = {
         "compressor": shard["compressor"],
         "transpose": shard.get("transpose"),
@@ -452,6 +452,18 @@ def _fill_scalar(meta: dict):
     return float(str(fill).replace("Infinity", "inf"))
 
 
+def _missing_scalar(meta: dict):
+    """The scalar synthesized for a chunk that was NEVER STORED. For v3
+    float variables that is NaN — the engine's missing-data convention —
+    regardless of the declared fill_value: v3 makes fill_value a required
+    field, so unlike v2 its presence carries no "this value means missing"
+    signal, and the scan must not surface a sentinel like -7.0 as data.
+    Everything else (v2, integers, strings) keeps the declared fill."""
+    if meta.get("zarr_format") == 3 and np.dtype(meta["dtype"]).kind == "f":
+        return np.nan
+    return _fill_scalar(meta)
+
+
 def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
     """One store key -> its full outer-chunk array: a plain chunk through
     the codec chain, or a shard (v3 sharding_indexed) assembled from its
@@ -466,7 +478,9 @@ def _decode_chunk(store, key: str, meta: dict) -> np.ndarray:
         raw = store.get(key)
     except (KeyError, FileNotFoundError):
         dtype = np.dtype(meta["dtype"])
-        return np.full([int(x) for x in meta["chunks"]], _fill_scalar(meta), dtype=dtype)
+        return np.full(
+            [int(x) for x in meta["chunks"]], _missing_scalar(meta), dtype=dtype
+        )
     if meta.get("shard"):
         return _decode_shard(raw, meta)
     return _decode_buf(raw, meta)
@@ -564,11 +578,16 @@ def _keeps_int(meta: dict, cfa: dict) -> bool:
     integer storage dtype and NO CF numeric semantics (no scale/offset and
     no declared fill) — then the column is ``bigint`` and values are exact.
     Any fill/packing routes through float64 + NaN, the engine's NULL
-    convention."""
+    convention.
+
+    v3 stores are exempt from the fill test: the v3 spec makes fill_value a
+    REQUIRED field (it means "value of unwritten chunks", not "missing"), so
+    its mere presence cannot demote an int64 column to lossy float64 —
+    missing-data semantics in v3 ride on CF attributes, which cfa covers."""
     return (
         np.dtype(meta["dtype"]).kind in "iu"
         and not cfa
-        and meta.get("fill_value") is None
+        and (meta.get("fill_value") is None or meta.get("zarr_format") == 3)
     )
 
 
@@ -681,6 +700,14 @@ def zarr_table(
                             )
                         continue
                     fill = m.get("fill_value")
+                    if m.get("zarr_format") == 3:
+                        # v3 fill_value is REQUIRED and means "value of
+                        # unwritten chunks", NOT a missing sentinel — a v3
+                        # store declaring fill 0.0 must not have its stored
+                        # zeros nuked to NULL. Missing-data semantics in v3
+                        # ride on CF attributes (handled below); only a NaN
+                        # fill is already the engine's null convention.
+                        fill = None
                     if fill is not None and np.issubdtype(arr.dtype, np.floating):
                         # Zarr v2 JSON-encodes non-finite fills as the strings
                         # "NaN"/"Infinity"/"-Infinity" (spec §fill-value); a

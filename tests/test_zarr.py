@@ -190,21 +190,22 @@ def test_zarr_v3_scan(spark, tmp_path):
     n = 23
     time = np.arange(n, dtype="<i8")
     temp = rng.uniform(2, 10, n).astype("<f8")
-    temp[5] = -7.5  # fill sentinel
+    temp[5] = 0.0  # STORED zero — must survive despite fill_value == 0.0
     spectra = rng.uniform(0, 1, (n, 4)).astype("<f8")
     _write_array_v3(root, "time", time, [10])
-    _write_array_v3(root, "temp", temp, [10], codec="gzip", fill_value=-7.5)
+    # fill_value 0.0 is zarr-python's v3 DEFAULT: v3 fill means "value of
+    # unwritten chunks", not a missing sentinel, so stored values equal to
+    # it must NOT be rewritten to NULL (only v2 keeps the equality rewrite;
+    # v3 missing-data semantics ride on CF attributes).
+    _write_array_v3(root, "temp", temp, [10], codec="gzip", fill_value=0.0)
     _write_array_v3(root, "spectra", spectra, [10, 4], codec="gzip")
     df = zarr_table(spark, root, ["time", "temp", "spectra"])
     rows = df.orderBy("idx").collect()
     assert len(rows) == n
     np.testing.assert_allclose([r["time"] for r in rows], time)
     got_temp = [r["temp"] for r in rows]
-    assert got_temp[5] is None  # fill -> NULL
-    np.testing.assert_allclose(
-        [g for i, g in enumerate(got_temp) if i != 5],
-        [t for i, t in enumerate(temp) if i != 5],
-    )
+    assert got_temp[5] == 0.0  # stored zero intact, NOT nuked to NULL
+    np.testing.assert_allclose(got_temp, temp)
     np.testing.assert_allclose([list(r["spectra"]) for r in rows], spectra)
 
 

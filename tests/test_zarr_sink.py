@@ -144,3 +144,108 @@ def test_2d_array_column_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="ragged"):
         write_zarr_v2(ragged, str(tmp_path / "r.zarr"), "idx", ["a"], chunk_rows=4)
+
+
+# ---------------------------------------------------------------- zarr v3
+
+
+def test_v3_plain_roundtrip(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+    root = str(tmp_path / "v3.zarr")
+    n = write_zarr_v3(
+        _frame(spark, 100), root, "idx", ["user_id", "value", "ts"], chunk_rows=16
+    )
+    assert n == 100
+    # v3 layout: array doc per var, chunks under c/<i>, group doc with
+    # consolidated metadata at the root
+    doc = json.load(open(os.path.join(root, "value", "zarr.json")))
+    assert doc["zarr_format"] == 3 and doc["node_type"] == "array"
+    assert doc["chunk_grid"]["configuration"]["chunk_shape"] == [16]
+    assert [c["name"] for c in doc["codecs"]] == ["bytes", "gzip"]
+    assert sorted(os.listdir(os.path.join(root, "value", "c"))) == sorted(
+        str(i) for i in range(7)
+    )
+    group = json.load(open(os.path.join(root, "zarr.json")))
+    assert "value" in group["consolidated_metadata"]["metadata"]
+
+    got = zarr_table(spark, root, ["user_id", "value", "ts"]).orderBy("idx").collect()
+    assert len(got) == 100
+    np.testing.assert_array_equal([r["user_id"] for r in got], np.arange(100) * 2)
+    np.testing.assert_allclose([r["value"] for r in got], np.arange(100) / 4.0)
+    assert got[3]["ts"] == (1700000000 + 3 * 60) * 1_000_000_000
+
+
+def test_v3_sharded_roundtrip_and_missing_inner_chunks(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+    root = str(tmp_path / "s3.zarr")
+    # 77 rows, 32-row shards of 10-row inner chunks: the edge shard holds
+    # rows 64..76 -> inner chunks 0 (10), 1 (3 + pad), 2/3 MISSING
+    write_zarr_v3(
+        _frame(spark, 77), root, "idx", ["user_id", "value"],
+        chunk_rows=32, inner_rows=10,
+    )
+    doc = json.load(open(os.path.join(root, "value", "zarr.json")))
+    assert doc["codecs"][0]["name"] == "sharding_indexed"
+    conf = doc["codecs"][0]["configuration"]
+    assert conf["chunk_shape"] == [10]
+    assert {c["name"] for c in conf["index_codecs"]} == {"bytes", "crc32c"}
+
+    # the edge shard's trailing index entries must be the MISSING sentinel
+    raw = open(os.path.join(root, "value", "c", "2"), "rb").read()
+    idx = np.frombuffer(raw[-(4 * 16 + 4):-4], dtype="<u8").reshape(4, 2)
+    assert (idx[2] == 0xFFFFFFFFFFFFFFFF).all()
+    assert (idx[3] == 0xFFFFFFFFFFFFFFFF).all()
+
+    got = zarr_table(spark, root, ["user_id", "value"]).orderBy("idx").collect()
+    assert len(got) == 77
+    np.testing.assert_array_equal([r["user_id"] for r in got], np.arange(77) * 2)
+    np.testing.assert_allclose([r["value"] for r in got], np.arange(77) / 4.0)
+
+
+def test_v3_shard_index_crc_is_verified(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+    root = str(tmp_path / "c3.zarr")
+    write_zarr_v3(_frame(spark, 64), root, "idx", ["value"], chunk_rows=32, inner_rows=8)
+    path = os.path.join(root, "value", "c", "0")
+    blob = bytearray(open(path, "rb").read())
+    blob[-1] ^= 0xFF  # corrupt the index crc32c
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="crc32c"):
+        zarr_table(spark, root, ["value"]).collect()
+
+
+def test_v3_int64_identity_and_2d(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+    big = 9_007_199_254_740_993  # 2^53 + 1: float64 cannot hold it
+    df = spark.range(40).select(
+        F.col("id").alias("idx"),
+        (F.col("id") + big).alias("big"),
+        F.array(
+            F.col("id").cast("double"), (F.col("id") * 2).cast("double")
+        ).alias("vec"),
+    )
+    root = str(tmp_path / "i3.zarr")
+    write_zarr_v3(df, root, "idx", ["big", "vec"], chunk_rows=16, inner_rows=4)
+    back = zarr_table(spark, root, ["big", "vec"])
+    assert dict(back.dtypes)["big"] == "bigint"
+    got = back.orderBy("idx").collect()
+    assert got[-1]["big"] == big + 39
+    np.testing.assert_allclose(got[-1]["vec"], [39.0, 78.0])
+
+
+def test_v3_refusals(spark, tmp_path):
+    from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+    df = _frame(spark, 8)
+    with pytest.raises(ValueError, match="inner_rows"):
+        write_zarr_v3(df, str(tmp_path / "x"), "idx", ["value"], chunk_rows=8, inner_rows=9)
+    strings = df.select("idx", F.lit("s").alias("s"))
+    with pytest.raises(NotImplementedError, match="string"):
+        write_zarr_v3(strings, str(tmp_path / "y"), "idx", ["s"])
+    empty = df.filter("idx < 0")
+    with pytest.raises(ValueError, match="empty"):
+        write_zarr_v3(empty, str(tmp_path / "z"), "idx", ["value"])
