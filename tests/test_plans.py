@@ -290,6 +290,12 @@ BNLJ_ALLOWED = {
     "a4_resample_interpolate",   # time-grid crossJoin (grid is dim-sized)
     "ann_threshold_neighbors",   # broadcast query vectors
     "ann_topk_cosine",           # broadcast query vectors
+    "ann_hamming_topk",          # broadcast query SIGNATURES (8 bytes per
+                                 # query): the coarse pass is the intended
+                                 # scan, two intrinsics per pair; only 32
+                                 # candidates/query pay full-precision cosine
+    "retrieval_rrf_fusion",      # 1-row (n_docs, sum_dl) corpus stats, as
+                                 # text_bm25_topk
     "ann_recall_report",         # contains the brute-force baseline: same
                                  # broadcast-query BNLJ as ann_topk_cosine
                                  # (recall is DEFINED against exact top-k)
