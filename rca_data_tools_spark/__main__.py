@@ -11,6 +11,8 @@ equivalent operational surface:
   convert-zarr SRC OUT         one-pass Zarr (v2/v3) -> Parquet ingest
   to-zarr TABLE OUT            parquet table -> Zarr v2 store (distributed)
   to-netcdf TABLE OUT          parquet table -> classic NetCDF (CDF-2/5)
+  to-zarr3 TABLE OUT           parquet table -> Zarr v3 store (sharded)
+  to-hdf5 TABLE OUT            parquet table -> HDF5/NetCDF-4 container
   convert-nc SRC OUT           one-pass NetCDF (classic/NetCDF-4) -> Parquet
   bench                        the headline benchmark (same as bench.py)
 
@@ -100,6 +102,24 @@ def main(argv: list[str] | None = None) -> int:
     tn.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     tn.add_argument("--columns", nargs="+", required=True)
     tn.add_argument("--order-by", nargs="+", required=True)
+
+    tz3 = sub.add_parser("to-zarr3", help="parquet table -> Zarr v3 store (sharded)")
+    tz3.add_argument("table")
+    tz3.add_argument("out")
+    tz3.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tz3.add_argument("--columns", nargs="+", required=True)
+    tz3.add_argument("--order-by", nargs="+", required=True)
+    tz3.add_argument("--chunk-rows", type=int, default=16384,
+                     help="rows per shard (store object)")
+    tz3.add_argument("--inner-rows", type=int, default=None,
+                     help="rows per inner chunk; omit for plain (unsharded) chunks")
+
+    th = sub.add_parser("to-hdf5", help="parquet table -> HDF5 (NetCDF-4 container)")
+    th.add_argument("table")
+    th.add_argument("out")
+    th.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    th.add_argument("--columns", nargs="+", required=True)
+    th.add_argument("--order-by", nargs="+", required=True)
 
     cn = sub.add_parser("convert-nc", help="NetCDF file -> Parquet ingest")
     cn.add_argument("src", help="local .nc path or http(s):// URL")
@@ -241,6 +261,39 @@ def main(argv: list[str] | None = None) -> int:
             t, [F.col(c) for c in args.order_by], rank_col="__rank"
         ).withColumn("idx", F.col("__rank") - 1)
         n = write_cdf(staged, args.out, "idx", args.columns)
+        print(f"rows: {n} -> {args.out} (vars: {', '.join(args.columns)})")
+        return 0
+
+    if args.cmd == "to-zarr3":
+        from pyspark.sql import functions as F
+
+        from rca_data_tools_spark.operators.ranking import global_row_number
+        from rca_data_tools_spark.sources.readers import load_table
+        from rca_data_tools_spark.sources.zarr_sink import write_zarr_v3
+
+        t = load_table(spark, args.sf_dir, args.table)
+        staged = global_row_number(
+            t, [F.col(c) for c in args.order_by], rank_col="__rank"
+        ).withColumn("idx", F.col("__rank") - 1)
+        n = write_zarr_v3(
+            staged, args.out, "idx", args.columns,
+            chunk_rows=args.chunk_rows, inner_rows=args.inner_rows,
+        )
+        print(f"rows: {n} -> {args.out} (vars: {', '.join(args.columns)})")
+        return 0
+
+    if args.cmd == "to-hdf5":
+        from pyspark.sql import functions as F
+
+        from rca_data_tools_spark.operators.ranking import global_row_number
+        from rca_data_tools_spark.sources.readers import load_table
+        from rca_data_tools_spark.sources.hdf5_sink import write_hdf5
+
+        t = load_table(spark, args.sf_dir, args.table)
+        staged = global_row_number(
+            t, [F.col(c) for c in args.order_by], rank_col="__rank"
+        ).withColumn("idx", F.col("__rank") - 1)
+        n = write_hdf5(staged, args.out, "idx", args.columns)
         print(f"rows: {n} -> {args.out} (vars: {', '.join(args.columns)})")
         return 0
 

@@ -528,6 +528,52 @@ def sink_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_hdf5_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       MAX(user_id) AS max_user,
+       MIN(epoch_ns(ts)) AS min_ts_ns,
+       MAX(epoch_ns(ts)) AS max_ts_ns
+FROM events
+""",
+)
+def sink_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 (NetCDF-4 container) WRITE lifecycle — completing the writer
+    matrix (Zarr v2/v3, classic CDF, HDF5): events written as an HDF5 file
+    by the distributed writer (sources/hdf5_sink.write_hdf5 — superblock
+    v0, v1 object headers, old-style root group, contiguous little-endian
+    datasets; executors pwrite row-slices at driver-computed offsets),
+    read BACK through the engine's native HDF5 scan (netcdf_table routes
+    by the \\x89HDF signature), aggregated, and hash-matched against the
+    parquet truth — header + symbol table + layout + read-back typing
+    certified end-to-end, epoch-ns int64 exact."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.operators.ranking import global_row_number
+    from rca_data_tools_spark.sources.hdf5_sink import write_hdf5
+    from rca_data_tools_spark.sources.netcdf import netcdf_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    if e.limit(1).count() == 0:
+        back = e.select(
+            F.unix_micros("ts") * 1000, F.col("user_id"), F.col("value")
+        ).toDF("ts", "user_id", "value")
+    else:
+        staged = global_row_number(e, [F.col("ts"), F.col("event_id")], rank_col="__rank")
+        staged = staged.withColumn("idx", F.col("__rank") - 1)
+        path = os.path.join(tempfile.mkdtemp(prefix="rca_h5_sink_"), "events.h5")
+        write_hdf5(staged, path, "idx", ["ts", "user_id", "value"], rows_per_task=4096)
+        back = netcdf_table(spark, path, ["ts", "user_id", "value"])
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("ts").cast("long").alias("min_ts_ns"),
+        F.max("ts").cast("long").alias("max_ts_ns"),
+    )
+
+
+@query(
     "sink_zarr_v3_roundtrip",
     oracle="""
 SELECT COUNT(*) AS n_rows,
