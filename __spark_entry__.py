@@ -18,23 +18,23 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round.
-# Cumulative state after round 5: 196 registered, 195 with a driver-green
-# row in some round (agg_approx_distinct is the documented no-oracle row —
-# its exactness bound is pytest-checked in tests/test_parity.py).
+# Cumulative state: 213 registered; 195 had a driver-green row through
+# round 5 (agg_approx_distinct is the documented no-oracle row). ROUND 6
+# PRODUCED NO CORRECTNESS FILE (the round ended without a judge pass), so
+# the 17 round-6 window entries — 13 additions + 4 changed-plan rows —
+# have never been driver-verified and STAY in the round-7 window, as does
+# the r03-cohort block that was awaiting its rotation row.
 #
-# Round-6 window = (a) the thirteen queries ADDED this round, (b) fresh rows
-# for the four queries whose plans changed this round (the three near-dup
-# queries gained the pair-list broadcast size guard — operators/dedup.py
-# _pair_side — and q18 was re-planned from broadcast semi-gate to windowed
-# having; results must be identical, but changed code deserves a fresh
-# row), and (c) the r03 cohort as sentinels: the queries whose last driver
-# row is round 3, now the oldest greens (rotation discipline: r01 cohort
-# re-proven r04, r02 cohort r05; the three r03 entries displaced by (a)
-# stay cumulative-green and rotate back next round). pipeline_qaqc_job is
-# both r03-cohort and touched this round (compute-tier hints + optional
-# status overlay, defaults unchanged).
+# Round-7 window = (a) those 17 carried-over round-6 entries, (b) the five
+# queries ADDED this round (zarr-v3 + hdf5 writer lifecycles, Gopher gate,
+# Hamming ANN, RRF fusion), and (c) 28 of the 33 r03-cohort sentinels from
+# the round-6 window (five yield slots to (b) and rotate back next round:
+# a8 — a9 keeps the array-math sentinel; j1_asof_forward — j1_asof_nearest
+# keeps the as-of family; agg_multi_distinct — agg_grouping_sets keeps the
+# agg family; q16 — q11/q22 keep TPC-H; text_ngram_freq — three other text
+# sentinels remain. All five stay cumulative-green from r03.)
 _ROUND_WINDOW = [
-    # (a) added this round
+    # (a) round-6 additions, never driver-verified (no CORRECTNESS_r06)
     "ingest_status_degrade",    # S8 degrade-to-empty contract, live+dead feed
     "ann_ivf_refined_topk",     # Lloyd-refined IVF search, refinement in-oracle
     "dedup_substring_spans",    # ExactSubstr spans (Lee et al. 2022)
@@ -48,72 +48,45 @@ _ROUND_WINDOW = [
     "ann_recall_report",        # measured IVF recall@5 vs exact, in-oracle
     "sink_compact_roundtrip",   # small-file compaction, content-invariant
     "pipeline_rag_corpus",      # gate->substr-removal->dedup->budget->chunk
-    # (b) pair-list broadcast guard landed this round -> fresh rows
-    "dedup_minhash_lsh",
+    # (a) round-6 changed-plan rows, never driver-verified
+    "dedup_minhash_lsh",        # pair-list broadcast size guard
     "dedup_lsh_capped",
     "dedup_components",
-    # (b) q18 re-planned this round (broadcast semi-gate -> windowed
-    # having; unbounded-broadcast removal, SCALING.md) -> fresh row
-    "q18_large_orders",
-    # (c) the r03 cohort, oldest-green sentinels (44)
+    "q18_large_orders",         # re-planned broadcast semi-gate -> windowed having
+    # (b) added round 7
+    "sink_zarr_v3_roundtrip",   # Zarr v3 sharded WRITE -> native v3 read-back
+    "sink_hdf5_roundtrip",      # HDF5 WRITE -> native HDF5 scan read-back
+    "text_gopher_gate",         # Gopher word-level quality rules, per-rule bits
+    "ann_hamming_topk",         # binary-quantized Hamming coarse + cosine re-rank
+    "retrieval_rrf_fusion",     # BM25 x term-density reciprocal-rank fusion
+    # (c) r03-cohort sentinels carried from the unverified round-6 window
     "a4_resample_interpolate",
-    "a8_k_of_n_array",
     "a9_row_stddev_array",
     "agg_approx_distinct",      # rows-only (documented no-oracle row)
-    # (agg_cube / agg_rollup yield their slots to the two round-6
-    # substring-dedup additions; agg_grouping_sets — the general form the
-    # other two sugar over — keeps the family's sentinel. Both stay
-    # cumulative-green from r03 and rotate back next round.)
     "agg_grouping_sets",
-    "agg_multi_distinct",
-    # (calc_anomaly_surface yields its slot to dedup_keep_best;
-    # calc_griddata_surface keeps the griddata family sentinel.)
     "calc_griddata_surface",
     "contamination_bloom",
     "dedup_embedding_cosine",
     "dedup_exact_spans",
     "dedup_strip_boilerplate",
-    # (e3_set_difference yields its slot to sample_token_budget;
-    # e4_set_intersection keeps the set-op family sentinel. e3 stays
-    # cumulative-green from r03 and rotates back next round.)
     "e4_set_intersection",
     "embed_gram_entries",
-    # (hitl_latest_note yields its slot to ann_recall_report; it is also
-    # exercised every round as a bench headline query and rotates back.)
     "j10_latest_deploy_window",
-    "j1_asof_forward",
     "j1_asof_nearest",
     "j3_profile_phase_split",
-    # (join_cross_matrix yields its slot to streaming_substring_matches;
-    # the intended-BNLJ shape stays permanently plan-swept via
-    # tests/test_plans.py BNLJ_ALLOWED and rotates back next round.)
-    "pipeline_qaqc_job",        # r03-cohort AND touched this round
+    "pipeline_qaqc_job",
     "q11_important_parts",
-    "q16_supplier_counts",
-    # (q20_promotable_suppliers yields its slot to text_chunk_windows;
-    # q11/q16/q22 keep the TPC-H family sentinels.)
     "q22_idle_customers",
     "sample_importance",
     "sessionize_events",
     "skew_two_stage_agg",
     "streaming_session_window",
-    # (streaming_tumbling_agg yields its slot to sink_compact_roundtrip;
-    # streaming_session_window keeps the windowed-streaming sentinel and
-    # the round-6 window carries streaming_substring_matches besides.)
-    "text_ngram_freq",
     "text_perplexity",
     "text_pii_redaction",
     "text_repetition",
-    # (text_url_filter yields its slot to pipeline_rag_corpus; the text
-    # family keeps four other sentinels in-window.)
     "w7_profile_regrid",
     "w8_cell_aggregation",
     "w_ewma",
-    # (w_moving_stats yields its slot to sink_netcdf_roundtrip; w_ewma
-    # keeps the rolling-window family sentinel.)
-    # (w_ntile_deciles yields its slot to sink_zarr_roundtrip; its
-    # two-phase global-ranking machinery is exercised in-window by
-    # text_perplexity, which uses the same global_ntile operator.)
     "w_rank_tail",
 ]
 
