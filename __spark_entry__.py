@@ -27,8 +27,11 @@ from rca_data_tools_spark.sources.readers import load_table
 #
 # Round-7 window = (a) those 17 carried-over round-6 entries, (b) the five
 # queries ADDED this round (zarr-v3 + hdf5 writer lifecycles, Gopher gate,
-# Hamming ANN, RRF fusion), and (c) 28 of the 33 r03-cohort sentinels from
-# the round-6 window (five yield slots to (b) and rotate back next round:
+# Hamming ANN, RRF fusion, MERGE upsert, zone-map pruning), and (c) 26 of
+# the 33 r03-cohort sentinels from the round-6 window (seven yield slots to
+# (b) and rotate back next round — besides the five below, sessionize_events
+# is a bench headline exercised every round and j10's join family keeps
+# j1_asof_nearest + j3 in-window:
 # a8 — a9 keeps the array-math sentinel; j1_asof_forward — j1_asof_nearest
 # keeps the as-of family; agg_multi_distinct — agg_grouping_sets keeps the
 # agg family; q16 — q11/q22 keep TPC-H; text_ngram_freq — three other text
@@ -59,6 +62,8 @@ _ROUND_WINDOW = [
     "text_gopher_gate",         # Gopher word-level quality rules, per-rule bits
     "ann_hamming_topk",         # binary-quantized Hamming coarse + cosine re-rank
     "retrieval_rrf_fusion",     # BM25 x term-density reciprocal-rank fusion
+    "sink_merge_upsert",        # MERGE-INTO row-granular upsert lifecycle
+    "layout_zonemap_prune",     # file min/max zone-map data skipping
     # (c) r03-cohort sentinels carried from the unverified round-6 window
     "a4_resample_interpolate",
     "a9_row_stddev_array",
@@ -71,14 +76,12 @@ _ROUND_WINDOW = [
     "dedup_strip_boilerplate",
     "e4_set_intersection",
     "embed_gram_entries",
-    "j10_latest_deploy_window",
     "j1_asof_nearest",
     "j3_profile_phase_split",
     "pipeline_qaqc_job",
     "q11_important_parts",
     "q22_idle_customers",
     "sample_importance",
-    "sessionize_events",
     "skew_two_stage_agg",
     "streaming_session_window",
     "text_perplexity",

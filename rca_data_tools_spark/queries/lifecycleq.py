@@ -705,3 +705,140 @@ def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.lit(bool(compacted)).alias("compacted"),
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), refresh AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+)
+-- MERGE semantics at ROW granularity: a (d, event_type) row survives
+-- unless the source carries that exact key — unlike partition overwrite,
+-- same-day rows with no source counterpart are preserved
+SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+WHERE NOT EXISTS (
+  SELECT 1 FROM refresh r WHERE r.d = f.d AND r.event_type = f.event_type
+)
+UNION ALL
+SELECT d, event_type, n, n_users FROM refresh
+""",
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE-INTO upsert lifecycle: the full daily rollup is
+    written as the target table, a corrected rollup (value > 50, days >=
+    cutoff) MERGEs in — matched (d, event_type) keys take the source row,
+    source-only keys insert, everything else survives untouched — and the
+    merged table is written back and re-read. Row-granular where
+    sink_partition_overwrite is partition-granular: a (day, type) with no
+    source row survives even inside a refreshed day.
+
+    Scale shape: merge_upsert is one anti-join + union (one shuffle per
+    side on the key, no windows, no driver loops); the write-back is the
+    copy-on-write half a table format would prune by file (zone maps,
+    layout_zonemap_prune) — same logic, fewer rewritten bytes."""
+    from rca_data_tools_spark.sources.sinks import merge_upsert, write_partitioned
+
+    e = load_table(spark, sf_dir, "events")
+    target_dir = tempfile.mkdtemp(prefix="rca_merge_target_")
+    daily = _daily(e)
+    write_partitioned(daily, target_dir, ["d"])
+    part_last = daily.select("event_type", "n", "n_users", "d").schema
+    target = spark.read.schema(part_last).parquet(target_dir)
+
+    source = _daily(e.filter(F.col("value") > 50)).filter(F.col("d") >= _CUTOFF)
+    merged = merge_upsert(
+        target.select("d", "event_type", "n", "n_users"),
+        source.select("d", "event_type", "n", "n_users"),
+        ["d", "event_type"],
+    )
+    out_dir = tempfile.mkdtemp(prefix="rca_merge_out_")
+    write_partitioned(merged, out_dir, ["d"])
+    back = spark.read.schema(part_last).parquet(out_dir)
+    return back.select("d", "event_type", "n", "n_users")
+
+
+_ZM_LO, _ZM_HI = 120.0, 200.0
+
+
+@query(
+    "layout_zonemap_prune",
+    oracle=f"""
+WITH b AS (
+  SELECT LEAST(15, GREATEST(0, CAST(FLOOR(value / 32.0) AS INT))) AS bucket, value
+  FROM events WHERE value IS NOT NULL
+), zm AS (
+  SELECT bucket, MIN(value) AS mn, MAX(value) AS mx FROM b GROUP BY bucket
+)
+SELECT
+  (SELECT COUNT(*) FROM zm) AS files_total,
+  (SELECT COUNT(*) FROM zm WHERE mn <= {_ZM_HI} AND mx >= {_ZM_LO}) AS files_scanned,
+  (SELECT COUNT(*) FROM b WHERE value BETWEEN {_ZM_LO} AND {_ZM_HI}) AS n_rows,
+  (SELECT CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+     FROM b WHERE value BETWEEN {_ZM_LO} AND {_ZM_HI}) AS sum_value
+""",
+)
+def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping — the file-level min/max pruning every table
+    format (Delta/Iceberg/Hudi) and parquet footer stats rely on: events
+    are laid out value-clustered (one file per value bucket), a stats pass
+    builds the per-FILE (min, max) zone map from the actual files
+    (input_file_name groupBy — the stats-collection job), the predicate
+    ``value BETWEEN 120 AND 200`` prunes to files whose range overlaps,
+    and ONLY those files are re-opened for the real scan. Returns the
+    pruning verdict (files_total, files_scanned) plus the matched rows'
+    count/decimal-sum so the oracle certifies both the skipping arithmetic
+    and that pruning lost no rows.
+
+    Scale shape: clustering is one shuffle at write time; the zone map is
+    files-sized (KBs at 100 TB), built scan-parallel and collected as one
+    tiny list; the pruned scan opens len(selected) files instead of all —
+    the same reason the reference's consolidated stores carry per-chunk
+    coordinate bounds. Correctness does not depend on pruning: a file
+    overlapping the range but holding no matching rows is scanned and
+    filtered, exactly like a parquet row-group whose stats overlap."""
+    from rca_data_tools_spark.functions.numeric import dsum
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    bucket = F.least(
+        F.lit(15), F.greatest(F.lit(0), F.floor(F.col("value") / 32.0).cast("int"))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="rca_zonemap_"), "events_clustered")
+    # one file per bucket: hash-repartition ON the bucket, then partitionBy
+    staged = e.withColumn("bucket", bucket).repartition(16, "bucket")
+    staged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    schema = staged.select("event_id", "value", "bucket").schema
+    back = spark.read.schema(schema).parquet(out)
+    zone_map = [
+        (r["f"], r["mn"], r["mx"])
+        for r in back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    ]
+    selected = [f for f, mn, mx in zone_map if mn <= _ZM_HI and mx >= _ZM_LO]
+    if selected:
+        pruned = spark.read.schema(schema).parquet(*selected)
+        agg = pruned.filter(F.col("value").between(_ZM_LO, _ZM_HI)).agg(
+            F.count(F.lit(1)).alias("n_rows"), dsum("value").alias("sum_value")
+        )
+    else:
+        agg = back.filter(F.lit(False)).agg(
+            F.count(F.lit(1)).alias("n_rows"), dsum("value").alias("sum_value")
+        )
+    return agg.select(
+        F.lit(len(zone_map)).cast("long").alias("files_total"),
+        F.lit(len(selected)).cast("long").alias("files_scanned"),
+        F.col("n_rows").cast("long"),
+        "sum_value",
+    )

@@ -199,3 +199,29 @@ def compact_partitioned(
     shutil.rmtree(swap)
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return {"files_before": n_before, "files_after": n_after, "bytes": total}
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE-INTO semantics as a DataFrame transform: rows whose key
+    matches a source row take the SOURCE version (WHEN MATCHED UPDATE),
+    source rows with no target match insert (WHEN NOT MATCHED INSERT), and
+    unmatched target rows survive untouched — the lakehouse upsert
+    primitive (Delta/Iceberg MERGE), expressed as
+    ``target LEFT ANTI source  UNION ALL  source``.
+
+    Scale shape: the anti-join and the union are ONE shuffle of each side
+    on the key (the union is shuffle-free); there is no row-by-row driver
+    logic and no window. A copy-on-write table format would add file-level
+    pruning on top (see zone maps in queries/lifecycleq.py) so only files
+    containing matched keys rewrite — the merge LOGIC is identical."""
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    missing = [k for k in keys if k not in target.columns or k not in source.columns]
+    if missing:
+        raise ValueError(f"merge keys missing from target/source: {missing}")
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            "merge_upsert requires identical schemas (UPDATE SET * / INSERT *): "
+            f"{sorted(set(target.columns) ^ set(source.columns))} differ"
+        )
+    return target.join(source, keys, "left_anti").unionByName(source)

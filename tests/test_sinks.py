@@ -198,3 +198,39 @@ def test_write_clustered_tightens_footer_stats_on_both_dims(spark, tmp_path):
     assert p_t >= 0.9 and p_u >= 0.9, (p_t, p_u)
     # nothing lost in the rewrite
     assert spark.read.parquet(clustered).count() == src.count()
+
+
+def test_merge_upsert_semantics(spark):
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+
+    target = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "k string, sub int, v int"
+    )
+    source = spark.createDataFrame(
+        [("a", 2, 99), ("c", 1, 77)], "k string, sub int, v int"
+    )
+    got = {
+        (r["k"], r["sub"]): r["v"]
+        for r in merge_upsert(target, source, ["k", "sub"]).collect()
+    }
+    assert got == {
+        ("a", 1): 10,   # untouched target row survives
+        ("a", 2): 99,   # matched key takes the SOURCE version
+        ("b", 1): 30,   # untouched target row survives
+        ("c", 1): 77,   # source-only key inserts
+    }
+
+
+def test_merge_upsert_refusals(spark):
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+
+    t = spark.createDataFrame([("a", 1)], "k string, v int")
+    with _pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(t, t, [])
+    with _pytest.raises(ValueError, match="missing"):
+        merge_upsert(t, t, ["nope"])
+    s = spark.createDataFrame([("a", 1, 2)], "k string, v int, extra int")
+    with _pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert(t, s, ["k"])
