@@ -25,7 +25,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # have never been driver-verified and STAY in the round-7 window, as does
 # the r03-cohort block that was awaiting its rotation row.
 #
-# Round-7 window = (a) those 17 carried-over round-6 entries, (b) the five
+# Round-7 window = (a) those 17 carried-over round-6 entries, (b) the seven
 # queries ADDED this round (zarr-v3 + hdf5 writer lifecycles, Gopher gate,
 # Hamming ANN, RRF fusion, MERGE upsert, zone-map pruning), and (c) 26 of
 # the 33 r03-cohort sentinels from the round-6 window (seven yield slots to

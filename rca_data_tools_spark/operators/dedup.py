@@ -241,15 +241,21 @@ def signature_agreement_expr(k: int, a_name, b_name):
 
 
 #: Pair-list size above which verify/estimate stop broadcasting the
-#: candidate pairs and fall back to a shuffle equi-join. 1M pairs of two
-#: longs is ~16 MB serialized (a HashedRelation a few times that) —
-#: comfortably under driver/executor broadcast budgets; past that, a
-#: forced broadcast is the one all-drivers-die failure mode left in the
-#: near-dup path at corpus scale. Measured at the sf1 dup-dense corpus
-#: (cand = 3.99M pairs, pruned = 1.04M): the shuffle fallback is
-#: noise-equivalent to the broadcast (8.2 s vs 8.9 s warm), so the
-#: conservative limit costs nothing (SCALING.md).
-BROADCAST_PAIR_LIMIT = 1_000_000
+#: candidate pairs and fall back to a shuffle equi-join. The bound is
+#: BYTE-derived, because broadcast safety depends on the pair list's
+#: serialized size, not its row count: a pair is two longs = 16 bytes, so
+#: ~100 MB of pairs (a HashedRelation a few times that — still far under
+#: executor/driver budgets) is ~6.5M pairs. The r07 bench taught why the
+#: old 1M-ROW limit was the wrong guard: at the sf1 dup-dense corpus the
+#: pruned list (1.04M pairs ≈ 17 MB — trivially broadcastable) tripped it,
+#: so BOTH the estimate and verify joins shuffled the big side instead —
+#: the per-doc shingle-hash ARRAY table, whose shuffle is what the
+#: broadcast design exists to avoid — and dedup_minhash_lsh went
+#: 13.3s → 57.6s (SCALING.md "round-8: the r07 57.6s explained"). Past
+#: the byte bound a forced broadcast really is the all-drivers-die
+#: failure mode, so the shuffle fallback stays.
+BROADCAST_PAIR_BYTES = 100 * 1024 * 1024
+BROADCAST_PAIR_LIMIT = BROADCAST_PAIR_BYTES // 16  # 6_553_600 pairs
 
 #: Sentinel: "caller did not choose" — the session conf
 #: spark.rca.dedup.broadcastPairLimit (int, or 'force' to skip the count

@@ -36,6 +36,20 @@ import mmap
 import os
 
 
+def pwrite_all(fd: int, payload: bytes, offset: int) -> None:
+    """``os.pwrite`` until every byte lands. POSIX permits short writes
+    (NFS, interrupted syscalls); ignoring the return value would leave a
+    silently zeroed hole in a pre-sized sink file. Raises on zero-progress
+    writes instead of spinning."""
+    view = memoryview(payload)
+    while view:
+        n = os.pwrite(fd, view, offset)
+        if n <= 0:
+            raise OSError(f"pwrite returned {n} at offset {offset}")
+        view = view[n:]
+        offset += n
+
+
 class ByteRangeReader:
     """Positional binary reads. Subclasses implement :meth:`pread` and
     :meth:`size`; instances must be picklable (executors reopen them)."""

@@ -282,7 +282,9 @@ def write_hdf5(
                         )
                     vals = s.to_numpy(dtype=dt)
                 payload = np.ascontiguousarray(vals.astype(dt)).tobytes()
-                os.pwrite(fd, payload, data_addrs[c] + lo * dt.itemsize)
+                from rca_data_tools_spark.sources.bytes_io import pwrite_all
+
+                pwrite_all(fd, payload, data_addrs[c] + lo * dt.itemsize)
         finally:
             os.close(fd)
         return pd.DataFrame({"sid": [sid], "rows": [expect]})

@@ -188,7 +188,9 @@ def write_cdf(
                         )
                     vals = s.to_numpy(dtype=f"<i{dt.itemsize}")
                 payload = np.ascontiguousarray(vals.astype(dt)).tobytes()
-                os.pwrite(fd, payload, begins[c] + lo * dt.itemsize)
+                from rca_data_tools_spark.sources.bytes_io import pwrite_all
+
+                pwrite_all(fd, payload, begins[c] + lo * dt.itemsize)
         finally:
             os.close(fd)
         return pd.DataFrame({"sid": [sid], "rows": [expect]})

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -211,9 +212,14 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
 
     Scale shape: the anti-join and the union are ONE shuffle of each side
     on the key (the union is shuffle-free); there is no row-by-row driver
-    logic and no window. A copy-on-write table format would add file-level
-    pruning on top (see zone maps in queries/lifecycleq.py) so only files
-    containing matched keys rewrite — the merge LOGIC is identical."""
+    logic and no window. ``merge_upsert_pruned`` adds copy-on-write
+    file-level pruning on top (zone-map matched-file detection) so only
+    files containing matched keys rewrite — the merge LOGIC is identical.
+
+    Duplicate keys in SOURCE raise, matching Delta/Iceberg MERGE ("multiple
+    source rows matched"): silently emitting both versions would make the
+    upsert non-deterministic about which one "wins". Deduplicate upstream
+    (e.g. max_by on a version column) before merging."""
     if not keys:
         raise ValueError("merge_upsert needs at least one key column")
     missing = [k for k in keys if k not in target.columns or k not in source.columns]
@@ -223,5 +229,17 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
         raise ValueError(
             "merge_upsert requires identical schemas (UPDATE SET * / INSERT *): "
             f"{sorted(set(target.columns) ^ set(source.columns))} differ"
+        )
+    dup = (
+        source.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert: duplicate keys in source (MERGE requires at most "
+            f"one source row per target key), e.g. {[tuple(r)[:-1] for r in dup]}"
         )
     return target.join(source, keys, "left_anti").unionByName(source)

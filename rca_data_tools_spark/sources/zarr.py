@@ -453,14 +453,15 @@ def _fill_scalar(meta: dict):
 
 
 def _missing_scalar(meta: dict):
-    """The scalar synthesized for a chunk that was NEVER STORED. For v3
-    float variables that is NaN — the engine's missing-data convention —
-    regardless of the declared fill_value: v3 makes fill_value a required
-    field, so unlike v2 its presence carries no "this value means missing"
-    signal, and the scan must not surface a sentinel like -7.0 as data.
-    Everything else (v2, integers, strings) keeps the declared fill."""
-    if meta.get("zarr_format") == 3 and np.dtype(meta["dtype"]).kind == "f":
-        return np.nan
+    """The scalar synthesized for a chunk that was NEVER STORED: the
+    DECLARED fill_value, for every format and dtype. The zarr v3 spec makes
+    fill_value "the value of uninitialised portions", so an elided chunk
+    must read identically to a stored chunk full of the fill (zarr-python
+    with write_empty_chunks=False elides exactly those chunks) — the scan
+    keeps both as data, and NaN synthesis happens only when the declared
+    fill is itself NaN. v2 also fills with the declared value; its
+    fill->NULL missing-sentinel rewrite happens later in zarr_table, so
+    stored and elided fill values again read identically."""
     return _fill_scalar(meta)
 
 

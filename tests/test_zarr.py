@@ -266,8 +266,8 @@ def _write_shard(path, blocks: list[bytes | None], crc: bool, at_end: bool = Tru
 
 def test_zarr_v3_sharded_scan(spark, tmp_path):
     """sharding_indexed: shards assemble from inner chunks through the inner
-    codec chain; missing inner chunks read as fill -> NULL; the index
-    crc32c is verified."""
+    codec chain; missing inner chunks read as the declared fill_value (v3:
+    kept as data); the index crc32c is verified."""
     import zlib as _zlib
 
     from rca_data_tools_spark.sources.zarr import zarr_table
@@ -312,10 +312,12 @@ def test_zarr_v3_sharded_scan(spark, tmp_path):
     df = zarr_table(spark, root, ["v"])
     rows = df.orderBy("idx").collect()
     got = [r["v"] for r in rows]
-    # fill -7.0 -> SQL NULL (engine missing-data convention)
-    assert all(got[i] is None for i in range(16, 20))
-    keep = [i for i in range(23) if i not in range(16, 20)]
-    np.testing.assert_allclose([got[i] for i in keep], [vals[i] for i in keep])
+    # v3: a missing (elided) inner chunk reads as the DECLARED fill_value
+    # kept as DATA — identical to a stored chunk full of -7.0 (zarr v3
+    # spec: fill_value = value of uninitialised portions; zarr-python
+    # write_empty_chunks=False elides exactly those chunks)
+    assert all(got[i] == -7.0 for i in range(16, 20))
+    np.testing.assert_allclose(got, vals)
 
     # corrupt index -> loud error
     p = os.path.join(root, "v", "c", "0")
@@ -422,8 +424,9 @@ def test_zarr_missing_chunks_read_as_fill(spark, tmp_path):
 
 def test_zarr_v3_missing_whole_shard_reads_as_fill(spark, tmp_path):
     """A sharded v3 store where one outer shard object was never written:
-    every inner chunk of that shard reads as fill (the same semantics
-    _decode_shard gives a missing INNER chunk)."""
+    every inner chunk of that shard reads as the declared fill_value, kept
+    as DATA (the same semantics _decode_shard gives a missing INNER chunk,
+    and the same values a stored all-fill shard would yield)."""
     from rca_data_tools_spark.sources.zarr import zarr_table
 
     root = str(tmp_path / "v3gap.zarr")
@@ -453,7 +456,7 @@ def test_zarr_v3_missing_whole_shard_reads_as_fill(spark, tmp_path):
     rows = {r["idx"]: r["v"] for r in zarr_table(spark, root, ["v"]).collect()}
     assert len(rows) == 20
     assert rows[3] == 3.0 and rows[8] == 8.0
-    assert all(rows[i] is None for i in range(10, 20))  # fill -> NULL
+    assert all(rows[i] == -5.0 for i in range(10, 20))  # declared fill, as data
 
 
 def test_zarr_time_range_pruned_scan(spark, tmp_path):
