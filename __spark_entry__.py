@@ -18,79 +18,81 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round.
-# Cumulative state: 213 registered; 195 had a driver-green row through
-# round 5 (agg_approx_distinct is the documented no-oracle row). ROUND 6
-# PRODUCED NO CORRECTNESS FILE (the round ended without a judge pass), so
-# the 17 round-6 window entries — 13 additions + 4 changed-plan rows —
-# have never been driver-verified and STAY in the round-7 window, as does
-# the r03-cohort block that was awaiting its rotation row.
+# Cumulative state after round 7: 215 registered, 214 cumulative
+# driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
+# agg_approx_distinct row), 0 never-checked. Round 8 adds 4 queries
+# (219 registered).
 #
-# Round-7 window = (a) those 17 carried-over round-6 entries, (b) the seven
-# queries ADDED this round (zarr-v3 + hdf5 writer lifecycles, Gopher gate,
-# Hamming ANN, RRF fusion, MERGE upsert, zone-map pruning), and (c) 26 of
-# the 33 r03-cohort sentinels from the round-6 window (seven yield slots to
-# (b) and rotate back next round — besides the five below, sessionize_events
-# is a bench headline exercised every round and j10's join family keeps
-# j1_asof_nearest + j3 in-window:
-# a8 — a9 keeps the array-math sentinel; j1_asof_forward — j1_asof_nearest
-# keeps the as-of family; agg_multi_distinct — agg_grouping_sets keeps the
-# agg family; q16 — q11/q22 keep TPC-H; text_ngram_freq — three other text
-# sentinels remain. All five stay cumulative-green from r03.)
+# Round-8 window = (a) the four queries ADDED this round, (b) the rows
+# whose PLANS CHANGED this round — the pair-list broadcast guard moved to
+# a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
+# regression fix), merge_upsert grew the MERGE duplicate-source-key check,
+# the zarr v3 missing-chunk fill semantics fix (ADVICE r07), and the
+# pwrite short-write loop in the HDF5/CDF sinks — and (c) 35 of the 50
+# r04-cohort sentinels, now the oldest greens (rotation discipline:
+# r01->r04, r02->r05, r03->r07, r04->r08). The 12 r04 entries NOT
+# rotated here: ten are bench HEADLINE queries executed every round
+# (j4_climatology_flags, j1_asof_join, qc_bitmask_decode,
+# w4_lttb_decimation, instr_pco2w_flags, instr_optical_products,
+# q3_shipping_priority, q5_nation_revenue, a2_pivot_counts,
+# w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags yield
+# their slots to (b) with six other instrument-family sentinels staying
+# in-window. All twelve remain cumulative-green from r04.
 _ROUND_WINDOW = [
-    # (a) round-6 additions, never driver-verified (no CORRECTNESS_r06)
-    "ingest_status_degrade",    # S8 degrade-to-empty contract, live+dead feed
-    "ann_ivf_refined_topk",     # Lloyd-refined IVF search, refinement in-oracle
-    "dedup_substring_spans",    # ExactSubstr spans (Lee et al. 2022)
-    "dedup_substring_removal",  # ...and its text-cut face
-    "sample_token_budget",      # per-domain greedy token-budget selection
-    "dedup_keep_best",          # highest-quality representative per cluster
-    "streaming_substring_matches",  # stream-static ExactSubstr window face
-    "text_chunk_windows",       # overlapping RAG chunking, zero-shuffle scan
-    "sink_zarr_roundtrip",      # distributed Zarr v2 WRITE -> native read-back
-    "sink_netcdf_roundtrip",    # distributed CDF-5 WRITE -> native read-back
-    "ann_recall_report",        # measured IVF recall@5 vs exact, in-oracle
-    "sink_compact_roundtrip",   # small-file compaction, content-invariant
-    "pipeline_rag_corpus",      # gate->substr-removal->dedup->budget->chunk
-    # (a) round-6 changed-plan rows, never driver-verified
-    "dedup_minhash_lsh",        # pair-list broadcast size guard
+    # (a) added round 8
+    "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
+    "ann_ivf_hamming_recall",   # recall@5 of the composed index, in-oracle
+    "sink_merge_prune_roundtrip",  # copy-on-write file-pruned MERGE
+    "streaming_merge_upsert",   # real readStream foreachBatch merge, 2 batches
+    # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
+    #     zarr v3 fill / pwrite loop)
+    "dedup_minhash_lsh",
     "dedup_lsh_capped",
     "dedup_components",
-    "q18_large_orders",         # re-planned broadcast semi-gate -> windowed having
-    # (b) added round 7
-    "sink_zarr_v3_roundtrip",   # Zarr v3 sharded WRITE -> native v3 read-back
-    "sink_hdf5_roundtrip",      # HDF5 WRITE -> native HDF5 scan read-back
-    "text_gopher_gate",         # Gopher word-level quality rules, per-rule bits
-    "ann_hamming_topk",         # binary-quantized Hamming coarse + cosine re-rank
-    "retrieval_rrf_fusion",     # BM25 x term-density reciprocal-rank fusion
-    "sink_merge_upsert",        # MERGE-INTO row-granular upsert lifecycle
-    "layout_zonemap_prune",     # file min/max zone-map data skipping
-    # (c) r03-cohort sentinels carried from the unverified round-6 window
-    "a4_resample_interpolate",
-    "a9_row_stddev_array",
-    "agg_approx_distinct",      # rows-only (documented no-oracle row)
-    "agg_grouping_sets",
-    "calc_griddata_surface",
-    "contamination_bloom",
-    "dedup_embedding_cosine",
-    "dedup_exact_spans",
-    "dedup_strip_boilerplate",
-    "e4_set_intersection",
-    "embed_gram_entries",
-    "j1_asof_nearest",
-    "j3_profile_phase_split",
-    "pipeline_qaqc_job",
-    "q11_important_parts",
-    "q22_idle_customers",
-    "sample_importance",
-    "skew_two_stage_agg",
-    "streaming_session_window",
-    "text_perplexity",
-    "text_pii_redaction",
-    "text_repetition",
-    "w7_profile_regrid",
-    "w8_cell_aggregation",
-    "w_ewma",
-    "w_rank_tail",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "sink_merge_upsert",
+    "sink_zarr_roundtrip",
+    "sink_zarr_v3_roundtrip",
+    "sink_netcdf_roundtrip",
+    "sink_hdf5_roundtrip",
+    # (c) r04-cohort sentinels (oldest greens, last proven r04)
+    "bpe_train_merges",
+    "bpe_apply_tokens",
+    "text_bm25_topk",
+    "sketch_cms_heavyhitters",
+    "sketch_hll_cardinality",
+    "embed_kmeans_clusters",
+    "pipeline_pretrain_corpus",
+    "sample_weighted_topk",
+    "sample_shuffle_order",
+    "sample_domain_mix",
+    "w_mad_outliers",
+    "calc_tidal_harmonic",
+    "agg_mode",
+    "agg_histogram",
+    "text_pmi_cooccurrence",
+    "qc_flag_transitions",
+    "streaming_hll_registers",
+    "streaming_cms_cells",
+    "streaming_join_enriched",
+    "graph_degree_stats",
+    "text_minhash_containment",
+    "qc_flat_line",
+    "j1_asof_tolerance",
+    "j11_interval_difference",
+    "text_entropy",
+    "a16_array_quantiles",
+    "embed_norm_stats",
+    "instr_velpt_flags",
+    "instr_nutnr_flags",
+    "instr_adcp_flags",
+    "instr_ph_flags",
+    "instr_opt_converters",
+    "instr_sidelobe_depth",
+    "p2_time_slice",
+    "j6_multiway_time_join",
 ]
 
 

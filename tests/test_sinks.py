@@ -234,3 +234,87 @@ def test_merge_upsert_refusals(spark):
     s = spark.createDataFrame([("a", 1, 2)], "k string, v int, extra int")
     with _pytest.raises(ValueError, match="identical schemas"):
         merge_upsert(t, s, ["k"])
+
+
+def test_merge_upsert_duplicate_source_keys_raise(spark):
+    """MERGE contract (Delta/Iceberg): more than one source row per key is
+    an error, not a silent double-emit."""
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+
+    t = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    s = spark.createDataFrame([("a", 10), ("a", 11)], "k string, v int")
+    with _pytest.raises(ValueError, match="duplicate keys in source"):
+        merge_upsert(t, s, ["k"])
+
+
+def test_merge_upsert_pruned_rewrites_only_matched_files(spark, tmp_path):
+    """Copy-on-write file pruning: zone map -> candidates -> exact matched
+    set; only files containing matched keys rewrite, unmatched files
+    HARDLINK into the new version, inserts land in the new parts, and the
+    merged content equals the unpruned merge."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert, merge_upsert_pruned
+
+    ddl = "id long, v double"
+    target_dir = str(tmp_path / "v0")
+    os.makedirs(target_dir)
+    # four range-clustered files: [0,25), [25,50), [50,75), [75,100)
+    for lo in (0, 25, 50, 75):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 25)], ddl
+        ).coalesce(1).write.parquet(str(tmp_path / f"s{lo}"))
+        part = [f for f in os.listdir(str(tmp_path / f"s{lo}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"s{lo}" / part), os.path.join(target_dir, f"f{lo}.parquet"))
+
+    # updates hit only [30, 40) (file f25); inserts are fresh ids >= 100
+    source = spark.createDataFrame(
+        [(i, 1000.0 + i) for i in range(30, 40)] + [(100, -1.0), (101, -2.0)], ddl
+    )
+    out_dir = str(tmp_path / "v1")
+    stats = merge_upsert_pruned(spark, target_dir, out_dir, source, ["id"], ddl)
+    assert stats["files_total"] == 4
+    assert stats["files_rewritten"] == 1
+    assert stats["files_rewritten"] <= stats["files_candidates"] < stats["files_total"]
+
+    # three of four files carried over as hardlinks (same inode)
+    t_inodes = {os.stat(os.path.join(target_dir, f)).st_ino for f in os.listdir(target_dir)}
+    o_inodes = {os.stat(os.path.join(out_dir, f)).st_ino
+                for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    assert len(t_inodes & o_inodes) == 3
+
+    got = sorted(map(tuple, spark.read.schema(ddl).parquet(out_dir).collect()))
+    expect = sorted(map(tuple, merge_upsert(
+        spark.read.schema(ddl).parquet(target_dir), source, ["id"]
+    ).collect()))
+    assert got == expect
+    assert (0, 0.0) in got and (35, 1035.0) in got and (100, -1.0) in got
+
+
+def test_merge_upsert_pruned_zone_false_positive_not_rewritten(spark, tmp_path):
+    """A file whose key RANGE overlaps a source key but which does not
+    CONTAIN it is a zone-map false positive: counted as candidate, opened,
+    and left un-rewritten (hardlinked) by the exact containment check."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
+
+    ddl = "id long, v double"
+    target_dir = str(tmp_path / "v0")
+    os.makedirs(target_dir)
+    # file A holds EVEN ids 0..18, file B holds 100..109
+    for name, ids in (("a", list(range(0, 20, 2))), ("b", list(range(100, 110)))):
+        spark.createDataFrame([(i, float(i)) for i in ids], ddl).coalesce(1)\
+            .write.parquet(str(tmp_path / f"s{name}"))
+        part = [f for f in os.listdir(str(tmp_path / f"s{name}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"s{name}" / part), os.path.join(target_dir, f"{name}.parquet"))
+
+    # key 7 is inside A's [0,18] range but absent (odd) -> pure insert
+    source = spark.createDataFrame([(7, 7.7)], ddl)
+    out_dir = str(tmp_path / "v1")
+    stats = merge_upsert_pruned(spark, target_dir, out_dir, source, ["id"], ddl)
+    assert stats == {"files_total": 2, "files_candidates": 1, "files_rewritten": 0}
+    got = sorted(map(tuple, spark.read.schema(ddl).parquet(out_dir).collect()))
+    assert (7, 7.7) in got and len(got) == 21

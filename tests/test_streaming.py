@@ -787,3 +787,78 @@ def test_stream_substring_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM substr_stream").collect()
     )
     assert got == expect
+
+
+def test_stream_merge_upsert_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """Batch ≡ stream for the ingest-to-merge lifecycle: two correction
+    micro-batches through stream_merge_upsert must leave EXACTLY the table
+    that two sequential batch merge_upsert calls produce — proving
+    exactly-once row states across micro-batch boundaries — and a replay
+    of the second batch (the crash-between-commit-and-offsets case) must
+    rebuild an identical version from its predecessor, not double-apply."""
+    import os
+    import shutil
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+    from rca_data_tools_spark.streaming.joins import stream_merge_upsert
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    os.makedirs(root)
+    daily.write.parquet(os.path.join(root, "v0"))
+
+    b1 = daily.filter(F.col("d") >= "2024-01-10").withColumn("n", F.col("n") + 100)
+    b2 = daily.filter(F.col("d") >= "2024-01-20").withColumn("n", F.col("n") + 200)
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, b in enumerate([b1, b2]):
+        stage = str(tmp_path / f"stage{i}")
+        b.select("d", "event_type", "n", "n_users").coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_merge_upsert(stream, root, ["d", "event_type"], ddl, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    # two micro-batches -> exactly versions v0, v1, v2
+    vs = sorted(int(d[1:]) for d in os.listdir(root) if d.startswith("v"))
+    assert vs == [0, 1, 2]
+
+    # batch replay: the same two merges applied sequentially
+    expect_df = merge_upsert(
+        merge_upsert(daily.select("d", "event_type", "n", "n_users"),
+                     b1.select("d", "event_type", "n", "n_users"),
+                     ["d", "event_type"]),
+        b2.select("d", "event_type", "n", "n_users"),
+        ["d", "event_type"],
+    )
+    expect = sorted(map(tuple, expect_df.collect()))
+    got = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
+    assert got == expect
+
+    # copy-on-write actually pruned: v2 shares (hardlinks) at least one
+    # untouched file with v1 instead of rewriting the whole table
+    inodes_v1 = {os.stat(os.path.join(root, "v1", f)).st_ino
+                 for f in os.listdir(os.path.join(root, "v1")) if f.endswith(".parquet")}
+    inodes_v2 = {os.stat(os.path.join(root, "v2", f)).st_ino
+                 for f in os.listdir(os.path.join(root, "v2")) if f.endswith(".parquet")}
+    assert inodes_v1 & inodes_v2
+
+    # replayed batch 1 (batch_id=1 -> v2): a fresh checkpoint re-delivers
+    # both batches; pre-existing v1/v2 are rebuilt from their predecessors
+    # and the final state is identical (idempotent replay)
+    shutil.rmtree(str(tmp_path / "ck"))
+    stream2 = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q2 = stream_merge_upsert(stream2, root, ["d", "event_type"], ddl, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    got2 = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
+    assert got2 == expect
