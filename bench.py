@@ -96,9 +96,69 @@ def _build_events_zarr(sf_dir: str, root: str) -> int:
                 )
             with open(os.path.join(d, str(cid)), "wb") as f:
                 f.write(zlib.compress(np.ascontiguousarray(block).tobytes(), 1))
+    # consolidated metadata — the layout the reference actually serves
+    # (xr.open_zarr(..., consolidated=True)); the scan's metadata phase is
+    # then ONE GET instead of per-variable probe round trips
+    consolidated = {
+        "zarr_consolidated_format": 1,
+        "metadata": {
+            f"{name}/.zarray": _json.load(open(os.path.join(root, name, ".zarray")))
+            for name in arrays
+        },
+    }
+    with open(os.path.join(root, ".zmetadata"), "w") as f:
+        _json.dump(consolidated, f)
     with open(marker, "w") as f:
         f.write(str(n))
     return n
+
+
+def _handler_cls(root: str):
+    import http.server
+
+    class _Handler(http.server.SimpleHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive, like every object store
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=root, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    return _Handler
+
+
+class _ReusePortServer(__import__("socketserver").ThreadingTCPServer):
+    """SO_REUSEPORT so several PROCESSES share the port — the kernel
+    load-balances connections across them, modeling a horizontally-scaled
+    object-store endpoint instead of one GIL."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def server_bind(self):
+        import socket
+        import socketserver
+
+        self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        socketserver.ThreadingTCPServer.server_bind(self)
+
+
+def _serve_child(root: str, port: int) -> None:
+    srv = _ReusePortServer(("127.0.0.1", port), _handler_cls(root))
+    srv.serve_forever()
+
+
+def _spawn_extra_servers(root: str, port: int, n: int) -> list:
+    import multiprocessing
+
+    ctx = multiprocessing.get_context("fork")
+    procs = []
+    for _ in range(n):
+        p = ctx.Process(target=_serve_child, args=(root, port), daemon=True)
+        p.start()
+        procs.append(p)
+    return procs
 
 
 def _native_scan_bench(spark, sf_dir: str, tag: str, n_runs: int) -> dict:
@@ -122,17 +182,17 @@ def _native_scan_bench(spark, sf_dir: str, tag: str, n_runs: int) -> dict:
     os.makedirs(root, exist_ok=True)
     n_rows = _build_events_zarr(sf_dir, root)
 
-    class _Handler(http.server.SimpleHTTPRequestHandler):
-        def __init__(self, *a, **kw):
-            super().__init__(*a, directory=root, **kw)
-
-        def log_message(self, *a):
-            pass
-
-    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Handler)
+    # The server models an OBJECT STORE: keep-alive (HTTP/1.1 — stores
+    # always keep-alive; HTTP/1.0 forced a TCP handshake per chunk GET) and
+    # horizontally scaled (4 worker PROCESSES sharing the port via
+    # SO_REUSEPORT — a single CPython handler serializes every GET on one
+    # GIL, which benchmarks the harness's server, not the engine's scan).
+    srv = _ReusePortServer(("127.0.0.1", 0), _handler_cls(root))
     srv.daemon_threads = True
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    port = srv.server_address[1]
+    extra = _spawn_extra_servers(root, port, n=3)
+    base = f"http://127.0.0.1:{port}"
 
     # identical aggregation both paths: count + sum(value) + max(user_id)
     def zarr_full():
@@ -186,6 +246,10 @@ def _native_scan_bench(spark, sf_dir: str, tag: str, n_runs: int) -> dict:
     finally:
         srv.shutdown()
         srv.server_close()
+        for p in extra:
+            p.terminate()
+        for p in extra:
+            p.join(timeout=5)
     return out
 
 

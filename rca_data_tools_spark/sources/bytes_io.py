@@ -254,11 +254,41 @@ class KeyValueStore:
     be picklable; ``get`` raising KeyError/FileNotFoundError marks a missing
     key (Zarr: an absent chunk means all-fill-value)."""
 
+    #: Remote stores overlap their per-key round trips; local ones gain
+    #: nothing from threads (page cache) and keep the serial loop.
+    PREFETCH_WORKERS = 0
+
     def get(self, key: str) -> bytes:
         raise NotImplementedError
 
     def exists(self, key: str) -> bool:
         raise NotImplementedError
+
+    def get_many(self, keys: "list[str]") -> "dict[str, bytes | None]":
+        """Fetch several blobs; missing keys map to None. Remote stores
+        (PREFETCH_WORKERS > 0) fan the round trips out over a small thread
+        pool — a task scanning K chunks of V variables otherwise pays
+        K*V sequential latencies, which dominated the r07 native-scan
+        bench. Local stores keep the serial loop (no latency to hide)."""
+
+        def _one(k: str):
+            try:
+                return self.get(k)
+            except (KeyError, FileNotFoundError):
+                return None
+
+        if self.PREFETCH_WORKERS > 1 and len(keys) > 1:
+            # the executor is cached on the instance (and dropped on
+            # pickling, like connections): its threads persist across
+            # calls, so per-thread keep-alive connections persist too
+            pool = self.__dict__.get("_prefetch_pool")
+            if pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(self.PREFETCH_WORKERS)
+                self.__dict__["_prefetch_pool"] = pool
+            return dict(zip(keys, pool.map(_one, keys)))
+        return {k: _one(k) for k in keys}
 
 
 class LocalDirStore(KeyValueStore):
@@ -291,14 +321,84 @@ class MemoryStore(KeyValueStore):
         return key in self.blobs
 
 
+import threading as _threading
+
+_HTTP_TL = _threading.local()  # per-worker-thread keep-alive connections
+
+
 class HttpStore(KeyValueStore):
     """Keyed blobs over HTTP(S): key 'var/0.0' -> GET base_url/var/0.0 —
     the consolidated-Zarr-over-object-store access pattern. Missing keys
-    (404) raise KeyError; picklable like the rest."""
+    (404) raise KeyError; picklable like the rest.
+
+    GETs ride a per-thread KEEP-ALIVE connection (http.client), because a
+    chunked scan issues one GET per chunk and the TCP+HTTP setup of a fresh
+    connection per blob dominated the native-scan bench (r07: the HTTP
+    path cost ~3x the same scan over a local dir; object stores serve
+    thousands of GETs per connection for exactly this reason). A server
+    that answers HTTP/1.0 or Connection: close degrades gracefully to
+    one-connection-per-request; stale pooled connections retry once on a
+    fresh connection. Redirects and other urllib niceties stay on the
+    urllib fallback path (exists/HEAD, non-2xx handling)."""
+
+    #: Serial by default, MEASURED: with 32 executor-side Python workers a
+    #: per-worker thread pool multiplies concurrent connections 4x and the
+    #: sf1 native-scan bench REGRESSED 0.85s -> 3.2s against the (GIL-bound)
+    #: localhost server — the cluster's parallelism already saturates one
+    #: endpoint, and keep-alive serial GETs per worker won. Against a real
+    #: horizontally-scaled object store, raise per deployment measurement.
+    PREFETCH_WORKERS = 0
 
     def __init__(self, base_url: str, timeout: float = 30.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self._init_pool()
+
+    def _init_pool(self):
+        from urllib.parse import urlparse
+
+        p = urlparse(self.base_url)
+        self._scheme, self._netloc = p.scheme, p.netloc
+        self._basepath = p.path.rstrip("/")
+
+    def __getstate__(self):
+        return {"base_url": self.base_url, "timeout": self.timeout}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._init_pool()
+
+    def _conn(self):
+        # PROCESS-level pool keyed by (scheme, netloc), not per-instance:
+        # every query pickles a fresh store object, so a per-instance pool
+        # would open (and leak until GC) a new connection per worker per
+        # query — measured as an alternating ~2x swing on the native-scan
+        # bench as abandoned sockets piled up server-side. One keep-alive
+        # connection per endpoint per worker thread, reused forever.
+        import http.client
+
+        conns = getattr(_HTTP_TL, "conns", None)
+        if conns is None:
+            conns = _HTTP_TL.conns = {}
+        key = (self._scheme, self._netloc)
+        conn = conns.get(key)
+        if conn is None:
+            cls = (
+                http.client.HTTPSConnection
+                if self._scheme == "https"
+                else http.client.HTTPConnection
+            )
+            conn = conns[key] = cls(self._netloc, timeout=self.timeout)
+        return conn
+
+    def _drop_conn(self):
+        conns = getattr(_HTTP_TL, "conns", {})
+        conn = conns.pop((self._scheme, self._netloc), None)
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
 
     def _open(self, key: str, method: str = "GET"):
         import urllib.request
@@ -309,36 +409,78 @@ class HttpStore(KeyValueStore):
         return urllib.request.urlopen(req, timeout=self.timeout)
 
     def get(self, key: str) -> bytes:
-        import urllib.error
+        import http.client
+        from urllib.parse import quote
 
-        try:
-            with self._open(key) as r:
-                return r.read()
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                raise KeyError(key) from None
-            raise
+        path = f"{self._basepath}/{quote(key)}"
+        for attempt in (0, 1):
+            conn = self._conn()
+            try:
+                conn.request("GET", path)
+                r = conn.getresponse()
+                body = r.read()
+            except (http.client.HTTPException, OSError):
+                # stale keep-alive connection (server idled it out between
+                # tasks): one retry on a fresh connection, then surface
+                self._drop_conn()
+                if attempt:
+                    raise
+                continue
+            if r.will_close:
+                self._drop_conn()  # HTTP/1.0 or Connection: close server
+            if r.status == 404:
+                raise KeyError(key)
+            if 300 <= r.status < 400 or r.status >= 400:
+                # redirects and auth dances go through urllib, which knows
+                # how to follow/raise them properly
+                self._drop_conn()
+                import urllib.error
+
+                try:
+                    with self._open(key) as u:
+                        return u.read()
+                except urllib.error.HTTPError as e:
+                    if e.code == 404:
+                        raise KeyError(key) from None
+                    raise
+            return body
 
     def exists(self, key: str) -> bool:
         """HEAD, not GET — a metadata probe must not download the blob.
-        A HEAD rejected with anything but 404 (405/501 method-not-allowed,
-        but also 403 from GET-only presigned URLs) falls back to one GET,
-        so no store that can serve get() ever fails exists()."""
+        Rides the keep-alive pool like get(); a HEAD rejected with anything
+        but 404 (405/501 method-not-allowed, but also 403 from GET-only
+        presigned URLs) falls back to one urllib GET, so no store that can
+        serve get() ever fails exists()."""
+        import http.client
         import urllib.error
+        from urllib.parse import quote
 
-        try:
-            with self._open(key, method="HEAD"):
-                return True
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                return False
+        path = f"{self._basepath}/{quote(key)}"
+        for attempt in (0, 1):
+            conn = self._conn()
             try:
-                with self._open(key):
-                    return True
-            except urllib.error.HTTPError as e2:
-                if e2.code == 404:
-                    return False
-                raise
+                conn.request("HEAD", path)
+                r = conn.getresponse()
+                r.read()
+            except (http.client.HTTPException, OSError):
+                self._drop_conn()
+                if attempt:
+                    raise
+                continue
+            if r.will_close:
+                self._drop_conn()
+            if r.status == 404:
+                return False
+            if 200 <= r.status < 300:
+                return True
+            break  # odd status: let urllib decide below
+        try:
+            with self._open(key):
+                return True
+        except urllib.error.HTTPError as e2:
+            if e2.code == 404:
+                return False
+            raise
 
 
 _FSSPEC_SCHEMES = ("s3://", "gs://", "az://", "abfs://", "memory://", "ftp://")
