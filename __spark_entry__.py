@@ -20,10 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 7: 215 registered, 214 cumulative
 # driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 8 adds 4 queries
-# (219 registered).
+# agg_approx_distinct row), 0 never-checked. Round 8 adds 5 queries
+# (220 registered).
 #
-# Round-8 window = (a) the four queries ADDED this round, (b) the rows
+# Round-8 window = (a) the five queries ADDED this round, (b) the rows
 # whose PLANS CHANGED this round — the pair-list broadcast guard moved to
 # a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
 # regression fix), merge_upsert grew the MERGE duplicate-source-key check,
@@ -35,13 +35,15 @@ from rca_data_tools_spark.sources.readers import load_table
 # (j4_climatology_flags, j1_asof_join, qc_bitmask_decode,
 # w4_lttb_decimation, instr_pco2w_flags, instr_optical_products,
 # q3_shipping_priority, q5_nation_revenue, a2_pivot_counts,
-# w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags yield
-# their slots to (b) with six other instrument-family sentinels staying
-# in-window. All twelve remain cumulative-green from r04.
+# w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags /
+# instr_ph_flags yield their slots to (a)/(b) with five other
+# instrument-family sentinels staying in-window. All thirteen remain
+# cumulative-green from r04.
 _ROUND_WINDOW = [
     # (a) added round 8
     "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
     "ann_ivf_hamming_recall",   # recall@5 of the composed index, in-oracle
+    "ann_ivf_pq_topk",          # IVFPQ: ADC over nprobe lists' 4-byte codes
     "sink_merge_prune_roundtrip",  # copy-on-write file-pruned MERGE
     "streaming_merge_upsert",   # real readStream foreachBatch merge, 2 batches
     # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
@@ -88,7 +90,6 @@ _ROUND_WINDOW = [
     "instr_velpt_flags",
     "instr_nutnr_flags",
     "instr_adcp_flags",
-    "instr_ph_flags",
     "instr_opt_converters",
     "instr_sidelobe_depth",
     "p2_time_slice",

@@ -118,6 +118,9 @@ def _handler_cls(root: str):
 
     class _Handler(http.server.SimpleHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive, like every object store
+        # production servers disable Nagle: with it on, keep-alive
+        # exchanges stall ~40 ms each on the Nagle/delayed-ACK interaction
+        disable_nagle_algorithm = True
 
         def __init__(self, *a, **kw):
             super().__init__(*a, directory=root, **kw)
@@ -131,7 +134,9 @@ def _handler_cls(root: str):
 class _ReusePortServer(__import__("socketserver").ThreadingTCPServer):
     """SO_REUSEPORT so several PROCESSES share the port — the kernel
     load-balances connections across them, modeling a horizontally-scaled
-    object-store endpoint instead of one GIL."""
+    object-store endpoint instead of one GIL. Nagle disabled server-side
+    like any production HTTP server: with it on, keep-alive exchanges stall
+    ~40 ms each on the Nagle/delayed-ACK interaction."""
 
     allow_reuse_address = True
     daemon_threads = True

@@ -547,13 +547,14 @@ def _pq_arrays(cb_rows: list, m: int, k: int):
 
 def pq_encode(
     corpus: DataFrame, cb_rows: list, id_col: str, vec_col: str,
-    m: int = PQ_M, k: int = PQ_K,
+    m: int = PQ_M, k: int = PQ_K, keep: "list[str] | None" = None,
 ) -> DataFrame:
-    """(id, codes: array<long>) — per subspace, the argmin squared-L2
-    codeword (round-6 + lowest-code tie-break, the ivf_assign determinism
-    contract). One corpus scan through an Arrow kernel, zero shuffles; the
-    d-loop accumulates in subspace-dimension order so every distance is the
-    same IEEE fold the SQL oracle computes."""
+    """(id, [keep...,] codes: array<long>) — per subspace, the argmin
+    squared-L2 codeword (round-6 + lowest-code tie-break, the ivf_assign
+    determinism contract). One corpus scan through an Arrow kernel, zero
+    shuffles; the d-loop accumulates in subspace-dimension order so every
+    distance is the same IEEE fold the SQL oracle computes. ``keep`` rides
+    extra columns through (e.g. the IVF list id for the composed index)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
@@ -576,7 +577,11 @@ def pq_encode(
         return pd.Series([r.tolist() for r in codes])
 
     enc = F.pandas_udf(_enc, ArrayType(LongType()))
-    return corpus.select(F.col(id_col), enc(to_double_array(vec_col)).alias("codes"))
+    return corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
+        enc(to_double_array(vec_col)).alias("codes"),
+    )
 
 
 def pq_adc_topk(
@@ -712,3 +717,100 @@ def pq_refine(
             r for r in cb_rows if (int(r["m"]), int(r["j"])) not in got
         ]
     return cb_rows
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    n_lists: int = 16,
+    stride: int = 29,
+    nprobe: int = 4,
+    n_candidates: int = 32,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVFPQ — the production vector-index composition (Jegou et al. 2011,
+    the FAISS workhorse): IVF lists prune WHERE to look, product
+    quantization compresses WHAT is scanned there. Corpus vectors carry
+    (list id, M-byte PQ code); each query probes its nprobe lists and
+    ADC-scores ONLY those lists' codes via its M x K lookup table — probe
+    volume is corpus x nprobe/n_lists AND each probe touches M bytes
+    instead of the d-dim vector. Top ``n_candidates`` by approximate
+    distance re-rank exactly by cosine.
+
+    Scale shape: assignment + encoding are one shared corpus scan (Arrow
+    kernel, broadcast quantizer/codebook); ADC scoring is pure codegen —
+    the lookup table is a plan-time literal array, each row costs M
+    element_at's and M-1 adds; the only shuffles are the two per-query
+    top-k windows. At 100 TB the persisted index is (cid, 4 bytes)/vector.
+
+    Determinism: lookup-table entries round to 6 (like every distance in
+    the family) and sum in fixed subspace order, so approx_dist is the
+    same IEEE fold as the oracle's l0+l1+l2+l3."""
+    import numpy as np
+
+    cent_rows = ivf_centroids(corpus, id_col, vec_col, n_lists, stride).collect()
+    lists = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
+    probes = ivf_assign(queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe)
+    cb_rows = pq_codebook(corpus, id_col, vec_col, m=m, k=n_codes)
+    q_rows = sorted(
+        ((int(r[q_id_col]), [float(x) for x in r[q_vec_col]]) for r in queries.collect())
+    )
+    if not cb_rows or not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{q_id_col} long, {id_col} long, approx_dist double, "
+            "cos_sim double, rank int",
+        )
+    C, sub = _pq_arrays(cb_rows, m, n_codes)
+    k_eff = C.shape[1]
+    q_ids = [qr[0] for qr in q_rows]
+    Q = np.array([qr[1] for qr in q_rows])
+    nq = Q.shape[0]
+    lut = np.zeros((nq, m, k_eff))
+    for mi in range(m):
+        acc = np.zeros((nq, k_eff))
+        for d in range(sub):
+            diff = Q[:, mi * sub + d][:, None] - C[mi, :, d][None, :]
+            acc += diff * diff
+        lut[:, mi, :] = np.round(acc, 6)
+
+    enc = pq_encode(lists, cb_rows, id_col, vec_col, m=m, k=n_codes, keep=["cid"])
+    # the LUT as a plan-time literal: lut_lit[qidx][mi][code] — ADC becomes
+    # M array lookups + M-1 adds in whole-stage codegen, no Python
+    lut_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(lut[qi, mi, j])) for j in range(k_eff)])
+            for mi in range(m)
+        ])
+        for qi in range(nq)
+    ])
+    qidx = F.create_map(
+        *[F.lit(x) for i, qid in enumerate(q_ids) for x in (qid, i)]
+    )[F.col(q_id_col)].cast("int")
+    per_q = lut_lit[qidx]
+    approx = None
+    for mi in range(m):
+        term = per_q[F.lit(mi)][F.element_at("codes", mi + 1).cast("int")]
+        approx = term if approx is None else approx + term
+    scored = (
+        enc.join(F.broadcast(probes.select(q_id_col, "cid")), "cid")
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .select(q_id_col, id_col, approx.alias("approx_dist"))
+    )
+    w_adc = Window.partitionBy(q_id_col).orderBy(F.col("approx_dist"), F.col(id_col))
+    cand = scored.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= n_candidates
+    )
+    exact = corpus.join(
+        F.broadcast(cand.select(q_id_col, id_col, "approx_dist")), id_col
+    ).join(F.broadcast(queries), q_id_col)
+    sim = F.round(seq_cosine_udf()(to_double_array(q_vec_col), to_double_array(vec_col)), 6)
+    rr = exact.select(q_id_col, id_col, "approx_dist", sim.alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

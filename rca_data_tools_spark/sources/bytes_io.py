@@ -171,34 +171,61 @@ class HttpRangeReader(ByteRangeReader):
         self._full: "bytes | None" = None  # set iff the server ignores Range
 
     def _request(self, headers: dict, method: str = "GET"):
+        # urllib FALLBACK path (redirects, odd statuses) and the documented
+        # subclass extension point for auth headers — extra_headers() feeds
+        # the pooled fast path, this feeds the fallback.
         import urllib.request
 
-        req = urllib.request.Request(self.url, headers=headers, method=method)
+        req = urllib.request.Request(
+            self.url, headers={**self.extra_headers(), **headers}, method=method
+        )
         return urllib.request.urlopen(req, timeout=self.timeout)
+
+    def extra_headers(self) -> dict:
+        """Subclass hook: headers added to every request (auth tokens)."""
+        return {}
+
+    def _exchange(self, headers: dict, method: str = "GET"):
+        """One pooled keep-alive exchange (same NODELAY pool as HttpStore —
+        HDF5 metadata walks issue MANY small ranged GETs, exactly the shape
+        the Nagle/delayed-ACK stall punished at ~40 ms each); non-2xx falls
+        back to urllib which knows redirects."""
+        from urllib.parse import urlparse
+
+        p = urlparse(self.url)
+        status, hdrs, body = _pooled_request(
+            p.scheme, p.netloc, method,
+            p.path or "/", {**self.extra_headers(), **headers}, self.timeout,
+        )
+        if 200 <= status < 300:
+            return status, hdrs, body
+        with self._request(headers, method=method) as r:
+            return r.status, r.headers, r.read()
 
     def size(self) -> int:
         if self._size is None:
-            with self._request({}, method="HEAD") as r:
-                length = r.headers.get("Content-Length")
-                if length is None:
-                    raise ValueError(f"no Content-Length from {self.url!r}")
-                self._size = int(length)
+            _status, hdrs, _body = self._exchange({}, method="HEAD")
+            length = hdrs.get("Content-Length")
+            if length is None:
+                raise ValueError(f"no Content-Length from {self.url!r}")
+            self._size = int(length)
         return self._size
 
     def _fetch(self, offset: int, size: int) -> bytes:
         if self._full is not None:
             return self._full[offset : offset + size]
-        with self._request({"Range": f"bytes={offset}-{offset + size - 1}"}) as r:
-            body = r.read()
-            if r.status == 206:
-                return body[:size]
-            # Server ignored Range and sent the whole file: keep it, so a
-            # metadata parse (hundreds of tiny preads) costs ONE transfer
-            # instead of O(file_size x blocks). Dropped on pickling like the
-            # block cache.
-            self._size = len(body)
-            self._full = body
-            return body[offset : offset + size]
+        status, _hdrs, body = self._exchange(
+            {"Range": f"bytes={offset}-{offset + size - 1}"}
+        )
+        if status == 206:
+            return body[:size]
+        # Server ignored Range and sent the whole file: keep it, so a
+        # metadata parse (hundreds of tiny preads) costs ONE transfer
+        # instead of O(file_size x blocks). Dropped on pickling like the
+        # block cache.
+        self._size = len(body)
+        self._full = body
+        return body[offset : offset + size]
 
     def pread(self, offset: int, size: int) -> bytes:
         if size <= 0:
@@ -326,6 +353,77 @@ import threading as _threading
 _HTTP_TL = _threading.local()  # per-worker-thread keep-alive connections
 
 
+def _nodelay(conn):
+    import socket
+
+    conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+
+class _NoDelayHTTPConnection(__import__("http.client", fromlist=["x"]).HTTPConnection):
+    """TCP_NODELAY keep-alive connection: on a reused socket, Nagle +
+    delayed-ACK turn every small-header/body exchange into a ~40 ms stall
+    (measured 44 ms/GET on the native-scan bench, 2 ms without). Every real
+    HTTP client (curl, requests/urllib3, JVM) disables Nagle for exactly
+    this reason."""
+
+    def connect(self):
+        super().connect()
+        _nodelay(self)
+
+
+class _NoDelayHTTPSConnection(__import__("http.client", fromlist=["x"]).HTTPSConnection):
+    def connect(self):
+        super().connect()
+        _nodelay(self)
+
+
+def _pooled_request(scheme, netloc, method, path, headers, timeout):
+    """(status, headers, body) over the per-thread keep-alive pool. One
+    retry on a fresh connection for stale-socket failures (a server that
+    idled out a kept-alive connection between tasks); servers answering
+    HTTP/1.0 or Connection: close degrade to connection-per-request.
+
+    The pool is PROCESS-level keyed by (scheme, netloc) and thread, never
+    per-reader/store instance: every query pickles fresh instances, so
+    instance-scoped pooling would open (and leak until GC) a connection
+    per worker per query — measured as an alternating ~2x swing on the
+    native-scan bench as abandoned sockets piled up server-side."""
+    import http.client
+
+    conns = getattr(_HTTP_TL, "conns", None)
+    if conns is None:
+        conns = _HTTP_TL.conns = {}
+    key = (scheme, netloc)
+
+    def _drop(conn):
+        conns.pop(key, None)
+        try:
+            conn.close()
+        except Exception:
+            pass
+
+    for attempt in (0, 1):
+        conn = conns.get(key)
+        if conn is None:
+            cls = (
+                _NoDelayHTTPSConnection if scheme == "https" else _NoDelayHTTPConnection
+            )
+            conn = conns[key] = cls(netloc, timeout=timeout)
+        try:
+            conn.request(method, path, headers=headers or {})
+            r = conn.getresponse()
+            body = r.read()
+        except (http.client.HTTPException, OSError):
+            _drop(conn)
+            if attempt:
+                raise
+            continue
+        if r.will_close:
+            _drop(conn)
+        return r.status, r.headers, body
+
+
+
 class HttpStore(KeyValueStore):
     """Keyed blobs over HTTP(S): key 'var/0.0' -> GET base_url/var/0.0 —
     the consolidated-Zarr-over-object-store access pattern. Missing keys
@@ -368,38 +466,6 @@ class HttpStore(KeyValueStore):
         self.__dict__.update(state)
         self._init_pool()
 
-    def _conn(self):
-        # PROCESS-level pool keyed by (scheme, netloc), not per-instance:
-        # every query pickles a fresh store object, so a per-instance pool
-        # would open (and leak until GC) a new connection per worker per
-        # query — measured as an alternating ~2x swing on the native-scan
-        # bench as abandoned sockets piled up server-side. One keep-alive
-        # connection per endpoint per worker thread, reused forever.
-        import http.client
-
-        conns = getattr(_HTTP_TL, "conns", None)
-        if conns is None:
-            conns = _HTTP_TL.conns = {}
-        key = (self._scheme, self._netloc)
-        conn = conns.get(key)
-        if conn is None:
-            cls = (
-                http.client.HTTPSConnection
-                if self._scheme == "https"
-                else http.client.HTTPConnection
-            )
-            conn = conns[key] = cls(self._netloc, timeout=self.timeout)
-        return conn
-
-    def _drop_conn(self):
-        conns = getattr(_HTTP_TL, "conns", {})
-        conn = conns.pop((self._scheme, self._netloc), None)
-        if conn is not None:
-            try:
-                conn.close()
-            except Exception:
-                pass
-
     def _open(self, key: str, method: str = "GET"):
         import urllib.request
 
@@ -409,41 +475,27 @@ class HttpStore(KeyValueStore):
         return urllib.request.urlopen(req, timeout=self.timeout)
 
     def get(self, key: str) -> bytes:
-        import http.client
         from urllib.parse import quote
 
-        path = f"{self._basepath}/{quote(key)}"
-        for attempt in (0, 1):
-            conn = self._conn()
-            try:
-                conn.request("GET", path)
-                r = conn.getresponse()
-                body = r.read()
-            except (http.client.HTTPException, OSError):
-                # stale keep-alive connection (server idled it out between
-                # tasks): one retry on a fresh connection, then surface
-                self._drop_conn()
-                if attempt:
-                    raise
-                continue
-            if r.will_close:
-                self._drop_conn()  # HTTP/1.0 or Connection: close server
-            if r.status == 404:
-                raise KeyError(key)
-            if 300 <= r.status < 400 or r.status >= 400:
-                # redirects and auth dances go through urllib, which knows
-                # how to follow/raise them properly
-                self._drop_conn()
-                import urllib.error
-
-                try:
-                    with self._open(key) as u:
-                        return u.read()
-                except urllib.error.HTTPError as e:
-                    if e.code == 404:
-                        raise KeyError(key) from None
-                    raise
+        status, _hdrs, body = _pooled_request(
+            self._scheme, self._netloc, "GET",
+            f"{self._basepath}/{quote(key)}", None, self.timeout,
+        )
+        if status == 404:
+            raise KeyError(key)
+        if 200 <= status < 300:
             return body
+        # redirects and auth dances go through urllib, which knows how to
+        # follow/raise them properly
+        import urllib.error
+
+        try:
+            with self._open(key) as u:
+                return u.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise KeyError(key) from None
+            raise
 
     def exists(self, key: str) -> bool:
         """HEAD, not GET — a metadata probe must not download the blob.
@@ -451,29 +503,17 @@ class HttpStore(KeyValueStore):
         but 404 (405/501 method-not-allowed, but also 403 from GET-only
         presigned URLs) falls back to one urllib GET, so no store that can
         serve get() ever fails exists()."""
-        import http.client
         import urllib.error
         from urllib.parse import quote
 
-        path = f"{self._basepath}/{quote(key)}"
-        for attempt in (0, 1):
-            conn = self._conn()
-            try:
-                conn.request("HEAD", path)
-                r = conn.getresponse()
-                r.read()
-            except (http.client.HTTPException, OSError):
-                self._drop_conn()
-                if attempt:
-                    raise
-                continue
-            if r.will_close:
-                self._drop_conn()
-            if r.status == 404:
-                return False
-            if 200 <= r.status < 300:
-                return True
-            break  # odd status: let urllib decide below
+        status, _hdrs, _body = _pooled_request(
+            self._scheme, self._netloc, "HEAD",
+            f"{self._basepath}/{quote(key)}", None, self.timeout,
+        )
+        if status == 404:
+            return False
+        if 200 <= status < 300:
+            return True
         try:
             with self._open(key):
                 return True
