@@ -20,10 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 7: 215 registered, 214 cumulative
 # driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 8 adds 5 queries
-# (220 registered).
+# agg_approx_distinct row), 0 never-checked. Round 8 adds 7 queries
+# (222 registered).
 #
-# Round-8 window = (a) the five queries ADDED this round, (b) the rows
+# Round-8 window = (a) the seven queries ADDED this round, (b) the rows
 # whose PLANS CHANGED this round — the pair-list broadcast guard moved to
 # a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
 # regression fix), merge_upsert grew the MERGE duplicate-source-key check,
@@ -36,9 +36,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # w4_lttb_decimation, instr_pco2w_flags, instr_optical_products,
 # q3_shipping_priority, q5_nation_revenue, a2_pivot_counts,
 # w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags /
-# instr_ph_flags yield their slots to (a)/(b) with five other
-# instrument-family sentinels staying in-window. All thirteen remain
-# cumulative-green from r04.
+# instr_ph_flags / bpe_apply_tokens / streaming_cms_cells yield their
+# slots to (a)/(b) — each family keeps another sentinel in-window
+# (bpe_train_merges, streaming_hll_registers, five instrument reps). All
+# fifteen remain cumulative-green from r04.
 _ROUND_WINDOW = [
     # (a) added round 8
     "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
@@ -46,6 +47,8 @@ _ROUND_WINDOW = [
     "ann_ivf_pq_topk",          # IVFPQ: ADC over nprobe lists' 4-byte codes
     "sink_merge_prune_roundtrip",  # copy-on-write file-pruned MERGE
     "streaming_merge_upsert",   # real readStream foreachBatch merge, 2 batches
+    "sink_merge_history",       # time travel: v0/v1/v2 snapshot isolation
+    "sink_merge_changes",       # MERGE change-data-feed (Delta CDF shape)
     # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
     #     zarr v3 fill / pwrite loop)
     "dedup_minhash_lsh",
@@ -61,7 +64,6 @@ _ROUND_WINDOW = [
     "sink_hdf5_roundtrip",
     # (c) r04-cohort sentinels (oldest greens, last proven r04)
     "bpe_train_merges",
-    "bpe_apply_tokens",
     "text_bm25_topk",
     "sketch_cms_heavyhitters",
     "sketch_hll_cardinality",
@@ -77,7 +79,6 @@ _ROUND_WINDOW = [
     "text_pmi_cooccurrence",
     "qc_flag_transitions",
     "streaming_hll_registers",
-    "streaming_cms_cells",
     "streaming_join_enriched",
     "graph_degree_stats",
     "text_minhash_containment",

@@ -1040,3 +1040,128 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.schema(ddl).parquet(os.path.join(root, f"v{latest}"))
     return back.select("d", "event_type", "n", "n_users")
+
+
+@query(
+    "sink_merge_history",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 30 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT1}'
+), b2 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 60 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT2}'
+), v1 AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.d = f.d AND b1.event_type = f.event_type)
+  UNION ALL SELECT d, event_type, n, n_users FROM b1
+), v2 AS (
+  SELECT s.d, s.event_type, s.n, s.n_users FROM v1 s
+  WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.d = s.d AND b2.event_type = s.event_type)
+  UNION ALL SELECT d, event_type, n, n_users FROM b2
+)
+SELECT 0 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS sum_n, CAST(SUM(n_users) AS BIGINT) AS sum_users
+FROM full_run
+UNION ALL
+SELECT 1, COUNT(*), CAST(SUM(n) AS BIGINT), CAST(SUM(n_users) AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, COUNT(*), CAST(SUM(n) AS BIGINT), CAST(SUM(n_users) AS BIGINT) FROM v2
+""",
+)
+def sink_merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the copy-on-write table: two sequential file-pruned
+    MERGEs produce immutable versions v0 -> v1 -> v2 (untouched files
+    hardlinked forward), and the query reads ALL THREE versions back —
+    returning per-version aggregates that the oracle recomputes from the
+    sequential-merge SQL replay. A hash match certifies snapshot isolation:
+    creating v2 did not disturb v0/v1 (their rows still aggregate to the
+    pre-merge states), which is exactly the time-travel contract a format's
+    snapshot log gives — here carried by the version directories.
+
+    Scale shape: each merge is merge_upsert_pruned (zone-map candidates,
+    matched-file rewrite, hardlink carry-over), so N retained versions cost
+    O(sum of touched files), not N full copies; reading a version is a
+    plain parquet scan of its directory."""
+    import functools
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_merge_hist_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    daily.write.parquet(os.path.join(root, "v0"))
+    b1 = _daily(e.filter(F.col("value") > 30)).filter(F.col("d") >= _SM_CUT1)
+    b2 = _daily(e.filter(F.col("value") > 60)).filter(F.col("d") >= _SM_CUT2)
+    merge_upsert_pruned(
+        spark, os.path.join(root, "v0"), os.path.join(root, "v1"),
+        b1.select("d", "event_type", "n", "n_users"), ["d", "event_type"], ddl,
+    )
+    merge_upsert_pruned(
+        spark, os.path.join(root, "v1"), os.path.join(root, "v2"),
+        b2.select("d", "event_type", "n", "n_users"), ["d", "event_type"], ddl,
+    )
+    parts = [
+        spark.read.schema(ddl).parquet(os.path.join(root, f"v{v}")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_n"),
+            F.sum("n_users").alias("sum_users"),
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            F.col("n_rows").cast("long"),
+            F.col("sum_n").cast("long"),
+            F.col("sum_users").cast("long"),
+        )
+        for v in (0, 1, 2)
+    ]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+@query(
+    "sink_merge_changes",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), refresh AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+)
+SELECT r.d, r.event_type,
+       CASE WHEN f.d IS NULL THEN 'insert' ELSE 'update' END AS op,
+       f.n AS before_n, r.n AS after_n,
+       f.n_users AS before_n_users, r.n_users AS after_n_users
+FROM refresh r
+LEFT JOIN full_run f ON f.d = r.d AND f.event_type = r.event_type
+""",
+)
+def sink_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE's change-data-feed (sinks.merge_changes, Delta CDF shape):
+    one row per source key with op insert/update and before/after values —
+    what a downstream incremental consumer replays instead of diffing two
+    table versions (feed is O(batch); the diff is O(table)). Same
+    target/source pair as sink_merge_upsert, so together they certify that
+    the upsert result and its emitted feed agree with one SQL replay."""
+    from rca_data_tools_spark.sources.sinks import merge_changes
+
+    e = load_table(spark, sf_dir, "events")
+    target = _daily(e).select("d", "event_type", "n", "n_users")
+    source = _daily(e.filter(F.col("value") > 50)).filter(
+        F.col("d") >= _CUTOFF
+    ).select("d", "event_type", "n", "n_users")
+    return merge_changes(target, source, ["d", "event_type"])

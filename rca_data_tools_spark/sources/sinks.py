@@ -220,6 +220,13 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     source rows matched"): silently emitting both versions would make the
     upsert non-deterministic about which one "wins". Deduplicate upstream
     (e.g. max_by on a version column) before merging."""
+    _check_merge_inputs(target, source, keys)
+    return target.join(source, keys, "left_anti").unionByName(source)
+
+
+def _check_merge_inputs(target: DataFrame, source: DataFrame, keys: list[str]) -> None:
+    """Shared MERGE validation: key presence, identical schemas, and the
+    Delta/Iceberg duplicate-source-key refusal."""
     if not keys:
         raise ValueError("merge_upsert needs at least one key column")
     missing = [k for k in keys if k not in target.columns or k not in source.columns]
@@ -242,7 +249,35 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
             "merge_upsert: duplicate keys in source (MERGE requires at most "
             f"one source row per target key), e.g. {[tuple(r)[:-1] for r in dup]}"
         )
-    return target.join(source, keys, "left_anti").unionByName(source)
+
+
+def merge_changes(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """The change-data-feed a MERGE produces (Delta CDF shape, no deletes):
+    one row per SOURCE key — op = 'update' when the key exists in the
+    target (before_* carries the replaced target values), 'insert' when it
+    does not (before_* NULL); after_* always carries the source values.
+    Unmatched target rows are untouched and emit nothing.
+
+    Downstream consumers replay this feed instead of diffing table
+    versions — at 100 TB the feed is O(source batch), the diff is O(table).
+    Scale shape: one left join of the batch-sized source against the
+    target on the key (broadcastable when the batch is small), zero
+    windows. Same validation contract as merge_upsert (duplicate source
+    keys raise)."""
+    _check_merge_inputs(target, source, keys)
+    value_cols = [c for c in source.columns if c not in keys]
+    t = target.select(
+        *keys,
+        F.lit(1).alias("__matched"),
+        *[F.col(c).alias(f"before_{c}") for c in value_cols],
+    )
+    s = source.select(*keys, *[F.col(c).alias(f"after_{c}") for c in value_cols])
+    joined = s.join(t, keys, "left")
+    op = F.when(F.col("__matched").isNotNull(), F.lit("update")).otherwise(F.lit("insert"))
+    cols = [*keys, op.alias("op")]
+    for c in value_cols:
+        cols += [F.col(f"before_{c}"), F.col(f"after_{c}")]
+    return joined.select(*cols)
 
 
 def merge_upsert_pruned(

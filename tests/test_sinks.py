@@ -318,3 +318,21 @@ def test_merge_upsert_pruned_zone_false_positive_not_rewritten(spark, tmp_path):
     assert stats == {"files_total": 2, "files_candidates": 1, "files_rewritten": 0}
     got = sorted(map(tuple, spark.read.schema(ddl).parquet(out_dir).collect()))
     assert (7, 7.7) in got and len(got) == 21
+
+
+def test_merge_changes_feed(spark):
+    """merge_changes emits the Delta-CDF-shaped feed: update rows carry the
+    replaced target values, inserts carry NULL befores, untouched target
+    keys emit nothing, and duplicate source keys raise."""
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import merge_changes
+
+    t = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    s = spark.createDataFrame([("a", 10), ("d", 40)], "k string, v int")
+    got = {r["k"]: (r["op"], r["before_v"], r["after_v"])
+           for r in merge_changes(t, s, ["k"]).collect()}
+    assert got == {"a": ("update", 1, 10), "d": ("insert", None, 40)}
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_changes(t, dup, ["k"])
