@@ -20,10 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 7: 215 registered, 214 cumulative
 # driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 8 adds 7 queries
-# (222 registered).
+# agg_approx_distinct row), 0 never-checked. Round 8 adds 10 queries
+# (225 registered).
 #
-# Round-8 window = (a) the seven queries ADDED this round, (b) the rows
+# Round-8 window = (a) the ten queries ADDED this round, (b) the rows
 # whose PLANS CHANGED this round — the pair-list broadcast guard moved to
 # a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
 # regression fix), merge_upsert grew the MERGE duplicate-source-key check,
@@ -36,10 +36,12 @@ from rca_data_tools_spark.sources.readers import load_table
 # w4_lttb_decimation, instr_pco2w_flags, instr_optical_products,
 # q3_shipping_priority, q5_nation_revenue, a2_pivot_counts,
 # w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags /
-# instr_ph_flags / bpe_apply_tokens / streaming_cms_cells yield their
-# slots to (a)/(b) — each family keeps another sentinel in-window
-# (bpe_train_merges, streaming_hll_registers, five instrument reps). All
-# fifteen remain cumulative-green from r04.
+# instr_ph_flags / bpe_apply_tokens / streaming_cms_cells /
+# sketch_cms_heavyhitters / sample_domain_mix / agg_histogram yield
+# their slots to (a)/(b) — each family keeps another sentinel in-window
+# (bpe_train_merges, streaming_hll_registers, sketch_hll_cardinality,
+# sample_weighted_topk + sample_shuffle_order, agg_mode, five instrument
+# reps). All eighteen remain cumulative-green from r04.
 _ROUND_WINDOW = [
     # (a) added round 8
     "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
@@ -49,6 +51,9 @@ _ROUND_WINDOW = [
     "streaming_merge_upsert",   # real readStream foreachBatch merge, 2 batches
     "sink_merge_history",       # time travel: v0/v1/v2 snapshot isolation
     "sink_merge_changes",       # MERGE change-data-feed (Delta CDF shape)
+    "streaming_merge_deduped",  # in-batch dup keys -> max_by(rev) upstream
+    "sink_incremental_agg",     # materialized-view delta maintenance
+    "profile_table_stats",      # ANALYZE job: nulls/distincts/min-max
     # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
     #     zarr v3 fill / pwrite loop)
     "dedup_minhash_lsh",
@@ -65,17 +70,14 @@ _ROUND_WINDOW = [
     # (c) r04-cohort sentinels (oldest greens, last proven r04)
     "bpe_train_merges",
     "text_bm25_topk",
-    "sketch_cms_heavyhitters",
     "sketch_hll_cardinality",
     "embed_kmeans_clusters",
     "pipeline_pretrain_corpus",
     "sample_weighted_topk",
     "sample_shuffle_order",
-    "sample_domain_mix",
     "w_mad_outliers",
     "calc_tidal_harmonic",
     "agg_mode",
-    "agg_histogram",
     "text_pmi_cooccurrence",
     "qc_flag_transitions",
     "streaming_hll_registers",

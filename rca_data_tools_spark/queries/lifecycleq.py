@@ -1165,3 +1165,189 @@ def sink_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d") >= _CUTOFF
     ).select("d", "event_type", "n", "n_users")
     return merge_changes(target, source, ["d", "event_type"])
+
+
+@query(
+    "sink_incremental_agg",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: the standing rollup was
+    built from history (days < cutoff), a new batch (days >= cutoff)
+    arrives, and the view updates by merging PARTIAL aggregates — count
+    adds, decimal sums add — without rescanning history. The oracle is the
+    FULL recompute over all rows, so a hash match proves incremental ≡
+    full, which only holds when the aggregates are chosen mergeable (the
+    decimal-sum partials stay decimal until the final merge; COUNT
+    DISTINCT deliberately absent — it does not decompose, that is what
+    sketches (HLL) are for, operators/sketch.py).
+
+    Scale shape: history is never rescanned — per refresh the cost is
+    O(batch) + one key-shuffle of two aggregate tables (both rollup-sized,
+    not row-sized). This is the reference's span-refresh economics applied
+    to an aggregate table instead of a partition."""
+    e = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").cast("string").alias("d"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(28,6)")).alias("psum"),
+        )
+
+    day = F.to_date("ts").cast("string")
+    base = partial(e.filter(day < _SM_CUT2))
+    batch = partial(e.filter(day >= _SM_CUT2))
+    return (
+        base.unionByName(batch)
+        .groupBy("d", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        )
+        .select("d", "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+SELECT 'event_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(event_id) AS n_null,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) AS min_val, CAST(MAX(event_id) AS VARCHAR) AS max_val
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+       MIN(event_type), MAX(event_type) FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), COUNT(DISTINCT value),
+       CAST(ROUND(MIN(value), 6) AS VARCHAR), CAST(ROUND(MAX(value), 6) AS VARCHAR) FROM events
+""",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE-TABLE profiling job: per-column row count, null count,
+    exact distinct count, and min/max (stringified so one long-form schema
+    carries every type) — the statistics a catalog stores for CBO join
+    ordering and that a data-quality gate reads before a 100 TB pipeline
+    run commits to its plan.
+
+    Scale shape: one aggregate per column over a single scan pipeline —
+    counts/min/max are map-side-combined; the exact distincts each expand
+    to one shuffle (the ANALYZE cost everyone pays — the cheap standing
+    alternative is the HLL sketch family, operators/sketch.py, and the
+    oracle-checked `agg_approx_distinct` documents the engine's
+    approximate path). No collects, no per-row Python."""
+    e = load_table(spark, sf_dir, "events")
+
+    def col_stats(c: str, fmt=None) -> DataFrame:
+        v = F.col(c)
+        mn, mx = F.min(v), F.max(v)
+        if fmt is not None:
+            mn, mx = fmt(mn), fmt(mx)
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(v)).alias("n_null"),
+            F.count_distinct(v).alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val"),
+        ).select(F.lit(c).alias("col"), "n", "n_null", "n_distinct", "min_val", "max_val")
+
+    import functools
+
+    parts = [
+        col_stats("event_id"),
+        col_stats("user_id"),
+        col_stats("event_type"),
+        col_stats("value", fmt=lambda x: F.round(x, 6)),
+    ]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+@query(
+    "streaming_merge_deduped",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+-- batch 1 carried DUPLICATE keys (rev 1 and rev 2 for every d >= CUT1 key);
+-- the upstream max_by(rev) dedupe means rev 2 is the batch's effective row
+SELECT d, event_type, CAST(0 AS BIGINT) AS rev, n FROM full_run WHERE d < '{_SM_CUT1}'
+UNION ALL
+SELECT d, event_type, CAST(2 AS BIGINT), n + 200 FROM full_run
+WHERE d >= '{_SM_CUT1}' AND d < '{_SM_CUT2}'
+UNION ALL
+SELECT d, event_type, CAST(3 AS BIGINT), n + 300 FROM full_run WHERE d >= '{_SM_CUT2}'
+""",
+)
+def streaming_merge_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-key mitigation built into the streaming merge: batch 1
+    deliberately carries TWO revisions of every key it touches (rev 1 and
+    rev 2 in one micro-batch — the at-least-once upstream reality);
+    stream_merge_upsert(version_col='rev') reduces each batch to its
+    per-key LATEST revision (map-combined max_by) before the file-pruned
+    MERGE, so the dup-key refusal never trips and replays pick the same
+    winner. Batch 2 (rev 3) then overrides the overlap. The oracle states
+    the final table directly — rev 2 where only batch 1 touched, rev 3
+    where batch 2 did — so a wrong winner or a double-apply hash-mismatches.
+
+    Scale shape: the dedupe adds ONE map-side-combined aggregate per batch
+    (batch-sized); everything else is the stream_merge_upsert path."""
+    from rca_data_tools_spark.streaming.joins import stream_merge_upsert
+
+    ddl = "d string, event_type string, rev bigint, n bigint"
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    root = tempfile.mkdtemp(prefix="rca_stream_dedup_merge_")
+    daily.select(
+        "d", "event_type", F.lit(0).cast("long").alias("rev"), "n"
+    ).write.parquet(os.path.join(root, "v0"))
+
+    d1 = daily.filter(F.col("d") >= _SM_CUT1)
+    b1 = d1.select(
+        "d", "event_type", F.lit(1).cast("long").alias("rev"),
+        (F.col("n") + 100).alias("n"),
+    ).unionByName(
+        d1.select(
+            "d", "event_type", F.lit(2).cast("long").alias("rev"),
+            (F.col("n") + 200).alias("n"),
+        )
+    )
+    b2 = daily.filter(F.col("d") >= _SM_CUT2).select(
+        "d", "event_type", F.lit(3).cast("long").alias("rev"),
+        (F.col("n") + 300).alias("n"),
+    )
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    for i, b in enumerate([b1, b2]):
+        stage = os.path.join(root, f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = stream_merge_upsert(
+        stream, root, ["d", "event_type"], ddl,
+        os.path.join(root, "ckpt"), version_col="rev",
+    )
+    q.awaitTermination()
+    latest = max(
+        int(x[1:]) for x in os.listdir(root) if x.startswith("v") and x[1:].isdigit()
+    )
+    back = spark.read.schema(ddl).parquet(os.path.join(root, f"v{latest}"))
+    return back.select("d", "event_type", "rev", "n")

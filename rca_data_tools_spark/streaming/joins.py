@@ -311,6 +311,7 @@ def stream_merge_upsert(
     keys: list[str],
     schema_ddl: str,
     checkpoint_dir: str,
+    version_col: "str | None" = None,
 ):
     """Streaming ingest-to-merge lifecycle (VERDICT r07 item 6): every
     micro-batch MERGEs row-granularly into the current table version and
@@ -328,8 +329,12 @@ def stream_merge_upsert(
     a crash between "v3 written" and "offsets committed" replays batch 2
     into an identical v3 — idempotent, the foreachBatch contract.
     Duplicate keys WITHIN a batch raise loudly (merge_upsert's MERGE
-    check); dedup-within-watermark upstream (streaming/stateful.py) is the
-    caller's stage, exactly as in Delta's foreachBatch-merge recipe.
+    check) — unless ``version_col`` names a monotone revision column, in
+    which case each batch is first reduced to its per-key LATEST row
+    (max_by on the version, key tie-broken by the version value) before
+    merging: the Delta foreachBatch-merge recipe's dedup-upstream stage,
+    built in. The version column must be part of the table schema so
+    replays pick the same winner.
 
     Returns the started StreamingQuery (availableNow — drain then stop).
     ``table_root`` must already contain the initial version ``v0``."""
@@ -354,6 +359,13 @@ def stream_merge_upsert(
         out = os.path.join(table_root, f"v{ver}")
         if os.path.exists(out):  # replayed batch: rebuild deterministically
             shutil.rmtree(out)
+        if version_col is not None:
+            # per-key latest-revision winner: one map-combined max_by per
+            # key — deterministic as long as versions are unique per key
+            others = [c for c in batch_df.columns if c not in keys]
+            batch_df = batch_df.groupBy(*keys).agg(
+                *[F.max_by(c, version_col).alias(c) for c in others]
+            )
         merge_upsert_pruned(
             batch_df.sparkSession,
             os.path.join(table_root, f"v{prev}"),
