@@ -719,54 +719,64 @@ def pq_refine(
     return cb_rows
 
 
-def ivf_pq_topk(
+def ivf_pq_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    stride: int = 29,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+):
+    """Build the persistable IVFPQ index: (cent_rows, cb_rows, enc) —
+    coarse centroids and PQ codebook as config-sized row lists (KBs: what a
+    format stores as JSON/manifest metadata), and the encoded corpus
+    ``(id, cid, codes)`` DataFrame — (8 + 8 + M) bytes per vector, the
+    table a production store persists and serves search from without ever
+    rescanning the raw vectors. One shared corpus scan builds it."""
+    cent_rows = ivf_centroids(corpus, id_col, vec_col, n_lists, stride).collect()
+    cb_rows = pq_codebook(corpus, id_col, vec_col, m=m, k=n_codes)
+    if not cb_rows:
+        return cent_rows, cb_rows, None
+    lists = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
+    enc = pq_encode(lists, cb_rows, id_col, vec_col, m=m, k=n_codes, keep=["cid"])
+    return cent_rows, cb_rows, enc
+
+
+def ivf_pq_search(
     corpus: DataFrame,
     queries: DataFrame,
+    cent_rows: list,
+    cb_rows: list,
+    enc: DataFrame,
     id_col: str,
     vec_col: str,
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     k: int = 5,
-    n_lists: int = 16,
-    stride: int = 29,
     nprobe: int = 4,
     n_candidates: int = 32,
     m: int = PQ_M,
     n_codes: int = PQ_K,
 ) -> DataFrame:
-    """IVFPQ — the production vector-index composition (Jegou et al. 2011,
-    the FAISS workhorse): IVF lists prune WHERE to look, product
-    quantization compresses WHAT is scanned there. Corpus vectors carry
-    (list id, M-byte PQ code); each query probes its nprobe lists and
-    ADC-scores ONLY those lists' codes via its M x K lookup table — probe
-    volume is corpus x nprobe/n_lists AND each probe touches M bytes
-    instead of the d-dim vector. Top ``n_candidates`` by approximate
-    distance re-rank exactly by cosine.
-
-    Scale shape: assignment + encoding are one shared corpus scan (Arrow
-    kernel, broadcast quantizer/codebook); ADC scoring is pure codegen —
-    the lookup table is a plan-time literal array, each row costs M
-    element_at's and M-1 adds; the only shuffles are the two per-query
-    top-k windows. At 100 TB the persisted index is (cid, 4 bytes)/vector.
-
-    Determinism: lookup-table entries round to 6 (like every distance in
-    the family) and sum in fixed subspace order, so approx_dist is the
-    same IEEE fold as the oracle's l0+l1+l2+l3."""
+    """Search a (possibly persisted-and-reloaded) IVFPQ index: probe
+    ``nprobe`` lists per query, ADC-score ONLY those lists' codes via a
+    plan-time literal lookup table (M element_at's + M-1 adds per row,
+    pure codegen), exact cosine re-rank of the top ``n_candidates``.
+    ``corpus`` is touched only for the re-rank join (n_candidates * Q
+    rows by id)."""
     import numpy as np
 
-    cent_rows = ivf_centroids(corpus, id_col, vec_col, n_lists, stride).collect()
-    lists = ivf_assign(corpus, cent_rows, id_col, vec_col, nprobe=1)
-    probes = ivf_assign(queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe)
-    cb_rows = pq_codebook(corpus, id_col, vec_col, m=m, k=n_codes)
     q_rows = sorted(
         ((int(r[q_id_col]), [float(x) for x in r[q_vec_col]]) for r in queries.collect())
     )
-    if not cb_rows or not q_rows:
+    if not cb_rows or not q_rows or enc is None:
         return corpus.sparkSession.createDataFrame(
             [],
             f"{q_id_col} long, {id_col} long, approx_dist double, "
             "cos_sim double, rank int",
         )
+    probes = ivf_assign(queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe)
     C, sub = _pq_arrays(cb_rows, m, n_codes)
     k_eff = C.shape[1]
     q_ids = [qr[0] for qr in q_rows]
@@ -780,7 +790,6 @@ def ivf_pq_topk(
             acc += diff * diff
         lut[:, mi, :] = np.round(acc, 6)
 
-    enc = pq_encode(lists, cb_rows, id_col, vec_col, m=m, k=n_codes, keep=["cid"])
     # the LUT as a plan-time literal: lut_lit[qidx][mi][code] — ADC becomes
     # M array lookups + M-1 adds in whole-stage codegen, no Python
     lut_lit = F.array(*[
@@ -814,3 +823,49 @@ def ivf_pq_topk(
     rr = exact.select(q_id_col, id_col, "approx_dist", sim.alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    n_lists: int = 16,
+    stride: int = 29,
+    nprobe: int = 4,
+    n_candidates: int = 32,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVFPQ — the production vector-index composition (Jegou et al. 2011,
+    the FAISS workhorse): IVF lists prune WHERE to look, product
+    quantization compresses WHAT is scanned there. Corpus vectors carry
+    (list id, M-byte PQ code); each query probes its nprobe lists and
+    ADC-scores ONLY those lists' codes via its M x K lookup table — probe
+    volume is corpus x nprobe/n_lists AND each probe touches M bytes
+    instead of the d-dim vector. Top ``n_candidates`` by approximate
+    distance re-rank exactly by cosine. Build + search in one call;
+    ivf_pq_build / ivf_pq_search are the separable halves a production
+    store runs at different times (build once, persist, search many —
+    queries/vecq.py ann_index_persisted drives that lifecycle).
+
+    Scale shape: assignment + encoding are one shared corpus scan (Arrow
+    kernel, broadcast quantizer/codebook); ADC scoring is pure codegen —
+    the lookup table is a plan-time literal array, each row costs M
+    element_at's and M-1 adds; the only shuffles are the two per-query
+    top-k windows. At 100 TB the persisted index is (cid, 4 bytes)/vector.
+
+    Determinism: lookup-table entries round to 6 (like every distance in
+    the family) and sum in fixed subspace order, so approx_dist is the
+    same IEEE fold as the oracle's l0+l1+l2+l3."""
+    cent_rows, cb_rows, enc = ivf_pq_build(
+        corpus, id_col, vec_col, n_lists=n_lists, stride=stride, m=m, n_codes=n_codes
+    )
+    return ivf_pq_search(
+        corpus, queries, cent_rows, cb_rows, enc, id_col, vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, k=k, nprobe=nprobe,
+        n_candidates=n_candidates, m=m, n_codes=n_codes,
+    )

@@ -925,7 +925,11 @@ def sink_merge_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(target_dir, f"{d.replace('=', '-')}.parquet"),
         )
 
-    m = int(e.agg(F.max("event_id")).collect()[0][0])
+    # empty corpus: no max id — m=0 makes both source branches empty and the
+    # merge degrades to the empty-but-well-typed aggregate row (the S8
+    # empty-slice contract, tests/test_empty_corpus.py)
+    max_id = e.agg(F.max("event_id")).collect()[0][0]
+    m = int(max_id) if max_id is not None else 0
     updates = e.filter(F.col("event_id") >= m - (2 * _MP_B - 1)).select(
         "event_id", "user_id", (F.col("value") + F.lit(1000.0)).alias("value")
     )

@@ -1252,3 +1252,65 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, id_col="vec_id", vec_col="embedding",
         k=5, n_lists=16, stride=29, nprobe=4, n_candidates=32,
     ).select("q_id", "vec_id", "approx_dist", "cos_sim", "rank")
+
+
+@query("ann_index_persisted", oracle=_ivfpq_oracle())
+def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index lifecycle production vector search actually
+    runs: BUILD the IVFPQ index once (ivf_pq_build), WRITE its artifacts —
+    the encoded corpus table (id, cid, 4-byte codes) as parquet, the
+    config-sized coarse centroids + PQ codebook as JSON metadata — then
+    LOAD everything back and SEARCH from the loaded artifacts alone
+    (ivf_pq_search; raw vectors touched only for the 32-row/query exact
+    re-rank). The oracle is the direct IVFPQ replay, so a hash match
+    certifies the round trip lost nothing: floats survive JSON (repr
+    round-trip), codes survive parquet, and the loaded index answers
+    exactly like the freshly built one.
+
+    Scale shape: the build's one corpus scan is paid once; every later
+    search reads the (20 bytes + M)/vector index table and KB metadata —
+    the reason stores persist indexes instead of re-deriving them."""
+    import json as _json
+
+    from rca_data_tools_spark.operators.similarity import ivf_pq_build, ivf_pq_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cent_rows, cb_rows, enc = ivf_pq_build(e, "vec_id", "embedding")
+    if enc is None:
+        # empty corpus: nothing to index — the empty-but-well-typed result
+        # (ivf_pq_search's own empty contract), not a crashed write
+        return ivf_pq_search(e, q, cent_rows, cb_rows, None, "vec_id", "embedding")
+
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="rca_ann_index_")
+    enc.write.parquet(os.path.join(root, "codes"))
+    with open(os.path.join(root, "index.json"), "w") as f:
+        _json.dump(
+            {
+                "kind": "ivfpq", "n_lists": 16, "m": 4, "n_codes": 16,
+                "centroids": [
+                    {"cid": int(r["cid"]), "cvec": [float(x) for x in r["cvec"]]}
+                    for r in cent_rows
+                ],
+                "codebook": [
+                    {"m": int(r["m"]), "j": int(r["j"]),
+                     "cvec": [float(x) for x in r["cvec"]]}
+                    for r in cb_rows
+                ],
+            },
+            f,
+        )
+
+    meta = _json.load(open(os.path.join(root, "index.json")))
+    loaded_enc = spark.read.schema("vec_id long, cid long, codes array<bigint>").parquet(
+        os.path.join(root, "codes")
+    )
+    return ivf_pq_search(
+        e, q, meta["centroids"], meta["codebook"], loaded_enc,
+        "vec_id", "embedding", k=5, nprobe=4, n_candidates=32,
+    ).select("q_id", "vec_id", "approx_dist", "cos_sim", "rank")

@@ -46,12 +46,16 @@ def get_spark(
         # that runs 100+ distinct queries fills the JVM's default 240 MB code
         # cache, the JIT shuts off, and later queries run interpreted 3-5x
         # slower (measured on the bench suite). Spark's own tuning guide
-        # recommends raising it for codegen-heavy workloads.
+        # recommends raising it for codegen-heavy workloads. Round 8
+        # re-measured the exhaustion at 1g as the query registry grew past
+        # 220 plans (dedup_minhash_lsh sf1: ~52s flat with 1g late in the
+        # bench vs 7.9s steady-state with 2g — the same 3-5x interpreted
+        # signature the round-3 study found at 240 MB).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -299,6 +299,8 @@ BNLJ_ALLOWED = {
     "ann_recall_report",         # contains the brute-force baseline: same
                                  # broadcast-query BNLJ as ann_topk_cosine
                                  # (recall is DEFINED against exact top-k)
+    "ann_ivf_hamming_recall",    # same brute-force baseline (recall of the
+                                 # composed IVF+Hamming index)
     "j3_profile_phase_split",    # profile-interval range join (dim broadcast)
     "j3_profile_range_join",     # same
     "join_cross_matrix",         # explicit cross product, small side broadcast
