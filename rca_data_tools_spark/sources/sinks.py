@@ -280,6 +280,38 @@ def merge_changes(target: DataFrame, source: DataFrame, keys: list[str]) -> Data
     return joined.select(*cols)
 
 
+MANIFEST_NAME = "_manifest.json"
+
+
+def _read_manifest(target_dir: str, zone_key: str) -> "dict | None":
+    """The version's persisted zone map ({basename: {mn, mx}}), or None when
+    absent / built for a different zone key (then the caller scans)."""
+    import json
+
+    path = os.path.join(target_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    doc = json.loads(open(path).read())
+    if doc.get("zone_key") != zone_key:
+        return None
+    return doc["files"]
+
+
+def _write_manifest(out_dir: str, zone_key: str, entries: dict) -> bool:
+    """Persist the zone map next to the data. Zone values that don't
+    JSON-serialize (exotic types) skip the manifest — the next merge falls
+    back to the scan path, never to wrong pruning."""
+    import json
+
+    try:
+        doc = json.dumps({"zone_key": zone_key, "files": entries})
+    except TypeError:
+        return False
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        f.write(doc)
+    return True
+
+
 def merge_upsert_pruned(
     spark: SparkSession,
     target_dir: str,
@@ -297,9 +329,13 @@ def merge_upsert_pruned(
 
     Three metadata-sized passes pick the rewrite set:
 
-    1. zone map: per-file (min, max) of ``zone_key`` — one key-column scan
-       here; a real format reads this from its manifest/parquet footers, so
-       at 100 TB this pass is KBs of metadata, not a data scan;
+    1. zone map: per-file (min, max) of ``zone_key`` — read from the
+       version's persisted MANIFEST (``_manifest.json``, written by the
+       previous merge) when present, exactly as a format reads its
+       manifest/parquet footers: KBs of metadata, ZERO data scan. A target
+       with no manifest (the initial version) pays one key-column scan and
+       every version this function writes carries one forward, so merge
+       chains scan at most once;
     2. candidates: source keys range-join the files-sized zone map
        (broadcast) — files whose key range could contain a match;
     3. exact: candidate files only are opened and semi-joined with the
@@ -312,10 +348,11 @@ def merge_upsert_pruned(
     Every target row with a source match lives in a matched file by
     construction, so no update can be missed by pruning.
 
-    Returns {"files_total", "files_candidates", "files_rewritten"}.
-    ``out_dir`` must not exist; the new version is built there (hardlinks +
-    new parquet parts), leaving ``target_dir`` immutable — the snapshot
-    isolation a format gives via its log."""
+    Returns {"files_total", "files_candidates", "files_rewritten",
+    "manifest_used"}. ``out_dir`` must not exist; the new version is built
+    there (hardlinks + new parquet parts + its own manifest), leaving
+    ``target_dir`` immutable — the snapshot isolation a format gives via
+    its log."""
     from urllib.parse import unquote, urlparse
 
     zone_key = zone_key or keys[0]
@@ -324,17 +361,25 @@ def merge_upsert_pruned(
         p = urlparse(uri)
         return unquote(p.path) if p.scheme in ("file", "") else uri
 
-    back = spark.read.schema(schema_ddl).parquet(target_dir)
-    zstats = (
-        back.groupBy(F.input_file_name().alias("__f"))
-        .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-        .collect()
-    )
-    all_files = [r["__f"] for r in zstats]
+    manifest = _read_manifest(target_dir, zone_key)
+    if manifest is not None:
+        stats = {
+            os.path.join(target_dir, name): (e["mn"], e["mx"])
+            for name, e in manifest.items()
+        }
+    else:
+        back = spark.read.schema(schema_ddl).parquet(target_dir)
+        stats = {
+            _local(r["__f"]): (r["mn"], r["mx"])
+            for r in back.groupBy(F.input_file_name().alias("__f"))
+            .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+            .collect()
+        }
+    all_files = sorted(stats)
     skeys = source.select(*keys).distinct()
-    if zstats:
+    if stats:
         zdf = spark.createDataFrame(
-            [(r["__f"], r["mn"], r["mx"]) for r in zstats], ["__f", "mn", "mx"]
+            [(f, mn, mx) for f, (mn, mx) in stats.items()], ["__f", "mn", "mx"]
         )
         cand_files = [
             r["__f"]
@@ -349,38 +394,59 @@ def merge_upsert_pruned(
     else:
         cand_files = []
     if cand_files:
-        cdf = spark.read.schema(schema_ddl).parquet(*[_local(f) for f in cand_files])
-        matched = [
-            r["__f"]
+        cdf = spark.read.schema(schema_ddl).parquet(*cand_files)
+        matched = sorted(
+            _local(r["__f"])
             for r in cdf.withColumn("__f", F.input_file_name())
             .join(F.broadcast(skeys), keys, "left_semi")
             .select("__f")
             .distinct()
             .collect()
-        ]
+        )
     else:
         matched = []
     merged = (
-        merge_upsert(
-            spark.read.schema(schema_ddl).parquet(*[_local(f) for f in matched]),
-            source,
-            keys,
-        )
+        merge_upsert(spark.read.schema(schema_ddl).parquet(*matched), source, keys)
         if matched
         else source
     )
     os.makedirs(out_dir)
     matched_set = set(matched)
+    carried = {}
     for f in all_files:
         if f not in matched_set:
-            src_path = _local(f)
-            os.link(src_path, os.path.join(out_dir, os.path.basename(src_path)))
+            name = os.path.basename(f)
+            os.link(f, os.path.join(out_dir, name))
+            mn, mx = stats[f]
+            carried[name] = {"mn": mn, "mx": mx}
     # new parts append alongside the carried-over files; a format would make
     # this visible atomically via its commit log — here the new DIRECTORY is
-    # the new version, so readers of out_dir only ever see a complete table
-    merged.write.mode("append").parquet(out_dir)
+    # the new version, so readers of out_dir only ever see a complete table.
+    # Coalesce to ~one part per rewritten file: the rewrite volume is
+    # (matched files + the batch), and letting it scatter over every
+    # shuffle partition would turn each merge into a small-file factory
+    # (compact_partitioned exists, but not creating the problem is cheaper)
+    merged.coalesce(max(1, len(matched))).write.mode("append").parquet(out_dir)
+    # manifest for the NEW version: carried entries are copied (their files
+    # are byte-identical), new parts pay one batch-sized stats scan
+    new_parts = [
+        f for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and f not in carried
+    ]
+    if new_parts:
+        ndf = spark.read.schema(schema_ddl).parquet(
+            *[os.path.join(out_dir, f) for f in new_parts]
+        )
+        for r in (
+            ndf.groupBy(F.input_file_name().alias("__f"))
+            .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+            .collect()
+        ):
+            carried[os.path.basename(_local(r["__f"]))] = {"mn": r["mn"], "mx": r["mx"]}
+    _write_manifest(out_dir, zone_key, carried)
     return {
         "files_total": len(all_files),
         "files_candidates": len(cand_files),
         "files_rewritten": len(matched),
+        "manifest_used": manifest is not None,
     }

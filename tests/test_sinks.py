@@ -315,7 +315,12 @@ def test_merge_upsert_pruned_zone_false_positive_not_rewritten(spark, tmp_path):
     source = spark.createDataFrame([(7, 7.7)], ddl)
     out_dir = str(tmp_path / "v1")
     stats = merge_upsert_pruned(spark, target_dir, out_dir, source, ["id"], ddl)
-    assert stats == {"files_total": 2, "files_candidates": 1, "files_rewritten": 0}
+    assert stats == {
+        "files_total": 2,
+        "files_candidates": 1,
+        "files_rewritten": 0,
+        "manifest_used": False,
+    }
     got = sorted(map(tuple, spark.read.schema(ddl).parquet(out_dir).collect()))
     assert (7, 7.7) in got and len(got) == 21
 
@@ -336,3 +341,60 @@ def test_merge_changes_feed(spark):
     dup = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
     with _pytest.raises(ValueError, match="duplicate keys"):
         merge_changes(t, dup, ["k"])
+
+
+def test_merge_manifest_prunes_without_scanning(spark, tmp_path):
+    """The persisted manifest makes the zone-map pass pure metadata: a
+    second merge against a version WRITTEN BY merge_upsert_pruned must not
+    open non-candidate data files at all — proven by CORRUPTING one
+    (decoding it would raise) — while the manifest-less initial merge
+    builds its map by scanning. Content stays identical to the unpruned
+    merge throughout."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        MANIFEST_NAME,
+        merge_upsert,
+        merge_upsert_pruned,
+    )
+
+    ddl = "id long, v double"
+    v0 = str(tmp_path / "v0")
+    os.makedirs(v0)
+    for lo in (0, 100, 200):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 50)], ddl
+        ).coalesce(1).write.parquet(str(tmp_path / f"s{lo}"))
+        part = [f for f in os.listdir(str(tmp_path / f"s{lo}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"s{lo}" / part), os.path.join(v0, f"f{lo}.parquet"))
+
+    # merge 1: no manifest yet -> scan path; touches only [100, 110)
+    s1 = spark.createDataFrame([(i, -1.0) for i in range(100, 110)], ddl)
+    v1 = str(tmp_path / "v1")
+    stats1 = merge_upsert_pruned(spark, v0, v1, s1, ["id"], ddl)
+    assert stats1["manifest_used"] is False and stats1["files_rewritten"] == 1
+    assert os.path.exists(os.path.join(v1, MANIFEST_NAME))
+
+    # corrupt a file merge 2 must NOT open (range [0,49] — no source key)
+    f0 = next(f for f in os.listdir(v1) if f == "f0.parquet")
+    with open(os.path.join(v1, f0), "r+b") as fh:
+        fh.seek(0)
+        fh.write(b"CORRUPT!")
+
+    s2 = spark.createDataFrame([(i, -2.0) for i in range(200, 205)], ddl)
+    v2 = str(tmp_path / "v2")
+    stats2 = merge_upsert_pruned(spark, v1, v2, s2, ["id"], ddl)
+    assert stats2["manifest_used"] is True
+    assert stats2["files_rewritten"] == 1 and stats2["files_total"] == 3
+
+    # the untouched-but-corrupted file hardlinked forward; every OTHER row
+    # of v2 equals the sequential unpruned merge (read around the corrupt
+    # file, which holds ids 0..49)
+    good = [f for f in os.listdir(v2) if f.endswith(".parquet") and f != "f0.parquet"]
+    got = sorted(map(tuple, spark.read.schema(ddl).parquet(
+        *[os.path.join(v2, f) for f in good]).collect()))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in list(range(100, 150)) + list(range(200, 250))], ddl
+    )
+    expect = sorted(map(tuple, merge_upsert(merge_upsert(base, s1, ["id"]), s2, ["id"]).collect()))
+    assert got == expect

@@ -810,7 +810,9 @@ def test_stream_merge_upsert_matches_batch_and_replays_idempotently(spark, tmp_p
 
     root = str(tmp_path / "table")
     os.makedirs(root)
-    daily.write.parquet(os.path.join(root, "v0"))
+    # range-cluster the initial version on the zone key, as a maintained
+    # table would be — gives the merges' zone maps real ranges to prune
+    daily.repartitionByRange(4, "d").write.parquet(os.path.join(root, "v0"))
 
     b1 = daily.filter(F.col("d") >= "2024-01-10").withColumn("n", F.col("n") + 100)
     b2 = daily.filter(F.col("d") >= "2024-01-20").withColumn("n", F.col("n") + 200)
