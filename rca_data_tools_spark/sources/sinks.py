@@ -450,3 +450,37 @@ def merge_upsert_pruned(
         "files_rewritten": len(matched),
         "manifest_used": manifest is not None,
     }
+
+
+def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
+    """Retention for the copy-on-write version chain (the VACUUM half of
+    the merge lifecycle): delete every ``v{N}`` directory older than the
+    newest ``keep_last``. Hardlink sharing makes this pure ``rm`` — a data
+    file referenced by any surviving version keeps its inode alive no
+    matter how many old versions unlink it, so there is no reference
+    counting and no data copy: the filesystem IS the refcount, exactly the
+    role a format's manifest plays for object-store files.
+
+    Returns {"removed": [names], "kept": [names], "bytes_freed"} where
+    bytes_freed counts only bytes whose LAST link was in a removed version
+    (shared files free nothing — the honest number)."""
+    import shutil
+
+    versions = sorted(
+        (int(d[1:]), d)
+        for d in os.listdir(table_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1: a table needs a current version")
+    doomed = versions[:-keep_last] if keep_last < len(versions) else []
+    kept = [d for _, d in versions[len(doomed):]]
+    freed = 0
+    for _, d in doomed:
+        vdir = os.path.join(table_root, d)
+        for f in os.listdir(vdir):
+            st = os.stat(os.path.join(vdir, f))
+            if st.st_nlink == 1:  # last reference: these bytes actually free
+                freed += st.st_size
+        shutil.rmtree(vdir)
+    return {"removed": [d for _, d in doomed], "kept": kept, "bytes_freed": freed}

@@ -398,3 +398,45 @@ def test_merge_manifest_prunes_without_scanning(spark, tmp_path):
     )
     expect = sorted(map(tuple, merge_upsert(merge_upsert(base, s1, ["id"]), s2, ["id"]).collect()))
     assert got == expect
+
+
+def test_vacuum_versions_keeps_shared_files_alive(spark, tmp_path):
+    """VACUUM removes old version directories without touching data any
+    surviving version still references: hardlinked files stay readable, the
+    newest version's content is bit-identical, and bytes_freed counts only
+    last-reference bytes."""
+    import os
+
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert_pruned, vacuum_versions
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "table")
+    v0 = os.path.join(root, "v0")
+    os.makedirs(v0)
+    for lo in (0, 100):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 50)], ddl
+        ).coalesce(1).write.parquet(str(tmp_path / f"s{lo}"))
+        part = [f for f in os.listdir(str(tmp_path / f"s{lo}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"s{lo}" / part), os.path.join(v0, f"f{lo}.parquet"))
+    merge_upsert_pruned(
+        spark, v0, os.path.join(root, "v1"),
+        spark.createDataFrame([(105, -1.0)], ddl), ["id"], ddl,
+    )
+    merge_upsert_pruned(
+        spark, os.path.join(root, "v1"), os.path.join(root, "v2"),
+        spark.createDataFrame([(3, -2.0)], ddl), ["id"], ddl,
+    )
+    before = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
+
+    stats = vacuum_versions(root, keep_last=1)
+    assert stats["removed"] == ["v0", "v1"] and stats["kept"] == ["v2"]
+    assert stats["bytes_freed"] > 0  # the rewritten files' old copies freed
+    assert sorted(os.listdir(root)) == ["v2"]
+    after = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
+    assert after == before and (3, -2.0) in after and (105, -1.0) in after
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        vacuum_versions(root, keep_last=0)
