@@ -20,10 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 7: 215 registered, 214 cumulative
 # driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 8 adds 11 queries
-# (226 registered).
+# agg_approx_distinct row), 0 never-checked. Round 8 adds 12 queries
+# (227 registered).
 #
-# Round-8 window = (a) the eleven queries ADDED this round, (b) the rows
+# Round-8 window = (a) the twelve queries ADDED this round, (b) the rows
 # whose PLANS CHANGED this round — the pair-list broadcast guard moved to
 # a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
 # regression fix), merge_upsert grew the MERGE duplicate-source-key check,
@@ -38,12 +38,12 @@ from rca_data_tools_spark.sources.readers import load_table
 # w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags /
 # instr_ph_flags / bpe_apply_tokens / streaming_cms_cells /
 # sketch_cms_heavyhitters / sample_domain_mix / agg_histogram /
-# qc_flat_line yield
+# qc_flat_line / text_pmi_cooccurrence yield
 # their slots to (a)/(b) — each family keeps another sentinel in-window
 # (bpe_train_merges, streaming_hll_registers, sketch_hll_cardinality,
 # sample_weighted_topk + sample_shuffle_order, agg_mode,
-# qc_flag_transitions, five instrument reps). All nineteen remain
-# cumulative-green from r04.
+# qc_flag_transitions, text_entropy + text_minhash_containment, five
+# instrument reps). All twenty remain cumulative-green from r04.
 _ROUND_WINDOW = [
     # (a) added round 8
     "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
@@ -57,6 +57,7 @@ _ROUND_WINDOW = [
     "sink_incremental_agg",     # materialized-view delta maintenance
     "profile_table_stats",      # ANALYZE job: nulls/distincts/min-max
     "ann_index_persisted",      # IVFPQ build -> write -> load -> search
+    "sink_merge_evolved",       # MERGE: MATCHED-DELETE + schema evolution
     # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
     #     zarr v3 fill / pwrite loop)
     "dedup_minhash_lsh",
@@ -81,7 +82,6 @@ _ROUND_WINDOW = [
     "w_mad_outliers",
     "calc_tidal_harmonic",
     "agg_mode",
-    "text_pmi_cooccurrence",
     "qc_flag_transitions",
     "streaming_hll_registers",
     "streaming_join_enriched",

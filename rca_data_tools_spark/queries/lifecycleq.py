@@ -1355,3 +1355,66 @@ def streaming_merge_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.schema(ddl).parquet(os.path.join(root, f"v{latest}"))
     return back.select("d", "event_type", "rev", "n")
+
+
+@query(
+    "sink_merge_evolved",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), refresh AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS quality
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+)
+-- WHEN MATCHED AND event_type='click' THEN DELETE; evolution: source has
+-- no n_users (matched rows PRESERVE it) and adds quality (NULL elsewhere)
+SELECT f.d, f.event_type, f.n, f.n_users, CAST(NULL AS DOUBLE) AS quality
+FROM full_run f
+WHERE NOT EXISTS (SELECT 1 FROM refresh r WHERE r.d = f.d AND r.event_type = f.event_type)
+UNION ALL
+SELECT r.d, r.event_type, r.n, f.n_users, r.quality
+FROM refresh r JOIN full_run f ON f.d = r.d AND f.event_type = r.event_type
+WHERE r.event_type <> 'click'
+""",
+)
+def sink_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the two remaining clauses of the full SQL statement:
+    WHEN MATCHED AND <cond> THEN DELETE (the refresh purges 'click' rows it
+    touches — flagged source rows remove their target rows and insert
+    nothing) and SCHEMA EVOLUTION (the corrected rollup drops n_users —
+    matched rows PRESERVE their target value — and adds a new ``quality``
+    column that reads NULL on every row the refresh didn't produce). The
+    oracle states the merged table directly, so a wrong clause order
+    (deleting after evolving, or overwriting preserved columns)
+    hash-mismatches.
+
+    Scale shape: the delete pre-pass is one broadcast anti-join of the
+    flagged keys; evolution costs one inner + one anti join instead of one
+    anti (matched rows must read BOTH sides to preserve unmentioned target
+    columns) — still all key-equi, no windows."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+
+    e = load_table(spark, sf_dir, "events")
+    target = _daily(e).select("d", "event_type", "n", "n_users")
+    refresh = (
+        e.filter(F.col("value") > 50)
+        .groupBy(F.to_date("ts").cast("string").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (dsum("value") / F.count(F.lit(1))).alias("quality"),
+        )
+        .filter(F.col("d") >= _CUTOFF)
+    )
+    src = refresh.withColumn("_del", F.col("event_type") == "click")
+    merged = merge_upsert(
+        target, src, ["d", "event_type"], delete_col="_del", schema_evolution=True
+    )
+    return merged.select("d", "event_type", "n", "n_users", "quality")

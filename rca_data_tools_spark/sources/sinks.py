@@ -202,7 +202,13 @@ def compact_partitioned(
     return {"files_before": n_before, "files_after": n_after, "bytes": total}
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: "str | None" = None,
+    schema_evolution: bool = False,
+) -> DataFrame:
     """MERGE-INTO semantics as a DataFrame transform: rows whose key
     matches a source row take the SOURCE version (WHEN MATCHED UPDATE),
     source rows with no target match insert (WHEN NOT MATCHED INSERT), and
@@ -219,9 +225,41 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     Duplicate keys in SOURCE raise, matching Delta/Iceberg MERGE ("multiple
     source rows matched"): silently emitting both versions would make the
     upsert non-deterministic about which one "wins". Deduplicate upstream
-    (e.g. max_by on a version column) before merging."""
-    _check_merge_inputs(target, source, keys)
-    return target.join(source, keys, "left_anti").unionByName(source)
+    (e.g. max_by on a version column) before merging.
+
+    ``delete_col`` names a boolean source column (excluded from the output
+    schema): WHEN MATCHED AND <flag> THEN DELETE — flagged keys remove
+    their target rows and insert nothing (a flagged key with no target
+    match is a no-op, like SQL MERGE). ``schema_evolution=True`` lets the
+    source carry NEW columns (added to the table, pre-existing target rows
+    read NULL) and OMIT target columns (matched rows PRESERVE their target
+    values for unmentioned columns; inserts read NULL) — Delta's
+    autoMerge/UPDATE SET * semantics. The evolved path costs one inner
+    join + one anti-join instead of one anti-join; the plain path keeps
+    the original two-operator plan."""
+    if delete_col is not None:
+        if delete_col not in source.columns:
+            raise ValueError(f"delete_col {delete_col!r} not in source")
+        deletes = source.filter(F.col(delete_col)).select(*keys)
+        source = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        target = target.join(F.broadcast(deletes), keys, "left_anti")
+    if not schema_evolution:
+        _check_merge_inputs(target, source, keys)
+        return target.join(source, keys, "left_anti").unionByName(source)
+    bad = [c for c in keys if c not in target.columns or c not in source.columns]
+    if bad:
+        raise ValueError(f"merge keys missing from target/source: {bad}")
+    _check_merge_inputs(target.select(*keys), source.select(*keys), keys)
+    t_only = [c for c in target.columns if c not in source.columns]
+    matched = target.select(*keys, *t_only).join(source, keys, "inner")
+    unmatched = target.join(source, keys, "left_anti")
+    inserts = source.join(target, keys, "left_anti")
+    return (
+        unmatched.unionByName(matched, allowMissingColumns=True)
+        .unionByName(inserts, allowMissingColumns=True)
+    )
 
 
 def _check_merge_inputs(target: DataFrame, source: DataFrame, keys: list[str]) -> None:

@@ -440,3 +440,39 @@ def test_vacuum_versions_keeps_shared_files_alive(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep_last"):
         vacuum_versions(root, keep_last=0)
+
+
+def test_merge_upsert_delete_and_schema_evolution(spark):
+    """WHEN MATCHED DELETE via a flag column, and Delta-style schema
+    evolution: new source columns appear (old rows NULL), omitted target
+    columns are PRESERVED on matched rows and NULL on inserts."""
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+
+    t = spark.createDataFrame([("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")],
+                              "k string, v int, note string")
+    # deletes: drop 'b'; update 'a'; insert 'd'; flagged-but-unmatched 'e' no-op
+    s = spark.createDataFrame(
+        [("a", 10, "x2", False), ("b", 0, "", True), ("d", 40, "w", False),
+         ("e", 0, "", True)],
+        "k string, v int, note string, _del boolean")
+    got = {r["k"]: (r["v"], r["note"])
+           for r in merge_upsert(t, s, ["k"], delete_col="_del").collect()}
+    assert got == {"a": (10, "x2"), "c": (3, "z"), "d": (40, "w")}
+
+    # evolution: source omits 'note' (preserved / NULL) and adds 'extra'
+    s2 = spark.createDataFrame([("a", 100, 7.5), ("d", 400, 8.5)],
+                               "k string, v int, extra double")
+    out = merge_upsert(t, s2, ["k"], schema_evolution=True)
+    assert set(out.columns) == {"k", "v", "note", "extra"}
+    got2 = {r["k"]: (r["v"], r["note"], r["extra"]) for r in out.collect()}
+    assert got2 == {
+        "a": (100, "x", 7.5),   # updated v/extra, PRESERVED target-only note
+        "b": (2, "y", None),    # untouched target row, NULL new column
+        "c": (3, "z", None),
+        "d": (400, None, 8.5),  # insert: NULL for target-only note
+    }
+
+    # evolution OFF still refuses mismatched schemas loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert(t, s2, ["k"])
