@@ -20,10 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 7: 215 registered, 214 cumulative
 # driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 8 adds 12 queries
-# (227 registered).
+# agg_approx_distinct row), 0 never-checked. Round 8 adds 13 queries
+# (228 registered).
 #
-# Round-8 window = (a) the twelve queries ADDED this round, (b) the rows
+# Round-8 window = (a) the thirteen queries ADDED this round, (b) the rows
 # whose PLANS CHANGED this round — the pair-list broadcast guard moved to
 # a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
 # regression fix), merge_upsert grew the MERGE duplicate-source-key check,
@@ -38,12 +38,13 @@ from rca_data_tools_spark.sources.readers import load_table
 # w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags /
 # instr_ph_flags / bpe_apply_tokens / streaming_cms_cells /
 # sketch_cms_heavyhitters / sample_domain_mix / agg_histogram /
-# qc_flat_line / text_pmi_cooccurrence yield
+# qc_flat_line / text_pmi_cooccurrence / streaming_join_enriched yield
 # their slots to (a)/(b) — each family keeps another sentinel in-window
 # (bpe_train_merges, streaming_hll_registers, sketch_hll_cardinality,
 # sample_weighted_topk + sample_shuffle_order, agg_mode,
-# qc_flag_transitions, text_entropy + text_minhash_containment, five
-# instrument reps). All twenty remain cumulative-green from r04.
+# qc_flag_transitions, text_entropy + text_minhash_containment,
+# streaming_hll_registers for the streaming family, five instrument
+# reps). All twenty-one remain cumulative-green from r04.
 _ROUND_WINDOW = [
     # (a) added round 8
     "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
@@ -58,6 +59,7 @@ _ROUND_WINDOW = [
     "profile_table_stats",      # ANALYZE job: nulls/distincts/min-max
     "ann_index_persisted",      # IVFPQ build -> write -> load -> search
     "sink_merge_evolved",       # MERGE: MATCHED-DELETE + schema evolution
+    "sink_delete_vectors",      # merge-on-read row deletes, 0 files rewritten
     # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
     #     zarr v3 fill / pwrite loop)
     "dedup_minhash_lsh",
@@ -84,7 +86,6 @@ _ROUND_WINDOW = [
     "agg_mode",
     "qc_flag_transitions",
     "streaming_hll_registers",
-    "streaming_join_enriched",
     "graph_degree_stats",
     "text_minhash_containment",
     "j1_asof_tolerance",

@@ -1418,3 +1418,63 @@ def sink_merge_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         target, src, ["d", "event_type"], delete_col="_del", schema_evolution=True
     )
     return merged.select("d", "event_type", "n", "n_users", "quality")
+
+
+@query(
+    "sink_delete_vectors",
+    oracle="""
+WITH survivors AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE NOT COALESCE(value BETWEEN 120 AND 200, FALSE)
+    AND NOT COALESCE(user_id % 10 = 0, FALSE)
+)
+SELECT
+  CAST(0 AS BIGINT) AS files_rewritten,
+  (SELECT COUNT(*) FROM survivors) AS n_rows,
+  (SELECT CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM survivors)
+    AS sum_value,
+  (SELECT COUNT(*) FROM events
+    WHERE COALESCE(value BETWEEN 120 AND 200, FALSE)
+       OR COALESCE(user_id % 10 = 0, FALSE)) AS rows_deleted
+""",
+)
+def sink_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via DELETION VECTORS (merge-on-read, the Delta DV /
+    Iceberg position-delete shape): two successive deletes — a value band,
+    then a user_id stripe — run against the events table WITHOUT rewriting
+    a single data file (files_rewritten is 0 by construction and in the
+    hashed output): each version hardlinks every file and records the
+    matched (file, row position) sidecar; the final read subtracts the
+    composed vectors at scan time. The oracle states the survivors and the
+    deleted-row count directly, so a position off by one, a lost vector on
+    composition, or a NULL-predicate mishandling hash-mismatches.
+
+    Scale shape: a delete costs ONE predicate scan + O(matched positions)
+    of metadata — zero data bytes rewritten; the merge-on-read scan is a
+    broadcast anti-join on (file, row_index) from the reader's own
+    _metadata column. GDPR-style scattered deletes over 100 TB become
+    metadata operations; compaction (sink_compact_roundtrip) reclaims when
+    vectors grow."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.sinks import delete_where, read_with_deletes
+
+    ddl = "event_id long, user_id long, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_dv_")
+    v0 = os.path.join(root, "v0")
+    e.repartition(8).write.parquet(v0)
+
+    s1 = delete_where(spark, v0, os.path.join(root, "v1"),
+                      "value BETWEEN 120 AND 200", ddl)
+    s2 = delete_where(spark, os.path.join(root, "v1"), os.path.join(root, "v2"),
+                      "user_id % 10 = 0", ddl)
+    back = read_with_deletes(spark, os.path.join(root, "v2"), ddl)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+    ).select(
+        F.lit(s1["files_rewritten"] + s2["files_rewritten"]).cast("long").alias("files_rewritten"),
+        F.col("n_rows").cast("long"),
+        "sum_value",
+        F.lit(s1["rows_deleted"] + s2["rows_deleted"]).cast("long").alias("rows_deleted"),
+    )

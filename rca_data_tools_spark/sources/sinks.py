@@ -522,3 +522,104 @@ def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
                 freed += st.st_size
         shutil.rmtree(vdir)
     return {"removed": [d for _, d in doomed], "kept": kept, "bytes_freed": freed}
+
+
+DELETES_NAME = "_deletes.json"
+
+
+def delete_where(
+    spark: SparkSession,
+    target_dir: str,
+    out_dir: str,
+    predicate: str,
+    schema_ddl: str,
+) -> dict:
+    """Row-level DELETE as DELETION VECTORS (merge-on-read — the Delta DV /
+    Iceberg position-delete shape): instead of rewriting every file that
+    contains a matching row (copy-on-write would), record the matching
+    rows' (file, row position) in a sidecar and hardlink EVERY data file
+    unchanged into the new version. ``read_with_deletes`` subtracts the
+    vectors at scan time. The write cost of a delete becomes O(matched
+    positions) bytes of metadata — zero data bytes — which is why formats
+    grew DVs for GDPR-style scattered deletes over 100 TB tables.
+
+    Positions come from the parquet reader's own ``_metadata.row_index``
+    (stable per file), found with ONE predicate scan. Sidecars compose:
+    a version that already carries vectors gets the union (prior vectors
+    apply to the same immutable files). Returns {"files_total",
+    "files_rewritten" (always 0 — the point), "rows_deleted"}."""
+    import json
+
+    deletes: dict = {}
+    prior = os.path.join(target_dir, DELETES_NAME)
+    if os.path.exists(prior):
+        deletes = {k: set(v) for k, v in json.loads(open(prior).read())["files"].items()}
+
+    df = spark.read.schema(schema_ddl).parquet(target_dir)
+    hits = (
+        df.where(predicate)
+        .select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .groupBy("f")
+        .agg(F.collect_list("pos").alias("ps"))
+        .collect()
+    )
+    rows_deleted = 0
+    for r in hits:
+        prev = deletes.setdefault(r["f"], set())
+        fresh = set(int(p) for p in r["ps"]) - prev
+        rows_deleted += len(fresh)
+        prev |= fresh
+    os.makedirs(out_dir)
+    data_files = [f for f in os.listdir(target_dir) if f.endswith(".parquet")]
+    for f in data_files:
+        os.link(os.path.join(target_dir, f), os.path.join(out_dir, f))
+    with open(os.path.join(out_dir, DELETES_NAME), "w") as fh:
+        json.dump({"files": {k: sorted(v) for k, v in deletes.items()}}, fh)
+    # manifest (if any) carries over untouched: deletes change no file bytes
+    if os.path.exists(os.path.join(target_dir, MANIFEST_NAME)):
+        os.link(
+            os.path.join(target_dir, MANIFEST_NAME),
+            os.path.join(out_dir, MANIFEST_NAME),
+        )
+    return {
+        "files_total": len(data_files),
+        "files_rewritten": 0,
+        "rows_deleted": rows_deleted,
+    }
+
+
+def read_with_deletes(spark: SparkSession, table_dir: str, schema_ddl: str) -> DataFrame:
+    """Merge-on-read scan: parquet scan minus the version's deletion
+    vectors. The vectors join as a broadcast anti-join on (file, position)
+    — position comes from the reader's ``_metadata.row_index``, so no data
+    column is sacrificed to row ids. A version without a sidecar scans
+    plain. At DV sizes past broadcast budgets a format compacts the file
+    (merge_upsert_pruned's rewrite path); the scan logic is unchanged."""
+    import json
+
+    df = spark.read.schema(schema_ddl).parquet(table_dir)
+    path = os.path.join(table_dir, DELETES_NAME)
+    if not os.path.exists(path):
+        return df
+    doc = json.loads(open(path).read())["files"]
+    pairs = [(f, int(p)) for f, ps in doc.items() for p in ps]
+    if not pairs:
+        return df
+    dv = spark.createDataFrame(pairs, "f string, pos long")
+    out_cols = df.columns
+    keyed = df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    return (
+        keyed.join(
+            F.broadcast(dv),
+            (keyed["__f"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
+            "left_anti",
+        )
+        .select(*out_cols)
+    )

@@ -476,3 +476,41 @@ def test_merge_upsert_delete_and_schema_evolution(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="identical schemas"):
         merge_upsert(t, s2, ["k"])
+
+
+def test_deletion_vectors_never_touch_data_files(spark, tmp_path):
+    """Merge-on-read deletes: every data file of every version shares its
+    inode with v0 (zero bytes rewritten), vectors COMPOSE across versions,
+    and the DV-subtracted scan equals the predicate-filtered original."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import delete_where, read_with_deletes
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)\
+        .repartition(4).write.parquet(v0)
+
+    s1 = delete_where(spark, v0, os.path.join(root, "v1"), "id % 3 = 0", ddl)
+    s2 = delete_where(spark, os.path.join(root, "v1"), os.path.join(root, "v2"),
+                      "v > 90", ddl)
+    assert s1["files_rewritten"] == s2["files_rewritten"] == 0
+    assert s1["rows_deleted"] == 34  # 0,3,...,99
+    assert s2["rows_deleted"] == 6   # 91..99 minus the multiples of 3 (93,96,99)
+
+    inodes0 = {f: os.stat(os.path.join(v0, f)).st_ino
+               for f in os.listdir(v0) if f.endswith(".parquet")}
+    for ver in ("v1", "v2"):
+        for f, ino in inodes0.items():
+            assert os.stat(os.path.join(root, ver, f)).st_ino == ino
+
+    got = sorted(r["id"] for r in read_with_deletes(spark, os.path.join(root, "v2"), ddl).collect())
+    expect = [i for i in range(100) if i % 3 != 0 and i <= 90]
+    assert got == expect
+    # deleting the same rows again is a no-op (vectors are sets)
+    s3 = delete_where(spark, os.path.join(root, "v2"), os.path.join(root, "v3"),
+                      "id % 3 = 0", ddl)
+    assert s3["rows_deleted"] == 0
+    got3 = sorted(r["id"] for r in read_with_deletes(spark, os.path.join(root, "v3"), ddl).collect())
+    assert got3 == expect
