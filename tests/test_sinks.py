@@ -238,15 +238,22 @@ def test_merge_upsert_refusals(spark):
 
 def test_merge_upsert_duplicate_source_keys_raise(spark):
     """MERGE contract (Delta/Iceberg): more than one source row per key is
-    an error, not a silent double-emit."""
+    an error, not a silent double-emit. The check is IN-PLAN (a guarded
+    expression on the join key — the merge stays a lazy transform and the
+    guard validates exactly the rows being merged), so it surfaces at
+    execution time, like Delta's own MERGE failure."""
     import pytest as _pytest
 
     from rca_data_tools_spark.sources.sinks import merge_upsert
 
     t = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     s = spark.createDataFrame([("a", 10), ("a", 11)], "k string, v int")
-    with _pytest.raises(ValueError, match="duplicate keys in source"):
-        merge_upsert(t, s, ["k"])
+    with _pytest.raises(Exception, match="duplicate keys in source"):
+        merge_upsert(t, s, ["k"]).collect()
+    # clean sources still merge (the guard is inert at count 1)
+    ok = spark.createDataFrame([("a", 10), ("c", 30)], "k string, v int")
+    got = {r["k"]: r["v"] for r in merge_upsert(t, ok, ["k"]).collect()}
+    assert got == {"a": 10, "b": 2, "c": 30}
 
 
 def test_merge_upsert_pruned_rewrites_only_matched_files(spark, tmp_path):
@@ -339,8 +346,8 @@ def test_merge_changes_feed(spark):
            for r in merge_changes(t, s, ["k"]).collect()}
     assert got == {"a": ("update", 1, 10), "d": ("insert", None, 40)}
     dup = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
-    with _pytest.raises(ValueError, match="duplicate keys"):
-        merge_changes(t, dup, ["k"])
+    with _pytest.raises(Exception, match="duplicate keys"):
+        merge_changes(t, dup, ["k"]).collect()
 
 
 def test_merge_manifest_prunes_without_scanning(spark, tmp_path):
@@ -514,3 +521,192 @@ def test_deletion_vectors_never_touch_data_files(spark, tmp_path):
     assert s3["rows_deleted"] == 0
     got3 = sorted(r["id"] for r in read_with_deletes(spark, os.path.join(root, "v3"), ddl).collect())
     assert got3 == expect
+
+
+def test_compact_materializes_deletion_vectors(spark, tmp_path):
+    """OPTIMIZE semantics on a DV-bearing version (VERDICT r08 item 1a):
+    compaction reads THROUGH the deletion vectors, the compacted output
+    carries no sidecar, and deleted rows stay deleted — no resurrection."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        compact_partitioned, delete_where, has_deletes, read_with_deletes,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)\
+        .repartition(4).write.parquet(v0)
+    v1 = os.path.join(root, "v1")
+    delete_where(spark, v0, v1, "id % 3 = 0", ddl)
+    assert has_deletes(v1)
+
+    stats = compact_partitioned(spark, v1, target_bytes=1 << 30)
+    assert stats["files_before"] == 4 and stats["files_after"] == 1
+    assert not has_deletes(v1)  # vectors materialized, sidecar cleared
+    got = sorted(r["id"] for r in spark.read.schema(ddl).parquet(v1).collect())
+    assert got == [i for i in range(100) if i % 3 != 0]
+    # the DV-aware read of the compacted table agrees (no sidecar path)
+    got2 = sorted(r["id"] for r in read_with_deletes(spark, v1, ddl).collect())
+    assert got2 == got
+
+
+def test_merge_pruned_respects_deletion_vectors(spark, tmp_path):
+    """Pruned MERGE on a DV-bearing version (VERDICT r08 item 1b): deleted
+    rows never resurrect through the matched-file rewrite, carried-over
+    files keep their vectors, rewritten files drop theirs (their deletes
+    became physical), and a file whose only containing rows are deleted is
+    NOT rewritten."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        delete_where, has_deletes, merge_upsert_pruned, read_deletion_vectors,
+        read_with_deletes,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    os.makedirs(v0)
+    # four range-clustered files: [0,25), [25,50), [50,75), [75,100)
+    for lo in (0, 25, 50, 75):
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 25)], ddl
+        ).coalesce(1).write.parquet(str(tmp_path / f"s{lo}"))
+        part = [f for f in os.listdir(str(tmp_path / f"s{lo}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"s{lo}" / part), os.path.join(v0, f"f{lo}.parquet"))
+
+    # delete 30..34 (in file f25) and 60..64 (in file f50)
+    v1 = os.path.join(root, "v1")
+    delete_where(spark, v0, v1, "id BETWEEN 30 AND 34 OR id BETWEEN 60 AND 64", ddl)
+
+    # source updates 35..39 (matches f25 only: f50's ids 60..64 are deleted,
+    # and source id 62 must NOT count f50 as matched — its row is deleted)
+    source = spark.createDataFrame(
+        [(i, 1000.0 + i) for i in range(35, 40)] + [(62, -62.0), (200, 2.0)], ddl
+    )
+    v2 = os.path.join(root, "v2")
+    stats = merge_upsert_pruned(spark, v1, v2, source, ["id"], ddl)
+    assert stats["files_total"] == 4
+    assert stats["files_rewritten"] == 1  # f25 only: 62 is a deleted row -> insert
+
+    back = {r["id"]: r["v"] for r in read_with_deletes(spark, v2, ddl).collect()}
+    # deleted rows stayed deleted through the merge
+    assert all(i not in back for i in range(30, 35)), "f25 deletes resurrected"
+    assert all(i not in back for i in range(60, 65) if i != 62), "f50 deletes resurrected"
+    assert back[62] == -62.0 and back[200] == 2.0  # 62 re-inserted by the merge
+    assert back[35] == 1035.0 and back[0] == 0.0
+    assert len(back) == 100 - 10 + 2  # 100 rows - 10 deleted + ids 62,200 back
+
+    # sidecar carried for the un-rewritten f50, dropped for rewritten f25
+    dv = {(r["f"], r["pos"]) for r in read_deletion_vectors(spark, v2).collect()}
+    assert {f for f, _ in dv} == {"f50.parquet"}
+    assert len(dv) == 5
+    assert has_deletes(v2)
+
+
+def test_delete_vectors_stay_executor_side_at_scale(spark, tmp_path):
+    """The DV lifecycle never materializes positions driver-side (VERDICT
+    r08 item 2): a delete matching >10^6 rows writes its sidecar as a
+    distributed parquet job, and the merge-on-read scan's plan joins two
+    FILE scans — no LocalTableScan (driver-built rows), no forced
+    broadcast of a driver list."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import delete_where, read_with_deletes
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    spark.range(0, 2_500_000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    ).repartition(8).write.parquet(v0)
+
+    v1 = os.path.join(root, "v1")
+    s = delete_where(spark, v0, v1, "id % 2 = 0", ddl)
+    assert s["rows_deleted"] == 1_250_000
+    back = read_with_deletes(spark, v1, ddl)
+    assert back.count() == 1_250_000
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    # both the data and the sidecar are file scans
+    assert plan.count("FileScan parquet") >= 2 or plan.count("Scan parquet") >= 2, plan
+
+
+def test_merge_into_table_optimistic_concurrency(spark, tmp_path):
+    """Two writers race for v1: the loser detects the claimed version,
+    re-reads the winner's COMMITTED v1 and lands v2 REBASED on it — both
+    updates survive (no lost update). An uncommitted claim blocks and the
+    loser refuses loudly after retries."""
+    import os
+
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import (
+        VersionConflict, mark_committed, merge_into_table, read_version,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    spark.createDataFrame([(i, float(i)) for i in range(50)], ddl)\
+        .coalesce(1).write.parquet(v0)
+    mark_committed(v0)
+
+    # writer A claims AND commits v1 out-of-band (simulating the race:
+    # B computed its base before A published)
+    a_src = spark.createDataFrame([(1, 111.0)], ddl)
+    sa = merge_into_table(spark, root, a_src, ["id"], ddl)
+    assert sa["version"] == 1 and sa["attempts"] == 1
+
+    # writer B started from v0 too; its attempt at v1 collides, retries,
+    # and lands v2 rebased on A's v1 — A's update visible underneath
+    b_src = spark.createDataFrame([(2, 222.0)], ddl)
+    sb = merge_into_table(spark, root, b_src, ["id"], ddl)
+    assert sb["version"] == 2
+    final = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
+    assert final[1] == 111.0 and final[2] == 222.0 and final[0] == 0.0
+
+    # a claimed-but-never-committed v3 blocks the chain: refuse loudly
+    os.makedirs(os.path.join(root, "v3"))
+    with _pytest.raises(VersionConflict, match="claimed but"):
+        merge_into_table(spark, root, b_src, ["id"], ddl, retries=1)
+
+
+def test_read_version_time_travel_with_deletes(spark, tmp_path):
+    """read_version resolves n / as_of_ts / latest and applies EACH
+    version's own deletion vectors — a DV in the chain is honored exactly
+    at the versions it exists in."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import (
+        delete_where, mark_committed, merge_into_table, read_version,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(i, float(i)) for i in range(20)], ddl)\
+        .coalesce(1).write.parquet(os.path.join(root, "v0"))
+    mark_committed(os.path.join(root, "v0"))
+    t0 = time.time()
+
+    delete_where(spark, os.path.join(root, "v0"), os.path.join(root, "v1"),
+                 "id >= 15", ddl)
+    mark_committed(os.path.join(root, "v1"))
+
+    merge_into_table(spark, root, spark.createDataFrame([(3, 33.0)], ddl), ["id"], ddl)
+
+    assert read_version(spark, root, ddl, n=0).count() == 20
+    assert read_version(spark, root, ddl, n=1).count() == 15  # DV applied
+    latest = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
+    assert latest[3] == 33.0 and len(latest) == 15
+    assert read_version(spark, root, ddl, as_of_ts=t0).count() == 20
+    assert read_version(spark, root, ddl, as_of_ts=time.time()).count() == 15
+    with _pytest.raises(ValueError, match="not in"):
+        read_version(spark, root, ddl, n=9)
+    with _pytest.raises(ValueError, match="at or before"):
+        read_version(spark, root, ddl, as_of_ts=1.0)
