@@ -869,3 +869,109 @@ def ivf_pq_topk(
         q_id_col=q_id_col, q_vec_col=q_vec_col, k=k, nprobe=nprobe,
         n_candidates=n_candidates, m=m, n_codes=n_codes,
     )
+
+
+def ivf_pq_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    k: int = 5,
+    n_lists: int = 16,
+    stride: int = 29,
+    nprobe: int = 4,
+    n_candidates: int = 32,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """IVFPQ for QUERY BATCHES (VERDICT r08 item 8): same index, same
+    semantics, same results as ivf_pq_topk, but the per-query ADC lookup
+    tables are a broadcast-joined DATAFRAME instead of plan-time literals,
+    so the physical plan is QUERY-COUNT-INDEPENDENT — a million-query batch
+    join (corpus×corpus semantic dedup, offline re-ranking) compiles the
+    same plan as ten queries. ivf_pq_search's literal LUT stays the right
+    call for serving-sized batches (zero joins, pure codegen); this is the
+    offline face.
+
+    Pipeline — nothing query-sized ever touches the driver or the plan:
+    1. build the index (ivf_pq_build: one corpus scan; quantizer+codebook
+       are config-sized constants, the ONLY driver-held state);
+    2. probes: each query's nprobe nearest lists via the same Arrow kernel
+       corpus assignment uses (ivf_assign over the queries DataFrame);
+    3. LUTs: one Arrow kernel over the queries DataFrame emits each
+       query's M×K subspace-distance table as a nested array column
+       (entries rounded to 6 like every distance in the family);
+    4. ADC: encoded corpus ⋈ probes on the list id (the IVF confinement —
+       probe volume ∝ nprobe/n_lists), ⋈ LUTs on the query id, then the
+       score is a pure-JVM fold: zip_with(codes, lut, element_at) summed
+       left-to-right — the same IEEE add order as the literal path and
+       the SQL oracle's l0+l1+l2+l3;
+    5. top-n_candidates per query by approximate distance, exact cosine
+       re-rank to top-k.
+
+    Scale shape: both joins are unhinted — AQE broadcasts batch-sized
+    probe/LUT sides and falls back to shuffled joins for a corpus-sized
+    query batch instead of OOMing a forced build side. The two per-query
+    top-k windows are the only other shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cent_rows, cb_rows, enc = ivf_pq_build(
+        corpus, id_col, vec_col, n_lists=n_lists, stride=stride, m=m, n_codes=n_codes
+    )
+    if not cb_rows or enc is None:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{q_id_col} long, {id_col} long, approx_dist double, "
+            "cos_sim double, rank int",
+        )
+    probes = ivf_assign(
+        queries, cent_rows, q_id_col, q_vec_col, nprobe=nprobe
+    ).select(q_id_col, "cid")
+    C, sub = _pq_arrays(cb_rows, m, n_codes)
+    k_eff = C.shape[1]
+
+    def _lut(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.stack(emb.to_numpy())  # (n, dim)
+        nq = Q.shape[0]
+        out = np.zeros((nq, m, k_eff))
+        for mi in range(m):
+            acc = np.zeros((nq, k_eff))
+            for d in range(sub):  # sequential == the SQL fold's add order
+                diff = Q[:, mi * sub + d][:, None] - C[mi, :, d][None, :]
+                acc += diff * diff
+            out[:, mi, :] = np.round(acc, 6)
+        return pd.Series([[row.tolist() for row in q] for q in out])
+
+    lut_udf = F.pandas_udf(_lut, ArrayType(ArrayType(DoubleType())))
+    luts = queries.select(
+        F.col(q_id_col), lut_udf(to_double_array(q_vec_col)).alias("__lut")
+    )
+    # ADC in whole-stage codegen: M element_at's via zip_with, left fold —
+    # (0.0 + t0) + t1 + ... is bit-identical to the literal path's
+    # t0 + t1 + ... for the non-negative rounded distances involved
+    terms = F.zip_with(
+        "codes", "__lut",
+        lambda c, row: F.element_at(row, c.cast("int") + F.lit(1)),
+    )
+    approx = F.aggregate(terms, F.lit(0.0), lambda s, x: s + x)
+    scored = (
+        enc.join(probes, "cid")
+        .join(luts, q_id_col)
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .select(q_id_col, id_col, approx.alias("approx_dist"))
+    )
+    w_adc = Window.partitionBy(q_id_col).orderBy(F.col("approx_dist"), F.col(id_col))
+    cand = scored.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= n_candidates
+    ).select(q_id_col, id_col, "approx_dist")
+    exact = corpus.join(cand, id_col).join(queries, q_id_col)
+    sim = F.round(seq_cosine_udf()(to_double_array(q_vec_col), to_double_array(vec_col)), 6)
+    rr = exact.select(q_id_col, id_col, "approx_dist", sim.alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

