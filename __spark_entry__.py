@@ -18,88 +18,81 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round.
-# Cumulative state after round 7: 215 registered, 214 cumulative
-# driver-green (CORRECTNESS_r07: 49/50 green + the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 8 adds 13 queries
-# (228 registered).
+# Cumulative state after round 8: 228 registered, 227 cumulative
+# driver-green (the one non-green is the documented no-oracle
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 5 queries
+# (233 registered).
 #
-# Round-8 window = (a) the thirteen queries ADDED this round, (b) the rows
-# whose PLANS CHANGED this round — the pair-list broadcast guard moved to
-# a byte bound (operators/dedup.py BROADCAST_PAIR_BYTES, the r07 sf1
-# regression fix), merge_upsert grew the MERGE duplicate-source-key check,
-# the zarr v3 missing-chunk fill semantics fix (ADVICE r07), and the
-# pwrite short-write loop in the HDF5/CDF sinks — and (c) 35 of the 50
-# r04-cohort sentinels, now the oldest greens (rotation discipline:
-# r01->r04, r02->r05, r03->r07, r04->r08). The 12 r04 entries NOT
-# rotated here: ten are bench HEADLINE queries executed every round
-# (j4_climatology_flags, j1_asof_join, qc_bitmask_decode,
-# w4_lttb_decimation, instr_pco2w_flags, instr_optical_products,
-# q3_shipping_priority, q5_nation_revenue, a2_pivot_counts,
-# w9_topk_per_group), and instr_flor_flags / instr_vel3d_flags /
-# instr_ph_flags / bpe_apply_tokens / streaming_cms_cells /
-# sketch_cms_heavyhitters / sample_domain_mix / agg_histogram /
-# qc_flat_line / text_pmi_cooccurrence / streaming_join_enriched yield
-# their slots to (a)/(b) — each family keeps another sentinel in-window
-# (bpe_train_merges, streaming_hll_registers, sketch_hll_cardinality,
-# sample_weighted_topk + sample_shuffle_order, agg_mode,
-# qc_flag_transitions, text_entropy + text_minhash_containment,
-# streaming_hll_registers for the streaming family, five instrument
-# reps). All twenty-one remain cumulative-green from r04.
+# Round-9 window = (a) the five queries ADDED this round (the DV-safe
+# table-stack faces + the batch-LUT IVFPQ), (b) the rows whose PLANS
+# CHANGED this round — the deletion-vector sidecar moved executor-side
+# (parquet _deletes/ dir, distributed anti-join subtraction), compaction
+# and pruned MERGE became DV-aware, the MERGE duplicate-source-key check
+# moved IN-PLAN (lazy guarded join key), the delete-key join lost its
+# forced broadcast, the manifest is cross-checked against the directory
+# listing, and the streaming merges write commit markers — and (c) the
+# 25 r05-cohort sentinels, now the oldest greens (rotation discipline:
+# r01->r04, r02->r05, r03->r07, r04->r08, r05->r09). dedup_incremental
+# (also r05-added) was re-proven r08 and yields its slot.
 _ROUND_WINDOW = [
-    # (a) added round 8
-    "ann_ivf_hamming_topk",     # Hamming coarse scan WITHIN nprobe IVF lists
-    "ann_ivf_hamming_recall",   # recall@5 of the composed index, in-oracle
-    "ann_ivf_pq_topk",          # IVFPQ: ADC over nprobe lists' 4-byte codes
-    "sink_merge_prune_roundtrip",  # copy-on-write file-pruned MERGE
-    "streaming_merge_upsert",   # real readStream foreachBatch merge, 2 batches
-    "sink_merge_history",       # time travel: v0/v1/v2 snapshot isolation
-    "sink_merge_changes",       # MERGE change-data-feed (Delta CDF shape)
-    "streaming_merge_deduped",  # in-batch dup keys -> max_by(rev) upstream
-    "sink_incremental_agg",     # materialized-view delta maintenance
-    "profile_table_stats",      # ANALYZE job: nulls/distincts/min-max
-    "ann_index_persisted",      # IVFPQ build -> write -> load -> search
-    "sink_merge_evolved",       # MERGE: MATCHED-DELETE + schema evolution
-    "sink_delete_vectors",      # merge-on-read row deletes, 0 files rewritten
-    # (b) changed-plan rows (byte-bound pair guard / MERGE dup check /
-    #     zarr v3 fill / pwrite loop)
-    "dedup_minhash_lsh",
-    "dedup_lsh_capped",
-    "dedup_components",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
+    # (a) added round 9
+    "sink_compact_deletes",     # delete -> OPTIMIZE: DVs materialize + clear
+    "sink_read_as_of",          # time-travel API over v0/v1/v2 with a DV
+    "sink_merge_concurrent",    # optimistic concurrency: rebase-and-retry
+    "streaming_merge_cdc",      # CDC apply: update/delete ops via foreachBatch
+    "ann_ivf_pq_batch",         # broadcast-LUT IVFPQ, query-count-free plan
+    # (b) changed-plan rows (executor-side DVs / DV-aware compact+merge /
+    #     in-plan dup guard / unhinted delete join / commit markers)
+    "sink_delete_vectors",
+    "sink_compact_roundtrip",
     "sink_merge_upsert",
-    "sink_zarr_roundtrip",
-    "sink_zarr_v3_roundtrip",
-    "sink_netcdf_roundtrip",
-    "sink_hdf5_roundtrip",
-    # (c) r04-cohort sentinels (oldest greens, last proven r04)
-    "bpe_train_merges",
-    "text_bm25_topk",
-    "sketch_hll_cardinality",
-    "embed_kmeans_clusters",
-    "pipeline_pretrain_corpus",
-    "sample_weighted_topk",
-    "sample_shuffle_order",
-    "w_mad_outliers",
-    "calc_tidal_harmonic",
-    "agg_mode",
-    "qc_flag_transitions",
-    "streaming_hll_registers",
-    "graph_degree_stats",
-    "text_minhash_containment",
-    "j1_asof_tolerance",
-    "j11_interval_difference",
-    "text_entropy",
-    "a16_array_quantiles",
-    "embed_norm_stats",
-    "instr_velpt_flags",
-    "instr_nutnr_flags",
-    "instr_adcp_flags",
-    "instr_opt_converters",
-    "instr_sidelobe_depth",
-    "p2_time_slice",
-    "j6_multiway_time_join",
+    "sink_merge_changes",
+    "sink_merge_evolved",
+    "sink_merge_prune_roundtrip",
+    "sink_merge_history",
+    "streaming_merge_upsert",
+    "streaming_merge_deduped",
+    # (c) r05-cohort sentinels (oldest greens, last proven r05)
+    "ann_pq_topk",
+    "catalog_variable_resolution",
+    "dedup_cdc_chunks",
+    "embed_quantize_int8",
+    "ingest_html_camera_index",
+    "ingest_http_csv",
+    "ingest_sheet_hitl",
+    "layout_zorder_clustering",
+    "media_audio_features",
+    "media_audio_frames",
+    "qc_rate_of_change",
+    "qc_spike_test",
+    "quality_classifier_score",
+    "quality_classifier_train",
+    "sample_temperature_mix",
+    "sink_csv_roundtrip",
+    "sink_json_index_roundtrip",
+    "sink_partition_overwrite",
+    "sink_stale_reconcile",
+    "streaming_cdc_matches",
+    "streaming_neardup_matches",
+    "streaming_qaqc_rollup",
+    "text_vocab_growth",
+    "w10_windowed_lttb",
+    "w_seasonal_decompose",
+    # r05-cohort per VERDICT's enumeration (checked in the r05 window)
+    "f_nested_cal_arrays",
+    # (d) fill to 50 with the NEXT-oldest greens — r07-cohort rows not
+    # re-proven since (early rotation toward r07->r10): the ANN family's
+    # r07 faces, the substring-dedup family, and the remaining r07 adds
+    "ann_hamming_topk",
+    "ann_ivf_refined_topk",
+    "ann_recall_report",
+    "dedup_substring_removal",
+    "dedup_substring_spans",
+    "ingest_status_degrade",
+    "layout_zonemap_prune",
+    "pipeline_rag_corpus",
+    "retrieval_rrf_fusion",
+    "sample_token_budget",
 ]
 
 

@@ -45,6 +45,12 @@ HEADLINE = [
     "instr_optical_products",
     "hitl_latest_note",
     "pipeline_qaqc_job",
+    # round-9: the merge/DV/ANN lifecycle joins the benched set (VERDICT r08
+    # item 9) so regressions there are driver-visible, not SCALING.md-only
+    "sink_merge_prune_roundtrip",
+    "streaming_merge_upsert",
+    "ann_ivf_pq_topk",
+    "sink_delete_vectors",
 ]
 
 

@@ -193,9 +193,14 @@ class HttpRangeReader(ByteRangeReader):
         from urllib.parse import urlparse
 
         p = urlparse(self.url)
+        # the request target keeps the query string: presigned/versioned
+        # URLs (?X-Amz-Signature=, ?versionId=) name a DIFFERENT resource
+        # without it, and a server answering 2xx for the bare path would
+        # have us silently read the wrong bytes (ADVICE r08)
+        target = (p.path or "/") + (f"?{p.query}" if p.query else "")
         status, hdrs, body = _pooled_request(
             p.scheme, p.netloc, method,
-            p.path or "/", {**self.extra_headers(), **headers}, self.timeout,
+            target, {**self.extra_headers(), **headers}, self.timeout,
         )
         if 200 <= status < 300:
             return status, hdrs, body
@@ -290,6 +295,13 @@ class KeyValueStore:
 
     def exists(self, key: str) -> bool:
         raise NotImplementedError
+
+    def __getstate__(self):
+        # the cached prefetch executor is connection-like state: drop it on
+        # pickling for EVERY subclass (a subclass enabling PREFETCH_WORKERS
+        # without its own __getstate__ must not become unpicklable after
+        # its first get_many — ADVICE r08); threads rebuild lazily
+        return {k: v for k, v in self.__dict__.items() if k != "_prefetch_pool"}
 
     def get_many(self, keys: "list[str]") -> "dict[str, bytes | None]":
         """Fetch several blobs; missing keys map to None. Remote stores
@@ -457,7 +469,17 @@ class HttpStore(KeyValueStore):
 
         p = urlparse(self.base_url)
         self._scheme, self._netloc = p.scheme, p.netloc
+        # a base URL carrying a query string (?token=... auth) keeps it: it
+        # is appended AFTER the key on every request — dropping it would
+        # fetch the bare path (wrong resource / 403) for presigned bases
         self._basepath = p.path.rstrip("/")
+        self._basequery = p.query
+
+    def _target(self, key: str) -> str:
+        from urllib.parse import quote
+
+        t = f"{self._basepath}/{quote(key)}"
+        return f"{t}?{self._basequery}" if self._basequery else t
 
     def __getstate__(self):
         return {"base_url": self.base_url, "timeout": self.timeout}
@@ -469,8 +491,10 @@ class HttpStore(KeyValueStore):
     def _open(self, key: str, method: str = "GET"):
         import urllib.request
 
+        # built from components so a base query string lands AFTER the key
+        # (the pooled path's _target does the same)
         req = urllib.request.Request(
-            f"{self.base_url}/{key}", method=method
+            f"{self._scheme}://{self._netloc}{self._target(key)}", method=method
         )
         return urllib.request.urlopen(req, timeout=self.timeout)
 
@@ -479,7 +503,7 @@ class HttpStore(KeyValueStore):
 
         status, _hdrs, body = _pooled_request(
             self._scheme, self._netloc, "GET",
-            f"{self._basepath}/{quote(key)}", None, self.timeout,
+            self._target(key), None, self.timeout,
         )
         if status == 404:
             raise KeyError(key)
@@ -508,7 +532,7 @@ class HttpStore(KeyValueStore):
 
         status, _hdrs, _body = _pooled_request(
             self._scheme, self._netloc, "HEAD",
-            f"{self._basepath}/{quote(key)}", None, self.timeout,
+            self._target(key), None, self.timeout,
         )
         if status == 404:
             return False

@@ -426,3 +426,106 @@ def test_fsspec_memory_filesystem_end_to_end(spark, tmp_path):
                 f.write(open(p, "rb").read())
     got = [r["v"] for r in zarr_table(spark, "memory://zstore", ["v"]).orderBy("idx").collect()]
     np.testing.assert_allclose(got, vals)
+
+
+def test_http_query_string_reaches_the_server(tmp_path):
+    """Presigned/versioned URLs: the pooled keep-alive path must send the
+    URL's query string as part of the request target — a server that
+    REQUIRES the token must see it on every ranged GET, store GET and HEAD
+    (ADVICE r08: the pooled path used to strip it)."""
+    import http.server
+    import threading
+
+    (tmp_path / "blob.bin").write_bytes(bytes(range(200)))
+    seen = []
+
+    class TokenHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+        def _gate(self) -> bool:
+            seen.append(self.path)
+            if "tok=secret" not in self.path:
+                self.send_response(403)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return False
+            self.path = self.path.split("?")[0]
+            return True
+
+        def do_GET(self):
+            if not self._gate():
+                return
+            rng = self.headers.get("Range")
+            path = self.translate_path(self.path)
+            if rng is None or not os.path.isfile(path):
+                return super().do_GET()
+            lo, hi = rng.split("=")[1].split("-")
+            lo, hi = int(lo), int(hi)
+            with open(path, "rb") as f:
+                f.seek(lo)
+                body = f.read(hi - lo + 1)
+            self.send_response(206)
+            self.send_header(
+                "Content-Range",
+                f"bytes {lo}-{lo+len(body)-1}/{os.path.getsize(path)}",
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_HEAD(self):
+            if self._gate():
+                super().do_HEAD()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), TokenHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from rca_data_tools_spark.sources.bytes_io import HttpRangeReader, HttpStore
+
+        r = HttpRangeReader(f"{base}/blob.bin?tok=secret")
+        assert r.size() == 200
+        assert r.pread(10, 5) == bytes(range(10, 15))
+
+        s = HttpStore(f"{base}?tok=secret")
+        assert s.get("blob.bin")[:3] == b"\x00\x01\x02"
+        assert s.exists("blob.bin") and not s.exists("nope.bin")
+        # every request the server saw carried the token
+        assert seen and all("tok=secret" in p for p in seen), seen
+    finally:
+        srv.shutdown()
+
+
+from rca_data_tools_spark.sources.bytes_io import KeyValueStore as _KVS
+
+
+class _ThreadedStore(_KVS):
+    """Module-level (picklable) store with the threaded prefetch enabled."""
+
+    PREFETCH_WORKERS = 4
+
+    def __init__(self):
+        self.blobs = {"a": b"1", "b": b"2"}
+
+    def get(self, key):
+        return self.blobs[key]
+
+    def exists(self, key):
+        return key in self.blobs
+
+
+def test_prefetch_pool_does_not_break_pickling():
+    """A KeyValueStore subclass that enables PREFETCH_WORKERS must stay
+    picklable after its first get_many (the cached ThreadPoolExecutor is
+    dropped by the base __getstate__ — ADVICE r08)."""
+    import pickle
+
+    t = _ThreadedStore()
+    assert t.get_many(["a", "b", "missing"]) == {"a": b"1", "b": b"2", "missing": None}
+    assert "_prefetch_pool" in t.__dict__  # the pool WAS cached
+    clone = pickle.loads(pickle.dumps(t))  # and pickling still works
+    assert clone.get_many(["b", "a"]) == {"b": b"2", "a": b"1"}

@@ -864,3 +864,86 @@ def test_stream_merge_upsert_matches_batch_and_replays_idempotently(spark, tmp_p
     q2.awaitTermination()
     got2 = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
     assert got2 == expect
+
+
+def test_stream_merge_cdc_applies_deletes_and_matches_batch(spark, tmp_path):
+    """CDC apply ≡ sequential batch MERGEs with delete clauses: a feed
+    carrying update AND delete ops must leave exactly the table two batch
+    merge_upsert(delete_col=...) calls produce — deletes remove matched
+    rows, a delete for an absent key is a no-op, and a replay rebuilds the
+    same final version."""
+    import os
+    import shutil
+
+    from rca_data_tools_spark.sources.sinks import merge_upsert
+    from rca_data_tools_spark.streaming.joins import stream_merge_cdc
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    feed_ddl = ddl + ", op string"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    os.makedirs(root)
+    daily.repartitionByRange(4, "d").write.parquet(os.path.join(root, "v0"))
+
+    # batch 1 deletes clicks it touches, updates the rest;
+    # batch 2 deletes views (incl. rows batch 1 just wrote) and re-deletes
+    # clicks — by then absent, so those must be no-ops
+    def ops(src, del_type):
+        return src.select(
+            "d", "event_type", "n", "n_users",
+            F.when(F.col("event_type") == del_type, F.lit("delete"))
+            .otherwise(F.lit("update")).alias("op"),
+        )
+
+    b1 = ops(daily.filter(F.col("d") >= "2024-01-10").withColumn("n", F.col("n") + 100), "click")
+    b2 = ops(daily.filter(F.col("d") >= "2024-01-05"), "click").where(
+        F.col("event_type").isin("click", "view")
+    ).withColumn(
+        "op", F.lit("delete")
+    )
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, b in enumerate([b1, b2]):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = spark.readStream.schema(feed_ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_merge_cdc(stream, root, ["d", "event_type"], ddl, str(tmp_path / "ck"))
+    q.awaitTermination()
+    vs = sorted(int(d[1:]) for d in os.listdir(root) if d.startswith("v"))
+    assert vs == [0, 1, 2]
+
+    def to_flag(b):
+        return b.withColumn("_del", F.col("op") == "delete").drop("op")
+
+    expect_df = merge_upsert(
+        merge_upsert(
+            daily.select("d", "event_type", "n", "n_users"),
+            to_flag(b1), ["d", "event_type"], delete_col="_del",
+        ),
+        to_flag(b2), ["d", "event_type"], delete_col="_del",
+    )
+    expect = sorted(map(tuple, expect_df.collect()))
+    got = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
+    assert got == expect
+    # deletes actually landed: no click/view rows in the deleted window
+    final = spark.read.schema(ddl).parquet(os.path.join(root, "v2"))
+    assert final.where(
+        (F.col("d") >= "2024-01-10") & (F.col("event_type") == "click")
+    ).count() == 0
+
+    # replay from a fresh checkpoint rebuilds identical state
+    stream2 = spark.readStream.schema(feed_ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q2 = stream_merge_cdc(stream2, root, ["d", "event_type"], ddl, str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    got2 = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
+    assert got2 == expect
