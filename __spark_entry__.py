@@ -20,11 +20,12 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 5 queries
-# (233 registered).
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 6 queries
+# (234 registered).
 #
-# Round-9 window = (a) the five queries ADDED this round (the DV-safe
-# table-stack faces + the batch-LUT IVFPQ), (b) the rows whose PLANS
+# Round-9 window = (a) the six queries ADDED this round (the DV-safe
+# table-stack faces, the DML chain, the batch-LUT IVFPQ), (b) the rows
+# whose PLANS
 # CHANGED this round — the deletion-vector sidecar moved executor-side
 # (parquet _deletes/ dir, distributed anti-join subtraction), compaction
 # and pruned MERGE became DV-aware, the MERGE duplicate-source-key check
@@ -41,6 +42,7 @@ _ROUND_WINDOW = [
     "sink_merge_concurrent",    # optimistic concurrency: rebase-and-retry
     "streaming_merge_cdc",      # CDC apply: update/delete ops via foreachBatch
     "ann_ivf_pq_batch",         # broadcast-LUT IVFPQ, query-count-free plan
+    "sink_update_chain",        # DELETE -> UPDATE (MoR) -> OPTIMIZE on one chain
     # (b) changed-plan rows (executor-side DVs / DV-aware compact+merge /
     #     in-plan dup guard / unhinted delete join / commit markers)
     "sink_delete_vectors",
@@ -92,7 +94,6 @@ _ROUND_WINDOW = [
     "layout_zonemap_prune",
     "pipeline_rag_corpus",
     "retrieval_rrf_fusion",
-    "sample_token_budget",
 ]
 
 

@@ -1835,3 +1835,70 @@ def streaming_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.schema(ddl).parquet(os.path.join(root, f"v{latest}"))
     return back.select("d", "event_type", "n", "n_users")
+
+
+@query(
+    "sink_update_chain",
+    oracle="""
+WITH after_delete AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE NOT COALESCE(value BETWEEN 120 AND 200, FALSE)
+), final AS (
+  SELECT event_id, user_id,
+         CASE WHEN user_id % 7 = 0 THEN value + 1000 ELSE value END AS value
+  FROM after_delete
+)
+SELECT
+  CAST(3 AS BIGINT) AS final_version,
+  CAST(1 AS BIGINT) AS files_after,
+  (SELECT COUNT(*) FROM final) AS n_rows,
+  (SELECT CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM final)
+    AS sum_value,
+  (SELECT COUNT(*) FROM after_delete WHERE user_id % 7 = 0) AS rows_updated
+""",
+)
+def sink_update_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DML family on one version chain, all through the
+    claim/commit protocol: DELETE (deletion vectors — v1), row-level
+    UPDATE (merge-on-read: old images vectored out, new images appended,
+    zero files rewritten — v2), then OPTIMIZE (vectors materialized into
+    ~one file as a NEW committed version — v3, old versions untouched for
+    time travel). The latest version is read back through read_version;
+    the oracle replays delete-then-update in SQL, so a resurrected delete,
+    a double-applied update (old image surviving next to the new one), or
+    an OPTIMIZE that changed content all hash-mismatch. rows_updated
+    counts only rows the delete left alive — an UPDATE must never revive
+    a deleted row.
+
+    Scale shape: DELETE and UPDATE cost O(matched) executor-written
+    metadata/new-images with every data file hardlinked; OPTIMIZE is the
+    one owed rewrite, sized ceil(bytes/target); the protocol adds a
+    directory create + marker per statement."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.sinks import (
+        delete_into_table, mark_committed, optimize_table, read_version,
+        update_into_table,
+    )
+
+    ddl = "event_id long, user_id long, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_dml_chain_")
+    e.repartition(8).write.parquet(os.path.join(root, "v0"))
+    mark_committed(os.path.join(root, "v0"))
+
+    delete_into_table(spark, root, "value BETWEEN 120 AND 200", ddl)
+    su = update_into_table(
+        spark, root, "user_id % 7 = 0", {"value": "value + 1000"}, ddl
+    )
+    so = optimize_table(spark, root, target_bytes=1 << 30)
+    back = read_version(spark, root, ddl)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+    ).select(
+        F.lit(so["version"]).cast("long").alias("final_version"),
+        F.lit(so["files_after"]).cast("long").alias("files_after"),
+        F.col("n_rows").cast("long"),
+        "sum_value",
+        F.lit(su["rows_updated"]).cast("long").alias("rows_updated"),
+    )

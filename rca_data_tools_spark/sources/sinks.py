@@ -359,6 +359,18 @@ def merge_changes(target: DataFrame, source: DataFrame, keys: list[str]) -> Data
     return joined.select(*cols)
 
 
+def _ensure_out_dir(out_dir: str) -> None:
+    """A new version's out_dir must be fresh — but an EMPTY pre-created
+    directory is fine: the chain-advancing DML (``_advance_table``) claims
+    the version number by creating the directory (its O_EXCL mutex) before
+    delegating the build here."""
+    if os.path.isdir(out_dir):
+        if os.listdir(out_dir):
+            raise FileExistsError(f"out_dir {out_dir} already has content")
+    else:
+        os.makedirs(out_dir)
+
+
 MANIFEST_NAME = "_manifest.json"
 
 
@@ -542,16 +554,7 @@ def merge_upsert_pruned(
         ).drop(delete_col)
     else:
         merged = source
-    # out_dir must be fresh — but an EMPTY pre-created directory is fine:
-    # merge_into_table claims the version number by creating the directory
-    # (its O_EXCL mutex) before delegating the merge here
-    if os.path.isdir(out_dir):
-        if os.listdir(out_dir):
-            raise FileExistsError(
-                f"merge_upsert_pruned: out_dir {out_dir} already has content"
-            )
-    else:
-        os.makedirs(out_dir)
+    _ensure_out_dir(out_dir)
     matched_set = set(matched)
     carried = {}
     for f in all_files:
@@ -614,20 +617,43 @@ def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
     counting and no data copy: the filesystem IS the refcount, exactly the
     role a format's manifest plays for object-store files.
 
+    Commit-protocol aware (r09): retention counts COMMITTED versions only —
+    an uncommitted directory NEWER than the latest committed version is a
+    mid-flight (or crashed) writer's claim and is left untouched, never
+    counted as "the newest version" (before r09 a crashed claim could push
+    the real current version out of the retention window); an uncommitted
+    directory OLDER than the latest committed version is an aborted claim
+    that can never be read — vacuum reaps it like any old version. Chains
+    with no markers at all (pre-protocol) retain by plain version number.
+
     Returns {"removed": [names], "kept": [names], "bytes_freed"} where
     bytes_freed counts only bytes whose LAST link was in a removed version
     (shared files free nothing — the honest number)."""
     import shutil
 
-    versions = sorted(
+    all_vs = sorted(
         (int(d[1:]), d)
         for d in os.listdir(table_root)
         if d.startswith("v") and d[1:].isdigit()
+        and os.path.isdir(os.path.join(table_root, d))
     )
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1: a table needs a current version")
-    doomed = versions[:-keep_last] if keep_last < len(versions) else []
-    kept = [d for _, d in versions[len(doomed):]]
+    marked = [
+        (n, d) for n, d in all_vs
+        if os.path.exists(os.path.join(table_root, d, COMMIT_NAME))
+    ]
+    if marked:
+        latest_marked = marked[-1][0]
+        keep = {d for _, d in marked[-keep_last:]}
+        # in-flight claims beyond the committed tip stay untouched
+        keep |= {d for n, d in all_vs if n > latest_marked}
+        doomed = [(n, d) for n, d in all_vs if d not in keep]
+        kept = sorted(d for _, d in all_vs if d in keep)
+    else:
+        versions = all_vs
+        doomed = versions[:-keep_last] if keep_last < len(versions) else []
+        kept = [d for _, d in versions[len(doomed):]]
     freed = 0
     for _, d in doomed:
         vdir = os.path.join(table_root, d)
@@ -709,6 +735,23 @@ def merge_into_table(
     skipping a number whose content it never saw.
 
     Returns merge_upsert_pruned's stats plus {"version", "attempts"}."""
+
+    def _build(base_dir: str, out_dir: str) -> dict:
+        return merge_upsert_pruned(
+            spark, base_dir, out_dir, source, keys, schema_ddl,
+            zone_key=zone_key, delete_col=delete_col,
+        )
+
+    return _advance_table(table_root, _build, retries)
+
+
+def _advance_table(table_root: str, build, retries: int = 3) -> dict:
+    """The claim → build → publish loop every chain-advancing DML shares
+    (MERGE, DELETE, UPDATE, OPTIMIZE): read the latest committed version,
+    claim the next number by atomic directory create, run ``build(base_dir,
+    out_dir)``, publish with ``mark_committed``. Collisions rebase onto the
+    advanced chain and retry; a claimed-but-uncommitted competitor blocks
+    and raises ``VersionConflict`` after ``retries``."""
     import time
 
     last_seen = None
@@ -723,16 +766,7 @@ def merge_into_table(
                 time.sleep(0.05 * attempt)
             last_seen = base
             continue
-        stats = merge_upsert_pruned(
-            spark,
-            os.path.join(table_root, f"v{base}"),
-            out,
-            source,
-            keys,
-            schema_ddl,
-            zone_key=zone_key,
-            delete_col=delete_col,
-        )
+        stats = build(os.path.join(table_root, f"v{base}"), out)
         mark_committed(out)
         return {**stats, "version": base + 1, "attempts": attempt}
     raise VersionConflict(
@@ -740,6 +774,143 @@ def merge_into_table(
         f"attempts (v{latest_committed(table_root) + 1} stays claimed but "
         "uncommitted — a crashed writer's directory needs manual removal)"
     )
+
+
+def delete_into_table(
+    spark: SparkSession,
+    table_root: str,
+    predicate: str,
+    schema_ddl: str,
+    retries: int = 3,
+) -> dict:
+    """Row-level DELETE on the version chain: ``delete_where`` (merge-on-read
+    deletion vectors, zero data files rewritten) through the same
+    claim/commit protocol as ``merge_into_table`` — concurrent deletes and
+    merges serialize instead of silently double-publishing a version."""
+    return _advance_table(
+        table_root,
+        lambda base, out: delete_where(spark, base, out, predicate, schema_ddl),
+        retries,
+    )
+
+
+def update_into_table(
+    spark: SparkSession,
+    table_root: str,
+    predicate: str,
+    set_exprs: "dict[str, str]",
+    schema_ddl: str,
+    retries: int = 3,
+) -> dict:
+    """Row-level UPDATE on the version chain (``update_where`` + the
+    claim/commit protocol)."""
+    return _advance_table(
+        table_root,
+        lambda base, out: update_where(
+            spark, base, out, predicate, set_exprs, schema_ddl
+        ),
+        retries,
+    )
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    retries: int = 3,
+) -> dict:
+    """OPTIMIZE as a chain-advancing version (the table-format shape —
+    Delta OPTIMIZE writes a new snapshot, it never mutates one): the new
+    version is the latest committed version rewritten to ~``target_bytes``
+    files THROUGH its deletion vectors (materialize + clear, compaction
+    semantics), leaving every old version — including its sidecar —
+    untouched for time travel. History reclaim stays ``vacuum_versions``'s
+    job. Returns {"files_before", "files_after", "bytes", "version",
+    "attempts"}."""
+    import math
+
+    def _build(base_dir: str, out_dir: str) -> dict:
+        files = [
+            os.path.join(base_dir, f)
+            for f in os.listdir(base_dir)
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_files = max(1, math.ceil(total / target_bytes))
+        df = read_with_deletes(spark, base_dir)
+        df.coalesce(n_files).write.mode("append").parquet(out_dir)
+        return {
+            "files_before": len(files),
+            "files_after": len(
+                [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+            ),
+            "bytes": total,
+        }
+
+    return _advance_table(table_root, _build, retries)
+
+
+def update_where(
+    spark: SparkSession,
+    target_dir: str,
+    out_dir: str,
+    predicate: str,
+    set_exprs: "dict[str, str]",
+    schema_ddl: str,
+) -> dict:
+    """Row-level UPDATE as merge-on-read (the Iceberg MOR-upsert shape):
+    matched rows' positions join the DELETION VECTORS (their old images
+    disappear from scans) and their UPDATED images — ``set_exprs`` maps
+    column → SQL expression over the old row, unmentioned columns carry
+    over — append as new parquet parts; every existing data file hardlinks
+    unchanged. An UPDATE therefore costs O(matched rows) writes + O(matched
+    positions) metadata, never a file rewrite — the same economics as
+    ``delete_where`` plus the new images.
+
+    Rows already deleted by the version's vectors are NOT updated (they do
+    not exist); everything runs executor-side like delete_where. Returns
+    {"files_total", "files_rewritten" (always 0), "rows_updated"}."""
+    base = spark.read.schema(schema_ddl).parquet(target_dir)
+    cols = base.columns
+    missing = [c for c in set_exprs if c not in cols]
+    if missing:
+        raise ValueError(f"update_where: set columns not in schema: {missing}")
+    keyed = base.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ).where(predicate)
+    dv = read_deletion_vectors(spark, target_dir)
+    if dv is not None:
+        # a row the vectors already deleted must not be updated back to life
+        keyed = keyed.join(
+            dv,
+            (keyed["__f"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
+            "left_anti",
+        )
+    hits = keyed.select(F.col("__f").alias("f"), F.col("__pos").alias("pos"))
+    combined = (dv.unionByName(hits) if dv is not None else hits).distinct()
+    updated = keyed.select(
+        *[F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c) for c in cols]
+    )
+
+    _ensure_out_dir(out_dir)
+    data_files = [f for f in os.listdir(target_dir) if f.endswith(".parquet")]
+    for f in data_files:
+        os.link(os.path.join(target_dir, f), os.path.join(out_dir, f))
+    prior_n = dv.count() if dv is not None else 0
+    # new images first (they read target_dir, not out_dir), then the sidecar
+    updated.coalesce(1).write.mode("append").parquet(out_dir)
+    combined.coalesce(8).write.parquet(_deletes_dir(out_dir))
+    total_n = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
+    # a manifest would be stale the moment new parts appear without stats:
+    # do NOT carry it — the next pruned merge falls back to the scan path
+    # (the manifest/listdir cross-check would force that anyway)
+    return {
+        "files_total": len(data_files),
+        "files_rewritten": 0,
+        "rows_updated": int(total_n - prior_n),
+    }
 
 
 def read_version(
@@ -870,7 +1041,7 @@ def delete_where(
     prior_n = prior.count() if prior is not None else 0
     combined = (prior.unionByName(hits) if prior is not None else hits).distinct()
 
-    os.makedirs(out_dir)
+    _ensure_out_dir(out_dir)
     data_files = [f for f in os.listdir(target_dir) if f.endswith(".parquet")]
     for f in data_files:
         os.link(os.path.join(target_dir, f), os.path.join(out_dir, f))

@@ -710,3 +710,141 @@ def test_read_version_time_travel_with_deletes(spark, tmp_path):
         read_version(spark, root, ddl, n=9)
     with _pytest.raises(ValueError, match="at or before"):
         read_version(spark, root, ddl, as_of_ts=1.0)
+
+
+def test_update_where_merge_on_read(spark, tmp_path):
+    """Merge-on-read UPDATE: matched rows' old images disappear via the
+    deletion vectors, updated images append as new parts, every existing
+    data file hardlinks unchanged, unmentioned columns carry over — and a
+    row already deleted by the version's vectors is NOT updated back to
+    life."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        delete_where, read_with_deletes, update_where,
+    )
+
+    ddl = "id long, v double, tag string"
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    spark.createDataFrame(
+        [(i, float(i), "x") for i in range(40)], ddl
+    ).repartition(4).write.parquet(v0)
+
+    # delete ids 10..14, then update ids 10..19: only 15..19 still exist
+    delete_where(spark, v0, os.path.join(root, "v1"), "id BETWEEN 10 AND 14", ddl)
+    s = update_where(
+        spark, os.path.join(root, "v1"), os.path.join(root, "v2"),
+        "id BETWEEN 10 AND 19", {"v": "v + 1000", "tag": "'upd'"}, ddl,
+    )
+    assert s["files_rewritten"] == 0
+    assert s["rows_updated"] == 5  # 15..19; 10..14 are deleted
+
+    # v1 data files all hardlink into v2
+    inodes1 = {f: os.stat(os.path.join(root, "v1", f)).st_ino
+               for f in os.listdir(os.path.join(root, "v1")) if f.endswith(".parquet")}
+    for f, ino in inodes1.items():
+        assert os.stat(os.path.join(root, "v2", f)).st_ino == ino
+
+    back = {r["id"]: (r["v"], r["tag"])
+            for r in read_with_deletes(spark, os.path.join(root, "v2"), ddl).collect()}
+    assert len(back) == 35  # 40 - 5 deleted
+    for i in range(10, 15):
+        assert i not in back  # deletes survived the update
+    for i in range(15, 20):
+        assert back[i] == (1000.0 + i, "upd")
+    assert back[0] == (0.0, "x") and back[39] == (39.0, "x")
+
+    # updating an updated row hits the NEW image (old one is vectored out)
+    s2 = update_where(
+        spark, os.path.join(root, "v2"), os.path.join(root, "v3"),
+        "tag = 'upd'", {"v": "v + 1"}, ddl,
+    )
+    assert s2["rows_updated"] == 5
+    back3 = {r["id"]: r["v"]
+             for r in read_with_deletes(spark, os.path.join(root, "v3"), ddl).collect()}
+    assert back3[15] == 1016.0 and len(back3) == 35
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in schema"):
+        update_where(spark, os.path.join(root, "v3"), os.path.join(root, "v4"),
+                     "id = 0", {"nope": "1"}, ddl)
+
+
+def test_dml_on_chain_and_optimize(spark, tmp_path):
+    """The chain-advancing DML family shares one claim/commit protocol:
+    delete_into_table / update_into_table / optimize_table each land the
+    next committed version; OPTIMIZE materializes the chain's deletion
+    vectors into few files while old versions (and their sidecars) stay
+    time-travelable."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        delete_into_table, has_deletes, mark_committed, optimize_table,
+        read_version, update_into_table,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)\
+        .repartition(8).write.parquet(os.path.join(root, "v0"))
+    mark_committed(os.path.join(root, "v0"))
+
+    s1 = delete_into_table(spark, root, "id % 4 = 0", ddl)
+    assert s1["version"] == 1 and s1["rows_deleted"] == 25
+    s2 = update_into_table(spark, root, "id % 10 = 1", {"v": "v * -1"}, ddl)
+    assert s2["version"] == 2 and s2["rows_updated"] == 10
+    s3 = optimize_table(spark, root, target_bytes=1 << 30)
+    assert s3["version"] == 3
+    assert s3["files_before"] >= 8 and s3["files_after"] == 1
+    assert not has_deletes(os.path.join(root, "v3"))  # materialized + cleared
+
+    final = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
+    assert len(final) == 75
+    assert final[1] == -1.0 and final[11] == -11.0 and final[2] == 2.0
+    assert 0 not in final and 96 not in final
+    # time travel still sees pre-optimize states, vectors intact
+    assert read_version(spark, root, ddl, n=0).count() == 100
+    assert read_version(spark, root, ddl, n=1).count() == 75
+    assert has_deletes(os.path.join(root, "v1"))
+
+
+def test_vacuum_is_commit_protocol_aware(spark, tmp_path):
+    """Retention counts COMMITTED versions only: a crashed writer's
+    uncommitted claim beyond the committed tip is left untouched (a
+    mid-flight writer may still publish it) and NEVER pushes the real
+    current version out of the window; an aborted claim OLDER than the
+    committed tip is reaped like any old version."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import mark_committed, vacuum_versions
+
+    ddl = "id long"
+    root = str(tmp_path / "t")
+    for v in (0, 1, 2):
+        spark.range(v, v + 3).coalesce(1).write.parquet(os.path.join(root, f"v{v}"))
+        mark_committed(os.path.join(root, f"v{v}"))
+    # crashed claims: v3 (beyond the tip — in-flight) and an aborted
+    # leftover that lost its race long ago
+    os.makedirs(os.path.join(root, "v3"))
+
+    out = vacuum_versions(root, keep_last=1)
+    # v2 is the current committed version: it MUST survive even though the
+    # uncommitted v3 is numerically newer; v3 itself is untouched
+    assert out["kept"] == ["v2", "v3"]
+    assert out["removed"] == ["v0", "v1"]
+    assert spark.read.schema(ddl).parquet(os.path.join(root, "v2")).count() == 3
+    assert os.path.isdir(os.path.join(root, "v3"))
+
+    # an uncommitted claim OLDER than the tip is garbage: publish v4 over
+    # the stale v3 claim is impossible (dir taken) — but once v4+ exist
+    # committed, the stale v3 reaps
+    os.rmdir(os.path.join(root, "v3"))
+    spark.range(10, 13).coalesce(1).write.parquet(os.path.join(root, "v3"))
+    mark_committed(os.path.join(root, "v3"))
+    os.makedirs(os.path.join(root, "v4"))  # aborted claim
+    spark.range(20, 23).coalesce(1).write.parquet(os.path.join(root, "v5"))
+    mark_committed(os.path.join(root, "v5"))
+    out2 = vacuum_versions(root, keep_last=1)
+    assert out2["kept"] == ["v5"]
+    assert set(out2["removed"]) == {"v2", "v3", "v4"}
