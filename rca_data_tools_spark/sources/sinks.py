@@ -494,10 +494,15 @@ def merge_upsert_pruned(
     dv = read_deletion_vectors(spark, target_dir)
     all_files = sorted(stats)
     skeys = source.select(*keys).distinct()
-    if stats:
-        zdf = spark.createDataFrame(
-            [(f, mn, mx) for f, (mn, mx) in stats.items()], ["__f", "mn", "mx"]
-        )
+    # files with NULL zone bounds (0-row parts, all-NULL zone column) can
+    # never contain a match: they skip the candidate join entirely and stay
+    # hardlinks — also keeps createDataFrame from inferring an all-None column
+    zrows = [
+        (f, mn, mx) for f, (mn, mx) in stats.items()
+        if mn is not None and mx is not None
+    ]
+    if zrows:
+        zdf = spark.createDataFrame(zrows, ["__f", "mn", "mx"])
         cand_files = [
             r["__f"]
             for r in skeys.join(
@@ -839,6 +844,10 @@ def optimize_table(
         n_files = max(1, math.ceil(total / target_bytes))
         df = read_with_deletes(spark, base_dir)
         df.coalesce(n_files).write.mode("append").parquet(out_dir)
+        # all-new files: rebuild the manifest for them on the prior zone key
+        # (one stats scan of the compacted output) so OPTIMIZE doesn't cost
+        # the next merge its metadata-only pruning
+        _extend_manifest(spark, base_dir, out_dir, None, set())
         return {
             "files_before": len(files),
             "files_after": len(
@@ -899,18 +908,69 @@ def update_where(
     for f in data_files:
         os.link(os.path.join(target_dir, f), os.path.join(out_dir, f))
     prior_n = dv.count() if dv is not None else 0
-    # new images first (they read target_dir, not out_dir), then the sidecar
-    updated.coalesce(1).write.mode("append").parquet(out_dir)
+    # new images first (they read target_dir, not out_dir), then the sidecar.
+    # coalesce(8), not (1): a wide UPDATE (10% of a 100 TB table) must not
+    # funnel through one writer task; a production MoR writer bin-packs by
+    # bytes — here optimize_table reclaims whatever small parts remain
+    updated.coalesce(8).write.mode("append").parquet(out_dir)
     combined.coalesce(8).write.parquet(_deletes_dir(out_dir))
     total_n = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
-    # a manifest would be stale the moment new parts appear without stats:
-    # do NOT carry it — the next pruned merge falls back to the scan path
-    # (the manifest/listdir cross-check would force that anyway)
+    # keep the zone-map manifest alive: hardlinked files carry their entries
+    # (byte-identical; vectored rows only ever over-approximate the range),
+    # new image parts pay one batch-sized stats scan — without this the
+    # next pruned merge would fall back to a full key-column scan
+    _extend_manifest(spark, target_dir, out_dir, schema_ddl, set(data_files))
     return {
         "files_total": len(data_files),
         "files_rewritten": 0,
         "rows_updated": int(total_n - prior_n),
     }
+
+
+def _extend_manifest(
+    spark: SparkSession,
+    target_dir: str,
+    out_dir: str,
+    schema_ddl: "str | None",
+    carried_names: "set[str]",
+) -> None:
+    """Carry the previous version's zone-map manifest into ``out_dir`` and
+    add entries for any NEW parquet parts (one stats scan of just those
+    files). No prior manifest, or a zone key the new parts don't carry →
+    quietly skip; the next merge scans (correctness never depends on the
+    manifest)."""
+    import json
+    from urllib.parse import unquote, urlparse
+
+    mpath = os.path.join(target_dir, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return
+    doc = json.loads(open(mpath).read())
+    zone_key = doc.get("zone_key")
+    entries = {n: e for n, e in doc["files"].items() if n in carried_names}
+    new_parts = [
+        f for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and f not in carried_names
+    ]
+    if new_parts:
+        reader = spark.read if schema_ddl is None else spark.read.schema(schema_ddl)
+        ndf = reader.parquet(*[os.path.join(out_dir, f) for f in new_parts])
+        if zone_key not in ndf.columns:
+            return
+        # pre-seed EVERY new part: a 0-row part yields no stats group, and a
+        # name missing from the manifest would trip the cross-check; NULL
+        # bounds make it a never-candidate (nothing to match in 0 rows)
+        for f in new_parts:
+            entries[f] = {"mn": None, "mx": None}
+        for r in (
+            ndf.groupBy(F.input_file_name().alias("__f"))
+            .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+            .collect()
+        ):
+            p = urlparse(r["__f"])
+            name = os.path.basename(unquote(p.path) if p.scheme in ("file", "") else r["__f"])
+            entries[name] = {"mn": r["mn"], "mx": r["mx"]}
+    _write_manifest(out_dir, zone_key, entries)
 
 
 def read_version(

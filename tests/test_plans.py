@@ -246,6 +246,10 @@ EXCHANGE_BUDGET = {
     "instr_optical_products": 1,
     "hitl_latest_note": 1,
     "pipeline_qaqc_job": 1,
+    # r09: the batch-LUT IVFPQ — the two per-query top-k windows are the
+    # ONLY shuffles; probes/LUTs join broadcast (AQE), the corpus never
+    # exchanges, and the plan is query-count-independent
+    "ann_ivf_pq_batch": 2,
 }
 
 

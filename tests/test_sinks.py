@@ -848,3 +848,87 @@ def test_vacuum_is_commit_protocol_aware(spark, tmp_path):
     out2 = vacuum_versions(root, keep_last=1)
     assert out2["kept"] == ["v5"]
     assert set(out2["removed"]) == {"v2", "v3", "v4"}
+
+
+def test_manifest_survives_update_and_optimize(spark, tmp_path):
+    """The zone-map manifest stays alive across the whole DML family:
+    UPDATE extends it (carried entries + one stats scan of the new image
+    parts), OPTIMIZE rebuilds it for the compacted files — so the NEXT
+    pruned merge stays metadata-only (manifest_used=True) instead of
+    falling back to a full key-column scan."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        _read_manifest, mark_committed, merge_into_table, optimize_table,
+        update_into_table,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)\
+        .repartitionByRange(4, "id").write.parquet(os.path.join(root, "v0"))
+    mark_committed(os.path.join(root, "v0"))
+
+    # v1: merge writes the manifest
+    merge_into_table(spark, root, spark.createDataFrame([(5, 55.0)], ddl), ["id"], ddl)
+    # v2: update must EXTEND it (hardlinked entries + the new image part)
+    update_into_table(spark, root, "id BETWEEN 90 AND 94", {"v": "v + 1"}, ddl)
+    m2 = _read_manifest(os.path.join(root, "v2"), "id")
+    assert m2 is not None
+    files2 = {f for f in os.listdir(os.path.join(root, "v2")) if f.endswith(".parquet")}
+    assert set(m2) == files2  # the cross-check will accept it
+    # v3: merge against the updated version is metadata-only
+    s3 = merge_into_table(spark, root, spark.createDataFrame([(6, 66.0)], ddl), ["id"], ddl)
+    assert s3["manifest_used"] is True
+    # v4: optimize rebuilds the manifest for the compacted file(s)
+    optimize_table(spark, root, target_bytes=1 << 30)
+    m4 = _read_manifest(os.path.join(root, "v4"), "id")
+    assert m4 is not None and len(m4) == 1
+    s5 = merge_into_table(spark, root, spark.createDataFrame([(7, 77.0)], ddl), ["id"], ddl)
+    assert s5["manifest_used"] is True
+
+
+def test_merge_into_table_parallel_writers_serialize(spark, tmp_path):
+    """FOUR genuinely concurrent writers (threads submitting real Spark
+    jobs) race the claim/commit protocol: every writer lands a DISTINCT
+    committed version, no update is lost (the final table carries all four
+    batches), and the version chain is gap-free — the serializability the
+    protocol promises, under an actual race rather than a staged one."""
+    import os
+    import threading
+
+    from rca_data_tools_spark.sources.sinks import (
+        committed_versions, mark_committed, merge_into_table, read_version,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)\
+        .coalesce(1).write.parquet(os.path.join(root, "v0"))
+    mark_committed(os.path.join(root, "v0"))
+
+    results, errors = {}, []
+
+    def writer(k: int):
+        try:
+            src = spark.createDataFrame([(k, 1000.0 + k)], ddl)
+            results[k] = merge_into_table(
+                spark, root, src, ["id"], ddl, retries=40
+            )
+        except Exception as e:  # pragma: no cover - surfaced by the assert
+            errors.append((k, e))
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    versions = sorted(r["version"] for r in results.values())
+    assert versions == [1, 2, 3, 4]  # distinct, gap-free
+    assert committed_versions(root) == [0, 1, 2, 3, 4]
+    final = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
+    for k in range(4):
+        assert final[k] == 1000.0 + k  # no lost update
+    assert len(final) == 40
