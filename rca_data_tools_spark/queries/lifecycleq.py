@@ -1902,3 +1902,75 @@ def sink_update_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.lit(su["rows_updated"]).cast("long").alias("rows_updated"),
     )
+
+
+@query(
+    "sink_table_changes",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 30 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT1}'
+), b2 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 60 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT2}'
+), v1 AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.d = f.d AND b1.event_type = f.event_type)
+  UNION ALL SELECT d, event_type, n, n_users FROM b1
+)
+SELECT 1 AS _version, b1.d, b1.event_type,
+       CASE WHEN f.d IS NULL THEN 'insert' ELSE 'update' END AS op,
+       f.n AS before_n, b1.n AS after_n
+FROM b1 LEFT JOIN full_run f ON f.d = b1.d AND f.event_type = b1.event_type
+UNION ALL
+SELECT 2, b2.d, b2.event_type,
+       CASE WHEN s.d IS NULL THEN 'insert' ELSE 'update' END,
+       s.n, b2.n
+FROM b2 LEFT JOIN v1 s ON s.d = b2.d AND s.event_type = b2.event_type
+""",
+)
+def sink_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED change-data-feed across the version chain (Delta
+    table_changes): create_table writes the committed, range-clustered,
+    manifest-bearing v0; two merge_into_table(changes_feed=True) statements
+    each persist their CDF as an executor-written ``_changes/`` sidecar in
+    their version; read_changes replays BOTH versions' feeds with
+    ``_version`` stamps. The oracle derives each merge's feed against the
+    correct base state (v2's before-images come from v1, not v0 — a feed
+    computed against the wrong base hash-mismatches), so the whole
+    incremental-consumer contract is certified: replaying the feed
+    reproduces the sequential merges.
+
+    Scale shape: each feed is O(batch) (one key join of the batch against
+    the base, batch-broadcast by AQE); read_changes unions sidecar scans —
+    never diffs snapshots."""
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, merge_into_table, read_changes,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_cdf_chain_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4)
+    b1 = _daily(e.filter(F.col("value") > 30)).filter(
+        F.col("d") >= _SM_CUT1
+    ).select("d", "event_type", "n", "n_users")
+    b2 = _daily(e.filter(F.col("value") > 60)).filter(
+        F.col("d") >= _SM_CUT2
+    ).select("d", "event_type", "n", "n_users")
+    merge_into_table(spark, root, b1, ["d", "event_type"], ddl, changes_feed=True)
+    merge_into_table(spark, root, b2, ["d", "event_type"], ddl, changes_feed=True)
+    return read_changes(spark, root, from_v=0).select(
+        "_version", "d", "event_type", "op", "before_n", "after_n"
+    )

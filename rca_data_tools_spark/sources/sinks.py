@@ -712,6 +712,49 @@ def latest_committed(table_root: str) -> int:
     return vs[-1]
 
 
+def create_table(
+    df: DataFrame,
+    table_root: str,
+    zone_key: "str | None" = None,
+    n_files: int = 8,
+) -> str:
+    """Initialize a version chain: write ``df`` as the committed ``v0`` —
+    range-clustered on ``zone_key`` when given (each file covers a tight
+    key range, so the FIRST merge already prunes) with the zone-map
+    manifest persisted alongside (the first merge is metadata-only too).
+    Returns the v0 path. Every later statement goes through the
+    chain-advancing DML (merge_into_table / delete_into_table /
+    update_into_table / optimize_table)."""
+    v0 = os.path.join(table_root, "v0")
+    out = df
+    if zone_key is not None:
+        out = df.repartitionByRange(n_files, zone_key).sortWithinPartitions(zone_key)
+    out.write.parquet(v0)
+    if zone_key is not None:
+        spark = df.sparkSession
+        # the manifest is built directly from the fresh files (v0 has no
+        # predecessor to carry entries from)
+        names = [f for f in os.listdir(v0) if f.endswith(".parquet")]
+        entries = {n: {"mn": None, "mx": None} for n in names}
+        ndf = spark.read.parquet(v0)
+        if zone_key in ndf.columns:
+            from urllib.parse import unquote, urlparse
+
+            for r in (
+                ndf.groupBy(F.input_file_name().alias("__f"))
+                .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+                .collect()
+            ):
+                p = urlparse(r["__f"])
+                nm = os.path.basename(
+                    unquote(p.path) if p.scheme in ("file", "") else r["__f"]
+                )
+                entries[nm] = {"mn": r["mn"], "mx": r["mx"]}
+            _write_manifest(v0, zone_key, entries)
+    mark_committed(v0)
+    return v0
+
+
 def merge_into_table(
     spark: SparkSession,
     table_root: str,
@@ -721,6 +764,7 @@ def merge_into_table(
     zone_key: "str | None" = None,
     delete_col: "str | None" = None,
     retries: int = 3,
+    changes_feed: bool = False,
 ) -> dict:
     """MERGE with OPTIMISTIC CONCURRENCY on the version chain (VERDICT r08
     item 4): the writer reads the latest committed version, claims the next
@@ -739,15 +783,73 @@ def merge_into_table(
     refusing loudly rather than either basing on uncommitted bytes or
     skipping a number whose content it never saw.
 
+    ``changes_feed=True`` additionally PERSISTS the merge's change-data-feed
+    (``merge_changes`` — op insert/update with before/after values) as a
+    parquet ``_changes/`` sidecar inside the new version directory, written
+    by executors: downstream incremental consumers then replay
+    ``read_changes(root, from_v, to_v)`` — O(sum of batch sizes) — instead
+    of diffing O(table) snapshots. The feed is computed against the base
+    version read THROUGH its deletion vectors (a before-image must not be a
+    deleted row). Not supported together with ``delete_col`` (merge_changes
+    models upserts; CDC deletes already carry their own op column upstream).
+
     Returns merge_upsert_pruned's stats plus {"version", "attempts"}."""
+    if changes_feed and delete_col is not None:
+        raise ValueError(
+            "merge_into_table: changes_feed models upsert feeds; a delete_col "
+            "source is already a change feed — persist it upstream instead"
+        )
 
     def _build(base_dir: str, out_dir: str) -> dict:
-        return merge_upsert_pruned(
+        stats = merge_upsert_pruned(
             spark, base_dir, out_dir, source, keys, schema_ddl,
             zone_key=zone_key, delete_col=delete_col,
         )
+        if changes_feed:
+            feed = merge_changes(
+                read_with_deletes(spark, base_dir, schema_ddl), source, keys
+            )
+            feed.coalesce(8).write.parquet(os.path.join(out_dir, CHANGES_NAME))
+        return stats
 
     return _advance_table(table_root, _build, retries)
+
+
+CHANGES_NAME = "_changes"
+
+
+def read_changes(
+    spark: SparkSession, table_root: str, from_v: int, to_v: "int | None" = None
+) -> DataFrame:
+    """The persisted change-data-feed of versions ``(from_v, to_v]`` — what
+    an incremental consumer replays instead of diffing snapshots (Delta's
+    ``table_changes``). Each row carries ``_version`` so consumers can
+    checkpoint. Versions in the range that carry no ``_changes/`` sidecar
+    (created by DELETE/UPDATE/OPTIMIZE, or merged without changes_feed)
+    raise loudly — a silent gap would make the replayed state diverge from
+    the table, the repo's refuse-don't-guess standard."""
+    import functools
+
+    vs = committed_versions(table_root)
+    to_v = vs[-1] if to_v is None else to_v
+    want = [v for v in vs if from_v < v <= to_v]
+    if not want:
+        raise ValueError(
+            f"read_changes: no committed versions in ({from_v}, {to_v}] of {table_root}"
+        )
+    parts = []
+    for v in want:
+        cdir = os.path.join(table_root, f"v{v}", CHANGES_NAME)
+        if not os.path.isdir(cdir):
+            raise ValueError(
+                f"read_changes: v{v} of {table_root} has no {CHANGES_NAME} "
+                "sidecar (merge without changes_feed, or a DELETE/UPDATE/"
+                "OPTIMIZE version) — the feed would be silently incomplete"
+            )
+        parts.append(
+            spark.read.parquet(cdir).withColumn("_version", F.lit(v).cast("int"))
+        )
+    return functools.reduce(DataFrame.unionByName, parts)
 
 
 def _advance_table(table_root: str, build, retries: int = 3) -> dict:

@@ -932,3 +932,55 @@ def test_merge_into_table_parallel_writers_serialize(spark, tmp_path):
     for k in range(4):
         assert final[k] == 1000.0 + k  # no lost update
     assert len(final) == 40
+
+
+def test_create_table_and_persisted_change_feed(spark, tmp_path):
+    """create_table writes a committed, range-clustered v0 WITH its zone-map
+    manifest (the first merge prunes metadata-only); merges with
+    changes_feed persist per-version _changes/ sidecars that read_changes
+    replays in version order, checkpointable via _version — and a version
+    without a feed refuses loudly instead of leaving a silent gap."""
+    import os
+
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import (
+        _read_manifest, create_table, merge_into_table, read_changes,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    v0 = create_table(df, root, zone_key="id", n_files=4)
+    assert _read_manifest(v0, "id") is not None
+    assert os.path.exists(os.path.join(v0, "_commit"))
+
+    s1 = merge_into_table(
+        spark, root, spark.createDataFrame([(5, 55.0), (200, 2.0)], ddl),
+        ["id"], ddl, changes_feed=True,
+    )
+    assert s1["manifest_used"] is True  # create_table's manifest pruned merge 1
+    merge_into_table(
+        spark, root, spark.createDataFrame([(5, 555.0), (300, 3.0)], ddl),
+        ["id"], ddl, changes_feed=True,
+    )
+
+    feed = read_changes(spark, root, from_v=0)
+    rows = {(r["_version"], r["id"]): (r["op"], r["before_v"], r["after_v"])
+            for r in feed.collect()}
+    assert rows == {
+        (1, 5): ("update", 5.0, 55.0),
+        (1, 200): ("insert", None, 2.0),
+        (2, 5): ("update", 55.0, 555.0),
+        (2, 300): ("insert", None, 3.0),
+    }
+    # checkpointed consumer: only v2's changes
+    assert read_changes(spark, root, from_v=1).count() == 2
+
+    # a feedless version in the range refuses loudly
+    merge_into_table(spark, root, spark.createDataFrame([(6, 66.0)], ddl), ["id"], ddl)
+    with _pytest.raises(ValueError, match="no _changes"):
+        read_changes(spark, root, from_v=0)
+    with _pytest.raises(ValueError, match="changes_feed models upsert"):
+        merge_into_table(spark, root, df.withColumn("_d", F.lit(False)),
+                         ["id"], ddl, delete_col="_d", changes_feed=True)
