@@ -945,7 +945,13 @@ def optimize_table(
         total = sum(os.path.getsize(f) for f in files)
         n_files = max(1, math.ceil(total / target_bytes))
         df = read_with_deletes(spark, base_dir)
-        df.coalesce(n_files).write.mode("append").parquet(out_dir)
+        # repartition, NOT coalesce: coalesce(n) would collapse the whole
+        # scan+DV-subtract stage to n tasks (a 1000-file table compacted to
+        # 8 files would read on 8 tasks); one round-robin shuffle keeps the
+        # scan at full parallelism and the write at the target file count —
+        # the right trade for the chain's owed rewrite (compact_partitioned
+        # keeps coalesce: its contract is the zero-shuffle maintenance pass)
+        df.repartition(n_files).write.mode("append").parquet(out_dir)
         # all-new files: rebuild the manifest for them on the prior zone key
         # (one stats scan of the compacted output) so OPTIMIZE doesn't cost
         # the next merge its metadata-only pruning

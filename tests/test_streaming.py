@@ -947,3 +947,56 @@ def test_stream_merge_cdc_applies_deletes_and_matches_batch(spark, tmp_path):
     q2.awaitTermination()
     got2 = sorted(map(tuple, spark.read.schema(ddl).parquet(os.path.join(root, "v2")).collect()))
     assert got2 == expect
+
+
+def test_stream_merge_onto_dv_bearing_table_never_resurrects(spark, tmp_path):
+    """The last DV composition face: a STREAMING merge whose base version
+    carries deletion vectors must rewrite matched files through them and
+    carry surviving vectors forward — a correction stream cannot resurrect
+    GDPR-deleted rows."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        delete_where, mark_committed, read_with_deletes,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_merge_upsert
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    os.makedirs(root)
+    stage0 = os.path.join(root, "stage0")
+    daily.repartitionByRange(4, "d").write.parquet(stage0)
+    os.rename(stage0, os.path.join(root, "v0_raw"))
+    # v0 = raw table, v1 = v0 with every 'click' row DELETED as vectors
+    delete_where(spark, os.path.join(root, "v0_raw"), os.path.join(root, "v0"),
+                 "event_type = 'click'", ddl)
+    mark_committed(os.path.join(root, "v0"))
+
+    b1 = daily.filter(
+        (F.col("d") >= "2024-01-10") & (F.col("event_type") != "click")
+    ).withColumn("n", F.col("n") + 100)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    stage = str(tmp_path / "stage1")
+    b1.select("d", "event_type", "n", "n_users").coalesce(1).write.parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(feed, "batch-0.parquet"))
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_merge_upsert(stream, root, ["d", "event_type"], ddl, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    latest = max(int(d[1:]) for d in os.listdir(root)
+                 if d.startswith("v") and d[1:].isdigit() and d != "v0_raw")
+    back = read_with_deletes(spark, os.path.join(root, f"v{latest}"), ddl)
+    assert back.where(F.col("event_type") == "click").count() == 0, \
+        "deleted rows resurrected through the streaming merge"
+    got = {(r["d"], r["event_type"]): r["n"] for r in back.collect()}
+    expect_updates = {(r["d"], r["event_type"]): r["n"] for r in b1.collect()}
+    for k, v in expect_updates.items():
+        assert got[k] == v
