@@ -453,3 +453,32 @@ def _start_merge_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_table_changes(spark, table_root: str, feed_ddl: str):
+    """STREAMING consumer of the persisted change-data-feed (the Delta
+    "streaming CDF read"): the per-version ``_changes/`` sidecars
+    (sinks.merge_into_table(changes_feed=True)) are a file source — every
+    newly committed version's feed arrives as a micro-batch, stamped with
+    its ``_version`` parsed from the sidecar path. A downstream consumer
+    checkpoints this stream and replays exactly the merges it has not yet
+    seen: O(batch) incremental consumption with restart-safe progress, no
+    snapshot diffing, no table scans.
+
+    ``feed_ddl`` is merge_changes' output schema for the table (keys, op,
+    before_*/after_* columns). Returns the streaming DataFrame — attach
+    your sink."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import CHANGES_NAME
+
+    return (
+        spark.readStream.schema(feed_ddl)
+        .parquet(os.path.join(table_root, "v*", CHANGES_NAME))
+        .withColumn(
+            "_version",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/v(\d+)/" + CHANGES_NAME + "/", 1
+            ).cast("int"),
+        )
+    )

@@ -1000,3 +1000,53 @@ def test_stream_merge_onto_dv_bearing_table_never_resurrects(spark, tmp_path):
     expect_updates = {(r["d"], r["event_type"]): r["n"] for r in b1.collect()}
     for k, v in expect_updates.items():
         assert got[k] == v
+
+
+def test_stream_table_changes_incremental_consumption(spark, tmp_path):
+    """The streaming CDF read: a consumer drains the persisted per-version
+    change feeds, CHECKPOINTS, and after another merge commits it receives
+    ONLY the new version's changes on restart — exactly-once incremental
+    replay of the table's history, no snapshot diffing."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import create_table, merge_into_table
+    from rca_data_tools_spark.streaming.joins import stream_table_changes
+
+    ddl = "id long, v double"
+    feed_ddl = "id long, op string, before_v double, after_v double"
+    root = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(i, float(i)) for i in range(20)], ddl),
+        root, zone_key="id",
+    )
+    merge_into_table(
+        spark, root, spark.createDataFrame([(3, 33.0), (100, 1.0)], ddl),
+        ["id"], ddl, changes_feed=True,
+    )
+
+    def drain(name: str):
+        rows = []
+        q = (
+            stream_table_changes(spark, root, feed_ddl)
+            .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (r["_version"], r["id"]): (r["op"], r["before_v"], r["after_v"])
+            for r in rows
+        }
+
+    first = drain("cdf1")
+    assert first == {
+        (1, 3): ("update", 3.0, 33.0),
+        (1, 100): ("insert", None, 1.0),
+    }
+
+    merge_into_table(
+        spark, root, spark.createDataFrame([(100, 2.0)], ddl),
+        ["id"], ddl, changes_feed=True,
+    )
+    second = drain("cdf2")  # same checkpoint: only v2's feed arrives
+    assert second == {(2, 100): ("update", 1.0, 2.0)}
