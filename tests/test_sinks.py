@@ -984,3 +984,76 @@ def test_create_table_and_persisted_change_feed(spark, tmp_path):
     with _pytest.raises(ValueError, match="changes_feed models upsert"):
         merge_into_table(spark, root, df.withColumn("_d", F.lit(False)),
                          ["id"], ddl, delete_col="_d", changes_feed=True)
+
+
+def test_mixed_dml_race_serializes_in_commit_order(spark, tmp_path):
+    """SIX writers — merges, deletes, updates — race the claim/commit
+    protocol concurrently. Every statement lands a distinct version, and
+    the final table equals the sequential replay of the statements IN
+    COMMIT ORDER: the serializability contract for the whole DML family,
+    not just MERGE."""
+    import os
+    import threading
+
+    from rca_data_tools_spark.sources.sinks import (
+        committed_versions, create_table, delete_into_table, merge_into_table,
+        read_version, update_into_table,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(i, float(i)) for i in range(60)], ddl),
+        root, zone_key="id", n_files=4,
+    )
+
+    landed, errors = {}, []
+
+    def run(tag, fn):
+        try:
+            landed[tag] = fn()["version"]
+        except Exception as e:  # pragma: no cover
+            errors.append((tag, e))
+
+    ops = {
+        "m1": lambda: merge_into_table(
+            spark, root, spark.createDataFrame([(100, 1.0)], ddl), ["id"], ddl,
+            retries=60),
+        # deliberately NON-commuting: m2 merges a key d1 deletes (survives
+        # only if it lands after d1), d2 deletes the stripe u1 updates
+        # (update-then-delete removes them; delete-then-update updates
+        # nothing), u2 doubles a stripe u1 adds to — every pairwise order
+        # changes the final state, so a wrong serialization cannot pass
+        "m2": lambda: merge_into_table(
+            spark, root, spark.createDataFrame([(13, 777.0)], ddl), ["id"], ddl,
+            retries=60),
+        "d1": lambda: delete_into_table(spark, root, "id % 10 = 3", ddl, retries=60),
+        "d2": lambda: delete_into_table(spark, root, "id % 10 = 5", ddl, retries=60),
+        "u1": lambda: update_into_table(
+            spark, root, "id % 10 = 5", {"v": "v + 1000"}, ddl, retries=60),
+        "u2": lambda: update_into_table(
+            spark, root, "id % 5 = 0", {"v": "v * 2"}, ddl, retries=60),
+    }
+    threads = [threading.Thread(target=run, args=(tag, fn)) for tag, fn in ops.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(landed.values()) == [1, 2, 3, 4, 5, 6]
+    assert committed_versions(root) == list(range(7))
+
+    # replay the statements in COMMIT order against an in-memory model
+    model = {i: float(i) for i in range(60)}
+    replay = {
+        "m1": lambda m: m.update({100: 1.0}),
+        "m2": lambda m: m.update({13: 777.0}),
+        "d1": lambda m: [m.pop(i) for i in list(m) if i % 10 == 3],
+        "d2": lambda m: [m.pop(i) for i in list(m) if i % 10 == 5],
+        "u1": lambda m: m.update({i: m[i] + 1000 for i in m if i % 10 == 5}),
+        "u2": lambda m: m.update({i: m[i] * 2 for i in m if i % 5 == 0}),
+    }
+    for tag in sorted(landed, key=landed.get):
+        replay[tag](model)
+    got = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
+    assert got == model
