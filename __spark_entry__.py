@@ -20,10 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 7 queries
-# (235 registered).
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 8 queries
+# (236 registered).
 #
-# Round-9 window = (a) the seven queries ADDED this round (the DV-safe
+# Round-9 window = (a) the eight queries ADDED this round (the DV-safe
 # table-stack faces, the DML chain, the batch-LUT IVFPQ), (b) the rows
 # whose PLANS
 # CHANGED this round — the deletion-vector sidecar moved executor-side
@@ -44,6 +44,7 @@ _ROUND_WINDOW = [
     "ann_ivf_pq_batch",         # broadcast-LUT IVFPQ, query-count-free plan
     "sink_update_chain",        # DELETE -> UPDATE (MoR) -> OPTIMIZE on one chain
     "sink_table_changes",       # persisted per-version CDF + read_changes
+    "dedup_lsh_recall",         # MinHash-LSH recall vs exact ground truth
     # (b) changed-plan rows (executor-side DVs / DV-aware compact+merge /
     #     in-plan dup guard / unhinted delete join / commit markers)
     "sink_delete_vectors",
@@ -93,7 +94,6 @@ _ROUND_WINDOW = [
     "dedup_substring_spans",
     "ingest_status_degrade",
     "layout_zonemap_prune",
-    "pipeline_rag_corpus",
 ]
 
 

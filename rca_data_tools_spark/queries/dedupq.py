@@ -1304,3 +1304,94 @@ def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def _lsh_recall_oracle() -> str:
+    """Ground truth = exact all-pairs char-5-gram Jaccard >= 0.7 on the
+    doc_id < 800 subset (complete via the shared-shingle equi-join: a pair
+    at J >= 0.7 shares shingles by definition); caught = the full
+    MinHash+LSH pipeline replay (the dedup_minhash_lsh oracle) on the same
+    subset."""
+    sub = "docsub AS (SELECT * FROM documents WHERE doc_id < 800)"
+    sh = _SHINGLES_CTE.replace("FROM documents", "FROM docsub")
+    inner = _minhash_oracle().replace("FROM documents", "FROM docsub")
+    return f"""
+WITH {sub},{sh},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+allint AS (
+  SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh s1 JOIN sh s2 ON s2.sh = s1.sh AND s2.doc_id > s1.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a.id1, a.id2
+  FROM allint a JOIN sizes z1 ON z1.doc_id = a.id1 JOIN sizes z2 ON z2.doc_id = a.id2
+  WHERE ROUND(a.n_inter / (z1.n + z2.n - a.n_inter), 6) >= 0.7
+),
+caught AS (SELECT id1, id2 FROM ({inner}) q)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM truth t JOIN caught c ON c.id1 = t.id1 AND c.id2 = t.id2)
+         AS n_caught,
+       ROUND((SELECT COUNT(*) FROM truth t JOIN caught c ON c.id1 = t.id1 AND c.id2 = t.id2)
+             / GREATEST(1, (SELECT COUNT(*) FROM truth)), 6) AS recall
+"""
+
+
+@query("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL of MinHash+LSH near-dup detection against exact ground truth
+    — the ann_recall_report discipline applied to the dedup family: on the
+    doc_id < 800 subset, ground truth is EXACT all-pairs Jaccard >= 0.7
+    (shared-shingle equi-join — complete, never a cartesian), caught is
+    the production banded pipeline, and the hashed output is
+    (n_true, n_caught, recall). The detection-quality claim itself is
+    oracle-checked: a banding bug, a hash-salting drift, or an estimate
+    filter that silently drops true pairs shows up as a recall mismatch,
+    not a quiet quality drop.
+
+    Scale shape: ground truth is deliberately subset-bounded (exact
+    all-pairs is quadratic — that is WHY LSH exists); production recall
+    measurement samples exactly like this. The pipeline side stays the
+    banded plan."""
+    from rca_data_tools_spark.functions.text import normalize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    caught = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7).select("id1", "id2")
+
+    nt = d.select("doc_id", normalize("text").alias("nt"))
+    sh = nt.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(1, length(nt) - 4)), i -> substring(nt, i, 5))")
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    allint = (
+        a.join(b, (F.col("b.sh") == F.col("a.sh")) & (F.col("b.doc_id") > F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    truth = (
+        allint.join(z1, "id1").join(z2, "id2")
+        .filter(
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6)
+            >= 0.7
+        )
+        .select("id1", "id2")
+    )
+    stats = truth.join(
+        caught.withColumn("__c", F.lit(1)), ["id1", "id2"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("__c").alias("n_caught"),
+    )
+    return stats.select(
+        F.col("n_true").cast("long"),
+        F.col("n_caught").cast("long"),
+        F.round(
+            F.col("n_caught") / F.greatest(F.lit(1), F.col("n_true")), 6
+        ).alias("recall"),
+    )
