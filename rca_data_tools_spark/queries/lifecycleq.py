@@ -1668,9 +1668,10 @@ FROM v2
 )
 def sink_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMISTIC CONCURRENCY under a real race (VERDICT r08 item 4):
-    writer A claims v1 (directory created — the O_EXCL mutex) and is still
-    merging when writer B starts from the same base v0; B's claim of v1
-    collides (FileExistsError), B backs off while A commits, then B
+    writer A claims v1 (directory created — the O_EXCL mutex) and has not
+    yet committed when writer B starts from the same base v0; B's claims
+    of v1 collide (FileExistsError) and B refuses loudly (VersionConflict
+    — it must not base on uncommitted bytes); once A publishes, B's retry
     re-reads the advanced chain and lands v2 REBASED ON A's OUTPUT. The
     hashed result is the final table: it must contain BOTH writers'
     batches applied in commit order — a lost update (B basing on v0) or a
@@ -1682,9 +1683,6 @@ def sink_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge on top of merge_upsert_pruned's O(touched files); conflicts cost
     the loser a re-read of KB metadata, never a data rescan of the
     winner's output (the rebase IS the next pruned merge)."""
-    import threading
-    import time
-
     from rca_data_tools_spark.sources.sinks import (
         mark_committed, merge_into_table, merge_upsert_pruned, read_version,
     )
@@ -1704,23 +1702,32 @@ def sink_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d") >= _SM_CUT2
     ).select("d", "event_type", "n", "n_users")
 
-    # writer A: claims v1 NOW (merge_upsert_pruned creates the directory),
-    # publishes the commit marker only after a delay — the window B races in
+    # writer A: claims v1 (merge_upsert_pruned creates the directory — the
+    # O_EXCL mutex) but has NOT yet published its commit marker: exactly the
+    # window a concurrent writer races into. Staged deterministically (no
+    # timers) so the query hashes identically under any scheduler load; the
+    # timing-real races live in tests/test_sinks.py's 4- and 6-thread tests.
     merge_upsert_pruned(
         spark, os.path.join(root, "v0"), os.path.join(root, "v1"),
         b_a, ["d", "event_type"], ddl,
     )
-    t = threading.Timer(0.3, mark_committed, (os.path.join(root, "v1"),))
-    t.start()
+    # writer B, while A is uncommitted: every claim of v1 collides and the
+    # chain has not advanced — B must refuse loudly, never base on A's
+    # half-published bytes and never skip to v2 blind
+    from rca_data_tools_spark.sources.sinks import VersionConflict
+
+    conflicted = False
     try:
-        # writer B: read base v0, collide on v1, back off, rebase onto A's
-        # committed v1, land v2
-        stats = merge_into_table(
-            spark, root, b_b, ["d", "event_type"], ddl, retries=20
-        )
-    finally:
-        t.join()
-    assert stats["attempts"] > 1, "the race never happened"
+        merge_into_table(spark, root, b_b, ["d", "event_type"], ddl, retries=1)
+    except VersionConflict:
+        conflicted = True
+    assert conflicted, "the race never happened"
+    # A publishes; B retries, re-reads the ADVANCED chain, lands v2 rebased
+    # on A's committed output
+    mark_committed(os.path.join(root, "v1"))
+    stats = merge_into_table(
+        spark, root, b_b, ["d", "event_type"], ddl, retries=20
+    )
     final = read_version(spark, root, ddl)
     return final.agg(
         F.count(F.lit(1)).alias("n_rows"),
