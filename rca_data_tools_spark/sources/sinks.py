@@ -816,6 +816,7 @@ def merge_into_table(
 
 
 CHANGES_NAME = "_changes"
+CHANGES_EMPTY_NAME = "_changes_empty"
 
 
 def read_changes(
@@ -824,10 +825,12 @@ def read_changes(
     """The persisted change-data-feed of versions ``(from_v, to_v]`` — what
     an incremental consumer replays instead of diffing snapshots (Delta's
     ``table_changes``). Each row carries ``_version`` so consumers can
-    checkpoint. Versions in the range that carry no ``_changes/`` sidecar
-    (created by DELETE/UPDATE/OPTIMIZE, or merged without changes_feed)
-    raise loudly — a silent gap would make the replayed state diverge from
-    the table, the repo's refuse-don't-guess standard."""
+    checkpoint. CONTENT-NEUTRAL versions (OPTIMIZE — marked
+    ``_changes_empty``) contribute nothing and ranges cross them cleanly;
+    a content-CHANGING version with no sidecar (DELETE/UPDATE, or a merge
+    run without changes_feed) raises loudly — a silent gap would make the
+    replayed state diverge from the table, the repo's refuse-don't-guess
+    standard."""
     import functools
 
     vs = committed_versions(table_root)
@@ -839,15 +842,24 @@ def read_changes(
         )
     parts = []
     for v in want:
-        cdir = os.path.join(table_root, f"v{v}", CHANGES_NAME)
-        if not os.path.isdir(cdir):
+        vdir = os.path.join(table_root, f"v{v}")
+        cdir = os.path.join(vdir, CHANGES_NAME)
+        if os.path.isdir(cdir):
+            parts.append(
+                spark.read.parquet(cdir).withColumn("_version", F.lit(v).cast("int"))
+            )
+        elif not os.path.exists(os.path.join(vdir, CHANGES_EMPTY_NAME)):
             raise ValueError(
                 f"read_changes: v{v} of {table_root} has no {CHANGES_NAME} "
-                "sidecar (merge without changes_feed, or a DELETE/UPDATE/"
-                "OPTIMIZE version) — the feed would be silently incomplete"
+                "sidecar and is not marked content-neutral (merge without "
+                "changes_feed, or a DELETE/UPDATE version) — the feed would "
+                "be silently incomplete"
             )
-        parts.append(
-            spark.read.parquet(cdir).withColumn("_version", F.lit(v).cast("int"))
+    if not parts:
+        raise ValueError(
+            f"read_changes: every version in ({from_v}, {to_v}] of "
+            f"{table_root} is content-neutral — there is no feed schema to "
+            "return an empty frame in; widen the range"
         )
     return functools.reduce(DataFrame.unionByName, parts)
 
@@ -952,6 +964,11 @@ def optimize_table(
         # the right trade for the chain's owed rewrite (compact_partitioned
         # keeps coalesce: its contract is the zero-shuffle maintenance pass)
         df.repartition(n_files).write.mode("append").parquet(out_dir)
+        # OPTIMIZE is CONTENT-NEUTRAL: its change feed is EMPTY, not
+        # missing — mark it so read_changes ranges cross it cleanly
+        # (Delta's table_changes likewise skips data-neutral commits)
+        with open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "a"):
+            pass
         # all-new files: rebuild the manifest for them on the prior zone key
         # (one stats scan of the compacted output) so OPTIMIZE doesn't cost
         # the next merge its metadata-only pruning

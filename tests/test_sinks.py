@@ -1057,3 +1057,34 @@ def test_mixed_dml_race_serializes_in_commit_order(spark, tmp_path):
         replay[tag](model)
     got = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
     assert got == model
+
+
+def test_read_changes_crosses_content_neutral_optimize(spark, tmp_path):
+    """OPTIMIZE is content-neutral: its feed is EMPTY, not missing — a
+    read_changes range crossing it replays cleanly (Delta table_changes
+    semantics); content-changing feedless versions still refuse."""
+    import pytest as _pytest
+
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, merge_into_table, optimize_table,
+        read_changes,
+    )
+
+    ddl = "id long, v double"
+    root = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(i, float(i)) for i in range(30)], ddl),
+                 root, zone_key="id")
+    merge_into_table(spark, root, spark.createDataFrame([(1, 10.0)], ddl),
+                     ["id"], ddl, changes_feed=True)          # v1
+    optimize_table(spark, root, target_bytes=1 << 30)          # v2 (neutral)
+    merge_into_table(spark, root, spark.createDataFrame([(2, 20.0)], ddl),
+                     ["id"], ddl, changes_feed=True)          # v3
+
+    feed = read_changes(spark, root, from_v=0)  # crosses the OPTIMIZE
+    assert {(r["_version"], r["id"]) for r in feed.collect()} == {(1, 1), (3, 2)}
+    with _pytest.raises(ValueError, match="content-neutral"):
+        read_changes(spark, root, from_v=1, to_v=2)  # only-neutral range
+
+    delete_into_table(spark, root, "id = 5", ddl)              # v4: no feed
+    with _pytest.raises(ValueError, match="no _changes"):
+        read_changes(spark, root, from_v=0)
