@@ -192,6 +192,17 @@ def compact_partitioned(
     import os
     import shutil
 
+    if os.path.exists(os.path.join(path, COMMIT_NAME)):
+        # a COMMITTED version of a chain: the in-place directory swap would
+        # destroy its _commit marker (the version silently vanishes from
+        # committed_versions / read_version) and any _changes feed — the
+        # chain's compaction is optimize_table, which writes a NEW version
+        raise ValueError(
+            f"compact_partitioned: {path} is a committed version of a table "
+            "chain (it carries a _commit marker); compact the chain with "
+            "optimize_table instead — in-place compaction would destroy the "
+            "commit marker and the version's change feed"
+        )
     dv_present = has_deletes(path)
     if dv_present and fmt != "parquet":
         raise ValueError(
@@ -580,6 +591,25 @@ def merge_upsert_pruned(
             import shutil
 
             shutil.rmtree(_deletes_dir(out_dir), ignore_errors=True)
+    bdir = os.path.join(target_dir, BLOOM_NAME)
+    if os.path.isdir(bdir) and carried:
+        # bloom index follows the same carry rule as the deletion vectors:
+        # carried (byte-identical) files keep their row, rewritten files
+        # drop theirs (stale bits would still be one-sided, but dropping is
+        # exact: unindexed files are always-candidates in point_lookup)
+        bl = spark.read.parquet(bdir)
+        carried_arr = F.array(*[F.lit(n) for n in sorted(carried)])
+        surv = bl.filter(F.array_contains(carried_arr, F.col("f")))
+        surv.coalesce(1).write.parquet(os.path.join(out_dir, BLOOM_NAME))
+        if spark.read.parquet(os.path.join(out_dir, BLOOM_NAME)).isEmpty():
+            import shutil
+
+            shutil.rmtree(os.path.join(out_dir, BLOOM_NAME), ignore_errors=True)
+        elif os.path.exists(os.path.join(bdir, "_key_type")):
+            os.link(
+                os.path.join(bdir, "_key_type"),
+                os.path.join(out_dir, BLOOM_NAME, "_key_type"),
+            )
     # new parts append alongside the carried-over files; a format would make
     # this visible atomically via its commit log — here the new DIRECTORY is
     # the new version, so readers of out_dir only ever see a complete table.
@@ -611,6 +641,20 @@ def merge_upsert_pruned(
         "files_rewritten": len(matched),
         "manifest_used": manifest is not None,
     }
+
+
+def _carry_bloom_links(target_dir: str, out_dir: str) -> None:
+    """Hardlink the bloom-index sidecar into the next version (the pure
+    hardlink DMLs — DELETE/UPDATE — change no data-file bytes, so every
+    file's bloom stays valid as-is)."""
+    sdir = os.path.join(target_dir, BLOOM_NAME)
+    if os.path.isdir(sdir):
+        os.makedirs(os.path.join(out_dir, BLOOM_NAME), exist_ok=True)
+        for f in os.listdir(sdir):
+            if os.path.isfile(os.path.join(sdir, f)):
+                os.link(
+                    os.path.join(sdir, f), os.path.join(out_dir, BLOOM_NAME, f)
+                )
 
 
 def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
@@ -662,10 +706,13 @@ def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
     freed = 0
     for _, d in doomed:
         vdir = os.path.join(table_root, d)
-        for f in os.listdir(vdir):
-            st = os.stat(os.path.join(vdir, f))
-            if st.st_nlink == 1:  # last reference: these bytes actually free
-                freed += st.st_size
+        # recurse: sidecar DIRECTORIES (_deletes/, _changes/, _bloom/) hold
+        # parquet parts whose bytes free too when their last link goes
+        for sub, _dirs, fs in os.walk(vdir):
+            for f in fs:
+                st = os.stat(os.path.join(sub, f))
+                if st.st_nlink == 1:  # last reference: these bytes actually free
+                    freed += st.st_size
         shutil.rmtree(vdir)
     return {"removed": [d for _, d in doomed], "kept": kept, "bytes_freed": freed}
 
@@ -765,6 +812,7 @@ def merge_into_table(
     delete_col: "str | None" = None,
     retries: int = 3,
     changes_feed: bool = False,
+    constraints: "dict[str, str] | None" = None,
 ) -> dict:
     """MERGE with OPTIMISTIC CONCURRENCY on the version chain (VERDICT r08
     item 4): the writer reads the latest committed version, claims the next
@@ -793,12 +841,23 @@ def merge_into_table(
     deleted row). Not supported together with ``delete_col`` (merge_changes
     models upserts; CDC deletes already carry their own op column upstream).
 
+    ``constraints`` maps rule name → SQL predicate and enforces the table's
+    CHECK constraints on the incoming batch IN-PLAN (operators/expectations
+    .check_constraints): a violating source row fails the merge at execution
+    time with the rule name and offending row in the error — no partial
+    version is ever committed (the claim directory is built only by a
+    successful job, and an uncommitted claim is invisible to readers).
+
     Returns merge_upsert_pruned's stats plus {"version", "attempts"}."""
     if changes_feed and delete_col is not None:
         raise ValueError(
             "merge_into_table: changes_feed models upsert feeds; a delete_col "
             "source is already a change feed — persist it upstream instead"
         )
+    if constraints:
+        from rca_data_tools_spark.operators.expectations import check_constraints
+
+        source = check_constraints(source, constraints)
 
     def _build(base_dir: str, out_dir: str) -> dict:
         stats = merge_upsert_pruned(
@@ -885,7 +944,19 @@ def _advance_table(table_root: str, build, retries: int = 3) -> dict:
                 time.sleep(0.05 * attempt)
             last_seen = base
             continue
-        stats = build(os.path.join(table_root, f"v{base}"), out)
+        try:
+            stats = build(os.path.join(table_root, f"v{base}"), out)
+        except BaseException:
+            # the claim belongs to THIS writer: releasing it on failure
+            # (constraint violation, executor loss) un-wedges the chain for
+            # the next writer instead of leaving a dead claim that needs
+            # manual removal; a crash BETWEEN claim and this cleanup still
+            # leaves one, which vacuum_versions reaps once it falls behind
+            # the committed tip
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         mark_committed(out)
         return {**stats, "version": base + 1, "attempts": attempt}
     raise VersionConflict(
@@ -895,22 +966,64 @@ def _advance_table(table_root: str, build, retries: int = 3) -> dict:
     )
 
 
+def _dml_feed(
+    base: DataFrame, keys: list[str], op: str, set_exprs: "dict[str, str] | None" = None
+) -> DataFrame:
+    """A DELETE/UPDATE version's change-data-feed rows in merge_changes'
+    exact schema (keys, op, before_*/after_* per value column) so
+    ``read_changes`` unions every DML's feed into ONE replayable stream:
+    deletes carry the removed image in before_* with after_* NULL; updates
+    carry old image in before_* and the ``set_exprs``-applied image in
+    after_*. ``base`` must already be the matched rows read THROUGH the
+    version's deletion vectors — a feed must never report a change to a
+    row that did not exist."""
+    value_cols = [c for c in base.columns if c not in keys]
+    cols: list = [*[F.col(k) for k in keys], F.lit(op).alias("op")]
+    for c in value_cols:
+        cols.append(F.col(c).alias(f"before_{c}"))
+        if op == "delete":
+            cols.append(
+                F.lit(None).cast(base.schema[c].dataType).alias(f"after_{c}")
+            )
+        else:
+            after = F.expr(set_exprs[c]) if set_exprs and c in set_exprs else F.col(c)
+            cols.append(after.cast(base.schema[c].dataType).alias(f"after_{c}"))
+    return base.select(*cols)
+
+
 def delete_into_table(
     spark: SparkSession,
     table_root: str,
     predicate: str,
     schema_ddl: str,
     retries: int = 3,
+    changes_feed_keys: "list[str] | None" = None,
 ) -> dict:
     """Row-level DELETE on the version chain: ``delete_where`` (merge-on-read
     deletion vectors, zero data files rewritten) through the same
     claim/commit protocol as ``merge_into_table`` — concurrent deletes and
-    merges serialize instead of silently double-publishing a version."""
-    return _advance_table(
-        table_root,
-        lambda base, out: delete_where(spark, base, out, predicate, schema_ddl),
-        retries,
-    )
+    merges serialize instead of silently double-publishing a version.
+
+    ``changes_feed_keys`` additionally persists the version's change-data-
+    feed (op='delete' rows with the removed images in before_*, after_*
+    NULL — merge_changes' schema keyed on those columns), so ``read_changes``
+    ranges cross DELETE versions instead of raising: the full-fidelity CDF
+    a CDC consumer replays. The feed is computed from the base read THROUGH
+    its deletion vectors (already-deleted rows emit no second delete
+    event) and costs one extra predicate scan of the matched rows."""
+
+    def _build(base: str, out: str) -> dict:
+        stats = delete_where(spark, base, out, predicate, schema_ddl)
+        if changes_feed_keys is not None:
+            feed = _dml_feed(
+                read_with_deletes(spark, base, schema_ddl).where(predicate),
+                changes_feed_keys,
+                "delete",
+            )
+            feed.coalesce(8).write.parquet(os.path.join(out, CHANGES_NAME))
+        return stats
+
+    return _advance_table(table_root, _build, retries)
 
 
 def update_into_table(
@@ -920,16 +1033,123 @@ def update_into_table(
     set_exprs: "dict[str, str]",
     schema_ddl: str,
     retries: int = 3,
+    changes_feed_keys: "list[str] | None" = None,
 ) -> dict:
     """Row-level UPDATE on the version chain (``update_where`` + the
-    claim/commit protocol)."""
-    return _advance_table(
-        table_root,
-        lambda base, out: update_where(
-            spark, base, out, predicate, set_exprs, schema_ddl
-        ),
-        retries,
-    )
+    claim/commit protocol). ``changes_feed_keys`` persists the version's
+    change-data-feed (op='update', before_* = old image, after_* = the
+    ``set_exprs``-applied image) exactly as delete_into_table does — with
+    it, every content-changing DML on the chain carries a feed and
+    ``read_changes`` replays end to end."""
+
+    def _build(base: str, out: str) -> dict:
+        stats = update_where(spark, base, out, predicate, set_exprs, schema_ddl)
+        if changes_feed_keys is not None:
+            feed = _dml_feed(
+                read_with_deletes(spark, base, schema_ddl).where(predicate),
+                changes_feed_keys,
+                "update",
+                set_exprs,
+            )
+            feed.coalesce(8).write.parquet(os.path.join(out, CHANGES_NAME))
+        return stats
+
+    return _advance_table(table_root, _build, retries)
+
+
+def _link_version_content(src: str, out_dir: str) -> int:
+    """Hardlink a version's full content — data files, deletion-vector
+    sidecar, zone-map manifest, bloom index — into ``out_dir`` (which must
+    already exist and be empty apart from the claim). Returns the number of
+    DATA files linked. The new directory is an independent version: the
+    filesystem refcounts shared inodes, so vacuuming either side never
+    corrupts the other."""
+    n = 0
+    for f in os.listdir(src):
+        full = os.path.join(src, f)
+        if f.endswith(".parquet") and os.path.isfile(full):
+            os.link(full, os.path.join(out_dir, f))
+            n += 1
+    for side in (DELETES_NAME, BLOOM_NAME):
+        sdir = os.path.join(src, side)
+        if os.path.isdir(sdir):
+            os.makedirs(os.path.join(out_dir, side), exist_ok=True)
+            for f in os.listdir(sdir):
+                # everything in a sidecar carries (parquet parts AND small
+                # metadata like the bloom index's _key_type marker)
+                if os.path.isfile(os.path.join(sdir, f)):
+                    os.link(
+                        os.path.join(sdir, f), os.path.join(out_dir, side, f)
+                    )
+    if os.path.exists(os.path.join(src, MANIFEST_NAME)):
+        os.link(
+            os.path.join(src, MANIFEST_NAME), os.path.join(out_dir, MANIFEST_NAME)
+        )
+    return n
+
+
+def restore_table(
+    table_root: str,
+    to_version: int,
+    retries: int = 3,
+) -> dict:
+    """RESTORE: roll the table back to an earlier version AS A NEW VERSION
+    (the Delta RESTORE shape — history is immutable, a rollback is one more
+    commit whose content equals the old snapshot). The new version hardlinks
+    the restored version's data files, deletion vectors, and manifest — a
+    restore is O(files) metadata, zero data bytes, and every intermediate
+    version stays readable via read_version (time travel across the
+    rollback included).
+
+    Runs under the same optimistic-concurrency claim/commit protocol as
+    every chain DML, so a restore racing a merge serializes. The restored
+    version carries NO change feed (its delta against the base is a full
+    snapshot diff, not a batch) — a read_changes range crossing it raises
+    loudly rather than replaying a silent gap; CDC consumers re-seed from
+    the restored snapshot. Returns {"restored_from", "files_linked",
+    "version", "attempts"}."""
+    if to_version not in committed_versions(table_root):
+        raise ValueError(
+            f"restore_table: v{to_version} is not a committed version of "
+            f"{table_root} (have {committed_versions(table_root)})"
+        )
+
+    def _build(base: str, out: str) -> dict:
+        src = os.path.join(table_root, f"v{to_version}")
+        n = _link_version_content(src, out)
+        return {"restored_from": to_version, "files_linked": n}
+
+    return _advance_table(table_root, _build, retries)
+
+
+def clone_table(
+    src_root: str,
+    dest_root: str,
+    version: "int | None" = None,
+) -> str:
+    """SHALLOW CLONE: a new table chain whose committed ``v0`` hardlinks one
+    version of the source (default: its latest committed) — data files,
+    deletion vectors, manifest, bloom index — with ZERO data copied. The
+    clone then evolves independently: its DML writes its own versions and
+    never touches the source.
+
+    Unlike an object-store shallow clone (which dangles when the source
+    VACUUMs the files it borrowed), hardlinks refcount at the filesystem:
+    vacuuming the source unlinks ITS names, the clone's links keep every
+    shared inode alive — clone-then-vacuum is safe by construction and
+    proven in the lifecycle tests. Returns the clone's v0 path."""
+    v = latest_committed(src_root) if version is None else version
+    if v not in committed_versions(src_root):
+        raise ValueError(
+            f"clone_table: v{v} is not a committed version of {src_root}"
+        )
+    if os.path.isdir(dest_root) and os.listdir(dest_root):
+        raise FileExistsError(f"clone_table: dest {dest_root} already has content")
+    out = os.path.join(dest_root, "v0")
+    os.makedirs(out)
+    _link_version_content(os.path.join(src_root, f"v{v}"), out)
+    mark_committed(out)
+    return out
 
 
 def optimize_table(
@@ -1039,6 +1259,9 @@ def update_where(
     # bytes — here optimize_table reclaims whatever small parts remain
     updated.coalesce(8).write.mode("append").parquet(out_dir)
     combined.coalesce(8).write.parquet(_deletes_dir(out_dir))
+    # hardlinked files keep valid blooms; the new image parts have none and
+    # a bloom-pruned lookup treats unindexed files as always-candidates
+    _carry_bloom_links(target_dir, out_dir)
     total_n = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
     # keep the zone-map manifest alive: hardlinked files carry their entries
     # (byte-identical; vectored rows only ever over-approximate the range),
@@ -1144,6 +1367,11 @@ def read_version(
 
 DELETES_NAME = "_deletes"
 DELETES_DDL = "f string, pos long"
+# per-file bloom index sidecar (sources/bloom_index.py builds and probes it);
+# defined here because the chain DML carries it between versions like the
+# deletion vectors: data files are immutable, so a file's bloom stays valid
+# for as long as the file itself is carried
+BLOOM_NAME = "_bloom"
 
 
 def _deletes_dir(table_dir: str) -> str:
@@ -1235,12 +1463,15 @@ def delete_where(
     # positions; the distinct's shuffle did the heavy lifting upstream
     combined.coalesce(8).write.parquet(_deletes_dir(out_dir))
     total_n = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
-    # manifest (if any) carries over untouched: deletes change no file bytes
+    # manifest and bloom index (if any) carry over untouched: deletes change
+    # no file bytes (a vectored row's set bits over-approximate — one-sided,
+    # so still correct)
     if os.path.exists(os.path.join(target_dir, MANIFEST_NAME)):
         os.link(
             os.path.join(target_dir, MANIFEST_NAME),
             os.path.join(out_dir, MANIFEST_NAME),
         )
+    _carry_bloom_links(target_dir, out_dir)
     return {
         "files_total": len(data_files),
         "files_rewritten": 0,

@@ -1,0 +1,210 @@
+"""RESTORE / shallow CLONE / full-fidelity DML change feed / CHECK
+constraints on the copy-on-write version chain, plus the compact-vs-chain
+guard. Complements tests/test_sinks.py's merge/DV/concurrency coverage."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rca_data_tools_spark.sources.sinks import (
+    clone_table,
+    committed_versions,
+    compact_partitioned,
+    create_table,
+    delete_into_table,
+    merge_into_table,
+    read_changes,
+    read_version,
+    restore_table,
+    update_into_table,
+    vacuum_versions,
+)
+
+DDL = "k bigint, grp string, val double"
+
+
+def _base(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["grp"], r["val"]) for r in df.collect())
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root, zone_key="k")
+    batch = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("gX").alias("grp"), F.lit(0.0).alias("val")
+    )
+    merge_into_table(spark, root, batch, ["k"], DDL, zone_key="k")
+    delete_into_table(spark, root, "k >= 150", DDL)
+    assert committed_versions(root) == [0, 1, 2]
+
+    st = restore_table(root, 0)
+    assert st["version"] == 3 and st["restored_from"] == 0
+    # the restored tip equals v0 exactly
+    assert _rows(read_version(spark, root, DDL)) == _rows(_base(spark))
+    # history is untouched: v2 still shows the merge + delete
+    v2 = read_version(spark, root, DDL, n=2)
+    assert v2.count() == 150
+    assert v2.filter(F.col("grp") == "gX").count() == 50
+
+
+def test_restore_carries_deletion_vectors(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root, zone_key="k")
+    delete_into_table(spark, root, "k % 2 = 0", DDL)  # v1: DV, no rewrite
+    batch = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("gY").alias("grp"), F.lit(9.0).alias("val")
+    )
+    merge_into_table(spark, root, batch, ["k"], DDL, zone_key="k")  # v2
+
+    restore_table(root, 1)  # v3 == v1 (a DV-bearing snapshot)
+    tip = read_version(spark, root, DDL)
+    assert tip.count() == 100
+    assert tip.filter(F.col("k") % 2 == 0).count() == 0  # vectors applied
+
+
+def test_restore_refuses_unknown_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root)
+    with pytest.raises(ValueError, match="not a committed version"):
+        restore_table(root, 7)
+
+
+def test_clone_is_zero_copy_and_survives_source_vacuum(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    create_table(_base(spark), src, zone_key="k")
+    delete_into_table(spark, src, "k < 20", DDL)  # v1 carries a DV sidecar
+
+    v0 = clone_table(src, dst)
+    assert v0.endswith("v0")
+    # zero data copied: every cloned data file shares its inode with src
+    src_inodes = {
+        os.stat(os.path.join(src, "v1", f)).st_ino
+        for f in os.listdir(os.path.join(src, "v1"))
+        if f.endswith(".parquet")
+    }
+    dst_inodes = {
+        os.stat(os.path.join(dst, "v0", f)).st_ino
+        for f in os.listdir(os.path.join(dst, "v0"))
+        if f.endswith(".parquet")
+    }
+    assert dst_inodes == src_inodes
+
+    # the clone evolves independently of the source
+    delete_into_table(spark, dst, "k >= 100", DDL)
+    assert read_version(spark, dst, DDL).count() == 80  # 20..99
+    assert read_version(spark, src, DDL).count() == 180  # untouched
+
+    # vacuuming the source to one version cannot dangle the clone
+    removed = vacuum_versions(src, keep_last=1)
+    assert removed["removed"] == ["v0"]
+    assert read_version(spark, dst, DDL).count() == 80
+    assert read_version(spark, dst, DDL, n=0).count() == 180
+
+
+def test_clone_refuses_nonempty_dest(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    create_table(_base(spark), src)
+    os.makedirs(dst)
+    open(os.path.join(dst, "junk"), "w").close()
+    with pytest.raises(FileExistsError):
+        clone_table(src, dst)
+
+
+def test_full_fidelity_change_feed_across_all_dml(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark, 100), root, zone_key="k")
+    batch = spark.range(90, 110).select(
+        F.col("id").alias("k"), F.lit("gN").alias("grp"), F.lit(7.0).alias("val")
+    )
+    merge_into_table(spark, root, batch, ["k"], DDL, zone_key="k",
+                     changes_feed=True)                              # v1
+    delete_into_table(spark, root, "k < 10", DDL,
+                      changes_feed_keys=["k"])                       # v2
+    update_into_table(spark, root, "grp = 'gN'", {"val": "val + 1"},
+                      DDL, changes_feed_keys=["k"])                  # v3
+
+    feed = read_changes(spark, root, 0, 3)
+    by = {
+        (r["_version"], r["op"]): r["n"]
+        for r in feed.groupBy("_version", "op").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by[(1, "update")] == 10   # keys 90..99 existed
+    assert by[(1, "insert")] == 10   # keys 100..109 were new
+    assert by[(2, "delete")] == 10   # keys 0..9
+    assert by[(3, "update")] == 20   # every gN row
+    deletes = feed.filter(F.col("op") == "delete")
+    assert deletes.filter(F.col("after_val").isNotNull()).count() == 0
+    assert deletes.filter(F.col("before_val").isNull()).count() == 0
+    upd = feed.filter((F.col("_version") == 3) & (F.col("op") == "update"))
+    assert upd.filter(F.col("after_val") != F.col("before_val") + 1).count() == 0
+
+
+def test_delete_feed_skips_already_deleted_rows(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark, 50), root, zone_key="k")
+    delete_into_table(spark, root, "k < 30", DDL, changes_feed_keys=["k"])  # v1
+    # overlapping predicate: rows < 30 are already gone and must not emit
+    # a second delete event
+    delete_into_table(spark, root, "k < 40", DDL, changes_feed_keys=["k"])  # v2
+    feed = read_changes(spark, root, 0, 2)
+    n = {r["_version"]: r["n"] for r in
+         feed.groupBy("_version").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n == {1: 30, 2: 10}
+
+
+def test_merge_constraints_fail_in_plan_and_release_claim(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root, zone_key="k")
+    bad = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("gZ").alias("grp"),
+        (F.lit(50.0) - F.col("id") * 100).alias("val"),  # negatives
+    )
+    with pytest.raises(Exception, match="constraint violated.*val_nonneg"):
+        merge_into_table(
+            spark, root, bad, ["k"], DDL, zone_key="k",
+            constraints={"val_nonneg": "val >= 0", "grp_known": "grp LIKE 'g%'"},
+        )
+    # the failed claim was released: the chain is not wedged and the next
+    # good merge lands v1 on the first attempt
+    assert committed_versions(root) == [0]
+    good = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("gZ").alias("grp"), F.lit(1.0).alias("val")
+    )
+    st = merge_into_table(
+        spark, root, good, ["k"], DDL, zone_key="k",
+        constraints={"val_nonneg": "val >= 0"},
+    )
+    assert st["version"] == 1 and st["attempts"] == 1
+
+
+def test_compact_refuses_committed_chain_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v0 = create_table(_base(spark), root)
+    with pytest.raises(ValueError, match="optimize_table"):
+        compact_partitioned(spark, v0)
+
+
+def test_vacuum_counts_sidecar_bytes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root)
+    delete_into_table(spark, root, "k < 100", DDL)   # v1: hardlinks + DV
+    delete_into_table(spark, root, "k < 150", DDL)   # v2: hardlinks + DV
+    # removing v0+v1 frees v1's sidecar parquet (only link) even though all
+    # data files survive via v2's hardlinks
+    st = vacuum_versions(root, keep_last=1)
+    assert st["removed"] == ["v0", "v1"]
+    assert st["bytes_freed"] > 0
+    assert read_version(spark, root, DDL).count() == 50
