@@ -20,8 +20,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 8 queries
-# (236 registered).
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 14 queries
+# (242 registered): 8 in the first session (DV-safe table stack, DML
+# chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
+# bloom-index lookup, expectations gate).
 #
 # Round-9 window = (a) the eight queries ADDED this round (the DV-safe
 # table-stack faces, the DML chain, the batch-LUT IVFPQ), (b) the rows
@@ -84,16 +86,18 @@ _ROUND_WINDOW = [
     "w_seasonal_decompose",
     # r05-cohort per VERDICT's enumeration (checked in the r05 window)
     "f_nested_cal_arrays",
-    # (d) fill to 50 with the NEXT-oldest greens — r07-cohort rows not
-    # re-proven since (early rotation toward r07->r10): the ANN family's
-    # r07 faces, the substring-dedup family, and the remaining r07 adds
-    "ann_hamming_topk",
-    "ann_ivf_refined_topk",
-    "ann_recall_report",
-    "dedup_substring_removal",
-    "dedup_substring_spans",
+    # (d) added mid-round 9 (second session): RESTORE/CLONE on the chain,
+    # the full-fidelity DML change feed, per-file bloom-index point lookup,
+    # and the expectations gate — these take the early-rotation fill slots
+    # (the displaced r07 rows rotate in r10)
+    "sink_restore_version",
+    "sink_clone_table",
+    "sink_bloom_lookup",
+    "sink_changes_all_dml",
+    "quality_expectations",
+    "quality_quarantine",
+    # (e) fill to 50 with the NEXT-oldest greens (early rotation r07->r10)
     "ingest_status_degrade",
-    "layout_zonemap_prune",
 ]
 
 

@@ -1981,3 +1981,276 @@ def sink_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(spark, root, from_v=0).select(
         "_version", "d", "event_type", "op", "before_n", "after_n"
     )
+
+
+@query(
+    "sink_restore_version",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), refresh AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+), v1 AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM refresh r
+                    WHERE r.d = f.d AND r.event_type = f.event_type)
+  UNION ALL SELECT d, event_type, n, n_users FROM refresh
+), v2 AS (
+  SELECT * FROM v1 WHERE event_type <> 'click'
+)
+SELECT 2 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS sum_n, CAST(SUM(n_users) AS BIGINT) AS sum_users
+FROM v2
+UNION ALL
+SELECT 3, COUNT(*), CAST(SUM(n) AS BIGINT), CAST(SUM(n_users) AS BIGINT)
+FROM full_run
+""",
+)
+def sink_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE on the version chain: v0 full rollup -> v1 MERGE refresh ->
+    v2 DELETE of 'click' rows (merge-on-read vectors) -> RESTORE back to
+    v0, which lands as NEW version v3 (history is immutable; a rollback is
+    one more commit). The hashed output reads v2 AND the restored tip
+    through read_version: the tip must equal v0 bit-for-bit (the merge and
+    the delete both rolled back) while v2 stays readable with its own DV
+    applied — a restore that mutated history, dropped a sidecar, or
+    resolved the wrong snapshot hash-mismatches.
+
+    Scale shape: restore is O(files) hardlinks — zero data bytes — under
+    the same claim/commit protocol as every DML (sinks.restore_table)."""
+    import functools
+
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, merge_into_table, read_version,
+        restore_table,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_restore_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4)
+    refresh = _daily(e.filter(F.col("value") > 50)).filter(
+        F.col("d") >= _CUTOFF
+    ).select("d", "event_type", "n", "n_users")
+    merge_into_table(spark, root, refresh, ["d", "event_type"], ddl, zone_key="d")
+    delete_into_table(spark, root, "event_type = 'click'", ddl)
+    st = restore_table(root, 0)
+
+    def _agg(df: DataFrame, v: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_n"),
+            F.sum("n_users").alias("sum_users"),
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            F.col("n_rows").cast("long"),
+            F.col("sum_n").cast("long"),
+            F.col("sum_users").cast("long"),
+        )
+
+    return _agg(read_version(spark, root, ddl, n=2), 2).unionByName(
+        _agg(read_version(spark, root, ddl), st["version"])
+    )
+
+
+@query(
+    "sink_clone_table",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), src_v1 AS (
+  SELECT * FROM full_run WHERE event_type <> 'click'
+), clone_v1 AS (
+  SELECT * FROM src_v1 WHERE d >= '{_CUTOFF}'
+)
+SELECT 'clone' AS side, COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS sum_n
+FROM clone_v1
+UNION ALL
+SELECT 'src', COUNT(*), CAST(SUM(n) AS BIGINT) FROM src_v1
+""",
+)
+def sink_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE: the source chain deletes 'click' rows as deletion
+    vectors (v1), the clone hardlinks that DV-bearing snapshot as ITS v0
+    (zero data copied), then the clone alone deletes the days before the
+    cutoff AND the source is VACUUMed down to one version. The hashed
+    output reads both tables after all of it: the clone must show both
+    deletes (its borrowed DV composed with its own), the source must show
+    only its own — and the source's vacuum must not have corrupted the
+    clone (hardlinks refcount at the filesystem; an object-store shallow
+    clone would have dangled). Divergence in either direction, a shared
+    sidecar mutation, or a vacuum-broken clone all hash-mismatch.
+
+    Scale shape: clone = O(files) hardlinks; each delete is O(matched
+    positions) metadata; vacuum is pure unlink."""
+    from rca_data_tools_spark.sources.sinks import (
+        clone_table, create_table, delete_into_table, read_version,
+        vacuum_versions,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rca_clone_src_")
+    dst = os.path.join(tempfile.mkdtemp(prefix="rca_clone_dst_"), "t")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, src, zone_key="d", n_files=4)
+    delete_into_table(spark, src, "event_type = 'click'", ddl)
+    clone_table(src, dst)
+    delete_into_table(spark, dst, f"d < '{_CUTOFF}'", ddl)
+    vacuum_versions(src, keep_last=1)
+
+    def _agg(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_n"),
+        ).select(
+            F.lit(side).alias("side"),
+            F.col("n_rows").cast("long"),
+            F.col("sum_n").cast("long"),
+        )
+
+    return _agg(read_version(spark, dst, ddl), "clone").unionByName(
+        _agg(read_version(spark, src, ddl), "src")
+    )
+
+
+@query(
+    "sink_bloom_lookup",
+    oracle="""
+SELECT event_id, user_id, value, CAST(1 AS INT) AS pruned
+FROM events WHERE event_id IN (5, 999)
+""",
+)
+def sink_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-INDEX point lookup composed with deletion vectors:
+    the events table lands as a committed chain (8 hash-partitioned
+    files), a bloom index on event_id is built executor-side, one event is
+    deleted as a merge-on-read vector (the sidecar AND the index hardlink
+    into the new version), and point_lookup fetches three ids. The hashed
+    rows prove (a) zero false negatives — both surviving ids come back
+    with exact values, (b) DV composition — the deleted id stays gone, and
+    (c) that pruning actually bit: the `pruned` literal is 1 only when
+    fewer files were opened than exist (deterministic: fixed data + fixed
+    xxhash64 seeds; each unique event_id lives in one file, so candidates
+    ~= 3 of 8 + false positives ~0 at 64 Kbit/file).
+
+    Scale shape: the index build is one scan + one applyInPandas pack per
+    file; the probe is a values-cross-files-sized codegen join; the lookup
+    opens only candidate files — the parquet-bloom-footer economics at
+    100 TB (sources/bloom_index.py)."""
+    from rca_data_tools_spark.sources.bloom_index import (
+        build_bloom_index, point_lookup,
+    )
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, latest_committed,
+    )
+
+    ddl = "event_id long, user_id long, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_bloom_")
+    create_table(e.repartition(8, "user_id"), root)
+    build_bloom_index(spark, os.path.join(root, "v0"), "event_id", schema_ddl=ddl)
+    delete_into_table(spark, root, "event_id = 777", ddl)
+    vdir = os.path.join(root, f"v{latest_committed(root)}")
+    rows, stats = point_lookup(spark, vdir, "event_id", [5, 777, 999], ddl)
+    return rows.select(
+        "event_id", "user_id", "value",
+        F.lit(int(stats["files_scanned"] < stats["files_total"]))
+        .cast("int").alias("pruned"),
+    )
+
+
+@query(
+    "sink_changes_all_dml",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+), v1 AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.d = f.d AND b1.event_type = f.event_type)
+  UNION ALL SELECT * FROM b1
+), v2 AS (
+  SELECT * FROM v1 WHERE event_type <> 'click'
+), feed1 AS (
+  SELECT 1 AS _version,
+         CASE WHEN f.d IS NULL THEN 'insert' ELSE 'update' END AS op,
+         f.n AS before_n, b.n AS after_n
+  FROM b1 b LEFT JOIN full_run f
+    ON f.d = b.d AND f.event_type = b.event_type
+), feed2 AS (
+  SELECT 2 AS _version, 'delete' AS op, n AS before_n, NULL AS after_n
+  FROM v1 WHERE event_type = 'click'
+), feed3 AS (
+  SELECT 3 AS _version, 'update' AS op, n AS before_n, n + 100 AS after_n
+  FROM v2 WHERE event_type = 'purchase'
+), feed AS (
+  SELECT * FROM feed1 UNION ALL SELECT * FROM feed2 UNION ALL SELECT * FROM feed3
+)
+SELECT _version, op, COUNT(*) AS n_changes,
+       CAST(SUM(before_n) AS BIGINT) AS sum_before_n,
+       CAST(COALESCE(SUM(after_n), 0) AS BIGINT) AS sum_after_n
+FROM feed GROUP BY _version, op
+""",
+)
+def sink_changes_all_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-FIDELITY change-data-feed across every DML: MERGE (v1,
+    changes_feed) -> DELETE of 'click' rows (v2, changes_feed_keys) ->
+    UPDATE of 'purchase' counts (v3, changes_feed_keys), then ONE
+    read_changes(0,3) replay grouped by (version, op). Before round 9's
+    extension, DELETE/UPDATE versions had no feed and read_changes refused
+    to cross them; now a CDC consumer replays the whole chain. The oracle
+    derives each version's feed against the correct BASE state (v2's
+    delete images come from v1, v3's update images from v2) — a feed
+    computed against the wrong base, an update feed missing the set-expr,
+    or a delete feed emitting already-deleted rows hash-mismatches.
+
+    Scale shape: each feed is O(matched rows), written executor-side into
+    the version directory; the replay unions sidecar scans — never diffs
+    snapshots."""
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, merge_into_table, read_changes,
+        update_into_table,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_all_dml_cdf_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4)
+    keys = ["d", "event_type"]
+    b1 = _daily(e.filter(F.col("value") > 50)).filter(
+        F.col("d") >= _CUTOFF
+    ).select("d", "event_type", "n", "n_users")
+    merge_into_table(spark, root, b1, keys, ddl, zone_key="d", changes_feed=True)
+    delete_into_table(spark, root, "event_type = 'click'", ddl,
+                      changes_feed_keys=keys)
+    update_into_table(spark, root, "event_type = 'purchase'",
+                      {"n": "n + 100"}, ddl, changes_feed_keys=keys)
+    feed = read_changes(spark, root, 0, 3)
+    return feed.groupBy("_version", "op").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum("before_n").alias("sb"),
+        F.coalesce(F.sum("after_n"), F.lit(0)).alias("sa"),
+    ).select(
+        "_version", "op",
+        F.col("n_changes").cast("long"),
+        F.col("sb").cast("long").alias("sum_before_n"),
+        F.col("sa").cast("long").alias("sum_after_n"),
+    )

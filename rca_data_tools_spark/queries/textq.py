@@ -1054,3 +1054,102 @@ def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_n & ok_len & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+_EXPECT_RULES = {
+    "text_present": "text IS NOT NULL AND length(text) >= 1",
+    "min_length": "n_chars >= 100",
+    "lang_allowed": "lang IN ('en', 'de', 'fr', 'es')",
+    "chars_consistent": "n_chars = length(text)",
+}
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+WITH evald AS (
+  SELECT
+    COALESCE(text IS NOT NULL AND length(text) >= 1, FALSE) AS p_text,
+    COALESCE(n_chars >= 100, FALSE) AS p_len,
+    COALESCE(lang IN ('en', 'de', 'fr', 'es'), FALSE) AS p_lang,
+    COALESCE(n_chars = length(text), FALSE) AS p_chars
+  FROM documents
+)
+SELECT 'text_present' AS rule, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN p_text THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN p_text THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+FROM evald
+UNION ALL
+SELECT 'min_length', COUNT(*),
+       CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN p_len THEN 0 ELSE 1 END) AS BIGINT) FROM evald
+UNION ALL
+SELECT 'lang_allowed', COUNT(*),
+       CAST(SUM(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN p_lang THEN 0 ELSE 1 END) AS BIGINT) FROM evald
+UNION ALL
+SELECT 'chars_consistent', COUNT(*),
+       CAST(SUM(CASE WHEN p_chars THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN p_chars THEN 0 ELSE 1 END) AS BIGINT) FROM evald
+""",
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE EXPECTATIONS report (the DLT-expectations / Great-
+    Expectations gate a training-data ingest runs before a batch reaches
+    the curated table): four rules — presence, minimum length, language
+    allow-list, metadata consistency — evaluated over the documents corpus
+    in ONE scan, one row per rule with pass/fail counts. NULL predicate
+    results count as violations (an ingest gate must not wave through rows
+    it could not judge).
+
+    Scale shape: the whole report is a single aggregate projection (one
+    long per rule per task, map-side combined) + a constant-width unpivot
+    — zero shuffles beyond the final 1-row exchange, all codegen
+    (operators/expectations.py)."""
+    from rca_data_tools_spark.operators.expectations import expectation_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return expectation_stats(d, _EXPECT_RULES)
+
+
+@query(
+    "quality_quarantine",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       TRIM(TRAILING ',' FROM
+         CONCAT(
+           CASE WHEN NOT COALESCE(text IS NOT NULL AND length(text) >= 1, FALSE)
+                THEN 'text_present,' ELSE '' END,
+           CASE WHEN NOT COALESCE(n_chars >= 100, FALSE)
+                THEN 'min_length,' ELSE '' END,
+           CASE WHEN NOT COALESCE(lang IN ('en', 'de', 'fr', 'es'), FALSE)
+                THEN 'lang_allowed,' ELSE '' END,
+           CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+                THEN 'chars_consistent,' ELSE '' END
+         )) AS violated
+FROM documents
+WHERE NOT (COALESCE(text IS NOT NULL AND length(text) >= 1, FALSE)
+       AND COALESCE(n_chars >= 100, FALSE)
+       AND COALESCE(lang IN ('en', 'de', 'fr', 'es'), FALSE)
+       AND COALESCE(n_chars = length(text), FALSE))
+""",
+)
+def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUARANTINE side of the expectations gate (dead-letter table):
+    every document violating at least one rule, carrying the comma-joined
+    names of the rules it broke in DEFINITION order — the operator's
+    violations array joined to a string so the oracle can state it
+    literally. Silently dropping bad rows loses the signal a pipeline
+    needs to fix its sources; the quarantine preserves both the row and
+    the why.
+
+    Scale shape: one projection + filter over one scan; the violations
+    array is pure codegen column math (operators/expectations.py)."""
+    from rca_data_tools_spark.operators.expectations import apply_expectations
+
+    d = load_table(spark, sf_dir, "documents")
+    _passed, bad = apply_expectations(d, _EXPECT_RULES)
+    return bad.select(
+        "doc_id", "lang", "n_chars",
+        F.array_join(F.col("violations"), ",").alias("violated"),
+    )
