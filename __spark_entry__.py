@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 14 queries
-# (242 registered): 8 in the first session (DV-safe table stack, DML
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 15 queries
+# (243 registered): 8 in the first session (DV-safe table stack, DML
 # chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
 # bloom-index lookup, expectations gate).
 #
@@ -96,8 +96,7 @@ _ROUND_WINDOW = [
     "sink_changes_all_dml",
     "quality_expectations",
     "quality_quarantine",
-    # (e) fill to 50 with the NEXT-oldest greens (early rotation r07->r10)
-    "ingest_status_degrade",
+    "sink_optimize_zorder",
 ]
 
 

@@ -2254,3 +2254,59 @@ def sink_changes_all_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sb").cast("long").alias("sum_before_n"),
         F.col("sa").cast("long").alias("sum_after_n"),
     )
+
+
+@query(
+    "sink_optimize_zorder",
+    oracle="""
+WITH survivors AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE NOT COALESCE(value BETWEEN 120 AND 200, FALSE)
+)
+SELECT
+  CAST(0 AS BIGINT) AS sidecar_present,
+  (SELECT COUNT(*) FROM survivors) AS n_rows,
+  (SELECT CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM survivors)
+    AS sum_value,
+  (SELECT CAST(SUM(event_id) AS BIGINT) FROM survivors) AS sum_ids
+""",
+)
+def sink_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a chain DML: a scattered (round-robin) table
+    deletes a value band as merge-on-read vectors, then OPTIMIZE
+    re-clusters the survivors on the Morton interleave of (user_id,
+    event_id) into a new committed version — reading THROUGH the vectors
+    and clearing the sidecar, so the hashed read-back is a PLAIN scan that
+    must still show only survivors. Clustering tightness itself is footer
+    metadata (asserted in tests/test_restore_clone.py); the oracle
+    certifies the half that must never regress silently: content identity
+    and DV materialization through the re-layout.
+
+    Scale shape: the rewrite the chain owed anyway, paid with ONE
+    repartitionByRange shuffle on the Morton key; bounds are a 4-long
+    aggregate; every later filter on EITHER clustered column prunes files
+    by parquet footer min/max (sinks.optimize_table)."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, has_deletes, optimize_table,
+    )
+
+    ddl = "event_id long, user_id long, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_zorder_")
+    create_table(e.repartition(8), root)
+    delete_into_table(spark, root, "value BETWEEN 120 AND 200", ddl)
+    st = optimize_table(spark, root, target_bytes=1 << 22,
+                        zorder_cols=["user_id", "event_id"])
+    vdir = os.path.join(root, f"v{st['version']}")
+    back = spark.read.schema(ddl).parquet(vdir)  # plain scan: deletes physical
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.sum("event_id").alias("sum_ids"),
+    ).select(
+        F.lit(int(has_deletes(vdir))).cast("long").alias("sidecar_present"),
+        F.col("n_rows").cast("long"),
+        "sum_value",
+        F.col("sum_ids").cast("long"),
+    )

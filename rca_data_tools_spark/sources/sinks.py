@@ -1157,6 +1157,7 @@ def optimize_table(
     table_root: str,
     target_bytes: int = 128 * 1024 * 1024,
     retries: int = 3,
+    zorder_cols: "list[str] | None" = None,
 ) -> dict:
     """OPTIMIZE as a chain-advancing version (the table-format shape —
     Delta OPTIMIZE writes a new snapshot, it never mutates one): the new
@@ -1164,7 +1165,17 @@ def optimize_table(
     files THROUGH its deletion vectors (materialize + clear, compaction
     semantics), leaving every old version — including its sidecar —
     untouched for time travel. History reclaim stays ``vacuum_versions``'s
-    job. Returns {"files_before", "files_after", "bytes", "version",
+    job.
+
+    ``zorder_cols`` (exactly two columns) makes it OPTIMIZE ZORDER: the
+    rewrite range-partitions + sorts on the Morton interleave of both
+    columns (write_clustered's layout), so each output file covers a tight
+    range of BOTH dimensions and parquet footer min/max prunes filters on
+    either — the periodic re-cluster a maintained table runs after enough
+    merges have scattered its layout. Costs the same one shuffle the plain
+    rewrite pays (repartitionByRange instead of round-robin).
+
+    Returns {"files_before", "files_after", "bytes", "version",
     "attempts"}."""
     import math
 
@@ -1183,7 +1194,34 @@ def optimize_table(
         # scan at full parallelism and the write at the target file count —
         # the right trade for the chain's owed rewrite (compact_partitioned
         # keeps coalesce: its contract is the zero-shuffle maintenance pass)
-        df.repartition(n_files).write.mode("append").parquet(out_dir)
+        if zorder_cols is not None:
+            from rca_data_tools_spark.operators.layout import bin_to, zorder_key
+
+            a, b = zorder_cols
+            bounds = df.agg(
+                F.min(a).alias("alo"), F.max(a).alias("ahi"),
+                F.min(b).alias("blo"), F.max(b).alias("bhi"),
+            ).collect()[0]
+            if any(bounds[c] is None for c in ("alo", "ahi", "blo", "bhi")):
+                df.repartition(n_files).write.mode("append").parquet(out_dir)
+            else:
+                zk = zorder_key(
+                    bin_to(F.col(a).cast("long"), F.lit(int(bounds["alo"])),
+                           F.lit(int(bounds["ahi"])), 8),
+                    bin_to(F.col(b).cast("long"), F.lit(int(bounds["blo"])),
+                           F.lit(int(bounds["bhi"])), 8),
+                    8,
+                )
+                (
+                    df.withColumn("__zkey", zk)
+                    .repartitionByRange(n_files, "__zkey")
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                    .write.mode("append")
+                    .parquet(out_dir)
+                )
+        else:
+            df.repartition(n_files).write.mode("append").parquet(out_dir)
         # OPTIMIZE is CONTENT-NEUTRAL: its change feed is EMPTY, not
         # missing — mark it so read_changes ranges cross it cleanly
         # (Delta's table_changes likewise skips data-neutral commits)

@@ -416,11 +416,31 @@ def _start_merge_stream(
         ]
         return max(marked) if marked else max(vs)
 
+    # writer identity: every version a merge stream writes carries a
+    # ``_writer`` tag ("stream\n{ver}"). A replayed/reprocessed batch may
+    # rebuild ONLY a stream-written version — before this guard, a stream
+    # (re)started against a chain that a BATCH DML (merge_into_table /
+    # delete_into_table / restore_table ...) had advanced would silently
+    # rmtree the DML's committed version that happened to share its
+    # batch-id-derived number. Untagged versions (DML commits,
+    # create_table's v0) now refuse loudly; stream-written versions keep
+    # the documented idempotent-replay/reprocess contract (a FRESH
+    # checkpoint may legitimately rebuild them from their predecessors).
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         ver = int(batch_id) + 1
         prev = _latest_below(ver)
         out = os.path.join(table_root, f"v{ver}")
         if os.path.exists(out):  # replayed batch: rebuild deterministically
+            tag_path = os.path.join(out, "_writer")
+            tag = open(tag_path).read() if os.path.exists(tag_path) else None
+            if tag != f"stream\n{ver}":
+                raise RuntimeError(
+                    f"stream merge: v{ver} of {table_root} exists but was "
+                    "not written by a merge stream (a batch DML advanced "
+                    "the chain); refusing to destroy it — continue the "
+                    "chain with batch DML, or stream into a fresh "
+                    "table_root"
+                )
             shutil.rmtree(out)
         flag = None
         if delete_col is not None:
@@ -445,6 +465,8 @@ def _start_merge_stream(
             schema_ddl,
             delete_col=flag,
         )
+        with open(os.path.join(out, "_writer"), "w") as fh:
+            fh.write(f"stream\n{ver}")
         mark_committed(out)
 
     return (

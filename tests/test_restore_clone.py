@@ -208,3 +208,67 @@ def test_vacuum_counts_sidecar_bytes(spark, tmp_path):
     assert st["removed"] == ["v0", "v1"]
     assert st["bytes_freed"] > 0
     assert read_version(spark, root, DDL).count() == 50
+
+
+def test_optimize_zorder_clusters_through_deletes(spark, tmp_path):
+    """OPTIMIZE ZORDER as a chain DML: the rewrite must (a) subtract the
+    base's deletion vectors and clear the sidecar, (b) leave every output
+    file's footer min/max tight on BOTH clustering columns, (c) land as a
+    new committed version with old history intact."""
+    import pyarrow.parquet as pq
+
+    from rca_data_tools_spark.sources.sinks import (
+        has_deletes, optimize_table,
+    )
+
+    src = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 977).alias("grp2"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    root = str(tmp_path / "t")
+    v0 = os.path.join(root, "v0")
+    os.makedirs(root)
+    # scattered layout: round-robin over both dims
+    src.withColumn("grp", F.col("grp2").cast("string")).select(
+        "k", "grp2", "val"
+    ).repartition(8).write.parquet(v0)
+    from rca_data_tools_spark.sources.sinks import mark_committed
+    mark_committed(v0)
+    delete_into_table(spark, root, "k % 10 = 0", "k bigint, grp2 bigint, val double")
+
+    st = optimize_table(spark, root, target_bytes=1 << 15,
+                        zorder_cols=["k", "grp2"])
+    vdir = os.path.join(root, f"v{st['version']}")
+    assert not has_deletes(vdir)  # vectors materialized + cleared
+    back = spark.read.parquet(vdir)
+    assert back.count() == 18000
+    assert back.filter(F.col("k") % 10 == 0).count() == 0
+
+    # footer tightness on both dims vs the global ranges
+    spans = []
+    for f in os.listdir(vdir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(vdir, f)).metadata
+        kmin = kmax = gmin = gmax = None
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                c = row.column(ci)
+                if c.statistics is None:
+                    continue
+                if c.path_in_schema == "k":
+                    kmin = c.statistics.min if kmin is None else min(kmin, c.statistics.min)
+                    kmax = c.statistics.max if kmax is None else max(kmax, c.statistics.max)
+                if c.path_in_schema == "grp2":
+                    gmin = c.statistics.min if gmin is None else min(gmin, c.statistics.min)
+                    gmax = c.statistics.max if gmax is None else max(gmax, c.statistics.max)
+        if kmin is not None:
+            spans.append(((kmax - kmin) / 20000, (gmax - gmin) / 977))
+    assert len(spans) >= 3
+    mean_k = sum(s[0] for s in spans) / len(spans)
+    mean_g = sum(s[1] for s in spans) / len(spans)
+    assert mean_k <= 0.6 and mean_g <= 0.6, (mean_k, mean_g)
+    # history: v1's DV-subtracted read still works
+    assert read_version(spark, root, "k bigint, grp2 bigint, val double", n=1).count() == 18000

@@ -1050,3 +1050,51 @@ def test_stream_table_changes_incremental_consumption(spark, tmp_path):
     )
     second = drain("cdf2")  # same checkpoint: only v2's feed arrives
     assert second == {(2, 100): ("update", 1.0, 2.0)}
+
+
+def test_stream_merge_refuses_to_destroy_dml_version(spark, tmp_path):
+    """Writer-identity guard: a merge stream names versions by batch id, so
+    a stream started against a chain that BATCH DML advanced would want to
+    rebuild (rmtree!) the DML's committed version. Stream-written versions
+    carry a _writer tag and may rebuild on replay; an untagged (DML)
+    version must refuse loudly instead of being silently destroyed."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, read_version,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_merge_upsert
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    create_table(daily.select("d", "event_type", "n", "n_users"), root,
+                 zone_key="d", n_files=4)
+    delete_into_table(spark, root, "event_type = 'click'", ddl)  # v1: DML
+    v1_rows = read_version(spark, root, ddl, n=1).count()
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b = daily.filter(F.col("d") >= "2024-01-10").select(
+        "d", "event_type", "n", "n_users"
+    )
+    b.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(str(tmp_path / "stage"), part),
+              os.path.join(feed, "batch-0.parquet"))
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_merge_upsert(stream, root, ["d", "event_type"], ddl,
+                            str(tmp_path / "ck"))
+    import pytest
+
+    with pytest.raises(StreamingQueryException, match="not written by a merge stream"):
+        q.awaitTermination()
+    # the DML version survived untouched
+    assert read_version(spark, root, ddl, n=1).count() == v1_rows
