@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 15 queries
-# (243 registered): 8 in the first session (DV-safe table stack, DML
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 16 queries
+# (244 registered): 8 in the first session (DV-safe table stack, DML
 # chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
 # bloom-index lookup, expectations gate).
 #
@@ -68,7 +68,6 @@ _ROUND_WINDOW = [
     "ingest_sheet_hitl",
     "layout_zorder_clustering",
     "media_audio_features",
-    "media_audio_frames",
     "qc_rate_of_change",
     "qc_spike_test",
     "quality_classifier_score",
@@ -97,6 +96,7 @@ _ROUND_WINDOW = [
     "quality_expectations",
     "quality_quarantine",
     "sink_optimize_zorder",
+    "streaming_merge_quarantine",
 ]
 
 

@@ -2310,3 +2310,113 @@ def sink_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.col("sum_ids").cast("long"),
     )
+
+
+@query(
+    "streaming_merge_quarantine",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 30 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT1}'
+), b2 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 60 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT2}'
+), final_table AS (
+  -- the injected bad rows never reach the table: the clean replay
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.d = f.d AND b1.event_type = f.event_type)
+    AND NOT EXISTS (SELECT 1 FROM b2 WHERE b2.d = f.d AND b2.event_type = f.event_type)
+  UNION ALL
+  SELECT o.d, o.event_type, o.n, o.n_users FROM b1 o
+  WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.d = o.d AND b2.event_type = o.event_type)
+  UNION ALL
+  SELECT d, event_type, n, n_users FROM b2
+)
+SELECT d, event_type, n, CAST(NULL AS BIGINT) AS batch, '' AS violated
+FROM final_table
+UNION ALL
+SELECT '2024-02-01', 'badtype', -1, 0, 'n_nonneg'
+UNION ALL
+SELECT '2024-02-02', 'view', 10, 1, 'users_present'
+""",
+)
+def streaming_merge_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPECTATIONS GATE inside the streaming ingest-to-merge loop:
+    each of two correction micro-batches carries one deliberately bad row
+    (a negative count; a NULL user count) alongside its real corrections.
+    stream_merge_expectations splits every batch on the declarative rules
+    — clean rows MERGE into the version chain, violating rows land in a
+    per-batch quarantine partition carrying the rule names they broke. The
+    hashed output is the final table (which must equal the clean two-merge
+    replay: no bad row ever admitted, no good row dropped) UNIONED with the
+    quarantine detail (which must be exactly the two injected rows, tagged
+    with their batch and rule). A gate that leaked, over-dropped, or
+    mis-attributed a rule hash-mismatches.
+
+    Scale shape: the rules fuse into the batch scan as codegen predicates
+    (zero extra jobs); the quarantine write is O(bad rows) per batch and
+    replay-idempotent (a replayed batch rebuilds its partition, matching
+    the version rebuild on the merge side)."""
+    from rca_data_tools_spark.streaming.joins import stream_merge_expectations
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_stream_quar_")
+    _daily(e).select("d", "event_type", "n", "n_users").write.parquet(
+        os.path.join(root, "v0")
+    )
+
+    bad = [
+        spark.createDataFrame([("2024-02-01", "badtype", -1, 0)], ddl),
+        spark.createDataFrame([("2024-02-02", "view", 10, None)], ddl),
+    ]
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    batches = [
+        _daily(e.filter(F.col("value") > 30)).filter(F.col("d") >= _SM_CUT1),
+        _daily(e.filter(F.col("value") > 60)).filter(F.col("d") >= _SM_CUT2),
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(root, f"stage{i}")
+        b.select("d", "event_type", "n", "n_users").unionByName(
+            bad[i]
+        ).coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    qdir = os.path.join(root, "quarantine")
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = stream_merge_expectations(
+        stream, root, ["d", "event_type"], ddl, os.path.join(root, "ckpt"),
+        rules={"n_nonneg": "n >= 0", "users_present": "n_users IS NOT NULL"},
+        quarantine_dir=qdir,
+    )
+    q.awaitTermination()
+    latest = max(
+        int(d[1:]) for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit()
+    )
+    table = spark.read.schema(ddl).parquet(os.path.join(root, f"v{latest}")).select(
+        "d", "event_type", "n",
+        F.lit(None).cast("long").alias("batch"),
+        F.lit("").alias("violated"),
+    )
+    quar = spark.read.parquet(qdir).select(
+        "d", "event_type", "n",
+        F.col("batch").cast("long"),
+        F.col("violations").alias("violated"),
+    )
+    return table.unionByName(quar)

@@ -378,6 +378,38 @@ def stream_merge_cdc(
     )
 
 
+def stream_merge_expectations(
+    stream: DataFrame,
+    table_root: str,
+    keys: list[str],
+    schema_ddl: str,
+    checkpoint_dir: str,
+    rules: "dict[str, str]",
+    quarantine_dir: str,
+    version_col: "str | None" = None,
+):
+    """stream_merge_upsert with the EXPECTATIONS GATE in the loop: every
+    micro-batch splits on the declarative rules (operators/expectations) —
+    clean rows merge into the version chain exactly as stream_merge_upsert,
+    violating rows land in a per-batch quarantine partition
+    (``quarantine_dir/batch=N/``) carrying the rule names they broke. The
+    streaming ingest never silently drops OR silently admits a bad row,
+    and the quarantine write is replay-idempotent: a replayed batch
+    REBUILDS its partition (delete + rewrite), so crash-and-retry leaves
+    the same quarantine exactly once — matching the version rebuild on the
+    merge side.
+
+    Scale shape: the rules are codegen predicates fused into the batch
+    scan (zero extra jobs beyond the quarantine write, which is O(bad
+    rows)); everything else is stream_merge_upsert's O(touched files) per
+    batch."""
+    return _start_merge_stream(
+        stream, table_root, keys, schema_ddl, checkpoint_dir,
+        version_col=version_col, delete_col=None,
+        rules=rules, quarantine_dir=quarantine_dir,
+    )
+
+
 def _start_merge_stream(
     stream: DataFrame,
     table_root: str,
@@ -386,6 +418,8 @@ def _start_merge_stream(
     checkpoint_dir: str,
     version_col: "str | None",
     delete_col: "str | None",
+    rules: "dict[str, str] | None" = None,
+    quarantine_dir: "str | None" = None,
 ):
     import os
     import shutil
@@ -442,6 +476,18 @@ def _start_merge_stream(
                     "table_root"
                 )
             shutil.rmtree(out)
+        if rules is not None:
+            from rca_data_tools_spark.operators.expectations import (
+                apply_expectations,
+            )
+
+            batch_df, bad = apply_expectations(batch_df, rules)
+            qdir = os.path.join(quarantine_dir, f"batch={int(batch_id)}")
+            if os.path.exists(qdir):  # replayed batch: rebuild its partition
+                shutil.rmtree(qdir)
+            bad.withColumn(
+                "violations", F.array_join(F.col("violations"), ",")
+            ).write.parquet(qdir)
         flag = None
         if delete_col is not None:
             # op column -> boolean delete flag (the merge drops the column)

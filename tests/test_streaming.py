@@ -1098,3 +1098,66 @@ def test_stream_merge_refuses_to_destroy_dml_version(spark, tmp_path):
         q.awaitTermination()
     # the DML version survived untouched
     assert read_version(spark, root, ddl, n=1).count() == v1_rows
+
+
+def test_stream_merge_expectations_quarantine_replay_idempotent(spark, tmp_path):
+    """The streaming expectations gate must (a) merge only clean rows,
+    (b) quarantine violating rows with their rule names, and (c) stay
+    idempotent under full reprocess: a second drain with a fresh
+    checkpoint rebuilds both the versions AND the quarantine partitions —
+    no duplicated quarantine rows, identical final table."""
+    import os
+    import shutil
+
+    from rca_data_tools_spark.streaming.joins import stream_merge_expectations
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    os.makedirs(root)
+    daily.select("d", "event_type", "n", "n_users").write.parquet(
+        os.path.join(root, "v0")
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b = daily.filter(F.col("d") >= "2024-01-10").select(
+        "d", "event_type", "n", "n_users"
+    ).unionByName(
+        spark.createDataFrame([("2024-03-01", "bad", -5, 1)], ddl)
+    )
+    b.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(str(tmp_path / "stage"), part),
+              os.path.join(feed, "batch-0.parquet"))
+
+    qdir = str(tmp_path / "quar")
+    rules = {"n_nonneg": "n >= 0"}
+
+    def _drain(ck):
+        stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+        q = stream_merge_expectations(
+            stream, root, ["d", "event_type"], ddl, ck, rules, qdir
+        )
+        q.awaitTermination()
+
+    _drain(str(tmp_path / "ck1"))
+    table1 = sorted(map(tuple, spark.read.schema(ddl).parquet(
+        os.path.join(root, "v1")).collect()))
+    quar1 = sorted(map(tuple, spark.read.parquet(qdir)
+                       .select("d", "event_type", "n", "violations").collect()))
+    assert quar1 == [("2024-03-01", "bad", -5, "n_nonneg")]
+    assert ("2024-03-01", "bad", -5, 1) not in table1  # never admitted
+
+    # full reprocess with a fresh checkpoint: identical table, identical
+    # (not doubled) quarantine
+    shutil.rmtree(str(tmp_path / "ck1"))
+    _drain(str(tmp_path / "ck2"))
+    table2 = sorted(map(tuple, spark.read.schema(ddl).parquet(
+        os.path.join(root, "v1")).collect()))
+    quar2 = sorted(map(tuple, spark.read.parquet(qdir)
+                       .select("d", "event_type", "n", "violations").collect()))
+    assert table2 == table1 and quar2 == quar1
