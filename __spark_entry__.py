@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 16 queries
-# (244 registered): 8 in the first session (DV-safe table stack, DML
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 17 queries
+# (245 registered): 8 in the first session (DV-safe table stack, DML
 # chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
 # bloom-index lookup, expectations gate).
 #
@@ -80,7 +80,6 @@ _ROUND_WINDOW = [
     "streaming_cdc_matches",
     "streaming_neardup_matches",
     "streaming_qaqc_rollup",
-    "text_vocab_growth",
     "w10_windowed_lttb",
     "w_seasonal_decompose",
     # r05-cohort per VERDICT's enumeration (checked in the r05 window)
@@ -97,6 +96,7 @@ _ROUND_WINDOW = [
     "quality_quarantine",
     "sink_optimize_zorder",
     "streaming_merge_quarantine",
+    "dedup_edit_distance",
 ]
 
 
