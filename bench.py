@@ -33,6 +33,7 @@ HEADLINE = [
     "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_edit_distance",
     "ann_topk_cosine",
     "ann_ivf_topk",
     "text_quality_scores",
@@ -332,6 +333,7 @@ def main() -> None:
     # can't masquerade as a perf regression.
     heavy = {
         "dedup_minhash_lsh",
+        "dedup_edit_distance",
         "pipeline_qaqc_job",
         "ann_topk_cosine",
         "w4_lttb_decimation",

@@ -923,6 +923,40 @@ def read_changes(
     return functools.reduce(DataFrame.unionByName, parts)
 
 
+def replay_changes(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFrame:
+    """Materialize a DOWNSTREAM REPLICA from a base snapshot plus a
+    change-data-feed (read_changes' output: keys, op, before_*/after_*,
+    ``_version``) — the consumer half of the CDF contract: a replica
+    maintained this way must equal the table itself at the feed's last
+    version (proven by ``sink_changes_replay``'s oracle and the lifecycle
+    tests).
+
+    Semantics: per key, the HIGHEST-version event wins (at most one event
+    per key per version — the merge dup guard and the DML predicates
+    guarantee it); a winning 'delete' is a tombstone (the key disappears),
+    a winning insert/update contributes its after-image; keys the feed
+    never touched survive from the base.
+
+    Scale shape: one map-combined max_by per key over the feed (O(feed)),
+    one anti-join of the base against the touched keys — never a snapshot
+    diff, never a per-version loop."""
+    after_cols = [c for c in feed.columns if c.startswith("after_")]
+    value_cols = [c[len("after_"):] for c in after_cols]
+    missing = [c for c in (*keys, *value_cols) if c not in base.columns]
+    if missing:
+        raise ValueError(f"replay_changes: feed columns not in base: {missing}")
+    winner = feed.groupBy(*keys).agg(
+        F.max_by("op", "_version").alias("__op"),
+        *[
+            F.max_by(f"after_{c}", "_version").alias(c)
+            for c in value_cols
+        ],
+    )
+    survivors = base.join(winner.select(*keys), keys, "left_anti")
+    upserts = winner.filter(F.col("__op") != "delete").select(*keys, *value_cols)
+    return survivors.select(*keys, *value_cols).unionByName(upserts)
+
+
 def _advance_table(table_root: str, build, retries: int = 3) -> dict:
     """The claim → build → publish loop every chain-advancing DML shares
     (MERGE, DELETE, UPDATE, OPTIMIZE): read the latest committed version,
