@@ -115,11 +115,36 @@ def build_bloom_index(
         )
 
     packed = pos.groupBy("f").applyInPandas(_pack, schema=BLOOM_DDL)
-    packed.coalesce(1).write.mode("overwrite").parquet(_bloom_dir(table_dir))
-    # remember the key's Spark type so probes hash the same bytes
-    with open(os.path.join(_bloom_dir(table_dir), "_key_type"), "w") as fh:
-        fh.write(key_type)
-    return spark.read.schema(BLOOM_DDL).parquet(_bloom_dir(table_dir)).count()
+    bdir = _bloom_dir(table_dir)
+    types: dict = {}
+    if os.path.isdir(bdir):
+        # indexes COMPOSE per key: keep other keys' rows, replace this
+        # key's (a rebuild), and merge the key-type registry — building a
+        # second index must never destroy the first
+        prior = spark.read.schema(BLOOM_DDL).parquet(bdir).filter(
+            F.col("key") != key_col
+        )
+        packed = packed.unionByName(prior)
+        tpath = os.path.join(bdir, "_key_type")
+        if os.path.exists(tpath):
+            for line in open(tpath).read().splitlines():
+                if "=" in line:
+                    k, _, t = line.partition("=")
+                    types[k] = t
+    types[key_col] = key_type
+    tmp = bdir + ".__rebuild__"
+    packed.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(bdir):
+        import shutil
+
+        shutil.rmtree(bdir)
+    os.rename(tmp, bdir)
+    with open(os.path.join(bdir, "_key_type"), "w") as fh:
+        fh.write("\n".join(f"{k}={t}" for k, t in sorted(types.items())))
+    return (
+        spark.read.schema(BLOOM_DDL).parquet(bdir)
+        .filter(F.col("key") == key_col).count()
+    )
 
 
 def has_bloom_index(table_dir: str) -> bool:
@@ -140,7 +165,15 @@ def bloom_candidate_files(
     if not has_bloom_index(table_dir):
         return data_files, len(data_files)
     bdir = _bloom_dir(table_dir)
-    ktype = open(os.path.join(bdir, "_key_type")).read().strip()
+    types = {}
+    for line in open(os.path.join(bdir, "_key_type")).read().splitlines():
+        if "=" in line:
+            k, _, t = line.partition("=")
+            types[k] = t
+    if key_col not in types:
+        # no index for THIS key: every file is a candidate (exact scan)
+        return data_files, len(data_files)
+    ktype = types[key_col]
     bl = spark.read.schema(BLOOM_DDL).parquet(bdir).filter(
         F.col("key") == key_col
     )
