@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 18 queries
-# (246 registered): 8 in the first session (DV-safe table stack, DML
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 20 queries
+# (248 registered): 8 in the first session (DV-safe table stack, DML
 # chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
 # bloom-index lookup, expectations gate).
 #
@@ -73,10 +73,8 @@ _ROUND_WINDOW = [
     "quality_classifier_score",
     "quality_classifier_train",
     "sample_temperature_mix",
-    "sink_csv_roundtrip",
     "sink_partition_overwrite",
     "sink_stale_reconcile",
-    "streaming_cdc_matches",
     "streaming_neardup_matches",
     "streaming_qaqc_rollup",
     "w10_windowed_lttb",
@@ -97,6 +95,8 @@ _ROUND_WINDOW = [
     "streaming_merge_quarantine",
     "dedup_edit_distance",
     "sink_changes_replay",
+    "ann_index_incremental",
+    "join_salted_skew",
 ]
 
 

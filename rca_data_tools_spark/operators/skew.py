@@ -49,3 +49,51 @@ def two_stage_agg(
     return partial.groupBy(*keys).agg(
         *[final.alias(out) for out, (_expr, final) in aggs.items()]
     )
+
+
+SALT_COL = "__salt"
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join — the hot-key fix for JOINs whose explosion lives
+    INSIDE one key value, where AQE's post-shuffle partition splitting
+    cannot help (it splits by size, but every row of the key still hashes
+    to one partition pre-split on the build side).
+
+    Recipe (the classic): the LEFT (probe) side gets the deterministic
+    per-row salt from ``salted`` (xxhash64 of the row — replays and task
+    retries re-derive it); the RIGHT (build) side REPLICATES across all
+    ``n_salts`` values (explode — cost n_salts× the build side, which is
+    why this applies when the build side is the smaller of two
+    non-broadcastable inputs); the join key becomes (keys…, salt), so a
+    hot key's rows spread over n_salts partitions instead of one.
+
+    The RESULT SET is identical to the unsalted join for EVERY salt
+    assignment — each left row meets each matching right row exactly once,
+    in the one partition its salt selects — certified by the
+    ``join_salted_skew`` oracle. ``how`` supports 'inner' and 'left'
+    (replication preserves both). A ``merge`` hint pins the shuffle path
+    so the salted exchange actually runs (on a cluster the build side is
+    too big to broadcast — the scenario salting exists for)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    if n_salts < 2:
+        raise ValueError("n_salts must be >= 2 (1 would be the plain join)")
+    missing = [k for k in keys if k not in left.columns or k not in right.columns]
+    if missing:
+        raise ValueError(f"join keys missing: {missing}")
+    l = salted(left, n_salts)
+    r = right.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out_cols = left.columns + [c for c in right.columns if c not in keys]
+    return (
+        l.join(r.hint("merge"), [*keys, SALT_COL], how)
+        .select(*out_cols)
+    )

@@ -585,3 +585,44 @@ def j11_interval_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(gap_ms).alias("gap_ms"),
         F.sum(F.when(is_gap, 1).otherwise(0)).cast("bigint").alias("n_gaps"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT l.event_type,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(l.user_id * r.user_id) AS BIGINT) AS xprod
+FROM events l
+JOIN (SELECT event_type, user_id FROM events WHERE value > 90) r
+  ON r.event_type = l.event_type
+GROUP BY l.event_type
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED JOIN on a pathologically hot key: events⋈events on
+    event_type — FIVE distinct values, so an unsalted shuffle join puts
+    ~20% of BOTH sides in each of five tasks no matter how many executors
+    exist (the straggler/OOM shape at 100 TB). salted_equi_join spreads
+    every hot key over 16 salt partitions (left side salted
+    deterministically, right side replicated 16×) and the result —
+    certified against the plain SQL join — is identical pair-for-pair.
+    The exchange-on-(key, salt) physical shape is plan-asserted in
+    tests/test_operators.py.
+
+    Scale shape: parallelism becomes keys×n_salts instead of keys; the
+    price is n_salts× the build side, which is why the recipe applies when
+    the build side is the smaller non-broadcastable input (a broadcastable
+    dim needs no salt — see j5)."""
+    from rca_data_tools_spark.operators.skew import salted_equi_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_type", "user_id")
+    right = e.filter(F.col("value") > 90).select("event_type", "user_id")
+    joined = salted_equi_join(
+        left, right.withColumnRenamed("user_id", "r_user_id"), ["event_type"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("user_id") * F.col("r_user_id")).cast("bigint").alias("xprod"),
+    )

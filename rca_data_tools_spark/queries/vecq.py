@@ -1140,11 +1140,15 @@ def ann_ivf_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(q_where: str = "vec_id < 10") -> str:
+def _ivfpq_oracle(q_where: str = "vec_id < 10", train_where: str = "TRUE") -> str:
     """IVFPQ replay: the PQ CTE block (codebook/encode/LUT — _pq_oracle)
     with the ADC scan RESTRICTED to each query's nprobe IVF lists.
     ``q_where`` picks the query set — the batch face runs EVERY vector as
-    a query (corpus×corpus ANN), the serving face the first ten."""
+    a query (corpus×corpus ANN), the serving face the first ten.
+    ``train_where`` restricts the TRAINING corpus (centroids + codebook)
+    for the incremental-ingest face, where the index is trained on the
+    initial corpus and later batches are encoded with the frozen
+    quantizers — the encode/search CTEs always cover ALL vectors."""
     sub_v = "list_slice(v.v, cb.m*16+1, cb.m*16+16)"
     sub_q = "list_slice(q.qv, cb.m*16+1, cb.m*16+16)"
     lut_joins = "\n  ".join(
@@ -1159,7 +1163,7 @@ WITH v AS (
 cents AS (
   SELECT CAST((rn - 1) / 29 AS BIGINT) AS cid, embedding AS cvec
   FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-        FROM embeddings)
+        FROM embeddings WHERE {train_where})
   WHERE (rn - 1) % 29 = 0 AND rn <= 29 * 16
 ),
 ivflists AS (
@@ -1182,7 +1186,8 @@ probes AS (
 cb AS (
   SELECT g.m AS m, CAST((rn - 1) // 23 AS BIGINT) AS j,
          list_slice(v, g.m*16+1, g.m*16+16) AS cvec
-  FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v),
+  FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM (SELECT vec_id, v FROM v WHERE {train_where})),
        unnest(generate_series(0, 3)) AS g(m)
   WHERE (rn - 1) % 23 = 0 AND rn <= {23 * 16}
 ),
@@ -1337,4 +1342,51 @@ def ann_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_batch_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         k=5, n_lists=16, stride=29, nprobe=4, n_candidates=32,
+    ).select("q_id", "vec_id", "approx_dist", "cos_sim", "rank")
+
+
+@query(
+    "ann_index_incremental",
+    oracle=_ivfpq_oracle(train_where="vec_id % 5 <> 0"),
+)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index ingest — the vector-store lifecycle's second verb
+    (after ann_index_persisted's build-once/search-many): the IVFPQ index
+    is TRAINED on the initial corpus (80%: vec_id % 5 != 0), then a later
+    batch (the remaining 20%) is ingested by encoding it with the FROZEN
+    quantizers — ivf_assign to the existing centroids + pq_encode with the
+    existing codebook, appended to the encoded table. No retrain, no
+    rescan of the initial corpus: ingest costs O(batch) exactly like a
+    production store's add(). Search runs over the combined encoded table
+    and must rank initial and ingested vectors identically to an index
+    whose encode pass had seen them all from the start (encoding is
+    time-invariant given frozen quantizers) — which is what the oracle
+    replays: quantizers trained on the 80%, encode/search over ALL.
+
+    Scale shape: ingest is one Arrow-kernel scan of the batch (zero
+    shuffles) + an append; the search is the standard restricted-ADC scan.
+    Quantizer drift (when the ingested distribution diverges) is a
+    REBUILD decision, measured by recall reports — never silently
+    retrained under the reader."""
+    from rca_data_tools_spark.operators.similarity import (
+        PQ_K, PQ_M, ivf_assign, ivf_pq_build, ivf_pq_search, pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    initial = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    cent_rows, cb_rows, enc0 = ivf_pq_build(initial, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    if enc0 is None:
+        return ivf_pq_search(e, q, cent_rows, cb_rows, None, "vec_id", "embedding")
+    lists_new = ivf_assign(batch, cent_rows, "vec_id", "embedding", nprobe=1)
+    enc_new = pq_encode(
+        lists_new, cb_rows, "vec_id", "embedding", m=PQ_M, k=PQ_K, keep=["cid"]
+    )
+    enc = enc0.unionByName(enc_new)
+    return ivf_pq_search(
+        e, q, cent_rows, cb_rows, enc, "vec_id", "embedding",
+        k=5, nprobe=4, n_candidates=32,
     ).select("q_id", "vec_id", "approx_dist", "cos_sim", "rank")

@@ -349,3 +349,35 @@ def test_ivf_pq_batch_plan_is_query_count_independent(spark):
 
     small, large = plan_len(10), plan_len(200)
     assert large <= small * 1.2, (small, large)
+
+
+def test_salted_join_matches_plain_and_exchanges_on_salt(spark):
+    """salted_equi_join must return exactly the plain join's rows, and its
+    physical plan must exchange on (key, salt) — the whole point: a hot
+    key's rows spread across n_salts partitions instead of one."""
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.operators.skew import SALT_COL, salted_equi_join
+
+    left = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("k"),  # 3 hot keys
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").alias("rv"),
+    )
+    salted = salted_equi_join(left, right, ["k"], n_salts=8)
+    plain = left.join(right, "k")
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL in plan.split("Exchange hashpartitioning", 1)[-1][:200], plan[:2000]
+
+    # left join: unmatched left rows survive exactly once
+    l2 = left.unionByName(
+        spark.createDataFrame([("zz", -1)], "k string, lv long")
+    )
+    s2 = salted_equi_join(l2, right, ["k"], n_salts=8, how="left")
+    p2 = l2.join(right, "k", "left")
+    assert s2.exceptAll(p2).isEmpty() and p2.exceptAll(s2).isEmpty()
