@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 20 queries
-# (248 registered): 8 in the first session (DV-safe table stack, DML
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 21 queries
+# (249 registered): 8 in the first session (DV-safe table stack, DML
 # chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
 # bloom-index lookup, expectations gate).
 #
@@ -70,7 +70,6 @@ _ROUND_WINDOW = [
     "media_audio_features",
     "qc_rate_of_change",
     "qc_spike_test",
-    "quality_classifier_score",
     "quality_classifier_train",
     "sample_temperature_mix",
     "sink_partition_overwrite",
@@ -97,6 +96,7 @@ _ROUND_WINDOW = [
     "sink_changes_replay",
     "ann_index_incremental",
     "join_salted_skew",
+    "pipeline_curated_table",
 ]
 
 

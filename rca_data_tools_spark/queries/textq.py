@@ -1153,3 +1153,86 @@ def quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars",
         F.array_join(F.col("violations"), ",").alias("violated"),
     )
+
+
+@query(
+    "pipeline_curated_table",
+    oracle=r"""
+WITH gated AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text
+  FROM documents
+  WHERE COALESCE(text IS NOT NULL AND length(text) >= 1, FALSE)
+    AND COALESCE(n_chars >= 100, FALSE)
+    AND COALESCE(lang IN ('en', 'de', 'fr', 'es'), FALSE)
+    AND COALESCE(n_chars = length(text), FALSE)
+), canonical AS (
+  SELECT MIN(doc_id) AS doc_id, norm_text,
+         COUNT(*) AS group_size
+  FROM gated GROUP BY norm_text
+), curated AS (
+  SELECT c.doc_id, g.lang, g.n_chars, c.group_size
+  FROM canonical c JOIN gated g ON g.doc_id = c.doc_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(group_size) AS BIGINT) AS sum_sources
+FROM curated GROUP BY lang
+""",
+)
+def pipeline_curated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curated-table ingest — the lifecycle a training-data
+    lakehouse actually runs, composed from this round's components: raw
+    documents pass the EXPECTATIONS GATE (four rules, violating rows
+    quarantined — never silently dropped), survivors EXACT-DEDUP to a
+    canonical doc per normalized text (group_size counts the sources), and
+    the curated batch MERGEs into a copy-on-write table chain under CHECK
+    CONSTRAINTS (non-null key, positive length — enforced in-plan at the
+    write). The hashed result reads the COMMITTED TABLE back through
+    read_version, per-language: a leaky gate, a dedup that dropped a
+    canonical row, a constraint that mutated data, or a merge that lost a
+    row all hash-mismatch against the SQL replay of the same stages.
+
+    Scale shape: gate = codegen predicates fused into the scan; dedup = one
+    32-byte-fingerprint shuffle; merge = merge_upsert_pruned's O(touched
+    files); the read-back is the committed version's plain scan."""
+    import os
+    import tempfile
+
+    from rca_data_tools_spark.operators.expectations import apply_expectations
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, merge_into_table, read_version,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    gated, _quarantine = apply_expectations(d, _EXPECT_RULES)
+    norm = gated.select(
+        "doc_id", "lang", "n_chars",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+    )
+    canonical = norm.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    curated = canonical.join(norm, ["fp", "doc_id"]).select(
+        "doc_id", "lang", "n_chars", "group_size"
+    )
+
+    ddl = "doc_id bigint, lang string, n_chars bigint, group_size bigint"
+    root = tempfile.mkdtemp(prefix="rca_curated_")
+    create_table(
+        spark.createDataFrame([], ddl), root, zone_key="doc_id"
+    )
+    merge_into_table(
+        spark, root, curated, ["doc_id"], ddl, zone_key="doc_id",
+        constraints={
+            "doc_id_present": "doc_id IS NOT NULL",
+            "chars_positive": "n_chars > 0",
+            "sources_positive": "group_size >= 1",
+        },
+    )
+    table = read_version(spark, root, ddl)
+    return table.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("group_size").cast("long").alias("sum_sources"),
+    )
