@@ -594,31 +594,39 @@ SELECT l.event_type,
        COUNT(*) AS n_pairs,
        CAST(SUM(l.user_id * r.user_id) AS BIGINT) AS xprod
 FROM events l
-JOIN (SELECT event_type, user_id FROM events WHERE value > 90) r
+JOIN (SELECT event_type, user_id FROM events
+      WHERE value > 90 AND user_id < 20) r
   ON r.event_type = l.event_type
 GROUP BY l.event_type
 """,
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SALTED JOIN on a pathologically hot key: events⋈events on
-    event_type — FIVE distinct values, so an unsalted shuffle join puts
-    ~20% of BOTH sides in each of five tasks no matter how many executors
-    exist (the straggler/OOM shape at 100 TB). salted_equi_join spreads
-    every hot key over 16 salt partitions (left side salted
-    deterministically, right side replicated 16×) and the result —
-    certified against the plain SQL join — is identical pair-for-pair.
-    The exchange-on-(key, salt) physical shape is plan-asserted in
+    """SALTED JOIN on a pathologically hot key: the full events table
+    joins a bounded high-value-activity slice on event_type — FIVE
+    distinct values, so an unsalted shuffle join puts ~20% of BOTH sides
+    in each of five tasks no matter how many executors exist (the
+    straggler/OOM shape at 100 TB). salted_equi_join spreads every hot
+    key over 16 salt partitions (probe side salted deterministically,
+    build side replicated 16×) and the result — certified against the
+    plain SQL join — is identical pair-for-pair. The
+    exchange-on-(key, salt) physical shape is plan-asserted in
     tests/test_operators.py.
 
     Scale shape: parallelism becomes keys×n_salts instead of keys; the
-    price is n_salts× the build side, which is why the recipe applies when
-    the build side is the smaller non-broadcastable input (a broadcastable
-    dim needs no salt — see j5)."""
+    price is n_salts× the build side, which is why the recipe applies
+    when the build side is the smaller non-broadcastable input (a
+    broadcastable dim needs no salt — see j5). The build side here is
+    bounded (a fixed user cohort) so the demo's pair volume grows
+    LINEARLY with the probe side — the same discipline a production
+    salted join needs, since output volume, not the technique, is what
+    explodes on a hot-key self-join."""
     from rca_data_tools_spark.operators.skew import salted_equi_join
 
     e = load_table(spark, sf_dir, "events")
     left = e.select("event_type", "user_id")
-    right = e.filter(F.col("value") > 90).select("event_type", "user_id")
+    right = e.filter(
+        (F.col("value") > 90) & (F.col("user_id") < 20)
+    ).select("event_type", "user_id")
     joined = salted_equi_join(
         left, right.withColumnRenamed("user_id", "r_user_id"), ["event_type"]
     )
