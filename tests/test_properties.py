@@ -664,6 +664,8 @@ _DML_OPS = st.lists(
         st.tuples(st.just("update"), st.integers(2, 5), st.integers(0, 4)),
         st.tuples(st.just("merge"), st.integers(0, 45), st.integers(1, 8)),
         st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+        st.tuples(st.just("zorder"), st.just(0), st.just(0)),
+        st.tuples(st.just("restore"), st.integers(0, 7), st.just(0)),
     ),
     min_size=1,
     max_size=4,
@@ -675,16 +677,19 @@ _DML_OPS = st.lists(
 def test_dml_chain_equals_naive_replay(spark, tmp_path_factory, ops):
     """Model-based check of the WHOLE table stack: an arbitrary sequence of
     DELETE (deletion vectors), UPDATE (merge-on-read), MERGE (file-pruned
-    copy-on-write), and OPTIMIZE (DV-materializing compaction) applied
-    through the chain-advancing DML must leave exactly the table a naive
-    row-by-row Python replay produces — whatever the interleaving. This is
-    the composition surface where round 8's resurrection defect lived; the
-    model admits no such state."""
+    copy-on-write), OPTIMIZE (DV-materializing compaction, plain and
+    ZORDER), and RESTORE (rollback-as-commit to any earlier version)
+    applied through the chain-advancing DML must leave exactly the table a
+    naive row-by-row Python replay produces — whatever the interleaving.
+    This is the composition surface where round 8's resurrection defect
+    lived; the model admits no such state. RESTORE is modeled by keeping
+    the full history of model states (the model's version chain) and
+    snapping back to one of them."""
     import os
 
     from rca_data_tools_spark.sources.sinks import (
         create_table, delete_into_table, merge_into_table, optimize_table,
-        read_version, update_into_table,
+        read_version, restore_table, update_into_table,
     )
 
     ddl = "id long, v double"
@@ -694,6 +699,7 @@ def test_dml_chain_equals_naive_replay(spark, tmp_path_factory, ops):
         spark.createDataFrame(sorted(model.items()), ddl), root,
         zone_key="id", n_files=4,
     )
+    history = [dict(model)]  # committed model states, index = version
 
     for kind, a, b in ops:
         if kind == "delete":
@@ -712,8 +718,21 @@ def test_dml_chain_equals_naive_replay(spark, tmp_path_factory, ops):
                 spark, root, spark.createDataFrame(batch, ddl), ["id"], ddl
             )
             model.update({k: val for k, val in batch})
+        elif kind == "restore":
+            to_v = a % len(history)
+            restore_table(root, to_v)
+            model = dict(history[to_v])
+        elif kind == "zorder":
+            optimize_table(spark, root, target_bytes=1 << 30,
+                           zorder_cols=["id", "v"])
         else:
             optimize_table(spark, root, target_bytes=1 << 30)
+        history.append(dict(model))
 
     got = {r["id"]: r["v"] for r in read_version(spark, root, ddl).collect()}
     assert got == model
+    # time travel is consistent with the model's whole history
+    for v, snap in enumerate(history):
+        back = {r["id"]: r["v"]
+                for r in read_version(spark, root, ddl, n=v).collect()}
+        assert back == snap, f"v{v} diverged from the model history"
