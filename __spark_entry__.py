@@ -22,8 +22,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # driver-green (the one non-green is the documented no-oracle
 # agg_approx_distinct row), 0 never-checked. Round 9 adds 21 queries
 # (249 registered): 8 in the first session (DV-safe table stack, DML
-# chain, batch IVFPQ) + 6 in the second (RESTORE/CLONE, all-DML CDF,
-# bloom-index lookup, expectations gate).
+# chain, batch IVFPQ) + 13 in the second (RESTORE/CLONE, all-DML CDF +
+# replay, bloom-index lookup, expectations gate batch+streaming, OPTIMIZE
+# ZORDER, edit-distance dedup, incremental ANN ingest, salted join,
+# curated-table pipeline).
 #
 # Round-9 window = (a) the eight queries ADDED this round (the DV-safe
 # table-stack faces, the DML chain, the batch-LUT IVFPQ), (b) the rows
@@ -33,10 +35,16 @@ from rca_data_tools_spark.sources.readers import load_table
 # and pruned MERGE became DV-aware, the MERGE duplicate-source-key check
 # moved IN-PLAN (lazy guarded join key), the delete-key join lost its
 # forced broadcast, the manifest is cross-checked against the directory
-# listing, and the streaming merges write commit markers — and (c) the
-# 25 r05-cohort sentinels, now the oldest greens (rotation discipline:
-# r01->r04, r02->r05, r03->r07, r04->r08, r05->r09). dedup_incremental
-# (also r05-added) was re-proven r08 and yields its slot.
+# listing, and the streaming merges write commit markers — and (c) r05-cohort
+# sentinels, now the oldest greens (rotation discipline: r01->r04,
+# r02->r05, r03->r07, r04->r08, r05->r09): 25 at the session handoff, 19
+# after the second session's (d) additions displaced six into the r10
+# rotation (media_audio_frames, text_vocab_growth, sink_csv_roundtrip,
+# streaming_cdc_matches, sink_json_index_roundtrip,
+# quality_classifier_score — all cumulative-green since r05; re-proving
+# deferred one round to make room for never-checked r09 adds, which the
+# driver contract prioritizes). dedup_incremental (also r05-added) was
+# re-proven r08 and yields its slot.
 _ROUND_WINDOW = [
     # (a) added round 9
     "sink_compact_deletes",     # delete -> OPTIMIZE: DVs materialize + clear

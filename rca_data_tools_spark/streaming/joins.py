@@ -535,7 +535,16 @@ def stream_table_changes(spark, table_root: str, feed_ddl: str):
 
     ``feed_ddl`` is merge_changes' output schema for the table (keys, op,
     before_*/after_* columns). Returns the streaming DataFrame — attach
-    your sink."""
+    your sink.
+
+    Gap semantics: the file stream sees only versions that HAVE a
+    ``_changes`` sidecar — a feedless content-changing version (a DML run
+    without ``changes_feed``/``changes_feed_keys``, or a RESTORE) is
+    invisible here, unlike the batch ``read_changes`` which refuses
+    loudly on such a gap. A consumer that must detect gaps runs
+    ``read_changes(root, last_seen, None)`` as its catch-up/verification
+    path; on a chain whose writers always persist feeds the stream is
+    complete by construction."""
     import os
 
     from rca_data_tools_spark.sources.sinks import CHANGES_NAME
