@@ -1219,17 +1219,17 @@ def pipeline_curated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ddl = "doc_id bigint, lang string, n_chars bigint, group_size bigint"
     root = tempfile.mkdtemp(prefix="rca_curated_")
+    # constraints PERSIST with the table (create_table -> _table.json), so
+    # the merge enforces them without being told — the Delta CHECK shape
     create_table(
-        spark.createDataFrame([], ddl), root, zone_key="doc_id"
-    )
-    merge_into_table(
-        spark, root, curated, ["doc_id"], ddl, zone_key="doc_id",
+        spark.createDataFrame([], ddl), root, zone_key="doc_id",
         constraints={
             "doc_id_present": "doc_id IS NOT NULL",
             "chars_positive": "n_chars > 0",
             "sources_positive": "group_size >= 1",
         },
     )
+    merge_into_table(spark, root, curated, ["doc_id"], ddl, zone_key="doc_id")
     table = read_version(spark, root, ddl)
     return table.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

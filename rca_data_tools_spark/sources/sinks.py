@@ -759,11 +759,34 @@ def latest_committed(table_root: str) -> int:
     return vs[-1]
 
 
+TABLE_META_NAME = "_table.json"
+
+
+def _write_table_meta(table_root: str, constraints: "dict[str, str]") -> None:
+    import json
+
+    with open(os.path.join(table_root, TABLE_META_NAME), "w") as f:
+        json.dump({"constraints": constraints}, f)
+
+
+def table_constraints(table_root: str) -> "dict[str, str]":
+    """The table's persisted CHECK constraints (``_table.json`` at the
+    chain root — table metadata, not per-version: constraints govern every
+    future write). Empty dict when none were declared."""
+    import json
+
+    path = os.path.join(table_root, TABLE_META_NAME)
+    if not os.path.exists(path):
+        return {}
+    return json.load(open(path)).get("constraints", {})
+
+
 def create_table(
     df: DataFrame,
     table_root: str,
     zone_key: "str | None" = None,
     n_files: int = 8,
+    constraints: "dict[str, str] | None" = None,
 ) -> str:
     """Initialize a version chain: write ``df`` as the committed ``v0`` —
     range-clustered on ``zone_key`` when given (each file covers a tight
@@ -771,7 +794,18 @@ def create_table(
     manifest persisted alongside (the first merge is metadata-only too).
     Returns the v0 path. Every later statement goes through the
     chain-advancing DML (merge_into_table / delete_into_table /
-    update_into_table / optimize_table)."""
+    update_into_table / optimize_table).
+
+    ``constraints`` (rule name → SQL predicate) PERSISTS with the table
+    (``_table.json`` at the root — the Delta CHECK-constraint shape:
+    constraints belong to the table, not the call site): the initial data
+    is checked in-plan at this write, and every later
+    ``merge_into_table`` / ``update_into_table`` enforces them on its
+    incoming/updated rows automatically."""
+    if constraints:
+        from rca_data_tools_spark.operators.expectations import check_constraints
+
+        df = check_constraints(df, constraints)
     v0 = os.path.join(table_root, "v0")
     out = df
     if zone_key is not None:
@@ -798,6 +832,8 @@ def create_table(
                 )
                 entries[nm] = {"mn": r["mn"], "mx": r["mx"]}
             _write_manifest(v0, zone_key, entries)
+    if constraints:
+        _write_table_meta(table_root, constraints)
     mark_committed(v0)
     return v0
 
@@ -854,10 +890,11 @@ def merge_into_table(
             "merge_into_table: changes_feed models upsert feeds; a delete_col "
             "source is already a change feed — persist it upstream instead"
         )
-    if constraints:
+    effective = {**table_constraints(table_root), **(constraints or {})}
+    if effective:
         from rca_data_tools_spark.operators.expectations import check_constraints
 
-        source = check_constraints(source, constraints)
+        source = check_constraints(source, effective)
 
     def _build(base_dir: str, out_dir: str) -> dict:
         stats = merge_upsert_pruned(
@@ -1074,10 +1111,15 @@ def update_into_table(
     change-data-feed (op='update', before_* = old image, after_* = the
     ``set_exprs``-applied image) exactly as delete_into_table does — with
     it, every content-changing DML on the chain carries a feed and
-    ``read_changes`` replays end to end."""
+    ``read_changes`` replays end to end. The table's persisted CHECK
+    constraints (create_table(constraints=)) are enforced on the UPDATED
+    images in-plan — an UPDATE cannot write a row the table's contract
+    forbids."""
+    persisted = table_constraints(table_root)
 
     def _build(base: str, out: str) -> dict:
-        stats = update_where(spark, base, out, predicate, set_exprs, schema_ddl)
+        stats = update_where(spark, base, out, predicate, set_exprs, schema_ddl,
+                             constraints=persisted)
         if changes_feed_keys is not None:
             feed = _dml_feed(
                 read_with_deletes(spark, base, schema_ddl).where(predicate),
@@ -1182,6 +1224,12 @@ def clone_table(
     out = os.path.join(dest_root, "v0")
     os.makedirs(out)
     _link_version_content(os.path.join(src_root, f"v{v}"), out)
+    if os.path.exists(os.path.join(src_root, TABLE_META_NAME)):
+        # table metadata (CHECK constraints) is part of what a clone is
+        os.link(
+            os.path.join(src_root, TABLE_META_NAME),
+            os.path.join(dest_root, TABLE_META_NAME),
+        )
     mark_committed(out)
     return out
 
@@ -1283,6 +1331,7 @@ def update_where(
     predicate: str,
     set_exprs: "dict[str, str]",
     schema_ddl: str,
+    constraints: "dict[str, str] | None" = None,
 ) -> dict:
     """Row-level UPDATE as merge-on-read (the Iceberg MOR-upsert shape):
     matched rows' positions join the DELETION VECTORS (their old images
@@ -1319,6 +1368,12 @@ def update_where(
     updated = keyed.select(
         *[F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c) for c in cols]
     )
+    if constraints:
+        # the table's CHECK constraints apply to the NEW images: an UPDATE
+        # must not be able to write what a MERGE would have refused
+        from rca_data_tools_spark.operators.expectations import check_constraints
+
+        updated = check_constraints(updated, constraints)
 
     _ensure_out_dir(out_dir)
     data_files = [f for f in os.listdir(target_dir) if f.endswith(".parquet")]

@@ -272,3 +272,40 @@ def test_optimize_zorder_clusters_through_deletes(spark, tmp_path):
     assert mean_k <= 0.6 and mean_g <= 0.6, (mean_k, mean_g)
     # history: v1's DV-subtracted read still works
     assert read_version(spark, root, "k bigint, grp2 bigint, val double", n=1).count() == 18000
+
+
+def test_persisted_constraints_govern_every_write(spark, tmp_path):
+    """CHECK constraints persisted at create_table (table metadata, the
+    Delta shape) must be enforced on the INITIAL write, every MERGE's
+    source, every UPDATE's new images — and must follow a shallow CLONE."""
+    root = str(tmp_path / "t")
+    rules = {"val_nonneg": "val >= 0"}
+
+    # initial data is checked
+    bad0 = spark.createDataFrame([(1, "g", -1.0)], DDL)
+    with pytest.raises(Exception, match="val_nonneg"):
+        create_table(bad0, str(tmp_path / "bad"), constraints=rules)
+
+    create_table(_base(spark), root, zone_key="k", constraints=rules)
+
+    # merge: no explicit constraints passed — the persisted ones apply
+    bad = spark.createDataFrame([(5, "g", -3.0)], DDL)
+    with pytest.raises(Exception, match="val_nonneg"):
+        merge_into_table(spark, root, bad, ["k"], DDL, zone_key="k")
+    good = spark.createDataFrame([(5, "g", 3.0)], DDL)
+    st = merge_into_table(spark, root, good, ["k"], DDL, zone_key="k")
+    assert st["version"] == 1
+
+    # update: the NEW images are checked
+    with pytest.raises(Exception, match="val_nonneg"):
+        update_into_table(spark, root, "k = 5", {"val": "val - 100"}, DDL)
+    update_into_table(spark, root, "k = 5", {"val": "val + 100"}, DDL)
+    assert read_version(spark, root, DDL).filter(
+        F.col("k") == 5
+    ).collect()[0]["val"] == 103.0
+
+    # a clone inherits the table's contract
+    dst = str(tmp_path / "clone")
+    clone_table(root, dst)
+    with pytest.raises(Exception, match="val_nonneg"):
+        merge_into_table(spark, dst, bad, ["k"], DDL, zone_key="k")
