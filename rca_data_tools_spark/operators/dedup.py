@@ -1000,7 +1000,12 @@ def fuzzy_edit_distance_pairs(
         )
         .withColumn(
             "edit_distance",
-            F.levenshtein(F.col("__nt1"), F.col("__nt2"), max_edit),
+            # identical strings short-circuit at O(len) equality — in a
+            # dup-dense corpus (exact replicas) that is MOST candidate
+            # pairs, and it skips the O(len·max_edit) banded DP for them
+            F.when(F.col("__nt1") == F.col("__nt2"), F.lit(0)).otherwise(
+                F.levenshtein(F.col("__nt1"), F.col("__nt2"), max_edit)
+            ),
         )
         .filter(F.col("edit_distance") >= 0)  # -1 = abandoned over-threshold
         .select("id1", "id2", "edit_distance")
