@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 8: 228 registered, 227 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 21 queries
-# (249 registered): 8 in the first session (DV-safe table stack, DML
+# agg_approx_distinct row), 0 never-checked. Round 9 adds 22 queries
+# (250 registered): 8 in the first session (DV-safe table stack, DML
 # chain, batch IVFPQ) + 13 in the second (RESTORE/CLONE, all-DML CDF +
 # replay, bloom-index lookup, expectations gate batch+streaming, OPTIMIZE
 # ZORDER, edit-distance dedup, incremental ANN ingest, salted join,
@@ -75,7 +75,6 @@ _ROUND_WINDOW = [
     "ingest_http_csv",
     "ingest_sheet_hitl",
     "layout_zorder_clustering",
-    "media_audio_features",
     "qc_rate_of_change",
     "qc_spike_test",
     "quality_classifier_train",
@@ -105,6 +104,7 @@ _ROUND_WINDOW = [
     "ann_index_incremental",
     "join_salted_skew",
     "pipeline_curated_table",
+    "sink_table_history",
 ]
 
 

@@ -2490,3 +2490,47 @@ def sink_changes_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         replica.unionByName(mismatch.limit(0)) if mismatch.isEmpty() else mismatch
     )
+
+
+@query(
+    "sink_table_history",
+    oracle="""
+SELECT 0 AS version, 'create' AS op
+UNION ALL SELECT 1, 'merge'
+UNION ALL SELECT 2, 'delete'
+UNION ALL SELECT 3, 'update'
+UNION ALL SELECT 4, 'optimize_zorder'
+UNION ALL SELECT 5, 'restore'
+""",
+)
+def sink_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: every chain-advancing statement records its op in
+    the version's ``_commit`` marker at publish time, and table_history
+    reads the whole commit log back as a DataFrame — one directory listing
+    plus KB marker reads, never a data scan. The face drives ONE chain
+    through all six verbs (create → MERGE → DELETE → UPDATE → OPTIMIZE
+    ZORDER → RESTORE) and hashes the (version, op) log against the literal
+    truth: a mislabeled, missing, or double-published version changes the
+    log and the hash. Timestamps and op stats ride the same rows
+    (nondeterministic — excluded from the hashed projection, asserted
+    present in the lifecycle tests)."""
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, merge_into_table, optimize_table,
+        restore_table, table_history, update_into_table,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_history_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4)
+    b1 = _daily(e.filter(F.col("value") > 50)).filter(
+        F.col("d") >= _CUTOFF
+    ).select("d", "event_type", "n", "n_users")
+    merge_into_table(spark, root, b1, ["d", "event_type"], ddl, zone_key="d")
+    delete_into_table(spark, root, "event_type = 'click'", ddl)
+    update_into_table(spark, root, "event_type = 'purchase'", {"n": "n + 1"}, ddl)
+    optimize_table(spark, root, target_bytes=1 << 22,
+                   zorder_cols=["n", "n_users"])
+    restore_table(root, 1)
+    return table_history(spark, root).select("version", "op")

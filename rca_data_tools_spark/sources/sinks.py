@@ -720,18 +720,40 @@ def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
 COMMIT_NAME = "_commit"
 
 
+def _json_safe(stats: dict) -> dict:
+    """Marker entries hold op-sized scalars only; anything that does not
+    JSON-serialize is dropped rather than failing the commit."""
+    import json
+
+    out = {}
+    for k, v in stats.items():
+        try:
+            json.dumps(v)
+        except TypeError:
+            continue
+        out[k] = v
+    return out
+
+
 class VersionConflict(RuntimeError):
     """Two writers raced for the same table version and retries ran out."""
 
 
-def mark_committed(version_dir: str) -> None:
+def mark_committed(version_dir: str, info: "dict | None" = None) -> None:
     """Publish a version: create its ``_commit`` marker (idempotent). A
     version directory WITHOUT the marker is invisible to
     ``latest_committed`` / ``read_version`` — the snapshot-isolation read
     side of the optimistic-concurrency protocol (a crashed writer's
-    half-built directory is never read as the table)."""
-    with open(os.path.join(version_dir, COMMIT_NAME), "a"):
-        pass
+    half-built directory is never read as the table).
+
+    ``info`` (op name + op-sized stats) is recorded INSIDE the marker —
+    the commit-log entry DESCRIBE HISTORY reads (``table_history``). An
+    empty marker stays valid (legacy/caller-built chains read as op NULL)."""
+    with open(os.path.join(version_dir, COMMIT_NAME), "w") as f:
+        if info is not None:
+            import json
+
+            f.write(json.dumps(info))
 
 
 def committed_versions(table_root: str) -> "list[int]":
@@ -834,7 +856,7 @@ def create_table(
             _write_manifest(v0, zone_key, entries)
     if constraints:
         _write_table_meta(table_root, constraints)
-    mark_committed(v0)
+    mark_committed(v0, {"op": "create"})
     return v0
 
 
@@ -908,7 +930,7 @@ def merge_into_table(
             feed.coalesce(8).write.parquet(os.path.join(out_dir, CHANGES_NAME))
         return stats
 
-    return _advance_table(table_root, _build, retries)
+    return _advance_table(table_root, _build, retries, op="merge")
 
 
 CHANGES_NAME = "_changes"
@@ -994,13 +1016,15 @@ def replay_changes(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFra
     return survivors.select(*keys, *value_cols).unionByName(upserts)
 
 
-def _advance_table(table_root: str, build, retries: int = 3) -> dict:
+def _advance_table(table_root: str, build, retries: int = 3, op: str = "write") -> dict:
     """The claim → build → publish loop every chain-advancing DML shares
     (MERGE, DELETE, UPDATE, OPTIMIZE): read the latest committed version,
     claim the next number by atomic directory create, run ``build(base_dir,
-    out_dir)``, publish with ``mark_committed``. Collisions rebase onto the
-    advanced chain and retry; a claimed-but-uncommitted competitor blocks
-    and raises ``VersionConflict`` after ``retries``."""
+    out_dir)``, publish with ``mark_committed`` — recording ``op`` and the
+    build's stats in the marker (the DESCRIBE-HISTORY log entry).
+    Collisions rebase onto the advanced chain and retry; a
+    claimed-but-uncommitted competitor blocks and raises
+    ``VersionConflict`` after ``retries``."""
     import time
 
     last_seen = None
@@ -1028,7 +1052,7 @@ def _advance_table(table_root: str, build, retries: int = 3) -> dict:
 
             shutil.rmtree(out, ignore_errors=True)
             raise
-        mark_committed(out)
+        mark_committed(out, {"op": op, "stats": _json_safe(stats)})
         return {**stats, "version": base + 1, "attempts": attempt}
     raise VersionConflict(
         f"could not claim a version in {table_root} after {retries + 1} "
@@ -1094,7 +1118,7 @@ def delete_into_table(
             feed.coalesce(8).write.parquet(os.path.join(out, CHANGES_NAME))
         return stats
 
-    return _advance_table(table_root, _build, retries)
+    return _advance_table(table_root, _build, retries, op="delete")
 
 
 def update_into_table(
@@ -1130,7 +1154,7 @@ def update_into_table(
             feed.coalesce(8).write.parquet(os.path.join(out, CHANGES_NAME))
         return stats
 
-    return _advance_table(table_root, _build, retries)
+    return _advance_table(table_root, _build, retries, op="update")
 
 
 def _link_version_content(src: str, out_dir: str) -> int:
@@ -1195,7 +1219,7 @@ def restore_table(
         n = _link_version_content(src, out)
         return {"restored_from": to_version, "files_linked": n}
 
-    return _advance_table(table_root, _build, retries)
+    return _advance_table(table_root, _build, retries, op="restore")
 
 
 def clone_table(
@@ -1230,7 +1254,7 @@ def clone_table(
             os.path.join(src_root, TABLE_META_NAME),
             os.path.join(dest_root, TABLE_META_NAME),
         )
-    mark_committed(out)
+    mark_committed(out, {"op": "clone", "source": f"{src_root}/v{v}"})
     return out
 
 
@@ -1321,7 +1345,10 @@ def optimize_table(
             "bytes": total,
         }
 
-    return _advance_table(table_root, _build, retries)
+    return _advance_table(
+        table_root, _build, retries,
+        op="optimize_zorder" if zorder_cols is not None else "optimize",
+    )
 
 
 def update_where(
@@ -1446,6 +1473,36 @@ def _extend_manifest(
             name = os.path.basename(unquote(p.path) if p.scheme in ("file", "") else r["__f"])
             entries[name] = {"mn": r["mn"], "mx": r["mx"]}
     _write_manifest(out_dir, zone_key, entries)
+
+
+def table_history(spark: SparkSession, table_root: str) -> DataFrame:
+    """DESCRIBE HISTORY for the version chain: one row per committed
+    version — (version, op, committed_ts, stats_json) — read from the
+    ``_commit`` markers, where every chain-advancing DML records its op
+    name and op-sized stats at publish time. Empty (pre-history / caller-
+    built) markers read as op NULL; resolution is one directory listing +
+    KB-sized marker reads, the cost a format pays reading its log."""
+    import json
+
+    rows = []
+    for v in committed_versions(table_root):
+        marker = os.path.join(table_root, f"v{v}", COMMIT_NAME)
+        op = stats = None
+        ts = None
+        if os.path.exists(marker):
+            ts = float(os.stat(marker).st_mtime)
+            body = open(marker).read().strip()
+            if body:
+                try:
+                    doc = json.loads(body)
+                    op = doc.get("op")
+                    stats = json.dumps(doc.get("stats")) if "stats" in doc else None
+                except ValueError:
+                    pass
+        rows.append((v, op, ts, stats))
+    return spark.createDataFrame(
+        rows, "version int, op string, committed_ts double, stats_json string"
+    )
 
 
 def read_version(

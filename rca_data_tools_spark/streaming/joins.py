@@ -513,7 +513,7 @@ def _start_merge_stream(
         )
         with open(os.path.join(out, "_writer"), "w") as fh:
             fh.write(f"stream\n{ver}")
-        mark_committed(out)
+        mark_committed(out, {"op": "stream_merge", "batch_id": int(batch_id)})
 
     return (
         stream.writeStream.foreachBatch(_sink)
