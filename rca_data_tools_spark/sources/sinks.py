@@ -748,12 +748,18 @@ def mark_committed(version_dir: str, info: "dict | None" = None) -> None:
 
     ``info`` (op name + op-sized stats) is recorded INSIDE the marker —
     the commit-log entry DESCRIBE HISTORY reads (``table_history``). An
-    empty marker stays valid (legacy/caller-built chains read as op NULL)."""
-    with open(os.path.join(version_dir, COMMIT_NAME), "w") as f:
-        if info is not None:
-            import json
+    empty marker stays valid (legacy/caller-built chains read as op NULL).
+    An info-less re-publish of an already-committed version is a no-op —
+    it must NOT blank the recorded commit-log entry."""
+    path = os.path.join(version_dir, COMMIT_NAME)
+    if info is None:
+        if not os.path.exists(path):
+            open(path, "w").close()
+        return
+    import json
 
-            f.write(json.dumps(info))
+    with open(path, "w") as f:
+        f.write(json.dumps(info))
 
 
 def committed_versions(table_root: str) -> "list[int]":
@@ -787,8 +793,14 @@ TABLE_META_NAME = "_table.json"
 def _write_table_meta(table_root: str, constraints: "dict[str, str]") -> None:
     import json
 
-    with open(os.path.join(table_root, TABLE_META_NAME), "w") as f:
+    # temp-write + rename: atomic for concurrent readers, and never
+    # truncates an inode another table might share (clones COPY this file,
+    # but rename is the defensive half of that contract)
+    path = os.path.join(table_root, TABLE_META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"constraints": constraints}, f)
+    os.replace(tmp, path)
 
 
 def table_constraints(table_root: str) -> "dict[str, str]":
@@ -1044,10 +1056,13 @@ def _advance_table(table_root: str, build, retries: int = 3, op: str = "write") 
         except BaseException:
             # the claim belongs to THIS writer: releasing it on failure
             # (constraint violation, executor loss) un-wedges the chain for
-            # the next writer instead of leaving a dead claim that needs
-            # manual removal; a crash BETWEEN claim and this cleanup still
-            # leaves one, which vacuum_versions reaps once it falls behind
-            # the committed tip
+            # the next writer instead of leaving a dead claim. A hard crash
+            # BETWEEN claim and this cleanup still leaves one at tip+1,
+            # which blocks every writer (VersionConflict names the
+            # directory) — vacuum cannot reap a claim AHEAD of the
+            # committed tip, so recovery is manual removal (or an external
+            # lease). The object-store port's conditional-PUT claim gets a
+            # real TTL; local-FS mkdir does not.
             import shutil
 
             shutil.rmtree(out, ignore_errors=True)
@@ -1249,8 +1264,13 @@ def clone_table(
     os.makedirs(out)
     _link_version_content(os.path.join(src_root, f"v{v}"), out)
     if os.path.exists(os.path.join(src_root, TABLE_META_NAME)):
-        # table metadata (CHECK constraints) is part of what a clone is
-        os.link(
+        # table metadata (CHECK constraints) is part of what a clone is —
+        # COPIED, not hardlinked: metadata is mutable (a future ALTER on
+        # either table rewrites it), and a shared inode would alias one
+        # table's constraint change onto the other
+        import shutil
+
+        shutil.copyfile(
             os.path.join(src_root, TABLE_META_NAME),
             os.path.join(dest_root, TABLE_META_NAME),
         )

@@ -428,6 +428,7 @@ def _start_merge_stream(
         COMMIT_NAME,
         mark_committed,
         merge_upsert_pruned,
+        table_constraints,
     )
 
     def _latest_below(limit: int) -> int:
@@ -467,7 +468,8 @@ def _start_merge_stream(
         if os.path.exists(out):  # replayed batch: rebuild deterministically
             tag_path = os.path.join(out, "_writer")
             tag = open(tag_path).read() if os.path.exists(tag_path) else None
-            if tag != f"stream\n{ver}":
+            committed = os.path.exists(os.path.join(out, COMMIT_NAME))
+            if committed and tag != f"stream\n{ver}":
                 raise RuntimeError(
                     f"stream merge: v{ver} of {table_root} exists but was "
                     "not written by a merge stream (a batch DML advanced "
@@ -475,6 +477,12 @@ def _start_merge_stream(
                     "chain with batch DML, or stream into a fresh "
                     "table_root"
                 )
+            # an UNCOMMITTED directory — tagged or not — is a crashed
+            # claim (this stream, or any writer, died between creating
+            # the directory and publishing its _commit marker); the
+            # checkpoint replays the batch, so rebuild through it exactly
+            # like _advance_table reaps a failed batch-DML build. Only a
+            # COMMITTED version some other writer published is protected.
             shutil.rmtree(out)
         if rules is not None:
             from rca_data_tools_spark.operators.expectations import (
@@ -488,6 +496,17 @@ def _start_merge_stream(
             bad.withColumn(
                 "violations", F.array_join(F.col("violations"), ",")
             ).write.parquet(qdir)
+        # persisted CHECK constraints govern EVERY write to the chain —
+        # the batch DML verbs enforce them via check_constraints, and so
+        # does the streaming merge (the guard is a codegen predicate fused
+        # into the batch plan; zero extra jobs)
+        constraints = table_constraints(table_root)
+        if constraints:
+            from rca_data_tools_spark.operators.expectations import (
+                check_constraints,
+            )
+
+            batch_df = check_constraints(batch_df, constraints)
         flag = None
         if delete_col is not None:
             # op column -> boolean delete flag (the merge drops the column)

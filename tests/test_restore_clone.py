@@ -309,3 +309,54 @@ def test_persisted_constraints_govern_every_write(spark, tmp_path):
     clone_table(root, dst)
     with pytest.raises(Exception, match="val_nonneg"):
         merge_into_table(spark, dst, bad, ["k"], DDL, zone_key="k")
+
+
+def test_mark_committed_repub_preserves_history_entry(spark, tmp_path):
+    """ADVICE r09: an info-less re-publish of an already-committed version
+    (the documented idempotent path used by caller-built chains) must NOT
+    blank the recorded op — DESCRIBE HISTORY keeps its commit-log entry."""
+    import json
+
+    from rca_data_tools_spark.sources.sinks import (
+        COMMIT_NAME, mark_committed, table_history,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root, zone_key="k")
+    v0 = os.path.join(root, "v0")
+    before = open(os.path.join(v0, COMMIT_NAME)).read()
+    assert json.loads(before)["op"] == "create"
+
+    mark_committed(v0)  # idempotent re-publish, info=None
+    assert open(os.path.join(v0, COMMIT_NAME)).read() == before
+    ops = {r["version"]: r["op"] for r in table_history(spark, root).collect()}
+    assert ops[0] == "create"
+
+    # a marker-less dir still gets an (empty, valid) marker
+    bare = os.path.join(root, "v1")
+    os.makedirs(bare)
+    mark_committed(bare)
+    assert os.path.exists(os.path.join(bare, COMMIT_NAME))
+    assert open(os.path.join(bare, COMMIT_NAME)).read() == ""
+
+
+def test_clone_metadata_is_independent_of_source(spark, tmp_path):
+    """ADVICE r09: _table.json was HARDLINKED into the clone while
+    _write_table_meta truncated it in place — a constraint change on either
+    table would mutate the other's persisted metadata. The clone must carry
+    its own copy."""
+    from rca_data_tools_spark.sources.sinks import (
+        _write_table_meta, table_constraints,
+    )
+
+    src = str(tmp_path / "src")
+    create_table(_base(spark), src, zone_key="k",
+                 constraints={"val_nonneg": "val >= 0"})
+    dest = str(tmp_path / "clone")
+    clone_table(src, dest)
+    assert table_constraints(dest) == {"val_nonneg": "val >= 0"}
+
+    # distinct inodes: rewriting one side leaves the other untouched
+    _write_table_meta(dest, {"val_cap": "val < 1e9"})
+    assert table_constraints(dest) == {"val_cap": "val < 1e9"}
+    assert table_constraints(src) == {"val_nonneg": "val >= 0"}

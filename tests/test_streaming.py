@@ -1161,3 +1161,91 @@ def test_stream_merge_expectations_quarantine_replay_idempotent(spark, tmp_path)
     quar2 = sorted(map(tuple, spark.read.parquet(qdir)
                        .select("d", "event_type", "n", "violations").collect()))
     assert table2 == table1 and quar2 == quar1
+
+
+def test_stream_merge_recovers_crashed_uncommitted_claim(spark, tmp_path):
+    """Crash recovery (ADVICE r09): a stream batch that died AFTER creating
+    its v{N} directory but BEFORE publishing (_writer tag / _commit marker)
+    leaves an uncommitted claim. A restart must treat that as a crashed
+    claim and rebuild through it — not raise 'not written by a merge
+    stream' and wedge the stream forever. Only a COMMITTED version another
+    writer published is protected."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import create_table, read_version
+    from rca_data_tools_spark.streaming.joins import stream_merge_upsert
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    create_table(daily.select("d", "event_type", "n", "n_users"), root,
+                 zone_key="d", n_files=4)
+
+    # simulate the crash: v1 exists with partial content, no tag, no marker
+    crashed = os.path.join(root, "v1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"\x00not a parquet file")
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b = daily.filter(F.col("d") >= "2024-01-10").select(
+        "d", "event_type", "n", "n_users"
+    )
+    b.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(str(tmp_path / "stage"), part),
+              os.path.join(feed, "batch-0.parquet"))
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_merge_upsert(stream, root, ["d", "event_type"], ddl,
+                            str(tmp_path / "ck"))
+    q.awaitTermination()  # must NOT raise
+
+    # v1 was rebuilt correctly: it equals the batch merge of b onto v0
+    got = read_version(spark, root, ddl, n=1)
+    expect = daily.select("d", "event_type", "n", "n_users")  # b upserts same values
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert not os.path.exists(os.path.join(root, "v1", "part-garbage.parquet"))
+
+
+def test_stream_merge_honors_persisted_check_constraints(spark, tmp_path):
+    """Persisted CHECK constraints (create_table(constraints=...)) govern
+    EVERY write — including the streaming merge (ADVICE r09: _sink called
+    merge_upsert_pruned directly and silently admitted violating rows).
+    A violating micro-batch row must fail the stream loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from rca_data_tools_spark.sources.sinks import create_table
+    from rca_data_tools_spark.streaming.joins import stream_merge_upsert
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+    root = str(tmp_path / "table")
+    create_table(daily.select("d", "event_type", "n", "n_users"), root,
+                 zone_key="d", n_files=4, constraints={"n_nonneg": "n >= 0"})
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    bad = spark.createDataFrame([("2024-03-01", "bad", -5, 1)], ddl)
+    bad.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = [f for f in os.listdir(str(tmp_path / "stage")) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(str(tmp_path / "stage"), part),
+              os.path.join(feed, "batch-0.parquet"))
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = stream_merge_upsert(stream, root, ["d", "event_type"], ddl,
+                            str(tmp_path / "ck"))
+    with pytest.raises(StreamingQueryException, match="constraint violated"):
+        q.awaitTermination()
