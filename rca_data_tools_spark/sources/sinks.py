@@ -1203,10 +1203,104 @@ def _link_version_content(src: str, out_dir: str) -> int:
     return n
 
 
+def _snapshot_diff_feed(
+    spark: SparkSession,
+    base_dir: str,
+    new_dir: str,
+    keys: list[str],
+    schema_ddl: str,
+) -> DataFrame:
+    """The EFFECTIVE CHANGE SET between two snapshots of one keyed table,
+    in ``merge_changes``' exact feed schema (keys, op, before_*/after_* per
+    value column): keys only in ``base_dir`` emit 'delete' (before-image,
+    NULL after), keys only in ``new_dir`` emit 'insert', keys whose value
+    images differ emit 'update'; identical rows emit nothing — the output
+    is O(changed keys) no matter how big the table is.
+
+    Compute prunes too, not just output: data files SHARED BY INODE between
+    the two snapshots (the hardlink chain's sharing) hold byte-identical
+    rows, so when both versions' deletion-vector sidecars are also
+    inode-identical, shared files can't contribute a change and only the
+    DIFFERING files scan on either side (per-version key uniqueness — the
+    merge contract — means a key in a shared file is that key's row in
+    BOTH snapshots). A restore that touched 3 of 1,000 files diffs 3
+    files. When the DV sidecars differ the prune is unsound (a shared
+    file's row can be dead on one side only) and both sides scan in full —
+    never wrong pruning."""
+    def _data_inos(d: str) -> "dict[str, int]":
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    def _dv_inos(d: str) -> frozenset:
+        dd = _deletes_dir(d)
+        if not os.path.isdir(dd):
+            return frozenset()
+        return frozenset(
+            os.stat(os.path.join(dd, f)).st_ino
+            for f in os.listdir(dd)
+            if f.endswith(".parquet")
+        )
+
+    b_files, n_files = _data_inos(base_dir), _data_inos(new_dir)
+    if _dv_inos(base_dir) == _dv_inos(new_dir):
+        shared = set(b_files.values()) & set(n_files.values())
+    else:
+        shared = set()
+    b_paths = [
+        os.path.join(base_dir, f) for f, i in sorted(b_files.items())
+        if i not in shared
+    ]
+    n_paths = [
+        os.path.join(new_dir, f) for f, i in sorted(n_files.items())
+        if i not in shared
+    ]
+
+    def _scan(paths: list, vdir: str) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], schema_ddl)
+        df = spark.read.schema(schema_ddl).parquet(*paths)
+        dv = read_deletion_vectors(spark, vdir)
+        return _subtract_deletes(df, dv) if dv is not None else df
+
+    b, n = _scan(b_paths, base_dir), _scan(n_paths, new_dir)
+    value_cols = [c for c in b.columns if c not in keys]
+    bb = b.select(
+        *keys,
+        F.lit(1).alias("__in_b"),
+        *[F.col(c).alias(f"before_{c}") for c in value_cols],
+    )
+    nn = n.select(
+        *keys,
+        F.lit(1).alias("__in_n"),
+        *[F.col(c).alias(f"after_{c}") for c in value_cols],
+    )
+    j = bb.join(nn, keys, "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"before_{c}").eqNullSafe(F.col(f"after_{c}"))
+    op = (
+        F.when(F.col("__in_b").isNull(), F.lit("insert"))
+        .when(F.col("__in_n").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    cols: list = [*keys, op.alias("op")]
+    for c in value_cols:
+        cols += [F.col(f"before_{c}"), F.col(f"after_{c}")]
+    return j.filter(
+        F.col("__in_b").isNull() | F.col("__in_n").isNull() | changed
+    ).select(*cols)
+
+
 def restore_table(
     table_root: str,
     to_version: int,
     retries: int = 3,
+    spark: "SparkSession | None" = None,
+    changes_feed_keys: "list[str] | None" = None,
+    schema_ddl: "str | None" = None,
 ) -> dict:
     """RESTORE: roll the table back to an earlier version AS A NEW VERSION
     (the Delta RESTORE shape — history is immutable, a rollback is one more
@@ -1217,21 +1311,47 @@ def restore_table(
     rollback included).
 
     Runs under the same optimistic-concurrency claim/commit protocol as
-    every chain DML, so a restore racing a merge serializes. The restored
-    version carries NO change feed (its delta against the base is a full
-    snapshot diff, not a batch) — a read_changes range crossing it raises
-    loudly rather than replaying a silent gap; CDC consumers re-seed from
-    the restored snapshot. Returns {"restored_from", "files_linked",
+    every chain DML, so a restore racing a merge serializes.
+
+    CHANGE FEED (VERDICT r09 item 3): with ``changes_feed_keys`` (plus
+    ``spark`` and ``schema_ddl``), the restore version persists its
+    EFFECTIVE change set — the keyed diff of the restored snapshot against
+    the prior tip (``_snapshot_diff_feed``: O(changed keys) events, scan
+    pruned to the files the two snapshots do NOT share by inode) — so
+    ``read_changes`` ranges and streaming CDF consumers cross the rollback
+    instead of being stranded by it. Without the option the restored
+    version carries NO feed and a read_changes range crossing it raises
+    loudly rather than replaying a silent gap (consumers re-seed from the
+    restored snapshot). Returns {"restored_from", "files_linked",
     "version", "attempts"}."""
     if to_version not in committed_versions(table_root):
         raise ValueError(
             f"restore_table: v{to_version} is not a committed version of "
             f"{table_root} (have {committed_versions(table_root)})"
         )
+    if changes_feed_keys is not None and (spark is None or schema_ddl is None):
+        raise ValueError(
+            "restore_table: changes_feed_keys needs spark and schema_ddl "
+            "(the feed is a keyed snapshot diff)"
+        )
 
     def _build(base: str, out: str) -> dict:
         src = os.path.join(table_root, f"v{to_version}")
         n = _link_version_content(src, out)
+        if changes_feed_keys is not None:
+            feed = _snapshot_diff_feed(
+                spark, base, src, changes_feed_keys, schema_ddl
+            )
+            cdir = os.path.join(out, CHANGES_NAME)
+            feed.coalesce(8).write.parquet(cdir)
+            # a no-op restore's diff is empty; Spark writes no part files
+            # for empty partitions, and a part-less parquet dir cannot be
+            # schema-inferred by read_changes — mark content-neutral instead
+            if not any(f.endswith(".parquet") for f in os.listdir(cdir)):
+                import shutil
+
+                shutil.rmtree(cdir)
+                open(os.path.join(out, CHANGES_EMPTY_NAME), "w").close()
         return {"restored_from": to_version, "files_linked": n}
 
     return _advance_table(table_root, _build, retries, op="restore")

@@ -557,8 +557,8 @@ def stream_table_changes(spark, table_root: str, feed_ddl: str):
     your sink.
 
     Gap semantics: the file stream sees only versions that HAVE a
-    ``_changes`` sidecar — a feedless content-changing version (a DML run
-    without ``changes_feed``/``changes_feed_keys``, or a RESTORE) is
+    ``_changes`` sidecar — a feedless content-changing version (a DML or
+    RESTORE run without ``changes_feed``/``changes_feed_keys``) is
     invisible here, unlike the batch ``read_changes`` which refuses
     loudly on such a gap. A consumer that must detect gaps runs
     ``read_changes(root, last_seen, None)`` as its catch-up/verification
