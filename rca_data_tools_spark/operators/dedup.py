@@ -1010,3 +1010,81 @@ def fuzzy_edit_distance_pairs(
         .filter(F.col("edit_distance") >= 0)  # -1 = abandoned over-threshold
         .select("id1", "id2", "edit_distance")
     )
+
+
+def fuzzy_edit_distance_components(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edit: int = 40,
+    shingle_n: int = 5,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    broadcast_pair_limit=PAIR_LIMIT_DEFAULT,
+) -> DataFrame:
+    """Edit-distance dedup with the CAPPED-COMPONENTS routing (VERDICT r09
+    item 4): ``fuzzy_edit_distance_pairs`` emits every true pair, so a
+    clone-dense corpus pays O(cluster²) pair volume even though each pair
+    is cheap. This face composes the blocker with
+    ``minhash_dedup_components``' mega-bucket cap and returns (node, label)
+    COMPONENTS instead of pairs — the actionable dedup output whose size is
+    O(corpus), never O(pairs):
+
+    - band buckets of m <= ``bucket_cap`` go through the exact path:
+      pairwise candidates -> length prune -> threshold-banded
+      ``levenshtein(l, r, max_edit)`` (identical-pair O(len)
+      short-circuit) -> verified edges;
+    - buckets of m > ``bucket_cap`` route straight to the component graph
+      as m-1 STAR EDGES (member -> bucket-min hub) with no pairwise work —
+      a bucket that large means all r row-hashes of one band agree across
+      every member, which at character-edit scales is a boilerplate clone
+      cluster; the trade is the same one minhash_dedup_components states.
+
+    Total DP work is bounded by cap²·n_buckets + Σ small-bucket m² — LINEAR
+    in corpus size for fixed cap regardless of clone-cluster size, where
+    the all-pairs face is quadratic in cluster size (SCALING.md measured
+    250,598 pairs at sf1). Edges feed the pointer-jumping
+    ``connected_components``; keep node == label."""
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    hashed = shingle_hashes(
+        shingle_arrays(spread, id_col, text_col, shingle_n), id_col
+    )
+    sig = minhash_signatures(hashed, id_col)
+    banded = lsh_banded(sig, id_col)
+    sizes = banded.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("m"), F.min(id_col).alias("hub")
+    )
+    # same-key join back: colocated with the groupBy shuffle under AQE
+    tagged = banded.join(sizes, ["band_id", "band_sig"]).persist()
+    small = tagged.filter(F.col("m") <= bucket_cap)
+    star = (
+        tagged.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("hub")))
+        .select(F.col("hub").alias("id1"), F.col(id_col).alias("id2"))
+        .distinct()
+    )
+    a = small.select(F.col(id_col).alias("id1"), "band_id", "band_sig")
+    c = small.select(F.col(id_col).alias("id2"), "band_id", "band_sig")
+    cand = (
+        a.join(c, ["band_id", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    norm = spread.select(F.col(id_col), normalize(text_col).alias("__nt"))
+    t1 = norm.select(F.col(id_col).alias("id1"), F.col("__nt").alias("__nt1"))
+    t2 = norm.select(F.col(id_col).alias("id2"), F.col("__nt").alias("__nt2"))
+    verified = (
+        t1.join(_pair_side(cand, broadcast_pair_limit), "id1")
+        .join(t2, "id2")
+        .filter(
+            F.abs(F.length("__nt1") - F.length("__nt2")) <= F.lit(max_edit)
+        )
+        .filter(
+            F.when(F.col("__nt1") == F.col("__nt2"), F.lit(0)).otherwise(
+                F.levenshtein(F.col("__nt1"), F.col("__nt2"), max_edit)
+            )
+            >= 0
+        )
+        .select("id1", "id2")
+    )
+    edges = verified.unionByName(star)
+    return connected_components(edges)

@@ -1434,3 +1434,73 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_edit_distance_pairs(d, "doc_id", "text", max_edit=40).select(
         "id1", "id2", F.col("edit_distance").cast("long")
     )
+
+
+def _edit_capped_oracle(cap: int = 8, max_edit: int = 40) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_prefix()},
+bsizes AS (
+  SELECT band_id, band_sig, COUNT(*) AS m, MIN(doc_id) AS hub
+  FROM bands GROUP BY 1, 2
+),
+star AS (
+  SELECT DISTINCT s.hub AS id1, b.doc_id AS id2
+  FROM bands b JOIN bsizes s
+    ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.m > {cap} AND b.doc_id <> s.hub
+),
+smallb AS (
+  SELECT b.doc_id, b.band_id, b.band_sig
+  FROM bands b JOIN bsizes s
+    ON s.band_id = b.band_id AND s.band_sig = b.band_sig
+  WHERE s.m <= {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM smallb a JOIN smallb b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+txt AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+verified AS (
+  SELECT c.id1, c.id2
+  FROM cand c JOIN txt t1 ON t1.doc_id = c.id1 JOIN txt t2 ON t2.doc_id = c.id2
+  WHERE abs(length(t1.nt) - length(t2.nt)) <= {max_edit}
+    AND levenshtein(t1.nt, t2.nt) <= {max_edit}
+),
+pairs AS (SELECT id1, id2 FROM verified UNION SELECT id1, id2 FROM star),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+@query("dedup_edit_distance_capped", oracle=_edit_capped_oracle())
+def dedup_edit_distance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup with CAPPED-COMPONENTS routing (VERDICT r09
+    item 4): the all-true-pairs face (dedup_edit_distance) is quadratic in
+    clone-cluster size on boilerplate corpora; this face routes band
+    buckets over the cap (8 here, so the dup-dense fixture actually
+    exercises the routing) straight to star edges and verifies only
+    small-bucket candidates with the threshold-banded Levenshtein, then
+    collapses everything to (doc_id, component) — output O(corpus), DP
+    work linear in corpus size for fixed cap. The oracle replays the
+    banding, the cap split, the star edges, the banded-DP verify, AND the
+    transitive closure (recursive CTE) — the whole routing is
+    hash-checked, not just the pair math
+    (operators/dedup.fuzzy_edit_distance_components)."""
+    from rca_data_tools_spark.operators.dedup import (
+        fuzzy_edit_distance_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return fuzzy_edit_distance_components(
+        d, "doc_id", "text", max_edit=40, bucket_cap=8
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
