@@ -2533,3 +2533,95 @@ def sink_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                    zorder_cols=["n", "n_users"])
     restore_table(root, 1)
     return table_history(spark, root).select("version", "op")
+
+
+# second-key derivation for the 2-D pruning face: v = (k * 7919) % P is
+# injective for k < P, giving the table a second candidate key that is
+# uncorrelated with k's layout
+_P2D = 1048583
+_W2D = 100000  # source batch updates keys with v < this
+
+
+@query(
+    "sink_merge_prune_2d",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id AS k, (event_id * 7919) % {_P2D} AS v, value AS val
+  FROM events
+),
+merged AS (
+  SELECT k, v, CASE WHEN v < {_W2D} THEN val + 1000 ELSE val END AS val FROM t
+)
+SELECT CAST(1 AS BIGINT) AS merge_manifest_used,
+       CAST(1 AS BIGINT) AS merge_pruned,
+       CAST(1 AS BIGINT) AS lookup_pruned,
+       (SELECT COUNT(*) FROM merged) AS n_rows,
+       (SELECT CAST(SUM(CAST(ROUND(val, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM merged)
+         AS sum_val,
+       (SELECT COUNT(*) FROM merged WHERE k IN (3, 101)) AS n_hit,
+       (SELECT CAST(SUM(CAST(ROUND(val, 6) AS DECIMAL(28,6))) AS DOUBLE)
+          FROM merged WHERE k IN (3, 101)) AS sum_hit
+""",
+)
+def sink_merge_prune_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DIMENSIONAL metadata pruning after OPTIMIZE ZORDER (VERDICT r09
+    item 5): the chain is created clustered on ``k``, re-clustered by
+    OPTIMIZE ZORDER(k, v) — which now persists BOTH clustering dimensions
+    in the manifest (primary map + per-column secondary maps) — and then
+    (a) a pruned MERGE keyed on the SECOND dimension ``v`` resolves its
+    candidate files from the manifest's ``columns["v"]`` map
+    (manifest_used, with strictly fewer candidates than files), and (b) a
+    point_lookup on ``k`` against the merged version prunes via the
+    carried ``columns["k"]`` map with no bloom index present (strictly
+    fewer files scanned than the table holds). The hashed output certifies
+    the pruning invariants AND the full merged content + looked-up rows —
+    wrong pruning that loses an update or a lookup hit poisons the hash.
+
+    Scale shape: both prunes are KB-sized manifest reads — zero footer
+    opens, zero data scans — composed with the same candidate-exactness
+    fallbacks as the 1-D path; the secondary maps ride the same single
+    stats scan every merge already pays for its new parts
+    (sinks._read_manifest / _extend_manifest / manifest_candidate_files)."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.bloom_index import point_lookup
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, merge_into_table, optimize_table, read_version,
+    )
+
+    ddl = "k bigint, v bigint, val double"
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        ((F.col("event_id") * F.lit(7919)) % F.lit(_P2D)).alias("v"),
+        F.col("value").alias("val"),
+    )
+    root = tempfile.mkdtemp(prefix="rca_prune2d_")
+    create_table(e, root, zone_key="k", n_files=8)
+    # ~4 KB files keep >= 4 z-ordered files even at the sf0.001 fixture, so
+    # the strict-pruning invariants hold at every driver scale
+    optimize_table(spark, root, target_bytes=1 << 12, zorder_cols=["k", "v"])
+
+    src = e.filter(F.col("v") < _W2D).select(
+        "k", "v", (F.col("val") + F.lit(1000.0)).alias("val")
+    )
+    st = merge_into_table(spark, root, src, ["v"], ddl, zone_key="v")
+    tip = read_version(spark, root, ddl)
+    vdir = os.path.join(root, f"v{st['version']}")
+    rows, lst = point_lookup(spark, vdir, "k", [3, 101], schema_ddl=ddl)
+
+    tot = tip.agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("val").alias("sum_val")
+    )
+    hits = rows.agg(
+        F.count(F.lit(1)).alias("n_hit"), dsum("val").alias("sum_hit")
+    )
+    return tot.crossJoin(hits).select(
+        F.lit(int(st["manifest_used"])).cast("long").alias("merge_manifest_used"),
+        F.lit(int(st["files_candidates"] < st["files_total"])).cast("long")
+        .alias("merge_pruned"),
+        F.lit(int(lst["files_scanned"] < lst["files_total"])).cast("long")
+        .alias("lookup_pruned"),
+        F.col("n_rows").cast("long"),
+        "sum_val",
+        F.col("n_hit").cast("long"),
+        "sum_hit",
+    )

@@ -201,10 +201,20 @@ def point_lookup(
     schema_ddl: "str | None" = None,
 ) -> "tuple[DataFrame, dict]":
     """Fetch the rows whose ``key_col`` is in ``values``, opening only the
-    files the bloom index cannot rule out, and subtracting the version's
-    deletion vectors (a lookup composes with merge-on-read deletes).
+    files NEITHER the bloom index NOR the zone-map manifest can rule out
+    (the two prunes compose: bloom answers "definitely absent", the
+    manifest's per-column [mn, mx] answers "out of range" — after OPTIMIZE
+    ZORDER both clustering dimensions carry manifest bounds, VERDICT r09
+    item 5), and subtracting the version's deletion vectors (a lookup
+    composes with merge-on-read deletes).
     Returns (rows, {"files_total", "files_scanned"})."""
+    from rca_data_tools_spark.sources.sinks import manifest_candidate_files
+
     cands, total = bloom_candidate_files(spark, table_dir, key_col, values)
+    zcands = manifest_candidate_files(table_dir, key_col, values)
+    if zcands is not None:
+        keep = set(zcands)
+        cands = [f for f in cands if f in keep]
     stats = {"files_total": total, "files_scanned": len(cands)}
     reader = spark.read if schema_ddl is None else spark.read.schema(schema_ddl)
     if not cands:

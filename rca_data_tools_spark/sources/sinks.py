@@ -385,33 +385,96 @@ def _ensure_out_dir(out_dir: str) -> None:
 MANIFEST_NAME = "_manifest.json"
 
 
-def _read_manifest(target_dir: str, zone_key: str) -> "dict | None":
-    """The version's persisted zone map ({basename: {mn, mx}}), or None when
-    absent / built for a different zone key (then the caller scans)."""
+def _read_manifest_doc(target_dir: str) -> "dict | None":
     import json
 
     path = os.path.join(target_dir, MANIFEST_NAME)
     if not os.path.exists(path):
         return None
-    doc = json.loads(open(path).read())
-    if doc.get("zone_key") != zone_key:
+    return json.loads(open(path).read())
+
+
+def _read_manifest(target_dir: str, zone_key: str) -> "dict | None":
+    """The version's persisted zone map for ``zone_key`` ({basename:
+    {mn, mx}}), or None when absent (then the caller scans). The primary
+    ``zone_key`` map answers first; a SECONDARY per-column map
+    (``columns`` — written by OPTIMIZE ZORDER for both clustering
+    dimensions, VERDICT r09 item 5) answers for any other column it
+    covers, so a pruned MERGE keyed on the second Z-order dimension stays
+    metadata-only instead of paying a key-column scan."""
+    doc = _read_manifest_doc(target_dir)
+    if doc is None:
         return None
-    return doc["files"]
+    if doc.get("zone_key") == zone_key:
+        return doc["files"]
+    return doc.get("columns", {}).get(zone_key)
 
 
-def _write_manifest(out_dir: str, zone_key: str, entries: dict) -> bool:
-    """Persist the zone map next to the data. Zone values that don't
-    JSON-serialize (exotic types) skip the manifest — the next merge falls
-    back to the scan path, never to wrong pruning."""
+def _write_manifest(
+    out_dir: str,
+    zone_key: str,
+    entries: dict,
+    col_entries: "dict[str, dict] | None" = None,
+) -> bool:
+    """Persist the zone map next to the data: the primary ``zone_key`` map
+    plus optional per-column maps ({col: {basename: {mn, mx}}}) for other
+    prunable columns. Zone values that don't JSON-serialize (exotic types)
+    drop that map — the next merge falls back to the scan path, never to
+    wrong pruning."""
     import json
 
+    body = {"zone_key": zone_key, "files": entries}
+    if col_entries:
+        safe = {}
+        for c, m in col_entries.items():
+            try:
+                json.dumps(m)
+            except TypeError:
+                continue
+            safe[c] = m
+        if safe:
+            body["columns"] = safe
     try:
-        doc = json.dumps({"zone_key": zone_key, "files": entries})
+        doc = json.dumps(body)
     except TypeError:
         return False
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
         f.write(doc)
     return True
+
+
+def manifest_candidate_files(
+    table_dir: str, key_col: str, values: list
+) -> "list[str] | None":
+    """Metadata-only file pruning by the persisted zone-map manifest: the
+    data-file basenames whose [mn, mx] range for ``key_col`` could contain
+    ANY of ``values`` — or None when the manifest has no bounds for that
+    column or fails the disk cross-check (then every file is a candidate;
+    staleness costs opens, never answers). NULL-bounded entries (0-row or
+    all-NULL files) can never contain a match and always prune."""
+    doc = _read_manifest_doc(table_dir)
+    if doc is None:
+        return None
+    if doc.get("zone_key") == key_col:
+        m = doc.get("files")
+    else:
+        m = doc.get("columns", {}).get(key_col)
+    if m is None:
+        return None
+    disk = {f for f in os.listdir(table_dir) if f.endswith(".parquet")}
+    if set(m) != disk:
+        return None
+    out = []
+    for name, e in m.items():
+        mn, mx = e.get("mn"), e.get("mx")
+        if mn is None or mx is None:
+            continue
+        try:
+            if any(mn <= v <= mx for v in values):
+                out.append(name)
+        except TypeError:
+            return None  # incomparable types: no pruning, never wrong
+    return sorted(out)
 
 
 def merge_upsert_pruned(
@@ -619,7 +682,25 @@ def merge_upsert_pruned(
     # (compact_partitioned exists, but not creating the problem is cheaper)
     merged.coalesce(max(1, len(matched))).write.mode("append").parquet(out_dir)
     # manifest for the NEW version: carried entries are copied (their files
-    # are byte-identical), new parts pay one batch-sized stats scan
+    # are byte-identical), new parts pay one batch-sized stats scan.
+    # SECONDARY per-column maps (OPTIMIZE ZORDER's second dimension) carry
+    # the same way when they pass the disk cross-check, and the new parts'
+    # stats for them ride the SAME single scan
+    col_entries: dict = {}
+    prior_doc = _read_manifest_doc(target_dir)
+    if prior_doc is not None:
+        maps = dict(prior_doc.get("columns", {}))
+        zk0 = prior_doc.get("zone_key")
+        if zk0 is not None and zk0 not in maps:
+            maps[zk0] = prior_doc.get("files", {})
+        maps.pop(zone_key, None)  # the primary map covers the merge key
+        disk_names = {os.path.basename(f) for f in all_files}
+        carried_names = set(carried)
+        for c, m in maps.items():
+            if set(m) == disk_names:  # complete (trustworthy) maps only
+                col_entries[c] = {
+                    n: e for n, e in m.items() if n in carried_names
+                }
     new_parts = [
         f for f in os.listdir(out_dir)
         if f.endswith(".parquet") and f not in carried
@@ -628,13 +709,18 @@ def merge_upsert_pruned(
         ndf = spark.read.schema(schema_ddl).parquet(
             *[os.path.join(out_dir, f) for f in new_parts]
         )
+        col_entries = {c: m for c, m in col_entries.items() if c in ndf.columns}
+        aggs = [F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx")]
+        for c in col_entries:
+            aggs += [F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}")]
         for r in (
-            ndf.groupBy(F.input_file_name().alias("__f"))
-            .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-            .collect()
+            ndf.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         ):
-            carried[os.path.basename(_local(r["__f"]))] = {"mn": r["mn"], "mx": r["mx"]}
-    _write_manifest(out_dir, zone_key, carried)
+            name = os.path.basename(_local(r["__f"]))
+            carried[name] = {"mn": r["mn"], "mx": r["mx"]}
+            for c in col_entries:
+                col_entries[c][name] = {"mn": r[f"mn__{c}"], "mx": r[f"mx__{c}"]}
+    _write_manifest(out_dir, zone_key, carried, col_entries or None)
     return {
         "files_total": len(all_files),
         "files_candidates": len(cand_files),
@@ -1475,8 +1561,13 @@ def optimize_table(
             pass
         # all-new files: rebuild the manifest for them on the prior zone key
         # (one stats scan of the compacted output) so OPTIMIZE doesn't cost
-        # the next merge its metadata-only pruning
-        _extend_manifest(spark, base_dir, out_dir, None, set())
+        # the next merge its metadata-only pruning; ZORDER additionally
+        # records BOTH clustering dimensions as secondary column maps, so
+        # the second dimension is metadata-prunable too (not just
+        # footer-readable)
+        _extend_manifest(
+            spark, base_dir, out_dir, None, set(), extra_cols=zorder_cols
+        )
         return {
             "files_before": len(files),
             "files_after": len(
@@ -1575,21 +1666,34 @@ def _extend_manifest(
     out_dir: str,
     schema_ddl: "str | None",
     carried_names: "set[str]",
+    extra_cols: "list[str] | None" = None,
 ) -> None:
-    """Carry the previous version's zone-map manifest into ``out_dir`` and
-    add entries for any NEW parquet parts (one stats scan of just those
-    files). No prior manifest, or a zone key the new parts don't carry →
-    quietly skip; the next merge scans (correctness never depends on the
-    manifest)."""
-    import json
+    """Carry the previous version's zone-map manifest — primary map AND
+    secondary per-column maps — into ``out_dir`` and add entries for any
+    NEW parquet parts (one stats scan of just those files, all columns
+    aggregated together). ``extra_cols`` adds columns to the secondary
+    maps (OPTIMIZE ZORDER passes its two clustering dimensions so BOTH are
+    metadata-prunable afterwards — VERDICT r09 item 5); with no prior
+    manifest and no extra_cols the function quietly skips (the next merge
+    scans; correctness never depends on the manifest)."""
     from urllib.parse import unquote, urlparse
 
-    mpath = os.path.join(target_dir, MANIFEST_NAME)
-    if not os.path.exists(mpath):
+    doc = _read_manifest_doc(target_dir)
+    if doc is None and not extra_cols:
         return
-    doc = json.loads(open(mpath).read())
-    zone_key = doc.get("zone_key")
-    entries = {n: e for n, e in doc["files"].items() if n in carried_names}
+    zone_key = doc.get("zone_key") if doc is not None else extra_cols[0]
+    entries = (
+        {n: e for n, e in doc["files"].items() if n in carried_names}
+        if doc is not None
+        else {}
+    )
+    col_maps = {
+        c: {n: e for n, e in m.items() if n in carried_names}
+        for c, m in (doc.get("columns", {}) if doc is not None else {}).items()
+    }
+    for c in extra_cols or []:
+        if c != zone_key:
+            col_maps.setdefault(c, {})
     new_parts = [
         f for f in os.listdir(out_dir)
         if f.endswith(".parquet") and f not in carried_names
@@ -1599,20 +1703,26 @@ def _extend_manifest(
         ndf = reader.parquet(*[os.path.join(out_dir, f) for f in new_parts])
         if zone_key not in ndf.columns:
             return
+        col_maps = {c: m for c, m in col_maps.items() if c in ndf.columns}
         # pre-seed EVERY new part: a 0-row part yields no stats group, and a
         # name missing from the manifest would trip the cross-check; NULL
         # bounds make it a never-candidate (nothing to match in 0 rows)
         for f in new_parts:
             entries[f] = {"mn": None, "mx": None}
+            for m in col_maps.values():
+                m[f] = {"mn": None, "mx": None}
+        aggs = [F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx")]
+        for c in col_maps:
+            aggs += [F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}")]
         for r in (
-            ndf.groupBy(F.input_file_name().alias("__f"))
-            .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-            .collect()
+            ndf.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         ):
             p = urlparse(r["__f"])
             name = os.path.basename(unquote(p.path) if p.scheme in ("file", "") else r["__f"])
             entries[name] = {"mn": r["mn"], "mx": r["mx"]}
-    _write_manifest(out_dir, zone_key, entries)
+            for c in col_maps:
+                col_maps[c][name] = {"mn": r[f"mn__{c}"], "mx": r[f"mx__{c}"]}
+    _write_manifest(out_dir, zone_key, entries, col_maps or None)
 
 
 def table_history(spark: SparkSession, table_root: str) -> DataFrame:

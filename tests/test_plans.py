@@ -317,6 +317,8 @@ BNLJ_ALLOWED = {
     "sample_temperature_mix",    # 1-row corpus total + 1-row normalizer
     "text_vocab_growth",         # triangular cumsum on the bucket dim (docs/50 rows, broadcast)
     "layout_zorder_clustering",  # 1-row min/max bounds broadcast
+    "sink_merge_prune_2d",       # 1-row table aggregate x 1-row lookup
+                                 # aggregate (stats cross of two scalars)
 }
 
 
