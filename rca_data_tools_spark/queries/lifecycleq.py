@@ -2625,3 +2625,94 @@ def sink_merge_prune_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit").cast("long"),
         "sum_hit",
     )
+
+
+@query(
+    "streaming_merge_concurrent",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), bA AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 30 AND event_type IN ('view', 'click')
+    GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+), bB AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 60 AND event_type NOT IN ('view', 'click')
+    GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+), final AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM bA WHERE bA.d = f.d AND bA.event_type = f.event_type)
+    AND NOT EXISTS (SELECT 1 FROM bB WHERE bB.d = f.d AND bB.event_type = f.event_type)
+  UNION ALL SELECT * FROM bA
+  UNION ALL SELECT * FROM bB
+)
+SELECT d, event_type, n, n_users,
+       CAST(3 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS n_txns
+FROM final
+""",
+)
+def streaming_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO concurrent streaming writers on ONE version chain (VERDICT r09
+    item 7): both availableNow streams run at the same time through
+    stream_merge_concurrent — each micro-batch claims its version via
+    merge_into_table's optimistic rebase-and-retry and records its
+    (app_id, batch_id) txn tag in the commit marker. The two correction
+    batches target DISJOINT key sets (view/click days vs the rest), so
+    the final table is interleaving-independent; the hashed output is the
+    table UNION-stamped with the committed version count (exactly v0+2 —
+    serialized, no lost claim) and the applied-txn count (exactly 2 — no
+    double-apply). A lost update, a doubled batch, or a wedged claim
+    changes the hash.
+
+    Scale shape: contention costs capped-exponential claim backoff, never
+    a table scan; the txn check is a KB marker sweep per batch
+    (streaming/joins.stream_merge_concurrent, sinks.applied_txns)."""
+    from rca_data_tools_spark.sources.sinks import (
+        applied_txns, committed_versions, create_table, read_version,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_merge_concurrent
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_conc_stream_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4)
+
+    ab = F.col("event_type").isin("view", "click")
+    batches = {
+        "appA": _daily(e.filter((F.col("value") > 30) & ab)),
+        "appB": _daily(e.filter((F.col("value") > 60) & ~ab)),
+    }
+    queries = []
+    for app, b in batches.items():
+        feed = os.path.join(root, f"feed_{app}")
+        os.makedirs(feed)
+        stage = os.path.join(root, f"stage_{app}")
+        b.filter(F.col("d") >= _CUTOFF).select(
+            "d", "event_type", "n", "n_users"
+        ).coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(feed, "b0.parquet"))
+        stream = spark.readStream.schema(ddl).parquet(feed)
+        queries.append(stream_merge_concurrent(
+            stream, root, ["d", "event_type"], ddl,
+            os.path.join(root, f"ck_{app}"), app,
+        ))
+    for q in queries:
+        q.awaitTermination()
+
+    tip = read_version(spark, root, ddl)
+    return tip.select(
+        "d", "event_type", "n", "n_users",
+        F.lit(len(committed_versions(root))).cast("long").alias("n_versions"),
+        F.lit(len(applied_txns(root))).cast("long").alias("n_txns"),
+    )

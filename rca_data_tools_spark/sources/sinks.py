@@ -969,6 +969,7 @@ def merge_into_table(
     retries: int = 3,
     changes_feed: bool = False,
     constraints: "dict[str, str] | None" = None,
+    txn: "dict | None" = None,
 ) -> dict:
     """MERGE with OPTIMISTIC CONCURRENCY on the version chain (VERDICT r08
     item 4): the writer reads the latest committed version, claims the next
@@ -1004,6 +1005,12 @@ def merge_into_table(
     version is ever committed (the claim directory is built only by a
     successful job, and an uncommitted claim is invisible to readers).
 
+    ``txn`` ({"app": ..., "batch": ...}) is recorded in the version's
+    commit marker — the Delta idempotent-writer shape: a streaming writer
+    tags each batch's merge with its (app id, batch id) so a crash-replay
+    can detect an already-applied batch via ``applied_txns`` and skip it
+    instead of double-merging (streaming/joins.stream_merge_concurrent).
+
     Returns merge_upsert_pruned's stats plus {"version", "attempts"}."""
     if changes_feed and delete_col is not None:
         raise ValueError(
@@ -1028,7 +1035,34 @@ def merge_into_table(
             feed.coalesce(8).write.parquet(os.path.join(out_dir, CHANGES_NAME))
         return stats
 
-    return _advance_table(table_root, _build, retries, op="merge")
+    return _advance_table(table_root, _build, retries, op="merge", extra_info=({"txn": txn} if txn else None))
+
+
+def applied_txns(table_root: str) -> "set[tuple]":
+    """The (app, batch) transaction tags recorded in the chain's commit
+    markers — the read side of the idempotent-writer contract: a streaming
+    writer checks its (app_id, batch_id) here before merging, so a batch
+    whose merge COMMITTED but whose checkpoint write was lost replays as a
+    no-op instead of a double-apply. One directory listing + KB marker
+    reads (the cost of reading the log)."""
+    import json
+
+    out = set()
+    for v in committed_versions(table_root):
+        marker = os.path.join(table_root, f"v{v}", COMMIT_NAME)
+        if not os.path.exists(marker):
+            continue
+        body = open(marker).read().strip()
+        if not body:
+            continue
+        try:
+            doc = json.loads(body)
+        except ValueError:
+            continue
+        t = doc.get("txn")
+        if isinstance(t, dict) and "app" in t and "batch" in t:
+            out.add((t["app"], t["batch"]))
+    return out
 
 
 CHANGES_NAME = "_changes"
@@ -1114,7 +1148,13 @@ def replay_changes(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFra
     return survivors.select(*keys, *value_cols).unionByName(upserts)
 
 
-def _advance_table(table_root: str, build, retries: int = 3, op: str = "write") -> dict:
+def _advance_table(
+    table_root: str,
+    build,
+    retries: int = 3,
+    op: str = "write",
+    extra_info: "dict | None" = None,
+) -> dict:
     """The claim → build → publish loop every chain-advancing DML shares
     (MERGE, DELETE, UPDATE, OPTIMIZE): read the latest committed version,
     claim the next number by atomic directory create, run ``build(base_dir,
@@ -1133,8 +1173,11 @@ def _advance_table(table_root: str, build, retries: int = 3, op: str = "write") 
             os.makedirs(out)
         except FileExistsError:
             if base == last_seen:
-                # the claimer hasn't committed yet: give it a beat
-                time.sleep(0.05 * attempt)
+                # the claimer hasn't committed yet: back off exponentially
+                # (capped) — a competitor's BUILD is a real Spark job that
+                # takes seconds, and a linear 50 ms backoff would exhaust
+                # the retry budget before any honest writer finishes
+                time.sleep(min(2.0, 0.05 * (2 ** attempt)))
             last_seen = base
             continue
         try:
@@ -1153,7 +1196,9 @@ def _advance_table(table_root: str, build, retries: int = 3, op: str = "write") 
 
             shutil.rmtree(out, ignore_errors=True)
             raise
-        mark_committed(out, {"op": op, "stats": _json_safe(stats)})
+        mark_committed(
+            out, {"op": op, "stats": _json_safe(stats), **(extra_info or {})}
+        )
         return {**stats, "version": base + 1, "attempts": attempt}
     raise VersionConflict(
         f"could not claim a version in {table_root} after {retries + 1} "

@@ -1249,3 +1249,72 @@ def test_stream_merge_honors_persisted_check_constraints(spark, tmp_path):
                             str(tmp_path / "ck"))
     with pytest.raises(StreamingQueryException, match="constraint violated"):
         q.awaitTermination()
+
+
+def test_two_concurrent_merge_streams_serialize_without_lost_updates(spark, tmp_path):
+    """VERDICT r09 item 7: two availableNow merge streams with different
+    app ids run AT THE SAME TIME against one version chain via
+    stream_merge_concurrent — each batch claims its version through
+    merge_into_table's rebase-and-retry, so the four batches land as four
+    serialized committed versions with no lost update. A re-run of one
+    stream from a FRESH checkpoint finds its (app, batch) txn tags in the
+    commit markers and no-ops (exactly-once without batch-addressed
+    versions)."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        applied_txns, committed_versions, create_table, read_version,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_merge_concurrent
+
+    ddl = "k bigint, grp string, val double"
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("g0").alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    root = str(tmp_path / "table")
+    create_table(base, root, zone_key="k", n_files=4)
+
+    # stream A upserts keys 0..49 (two batches), stream B keys 100..149
+    # (two batches) — disjoint, so the final table is interleaving-free
+    def _feed(name, lo, hi, grp):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i, (a, b) in enumerate([(lo, (lo + hi) // 2), ((lo + hi) // 2, hi)]):
+            batch = spark.range(a, b).select(
+                F.col("id").alias("k"), F.lit(grp).alias("grp"),
+                (F.col("id") + 0.5).alias("val"),
+            )
+            stage = str(tmp_path / f"{name}_stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(stage, part), os.path.join(d, f"b{i}.parquet"))
+        return d
+
+    fa = _feed("feedA", 0, 50, "gA")
+    fb = _feed("feedB", 100, 150, "gB")
+
+    def _start(feed, app, ck):
+        s = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+        return stream_merge_concurrent(s, root, ["k"], ddl, str(tmp_path / ck), app)
+
+    qa = _start(fa, "appA", "ckA")
+    qb = _start(fb, "appB", "ckB")
+    qa.awaitTermination()
+    qb.awaitTermination()
+
+    assert committed_versions(root) == [0, 1, 2, 3, 4]
+    assert applied_txns(root) == {
+        ("appA", 0), ("appA", 1), ("appB", 0), ("appB", 1),
+    }
+    tip = read_version(spark, root, ddl)
+    assert tip.count() == 150
+    assert tip.filter(F.col("grp") == "gA").count() == 50   # no lost update
+    assert tip.filter(F.col("grp") == "gB").count() == 50
+    assert tip.filter((F.col("k") < 50) & (F.col("val") != F.col("k") + 0.5)).count() == 0
+
+    # fresh-checkpoint replay of stream A: txn tags -> no-op, no new versions
+    qa2 = _start(fa, "appA", "ckA2")
+    qa2.awaitTermination()
+    assert committed_versions(root) == [0, 1, 2, 3, 4]
+    assert read_version(spark, root, ddl).count() == 150
