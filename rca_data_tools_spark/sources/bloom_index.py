@@ -72,13 +72,26 @@ def build_bloom_index(
     key_col: str,
     m_bits: int = 1 << 16,
     schema_ddl: "str | None" = None,
+    target_bytes: int = 128 << 20,
 ) -> int:
     """Build (or rebuild) the ``_bloom/`` sidecar for ``key_col``. Returns
     the number of files indexed. ``m_bits`` sizes every file's filter
     (default 64 Kbit = 8 KB/file: ~1e-4 fpp at 10k distinct keys/file with
-    k=4; size it ~10-16 bits per distinct key per file)."""
+    k=4; size it ~10-16 bits per distinct key per file).
+
+    Scale shape of the rebuild itself (VERDICT r09 item 8): the packed
+    bitmaps write as ``key-<col>-`` part files sized to ``target_bytes``
+    each — a million-file table's ~8 GB sidecar lands on ~64 parallel
+    tasks, never one — and rebuilding one key touches ONLY that key's
+    parts (move the new parts in, then unlink the old ones: during the
+    swap a probe sees both generations' rows and unions their candidates —
+    one-sided, extra opens, never a missing row). Other keys' parts are
+    not read, rewritten, or swapped. Legacy sidecars whose unprefixed
+    parts mix keys are consolidated through the old union path once."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    import math
+
     import pandas as pd
 
     reader = spark.read if schema_ddl is None else spark.read.schema(schema_ddl)
@@ -116,15 +129,27 @@ def build_bloom_index(
 
     packed = pos.groupBy("f").applyInPandas(_pack, schema=BLOOM_DDL)
     bdir = _bloom_dir(table_dir)
+    # non-identifier key names (dashes, dots) hex-encode so one key's
+    # prefix can never be another's proper prefix
+    tag = key_col if key_col.isidentifier() else key_col.encode().hex()
+    prefix = f"key-{tag}-"
     types: dict = {}
+    legacy: list = []
     if os.path.isdir(bdir):
-        # indexes COMPOSE per key: keep other keys' rows, replace this
-        # key's (a rebuild), and merge the key-type registry — building a
-        # second index must never destroy the first
-        prior = spark.read.schema(BLOOM_DDL).parquet(bdir).filter(
-            F.col("key") != key_col
-        )
-        packed = packed.unionByName(prior)
+        # indexes COMPOSE per key. Per-key-prefixed parts need no read at
+        # all — only this key's parts get replaced. Unprefixed LEGACY parts
+        # (pre-r10 sidecars, or a pruned merge's carry rewrite) mix keys in
+        # one file set: consolidate them through the union path once, after
+        # which every key owns its own parts again.
+        legacy = [
+            f for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith("key-")
+        ]
+        if legacy:
+            prior = spark.read.schema(BLOOM_DDL).parquet(
+                *[os.path.join(bdir, f) for f in legacy]
+            ).filter(F.col("key") != key_col)
+            packed = packed.unionByName(prior)
         tpath = os.path.join(bdir, "_key_type")
         if os.path.exists(tpath):
             for line in open(tpath).read().splitlines():
@@ -132,13 +157,33 @@ def build_bloom_index(
                     k, _, t = line.partition("=")
                     types[k] = t
     types[key_col] = key_type
+    n_data_files = sum(1 for x in os.listdir(table_dir) if x.endswith(".parquet"))
+    n_parts = max(1, math.ceil(n_data_files * (m_bits // 8 + 64) / target_bytes))
     tmp = bdir + ".__rebuild__"
-    packed.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(bdir):
-        import shutil
+    # repartition, not coalesce: AQE legitimately collapses a small pack
+    # shuffle to one partition, and coalesce cannot widen it back — the
+    # explicit count guarantees the write parallelism AND leaves the pack
+    # stage at its natural width (the bitmap re-shuffle is O(sidecar
+    # bytes), the same order as the write itself)
+    packed.repartition(n_parts).write.mode("overwrite").parquet(tmp)
+    os.makedirs(bdir, exist_ok=True)
+    old = [
+        f for f in os.listdir(bdir)
+        if f.startswith(prefix) and f.endswith(".parquet")
+    ]
+    # move the NEW generation in first (a concurrent probe sees both
+    # generations and unions their candidates — one-sided), then drop this
+    # key's old parts and any consolidated legacy parts
+    new_parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    for i, f in enumerate(new_parts):
+        os.rename(
+            os.path.join(tmp, f), os.path.join(bdir, f"{prefix}{i:05d}-{f}")
+        )
+    import shutil
 
-        shutil.rmtree(bdir)
-    os.rename(tmp, bdir)
+    shutil.rmtree(tmp)
+    for f in (*old, *legacy):
+        os.unlink(os.path.join(bdir, f))
     with open(os.path.join(bdir, "_key_type"), "w") as fh:
         fh.write("\n".join(f"{k}={t}" for k, t in sorted(types.items())))
     return (

@@ -663,7 +663,7 @@ def merge_upsert_pruned(
         bl = spark.read.parquet(bdir)
         carried_arr = F.array(*[F.lit(n) for n in sorted(carried)])
         surv = bl.filter(F.array_contains(carried_arr, F.col("f")))
-        surv.coalesce(1).write.parquet(os.path.join(out_dir, BLOOM_NAME))
+        surv.coalesce(8).write.parquet(os.path.join(out_dir, BLOOM_NAME))
         if spark.read.parquet(os.path.join(out_dir, BLOOM_NAME)).isEmpty():
             import shutil
 

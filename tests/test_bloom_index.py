@@ -168,3 +168,56 @@ def test_chain_schema_evolution_reads_old_files_as_null(spark, tmp_path):
     assert tip.filter((F.col("k") < 90) & F.col("score").isNotNull()).count() == 0
     # the pre-evolution version still reads with its own schema
     assert read_version(spark, root, old_ddl, n=0).count() == 100
+
+
+def test_bloom_rebuild_parallelizes_and_touches_only_its_key(spark, tmp_path):
+    """VERDICT r09 item 8: the sidecar rebuild must (a) write multiple
+    part files when the sidecar exceeds the per-part byte target (the
+    million-file table's 8 GB sidecar must not serialize on one task),
+    and (b) replace ONLY the rebuilt key's parts — the other key's part
+    files stay byte-identical (same inode, never read or rewritten)."""
+    import os
+
+    from rca_data_tools_spark.sources.bloom_index import (
+        bloom_candidate_files, build_bloom_index,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("u")
+    )
+    df.repartition(8).write.parquet(tdir)
+
+    # tiny per-part target forces a multi-part write: 8 files x ~8KB
+    # filters / 16KB target -> >= 4 parts
+    n = build_bloom_index(spark, tdir, "k", m_bits=1 << 16,
+                          target_bytes=1 << 14)
+    bdir = os.path.join(tdir, "_bloom")
+    k_parts = [f for f in os.listdir(bdir)
+               if f.startswith("key-k-") and f.endswith(".parquet")]
+    assert n == 8 and len(k_parts) > 1
+
+    # second key: k's parts must survive untouched (inode identity)
+    k_inodes = {f: os.stat(os.path.join(bdir, f)).st_ino for f in k_parts}
+    build_bloom_index(spark, tdir, "u", m_bits=1 << 16)
+    assert {
+        f: os.stat(os.path.join(bdir, f)).st_ino
+        for f in os.listdir(bdir)
+        if f.startswith("key-k-") and f.endswith(".parquet")
+    } == k_inodes
+
+    # both keys probe correctly after the split-part layout
+    ck, tot = bloom_candidate_files(spark, tdir, "k", [17])
+    cu, _ = bloom_candidate_files(spark, tdir, "u", [51])
+    assert tot == 8 and 0 < len(ck) < 8 and 0 < len(cu) < 8
+
+    # rebuild of k replaces its parts, leaves u's alone
+    u_inodes = {
+        f: os.stat(os.path.join(bdir, f)).st_ino
+        for f in os.listdir(bdir) if f.startswith("key-u-")
+    }
+    build_bloom_index(spark, tdir, "k", m_bits=1 << 16)
+    assert {
+        f: os.stat(os.path.join(bdir, f)).st_ino
+        for f in os.listdir(bdir) if f.startswith("key-u-")
+    } == u_inodes
