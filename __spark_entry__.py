@@ -18,93 +18,85 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round.
-# Cumulative state after round 8: 228 registered, 227 cumulative
+# Cumulative state after round 9: 250 registered, 249 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 9 adds 22 queries
-# (250 registered): 8 in the first session (DV-safe table stack, DML
-# chain, batch IVFPQ) + 13 in the second (RESTORE/CLONE, all-DML CDF +
-# replay, bloom-index lookup, expectations gate batch+streaming, OPTIMIZE
-# ZORDER, edit-distance dedup, incremental ANN ingest, salted join,
-# curated-table pipeline).
+# agg_approx_distinct row), 0 never-checked. Round 10 adds 4 queries
+# (254 registered): the 2-D zone-map pruned merge+lookup, the
+# capped-components edit-distance dedup, the concurrent-writer
+# streaming merge, and ALTER TABLE ADD/DROP CONSTRAINT as chain commits.
 #
-# Round-9 window = (a) the eight queries ADDED this round (the DV-safe
-# table-stack faces, the DML chain, the batch-LUT IVFPQ), (b) the rows
-# whose PLANS
-# CHANGED this round — the deletion-vector sidecar moved executor-side
-# (parquet _deletes/ dir, distributed anti-join subtraction), compaction
-# and pruned MERGE became DV-aware, the MERGE duplicate-source-key check
-# moved IN-PLAN (lazy guarded join key), the delete-key join lost its
-# forced broadcast, the manifest is cross-checked against the directory
-# listing, and the streaming merges write commit markers — and (c) r05-cohort
-# sentinels, now the oldest greens (rotation discipline: r01->r04,
-# r02->r05, r03->r07, r04->r08, r05->r09): 25 at the session handoff, 19
-# after the second session's (d) additions displaced six into the r10
-# rotation (media_audio_frames, text_vocab_growth, sink_csv_roundtrip,
-# streaming_cdc_matches, sink_json_index_roundtrip,
-# quality_classifier_score — all cumulative-green since r05; re-proving
-# deferred one round to make room for never-checked r09 adds, which the
-# driver contract prioritizes). dedup_incremental (also r05-added) was
-# re-proven r08 and yields its slot.
+# Round-10 window = (a) the three queries ADDED this round, (b) rows
+# whose PLANS CHANGED this round — sink_changes_replay's chain now
+# contains a RESTORE whose change feed is the persisted snapshot diff;
+# the streaming merge sink gained crash-claim recovery + persisted
+# CHECK-constraint enforcement; clone copies (not hardlinks) table
+# metadata; mark_committed preserves history entries on re-publish; the
+# chain DML claim loop moved to the substrate-agnostic
+# commit_store.advance with capped-exponential backoff; the manifest
+# grew per-column secondary maps (merge carry + OPTIMIZE ZORDER write
+# path); the bloom sidecar rebuild writes per-key parallel parts and
+# point_lookup composes manifest range pruning — and (c) oldest-cohort
+# sentinels: the six r05-cohort rows displaced in r09 (documented there)
+# plus 28 queries whose last driver window was r01 (the oldest greens in
+# the registry by last-proven round; the full registry is still
+# oracle-checked at sf0.001 every session by tests/test_quick.py — this
+# re-proves them at the driver's sf0.01 gate).
 _ROUND_WINDOW = [
-    # (a) added round 9
-    "sink_compact_deletes",     # delete -> OPTIMIZE: DVs materialize + clear
-    "sink_read_as_of",          # time-travel API over v0/v1/v2 with a DV
-    "sink_merge_concurrent",    # optimistic concurrency: rebase-and-retry
-    "streaming_merge_cdc",      # CDC apply: update/delete ops via foreachBatch
-    "ann_ivf_pq_batch",         # broadcast-LUT IVFPQ, query-count-free plan
-    "sink_update_chain",        # DELETE -> UPDATE (MoR) -> OPTIMIZE on one chain
-    "sink_table_changes",       # persisted per-version CDF + read_changes
-    "dedup_lsh_recall",         # MinHash-LSH recall vs exact ground truth
-    # (b) changed-plan rows (executor-side DVs / DV-aware compact+merge /
-    #     in-plan dup guard / unhinted delete join / commit markers)
-    "sink_delete_vectors",
-    "sink_compact_roundtrip",
-    "sink_merge_upsert",
-    "sink_merge_changes",
-    "sink_merge_evolved",
-    "sink_merge_prune_roundtrip",
-    "sink_merge_history",
-    "streaming_merge_upsert",
-    "streaming_merge_deduped",
-    # (c) r05-cohort sentinels (oldest greens, last proven r05)
-    "ann_pq_topk",
-    "catalog_variable_resolution",
-    "dedup_cdc_chunks",
-    "embed_quantize_int8",
-    "ingest_html_camera_index",
-    "ingest_http_csv",
-    "ingest_sheet_hitl",
-    "layout_zorder_clustering",
-    "qc_rate_of_change",
-    "qc_spike_test",
-    "quality_classifier_train",
-    "sample_temperature_mix",
-    "sink_partition_overwrite",
-    "sink_stale_reconcile",
-    "streaming_neardup_matches",
-    "streaming_qaqc_rollup",
-    "w10_windowed_lttb",
-    "w_seasonal_decompose",
-    # r05-cohort per VERDICT's enumeration (checked in the r05 window)
-    "f_nested_cal_arrays",
-    # (d) added mid-round 9 (second session): RESTORE/CLONE on the chain,
-    # the full-fidelity DML change feed, per-file bloom-index point lookup,
-    # and the expectations gate — these take the early-rotation fill slots
-    # (the displaced r07 rows rotate in r10)
+    # (a) added round 10
+    "sink_merge_prune_2d",        # ZORDER 2nd dim prunes via manifest maps
+    "dedup_edit_distance_capped",  # star-edge routing over the cap
+    "streaming_merge_concurrent",  # two writers, txn tags, no lost update
+    "sink_alter_constraints",     # ALTER ADD/DROP CONSTRAINT as commits
+    # (b) changed-plan rows
+    "sink_changes_replay",        # feed crosses RESTORE (snapshot diff)
     "sink_restore_version",
-    "sink_clone_table",
-    "sink_bloom_lookup",
-    "sink_changes_all_dml",
-    "quality_expectations",
-    "quality_quarantine",
-    "sink_optimize_zorder",
+    "sink_clone_table",           # metadata copied, not hardlinked
+    "sink_table_history",         # mark_committed idempotent re-publish
+    "sink_merge_concurrent",      # commit_store.advance + expo backoff
+    "sink_merge_upsert",
+    "sink_merge_prune_roundtrip",  # secondary-map carry in the manifest
+    "sink_optimize_zorder",       # ZORDER writes both manifest columns
+    "sink_bloom_lookup",          # parallel per-key sidecar + manifest prune
+    "streaming_merge_upsert",     # crash-claim recovery + constraints
     "streaming_merge_quarantine",
-    "dedup_edit_distance",
-    "sink_changes_replay",
-    "ann_index_incremental",
-    "join_salted_skew",
-    "pipeline_curated_table",
-    "sink_table_history",
+    "streaming_merge_cdc",
+    # (c) oldest-cohort sentinels: the six displaced r05 rows
+    "media_audio_frames",
+    "text_vocab_growth",
+    "sink_csv_roundtrip",
+    "streaming_cdc_matches",
+    "sink_json_index_roundtrip",
+    "quality_classifier_score",
+    # (c) cont.: the 28 oldest greens (last driver-proven in the r01
+    # window; re-proven here at sf0.01)
+    "a10_bit_or_rollup",
+    "a14_rollup_counts",
+    "a3_windowed_mean",
+    "coarsen_block_mean",
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "e2_union_distinct",
+    "j2_interval_clip",
+    "j3_profile_range_join",
+    "j5_gross_range_flags",
+    "j7_annotation_overlap",
+    "j8_time_shifted_overlay",
+    "o6_argmax_per_bucket",
+    "o7_argmin_nearest",
+    "p10_isin_filter",
+    "p4_value_filter",
+    "p7_band_extraction",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q19_banded_revenue",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q_semi_anti_churn",
+    "qc_climatology_build",
+    "subperiod_grouping",
+    "w1_lag_step_flags",
+    "w2_lead_intervals",
+    "w3_gap_detection",
 ]
 
 

@@ -2716,3 +2716,96 @@ def streaming_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(committed_versions(root))).cast("long").alias("n_versions"),
         F.lit(len(applied_txns(root))).cast("long").alias("n_txns"),
     )
+
+
+@query(
+    "sink_alter_constraints",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+), final AS (
+  SELECT f.d, f.event_type,
+         CASE WHEN b1.d IS NOT NULL THEN b1.n + 1000000 ELSE f.n END AS n,
+         COALESCE(b1.n_users, f.n_users) AS n_users
+  FROM full_run f LEFT JOIN b1 ON b1.d = f.d AND b1.event_type = f.event_type
+)
+SELECT d, event_type, n, n_users,
+       'create,merge,alter_constraints,alter_constraints,merge' AS history_ops,
+       'n_nonneg' AS live_constraints,
+       CAST(1 AS BIGINT) AS add_rejected, CAST(1 AS BIGINT) AS merge_rejected
+FROM final
+""",
+)
+def sink_alter_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/DROP CONSTRAINT as chain commits (the Delta shape):
+    the face drives create(n_nonneg) → merge → ADD a cap constraint
+    (validates ALL existing data in one DV-aware scan — a content-neutral
+    hardlink version lands, op recorded in DESCRIBE HISTORY) → a merge
+    that violates the cap REFUSES in-plan (claim released, no version) →
+    DROP the cap (second alter version) → the same merge now lands →
+    an ADD whose rules the EXISTING data violates refuses with the claim
+    released and the metadata untouched. Hashed output: the final table,
+    the exact (create, merge, alter, alter, merge) op log, the surviving
+    constraint names, and both refusal bits — a silently-admitted row, a
+    ghost version, or metadata drift all poison the hash.
+
+    Scale shape: each alter is O(files) hardlinks + one validation scan
+    (add only); history stays KB marker reads
+    (sinks.alter_table_constraints)."""
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_constraints, create_table, merge_into_table,
+        read_version, table_constraints, table_history,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_alter_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4,
+                 constraints={"n_nonneg": "n >= 0"})
+    keys = ["d", "event_type"]
+    b1 = _daily(e.filter(F.col("value") > 50)).filter(
+        F.col("d") >= _CUTOFF
+    ).select("d", "event_type", "n", "n_users")
+    merge_into_table(spark, root, b1, keys, ddl, zone_key="d")       # v1
+    alter_table_constraints(spark, root, add={"n_cap": "n < 1000000"},
+                            schema_ddl=ddl)                           # v2
+    big = b1.select("d", "event_type",
+                    (F.col("n") + F.lit(1000000)).alias("n"), "n_users")
+    merge_rejected = 0
+    try:
+        merge_into_table(spark, root, big, keys, ddl, zone_key="d")
+    except Exception:
+        merge_rejected = 1  # the cap held; claim released
+    alter_table_constraints(spark, root, drop=["n_cap"])              # v3
+    merge_into_table(spark, root, big, keys, ddl, zone_key="d")       # v4
+    add_rejected = 0
+    try:
+        # existing data now violates this: the ADD must refuse and leave
+        # the metadata untouched
+        alter_table_constraints(spark, root, add={"n_small": "n < 100000"},
+                                schema_ddl=ddl)
+    except ValueError:
+        add_rejected = 1
+
+    ops = ",".join(
+        r["op"] for r in
+        table_history(spark, root).orderBy("version").collect()
+    )
+    live = ",".join(sorted(table_constraints(root)))
+    tip = read_version(spark, root, ddl)
+    return tip.select(
+        "d", "event_type", "n", "n_users",
+        F.lit(ops).alias("history_ops"),
+        F.lit(live).alias("live_constraints"),
+        F.lit(add_rejected).cast("long").alias("add_rejected"),
+        F.lit(merge_rejected).cast("long").alias("merge_rejected"),
+    )

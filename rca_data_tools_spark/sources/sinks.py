@@ -821,8 +821,9 @@ def _json_safe(stats: dict) -> dict:
     return out
 
 
-class VersionConflict(RuntimeError):
-    """Two writers raced for the same table version and retries ran out."""
+# the conflict type is substrate-agnostic (commit_store.advance raises it
+# for any store); re-exported here because the chain DML API lives in sinks
+from rca_data_tools_spark.sources.commit_store import VersionConflict  # noqa: E402
 
 
 def mark_committed(version_dir: str, info: "dict | None" = None) -> None:
@@ -899,6 +900,85 @@ def table_constraints(table_root: str) -> "dict[str, str]":
     if not os.path.exists(path):
         return {}
     return json.load(open(path)).get("constraints", {})
+
+
+def alter_table_constraints(
+    spark: SparkSession,
+    table_root: str,
+    add: "dict[str, str] | None" = None,
+    drop: "list[str] | None" = None,
+    schema_ddl: "str | None" = None,
+    retries: int = 3,
+) -> dict:
+    """ALTER TABLE ADD/DROP CONSTRAINT as a CHAIN OPERATION (the Delta
+    shape — a constraint change is a commit in the log, never a silent
+    metadata overwrite): the new version hardlinks the tip's content
+    (O(files), zero data bytes, content-neutral for CDF ranges) and its
+    commit marker records the op with the rule names, so DESCRIBE HISTORY
+    shows exactly WHEN the table's contract changed.
+
+    ADD validates ALL existing data first — the tip read through its
+    deletion vectors, the rules evaluated in one scan — and any violating
+    row fails the ALTER with the rule names and a sample row; the claim
+    releases and the persisted metadata stays untouched (a constraint is
+    a promise about the data already in the table, so the promise must be
+    checked before it is made). DROP is metadata-only. Dropping an
+    unknown rule refuses. Returns the advance stats plus
+    {"added", "dropped"}."""
+    add = dict(add or {})
+    drop = list(drop or [])
+    if not add and not drop:
+        raise ValueError("alter_table_constraints: nothing to add or drop")
+    current = table_constraints(table_root)
+    unknown = [r for r in drop if r not in current]
+    if unknown:
+        raise ValueError(
+            f"alter_table_constraints: cannot drop unknown constraints "
+            f"{unknown} (have {sorted(current)})"
+        )
+    clash = [r for r in add if r in current and r not in drop]
+    if clash:
+        raise ValueError(
+            f"alter_table_constraints: constraints already exist: {clash} "
+            "(drop them in the same call to replace)"
+        )
+    new_rules = {k: v for k, v in current.items() if k not in drop}
+    new_rules.update(add)
+
+    def _build(base_dir: str, out_dir: str) -> dict:
+        if add:
+            from rca_data_tools_spark.operators.expectations import (
+                violations_array,
+            )
+
+            existing = read_with_deletes(spark, base_dir, schema_ddl)
+            bad = existing.withColumn(
+                "__viol", violations_array(add)
+            ).filter(F.size("__viol") > 0)
+            sample = bad.limit(3).collect()
+            if sample:
+                rows = "; ".join(
+                    f"{r['__viol']} on {tuple(r[c] for c in existing.columns)}"
+                    for r in sample
+                )
+                raise ValueError(
+                    "alter_table_constraints: existing data violates the "
+                    f"added constraints — {rows}"
+                )
+        n = _link_version_content(base_dir, out_dir)
+        # content-neutral: read_changes ranges cross the ALTER cleanly
+        open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "w").close()
+        # persist the new contract LAST inside the build: a validation
+        # failure releases the claim with the metadata untouched; from the
+        # marker's publish onward, history and metadata agree
+        _write_table_meta(table_root, new_rules)
+        return {
+            "files_linked": n,
+            "added": sorted(add),
+            "dropped": sorted(drop),
+        }
+
+    return _advance_table(table_root, _build, retries, op="alter_constraints")
 
 
 def create_table(
@@ -1148,6 +1228,51 @@ def replay_changes(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFra
     return survivors.select(*keys, *value_cols).unionByName(upserts)
 
 
+class LocalFSCommitStore:
+    """The production local-FS implementation of the commit protocol's
+    three primitives (sources/commit_store.py documents the contract and
+    the object-store port): claim = atomic ``os.makedirs`` of the version
+    directory (O_EXCL mutex), publish = the ``_commit`` marker file,
+    link = hardlink (done by the builds themselves — the filesystem IS
+    the refcount vacuum relies on). A hard crash between claim and the
+    failure-path release leaves a claim at tip+1 that blocks every writer
+    (``VersionConflict`` names it) — vacuum cannot reap a claim AHEAD of
+    the committed tip, so recovery is manual removal; the object-store
+    port's conditional-PUT claim gets a real TTL/lease, local-FS mkdir
+    does not."""
+
+    def __init__(self, table_root: str) -> None:
+        self.table_root = table_root
+
+    def __repr__(self) -> str:
+        return self.table_root
+
+    def try_claim(self, ver: int) -> bool:
+        try:
+            os.makedirs(os.path.join(self.table_root, f"v{ver}"))
+            return True
+        except FileExistsError:
+            return False
+
+    def release_claim(self, ver: int) -> None:
+        # releasing on build failure (constraint violation, executor loss)
+        # un-wedges the chain for the next writer
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.table_root, f"v{ver}"), ignore_errors=True
+        )
+
+    def publish(self, ver: int, info: "dict | None") -> None:
+        mark_committed(os.path.join(self.table_root, f"v{ver}"), info)
+
+    def latest_committed(self) -> int:
+        return latest_committed(self.table_root)
+
+    def committed(self) -> "list[int]":
+        return committed_versions(self.table_root)
+
+
 def _advance_table(
     table_root: str,
     build,
@@ -1156,54 +1281,24 @@ def _advance_table(
     extra_info: "dict | None" = None,
 ) -> dict:
     """The claim → build → publish loop every chain-advancing DML shares
-    (MERGE, DELETE, UPDATE, OPTIMIZE): read the latest committed version,
-    claim the next number by atomic directory create, run ``build(base_dir,
-    out_dir)``, publish with ``mark_committed`` — recording ``op`` and the
-    build's stats in the marker (the DESCRIBE-HISTORY log entry).
-    Collisions rebase onto the advanced chain and retry; a
-    claimed-but-uncommitted competitor blocks and raises
-    ``VersionConflict`` after ``retries``."""
-    import time
+    (MERGE, DELETE, UPDATE, OPTIMIZE, RESTORE): the substrate-agnostic
+    ``commit_store.advance`` protocol over the local-FS store —
+    ``build(base_dir, out_dir)`` runs between the claim and the publish,
+    collisions rebase onto the advanced chain and retry, a
+    claimed-but-uncommitted competitor gets capped-exponential backoff
+    then ``VersionConflict``. The same ``advance`` loop runs against the
+    in-memory conditional-PUT store in tests/test_commit_store.py — the
+    protocol itself has no filesystem dependence."""
+    from rca_data_tools_spark.sources.commit_store import advance
 
-    last_seen = None
-    for attempt in range(1, retries + 2):
-        base = latest_committed(table_root)
-        out = os.path.join(table_root, f"v{base + 1}")
-        try:
-            os.makedirs(out)
-        except FileExistsError:
-            if base == last_seen:
-                # the claimer hasn't committed yet: back off exponentially
-                # (capped) — a competitor's BUILD is a real Spark job that
-                # takes seconds, and a linear 50 ms backoff would exhaust
-                # the retry budget before any honest writer finishes
-                time.sleep(min(2.0, 0.05 * (2 ** attempt)))
-            last_seen = base
-            continue
-        try:
-            stats = build(os.path.join(table_root, f"v{base}"), out)
-        except BaseException:
-            # the claim belongs to THIS writer: releasing it on failure
-            # (constraint violation, executor loss) un-wedges the chain for
-            # the next writer instead of leaving a dead claim. A hard crash
-            # BETWEEN claim and this cleanup still leaves one at tip+1,
-            # which blocks every writer (VersionConflict names the
-            # directory) — vacuum cannot reap a claim AHEAD of the
-            # committed tip, so recovery is manual removal (or an external
-            # lease). The object-store port's conditional-PUT claim gets a
-            # real TTL; local-FS mkdir does not.
-            import shutil
-
-            shutil.rmtree(out, ignore_errors=True)
-            raise
-        mark_committed(
-            out, {"op": op, "stats": _json_safe(stats), **(extra_info or {})}
+    def _fs_build(base: int, ver: int) -> dict:
+        return build(
+            os.path.join(table_root, f"v{base}"),
+            os.path.join(table_root, f"v{ver}"),
         )
-        return {**stats, "version": base + 1, "attempts": attempt}
-    raise VersionConflict(
-        f"could not claim a version in {table_root} after {retries + 1} "
-        f"attempts (v{latest_committed(table_root) + 1} stays claimed but "
-        "uncommitted — a crashed writer's directory needs manual removal)"
+
+    return advance(
+        LocalFSCommitStore(table_root), _fs_build, retries, op, extra_info
     )
 
 

@@ -507,3 +507,56 @@ def test_zorder_manifest_carries_both_dimensions(spark, tmp_path):
     assert lst["files_scanned"] < lst["files_total"]
     got = rows.collect()
     assert len(got) == 1 and got[0]["k"] == 7 and got[0]["grp"] == "gU"
+
+
+def test_alter_constraints_is_a_logged_commit_with_validation(spark, tmp_path):
+    """ALTER ADD validates existing data before making the promise (a
+    violating table refuses, claim released, metadata untouched); DROP of
+    an unknown rule refuses; a duplicate ADD refuses; successful alters
+    land as content-neutral versions with their op in DESCRIBE HISTORY
+    and read_changes ranges cross them."""
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_constraints, merge_into_table, read_changes,
+        table_constraints, table_history,
+    )
+
+    root = str(tmp_path / "t")
+    create_table(_base(spark), root, zone_key="k",
+                 constraints={"val_nonneg": "val >= 0"})
+    merge_into_table(
+        spark, root,
+        spark.range(5).select(F.col("id").alias("k"), F.lit("gZ").alias("grp"),
+                              F.lit(2.0).alias("val")),
+        ["k"], DDL, zone_key="k", changes_feed=True)                   # v1
+
+    st = alter_table_constraints(spark, root, add={"val_cap": "val < 1e6"},
+                                 schema_ddl=DDL)                       # v2
+    assert st["version"] == 2 and st["added"] == ["val_cap"]
+    assert table_constraints(root) == {"val_nonneg": "val >= 0",
+                                       "val_cap": "val < 1e6"}
+    ops = [r["op"] for r in table_history(spark, root).orderBy("version").collect()]
+    assert ops == ["create", "merge", "alter_constraints"]
+    # content-neutral: a CDF range crossing the alter replays cleanly
+    assert read_changes(spark, root, 0, 2).count() == 5
+
+    # existing data violates this one: refuse, release, metadata untouched
+    with pytest.raises(ValueError, match="existing data violates"):
+        alter_table_constraints(spark, root, add={"val_tiny": "val < 1"},
+                                schema_ddl=DDL)
+    assert not os.path.exists(os.path.join(root, "v3"))
+    assert "val_tiny" not in table_constraints(root)
+
+    with pytest.raises(ValueError, match="unknown"):
+        alter_table_constraints(spark, root, drop=["nope"])
+    with pytest.raises(ValueError, match="already exist"):
+        alter_table_constraints(spark, root, add={"val_cap": "val < 10"},
+                                schema_ddl=DDL)
+
+    # the new constraint actually governs writes until dropped
+    bad = spark.range(1).select(F.col("k") if False else F.lit(999).alias("k"),
+                                F.lit("gB").alias("grp"), F.lit(2e6).alias("val"))
+    with pytest.raises(Exception, match="val_cap"):
+        merge_into_table(spark, root, bad, ["k"], DDL, zone_key="k")
+    alter_table_constraints(spark, root, drop=["val_cap"])             # v3
+    merge_into_table(spark, root, bad, ["k"], DDL, zone_key="k")       # v4
+    assert table_constraints(root) == {"val_nonneg": "val >= 0"}
