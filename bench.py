@@ -52,6 +52,12 @@ HEADLINE = [
     "streaming_merge_upsert",
     "ann_ivf_pq_topk",
     "sink_delete_vectors",
+    # round-10: the capped edit-distance components (the scale face of the
+    # fuzzy-dedup family), the 2-D manifest prune lifecycle, and the
+    # concurrent-writer streaming merge
+    "dedup_edit_distance_capped",
+    "sink_merge_prune_2d",
+    "streaming_merge_concurrent",
 ]
 
 

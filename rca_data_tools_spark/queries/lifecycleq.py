@@ -2596,9 +2596,17 @@ def sink_merge_prune_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="rca_prune2d_")
     create_table(e, root, zone_key="k", n_files=8)
-    # ~4 KB files keep >= 4 z-ordered files even at the sf0.001 fixture, so
-    # the strict-pruning invariants hold at every driver scale
-    optimize_table(spark, root, target_bytes=1 << 12, zorder_cols=["k", "v"])
+    # adaptive file target: ~24 z-ordered files at any corpus scale (the
+    # 4 KB floor keeps >= 4 files even at the sf0.001 fixture) — the
+    # strict-pruning invariants hold at every driver scale without the
+    # sf1 bench paying a thousands-of-files write
+    v0 = os.path.join(root, "v0")
+    total = sum(
+        os.path.getsize(os.path.join(v0, f))
+        for f in os.listdir(v0) if f.endswith(".parquet")
+    )
+    optimize_table(spark, root, target_bytes=max(1 << 12, total // 24),
+                   zorder_cols=["k", "v"])
 
     src = e.filter(F.col("v") < _W2D).select(
         "k", "v", (F.col("val") + F.lit(1000.0)).alias("val")

@@ -1318,3 +1318,56 @@ def test_two_concurrent_merge_streams_serialize_without_lost_updates(spark, tmp_
     qa2.awaitTermination()
     assert committed_versions(root) == [0, 1, 2, 3, 4]
     assert read_version(spark, root, ddl).count() == 150
+
+
+def test_stream_cdf_consumer_crosses_restore(spark, tmp_path):
+    """A checkpointed streaming CDF consumer must survive a rollback: when
+    the RESTORE persists its effective change set (r10), the restore
+    version's feed arrives as one more micro-batch — the consumer keeps
+    replaying instead of being stranded, and its replica equals the
+    restored table."""
+    import os
+
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, merge_into_table, read_version, replay_changes,
+        restore_table,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_table_changes
+
+    ddl = "k bigint, grp string, val double"
+    base = spark.range(60).select(
+        F.col("id").alias("k"), F.lit("g0").alias("grp"),
+        (F.col("id") * 1.0).alias("val"),
+    )
+    root = str(tmp_path / "t")
+    create_table(base, root, zone_key="k")
+    b1 = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("g1").alias("grp"), F.lit(-1.0).alias("val")
+    )
+    merge_into_table(spark, root, b1, ["k"], ddl, zone_key="k",
+                     changes_feed=True)                                # v1
+    restore_table(root, 0, spark=spark, changes_feed_keys=["k"],
+                  schema_ddl=ddl)                                      # v2
+
+    feed_ddl = ("k bigint, op string, before_grp string, after_grp string, "
+                "before_val double, after_val double")
+    out = str(tmp_path / "consumed")
+
+    q = (
+        stream_table_changes(spark, root, feed_ddl)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    consumed = spark.read.parquet(out)
+    # both the merge's feed AND the restore's effective diff arrived
+    assert set(r["_version"] for r in consumed.select("_version").distinct().collect()) == {1, 2}
+    replica = replay_changes(
+        read_version(spark, root, ddl, n=0), consumed, ["k"]
+    )
+    tip = read_version(spark, root, ddl)
+    assert sorted(map(tuple, replica.collect())) == sorted(map(tuple, tip.collect()))
