@@ -2817,3 +2817,83 @@ def sink_alter_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(add_rejected).cast("long").alias("add_rejected"),
         F.lit(merge_rejected).cast("long").alias("merge_rejected"),
     )
+
+
+@query(
+    "sink_vacuum_retention",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 50 GROUP BY 1, 2
+  ) WHERE d >= '{_CUTOFF}'
+), v2 AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.d = f.d AND b1.event_type = f.event_type)
+    AND f.event_type <> 'click'
+  UNION ALL SELECT * FROM b1 WHERE event_type <> 'click'
+)
+SELECT d, event_type, n, n_users,
+       'v0,v1' AS removed, 'v2,v3' AS kept,
+       CAST(1 AS BIGINT) AS tip_still_reads,
+       CAST(1 AS BIGINT) AS old_version_gone,
+       CAST(1 AS BIGINT) AS bytes_freed_positive
+FROM v2
+""",
+)
+def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-aware VACUUM as a driver-checked face: a four-version
+    chain (create → merge → DV delete → OPTIMIZE) vacuums to keep_last=2
+    — exactly v0 and v1 removed, v2 (the DV-bearing delete) and v3 kept,
+    the tip still reads bit-identically (hardlink refcounting means
+    removing old versions can never free a byte the survivors share),
+    time travel to the reaped v0 is gone, and bytes were actually freed
+    (v1's unshared parts). The hashed output states the removed/kept
+    lists, the read-back, and the three invariants — a vacuum that reaps
+    the wrong side, breaks the tip, or frees nothing poisons the hash.
+
+    Scale shape: vacuum is one directory listing + rm of doomed version
+    dirs; the filesystem is the refcount (sinks.vacuum_versions), the
+    role a format's manifest plays for object-store files."""
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, merge_into_table, optimize_table,
+        read_version, vacuum_versions,
+    )
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_vacuum_")
+    daily = _daily(e).select("d", "event_type", "n", "n_users")
+    create_table(daily, root, zone_key="d", n_files=4)
+    keys = ["d", "event_type"]
+    b1 = _daily(e.filter(F.col("value") > 50)).filter(
+        F.col("d") >= _CUTOFF
+    ).select("d", "event_type", "n", "n_users")
+    merge_into_table(spark, root, b1, keys, ddl, zone_key="d")     # v1
+    delete_into_table(spark, root, "event_type = 'click'", ddl)    # v2 (DV)
+    optimize_table(spark, root, target_bytes=1 << 22)              # v3
+
+    before = read_version(spark, root, ddl)
+    before_rows = sorted(map(tuple, before.collect()))
+    st = vacuum_versions(root, keep_last=2)
+
+    tip = read_version(spark, root, ddl)
+    tip_ok = int(sorted(map(tuple, tip.collect())) == before_rows)
+    try:
+        read_version(spark, root, ddl, n=0)
+        gone = 0
+    except ValueError:
+        gone = 1
+    return tip.select(
+        "d", "event_type", "n", "n_users",
+        F.lit(",".join(st["removed"])).alias("removed"),
+        F.lit(",".join(st["kept"])).alias("kept"),
+        F.lit(tip_ok).cast("long").alias("tip_still_reads"),
+        F.lit(gone).cast("long").alias("old_version_gone"),
+        F.lit(int(st["bytes_freed"] > 0)).cast("long").alias("bytes_freed_positive"),
+    )
