@@ -20,13 +20,13 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 9: 250 registered, 249 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 10 adds 5 queries
-# (255 registered): the 2-D zone-map pruned merge+lookup, the
+# agg_approx_distinct row), 0 never-checked. Round 10 adds 6 queries
+# (256 registered): the 2-D zone-map pruned merge+lookup, the
 # capped-components edit-distance dedup, the concurrent-writer
 # streaming merge, ALTER TABLE ADD/DROP CONSTRAINT as chain commits,
-# and the VACUUM retention face.
+# the VACUUM retention face, and the manifest-pruned range scan.
 #
-# Round-10 window = (a) the three queries ADDED this round, (b) rows
+# Round-10 window = (a) the six queries ADDED this round, (b) rows
 # whose PLANS CHANGED this round — sink_changes_replay's chain now
 # contains a RESTORE whose change feed is the persisted snapshot diff;
 # the streaming merge sink gained crash-claim recovery + persisted
@@ -38,7 +38,7 @@ from rca_data_tools_spark.sources.readers import load_table
 # path); the bloom sidecar rebuild writes per-key parallel parts and
 # point_lookup composes manifest range pruning — and (c) oldest-cohort
 # sentinels: the six r05-cohort rows displaced in r09 (documented there)
-# plus 27 queries whose last driver window was r01 (the oldest greens in
+# plus 26 queries whose last driver window was r01 (the oldest greens in
 # the registry by last-proven round; the full registry is still
 # oracle-checked at sf0.001 every session by tests/test_quick.py — this
 # re-proves them at the driver's sf0.01 gate).
@@ -49,6 +49,7 @@ _ROUND_WINDOW = [
     "streaming_merge_concurrent",  # two writers, txn tags, no lost update
     "sink_alter_constraints",     # ALTER ADD/DROP CONSTRAINT as commits
     "sink_vacuum_retention",      # protocol-aware VACUUM, hashed retention
+    "sink_range_scan_pruned",     # manifest-pruned range read, 2nd Z dim
     # (b) changed-plan rows
     "sink_changes_replay",        # feed crosses RESTORE (snapshot diff)
     "sink_restore_version",
@@ -69,7 +70,7 @@ _ROUND_WINDOW = [
     "streaming_cdc_matches",
     "sink_json_index_roundtrip",
     "quality_classifier_score",
-    # (c) cont.: the 27 oldest greens (last driver-proven in the r01
+    # (c) cont.: the 26 oldest greens (last driver-proven in the r01
     # window; re-proven here at sf0.01)
     "a10_bit_or_rollup",
     "a14_rollup_counts",
@@ -97,7 +98,6 @@ _ROUND_WINDOW = [
     "qc_climatology_build",
     "subperiod_grouping",
     "w1_lag_step_flags",
-    "w2_lead_intervals",
 ]
 
 

@@ -2897,3 +2897,70 @@ def sink_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(gone).cast("long").alias("old_version_gone"),
         F.lit(int(st["bytes_freed"] > 0)).cast("long").alias("bytes_freed_positive"),
     )
+
+
+@query(
+    "sink_range_scan_pruned",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id AS k, (event_id * 7919) % {_P2D} AS v, value AS val
+  FROM events
+),
+live AS (SELECT * FROM t WHERE k % 7 <> 0),
+hit AS (SELECT * FROM live WHERE v BETWEEN 200000 AND 300000)
+SELECT CAST(1 AS BIGINT) AS scan_pruned,
+       (SELECT COUNT(*) FROM hit) AS n_rows,
+       (SELECT CAST(SUM(CAST(ROUND(val, 6) AS DECIMAL(28,6))) AS DOUBLE) FROM hit)
+         AS sum_val,
+       (SELECT CAST(SUM(k) AS BIGINT) FROM hit) AS sum_k
+""",
+)
+def sink_range_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ face of the multi-column zone-map manifest: after OPTIMIZE
+    ZORDER(k, v) and a merge-on-read DELETE, a range scan on the SECOND
+    clustering dimension (``range_scan``) resolves its candidate files
+    from KB metadata — strictly fewer files opened than the table holds,
+    hashed — subtracts the deletion vectors, and returns exactly the
+    in-range surviving rows (content hashed too: pruning that drops a
+    live file or resurrects a deleted row poisons the hash).
+
+    Scale shape: the candidate list costs one manifest read (no footer
+    opens), the scan is O(candidate files), the DV subtraction is the
+    standard unhinted anti-join (sinks.range_scan /
+    manifest_range_files)."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, delete_into_table, latest_committed, optimize_table,
+        range_scan,
+    )
+
+    ddl = "k bigint, v bigint, val double"
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        ((F.col("event_id") * F.lit(7919)) % F.lit(_P2D)).alias("v"),
+        F.col("value").alias("val"),
+    )
+    root = tempfile.mkdtemp(prefix="rca_rangescan_")
+    create_table(e, root, zone_key="k", n_files=8)
+    v0 = os.path.join(root, "v0")
+    total = sum(
+        os.path.getsize(os.path.join(v0, f))
+        for f in os.listdir(v0) if f.endswith(".parquet")
+    )
+    optimize_table(spark, root, target_bytes=max(1 << 12, total // 24),
+                   zorder_cols=["k", "v"])
+    delete_into_table(spark, root, "k % 7 = 0", ddl)
+
+    vdir = os.path.join(root, f"v{latest_committed(root)}")
+    rows, st = range_scan(spark, vdir, "v", 200000, 300000, schema_ddl=ddl)
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("val").alias("sum_val"),
+        F.sum("k").alias("sum_k"),
+    ).select(
+        F.lit(int(st["files_scanned"] < st["files_total"])).cast("long")
+        .alias("scan_pruned"),
+        F.col("n_rows").cast("long"),
+        "sum_val",
+        F.col("sum_k").cast("long"),
+    )
