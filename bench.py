@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_edit_distance_capped",
     "sink_merge_prune_2d",
     "streaming_merge_concurrent",
+    # round-10 second session: the full-clause MERGE and the object-store
+    # data plane join the benched lifecycle
+    "sink_merge_full_surface",
+    "sink_kv_chain_roundtrip",
 ]
 
 
@@ -318,10 +322,34 @@ def main() -> None:
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
-        spread[name] = [round(samples[0], 4), round(samples[-1], 4)]
-        print(f"# {name}: median {timings[name]:.3f}s of {samples} rows={n}", file=sys.stderr)
+        # Contention escalation (the sf0.1 face of the sf1 self-correction):
+        # a clean query's samples agree within ~1.3x; a >2x max/min spread
+        # means a load burst polluted the window (observed: edit-distance
+        # 2.5s clean vs [7.1, 55.6] under a co-tenant burst — same plan).
+        # Keep sampling (bounded) until the three FASTEST agree within
+        # 1.3x, then report their median: steady-state plan cost, not the
+        # burst, and not a single lucky run either.
+        extra = 0
+        while (
+            len(samples) >= 3
+            and sorted(samples)[2] > 1.3 * sorted(samples)[0]
+            and max(samples) > 2.0 * min(samples)
+            and extra < 5
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            extra += 1
+        best3 = sorted(samples)[:3]
+        timings[name] = round(best3[1] if len(best3) >= 2 else best3[0], 4)
+        spread[name] = [round(min(samples), 4), round(max(samples), 4)]
+        tag = f" (+{extra} escalated)" if extra else ""
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {sorted(samples)}"
+            f" rows={n}{tag}",
+            file=sys.stderr,
+        )
 
     # 10x scale sweep: when the gitignored scale corpus exists (rebuild with
     # tools/build_scale_corpus.py), run each headline query ONCE at sf1 so
@@ -426,7 +454,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "method": f"median of {n_runs}, warm, detail=BENCH_DETAIL.json",
+        "method": (
+            f"median of 3 fastest (>= {n_runs} runs, contention-escalated "
+            "when max/min > 2x), warm, detail=BENCH_DETAIL.json"
+        ),
     }
     if scale_timings:
         out["scale_sf"] = 1.0

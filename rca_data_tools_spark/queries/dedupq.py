@@ -1504,3 +1504,77 @@ def dedup_edit_distance_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_edit_distance_components(
         d, "doc_id", "text", max_edit=40, bucket_cap=8
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _leakage_split_oracle() -> str:
+    # components over the (already oracle-proven) SimHash radius-3 pairs,
+    # singletons rooted at their own id, then a cross-engine-deterministic
+    # arithmetic hash assigns the WHOLE component to one split
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_pairs_oracle()}),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         (COALESCE(c.component, d.doc_id) * 2654435761) % 10 AS h
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@query("split_leakage_safe", oracle=_leakage_split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: near-duplicate documents must
+    never straddle an evaluation boundary (a val doc whose clone sits in
+    train is memorization measured as generalization), so the split is
+    assigned per CONNECTED COMPONENT of the near-dup graph, not per
+    document — every doc in a clone cluster lands in the same split by
+    construction, and singleton docs root their own component. Pairs come
+    from the SimHash radius-3 banding and components from distributed
+    min-label propagation, both independently oracle-proven
+    (dedup_simhash_pairs / dedup_components); the 80/10/10 assignment uses
+    a Knuth multiplicative hash on the component root so BOTH engines
+    compute it identically (a production split would use xxhash64 on the
+    root — same structure, engine-native hash).
+
+    Scale shape: pairs are banded (no all-pairs), components are
+    pointer-jumping label propagation (O(log n) rounds of key-partitioned
+    joins), the assignment itself is a zero-shuffle map over (doc,
+    component) — and the no-leakage property is STRUCTURAL, not sampled:
+    same component => same hash input => same split, at any scale.
+    tests/test_dedup.py asserts zero crossing pairs on top."""
+    from rca_data_tools_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    pairs = simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .withColumn("h", (F.col("component") * F.lit(2654435761)) % 10)
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        F.when(F.col("h") < 8, F.lit("train"))
+        .when(F.col("h") == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -2964,3 +2964,303 @@ def sink_range_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_val",
         F.col("sum_k").cast("long"),
     )
+
+
+@query(
+    "sink_merge_full_surface",
+    oracle="""
+WITH t AS (SELECT event_id, user_id, value FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM t),
+src AS (
+  SELECT event_id, user_id,
+         value + CASE WHEN event_id % 20 = 0 THEN 1000.0 ELSE -50.0 END AS value
+  FROM t WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, user_id, -99999.0 AS value FROM t WHERE event_id % 10 = 1
+  UNION ALL
+  SELECT t.event_id + m + 1 AS event_id, user_id, value
+  FROM t, mx WHERE event_id % 10 = 2
+),
+j AS (
+  SELECT t.event_id AS t_id, s.event_id AS s_id,
+         t.user_id AS t_user, s.user_id AS s_user,
+         t.value AS t_val, s.value AS s_val
+  FROM t FULL OUTER JOIN src s ON t.event_id = s.event_id
+)
+SELECT COALESCE(t_id, s_id) AS event_id,
+  CASE WHEN t_id IS NULL THEN s_user
+       WHEN s_id IS NOT NULL THEN
+            (CASE WHEN s_val > t_val THEN s_user ELSE t_user END)
+       WHEN t_val > 300 THEN t_user + 100000 ELSE t_user END AS user_id,
+  CASE WHEN t_id IS NULL THEN s_val
+       WHEN s_id IS NOT NULL THEN
+            (CASE WHEN s_val > t_val THEN s_val ELSE t_val END)
+       ELSE t_val END AS value
+FROM j
+WHERE CASE WHEN t_id IS NOT NULL AND s_id IS NOT NULL THEN NOT (s_val = -99999.0)
+           WHEN t_id IS NULL THEN s_val > 100
+           ELSE NOT (t_val < 5) END
+""",
+)
+def sink_merge_full_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE MERGE clause surface as one chain DML (Delta's full
+    ``MERGE INTO`` grammar, which merge_upsert's plain upsert lacks): the
+    events table is the target, and ONE ``merge_table_full`` statement
+    exercises every clause —
+
+    - WHEN MATCHED AND s.value = -99999 THEN DELETE (tombstone feed rows,
+      event_id % 10 = 1);
+    - WHEN MATCHED AND s.value > t.value THEN UPDATE SET * (only IMPROVING
+      corrections apply: % 20 = 0 rows gain +1000 and win, the other
+      % 10 = 0 rows arrive 50 lower and the target row is KEPT);
+    - WHEN NOT MATCHED AND value > 100 THEN INSERT * (fresh ids past the
+      max; low-value inserts are dropped by the condition);
+    - WHEN NOT MATCHED BY SOURCE AND value < 5 THEN DELETE (purge stale
+      rows absent from the feed);
+    - WHEN NOT MATCHED BY SOURCE AND value > 300 THEN UPDATE SET
+      user_id = user_id + 100000 (flag untouched high-value rows).
+
+    The final table content is returned in full — every clause's row set
+    lands in the hash. The oracle replays the same semantics as one
+    FULL OUTER JOIN + CASE in ANSI SQL.
+
+    Scale shape: merge_full is ONE full-outer shuffle join on the key
+    (single-side conditions precompute before the join); the chain face
+    adds copy-on-write pruning — source-key files plus files holding a
+    not-matched-by-source hit rewrite, the rest hardlink (here the value
+    predicates are unclustered so most files rewrite; sink_merge_prune_2d
+    covers the pruned shape). Commit protocol, constraint enforcement,
+    and DESCRIBE HISTORY are shared with merge_into_table."""
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, latest_committed, merge_table_full,
+    )
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_mergefull_")
+    create_table(e, root, zone_key="event_id", n_files=8)
+    m = e.agg(F.max("event_id")).first()[0]
+
+    upd = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 20 == 0, F.lit(1000.0)).otherwise(F.lit(-50.0)),
+    )
+    dele = e.filter(F.col("event_id") % 10 == 1).withColumn(
+        "value", F.lit(-99999.0)
+    )
+    ins = e.filter(F.col("event_id") % 10 == 2).withColumn(
+        "event_id", F.col("event_id") + F.lit(int(m) + 1)
+    )
+    merge_table_full(
+        spark, root, upd.unionByName(dele).unionByName(ins),
+        ["event_id"], ddl, zone_key="event_id",
+        matched_update_cond="s.value > t.value",
+        matched_delete_cond="s.value = -99999.0",
+        insert_cond="value > 100",
+        nmbs_update_set={"user_id": "user_id + 100000"},
+        nmbs_update_cond="value > 300",
+        nmbs_delete_cond="value < 5",
+    )
+    tip = os.path.join(root, f"v{latest_committed(root)}")
+    return spark.read.schema(ddl).parquet(tip).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@query(
+    "sink_kv_chain_roundtrip",
+    oracle="""
+WITH t AS (SELECT event_id, user_id, value FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM t),
+upd AS (
+  SELECT event_id, user_id, value + 1000 AS value
+  FROM t, mx WHERE event_id >= m - m // 5
+),
+ins AS (
+  SELECT event_id + m + 1 AS event_id, user_id, value
+  FROM t, mx WHERE event_id < 512
+),
+src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT * FROM t
+  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.event_id = t.event_id)
+  UNION ALL SELECT * FROM src
+),
+final AS (SELECT * FROM merged WHERE event_id % 13 <> 0)
+SELECT 1 AS pointer_carry, 1 AS delete_zero_rewrite, 1 AS store_dedup,
+  (SELECT COUNT(*) FROM final) AS n_rows,
+  (SELECT CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+     FROM final) AS sum_value,
+  (SELECT MAX(event_id) FROM final) AS max_event
+""",
+)
+def sink_kv_chain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version chain's DML run end-to-end against the OBJECT-STORE data
+    plane (sources/kv_table.py — the follow-through on the r09 commit-store
+    spike): data files are immutable BLOBS in a conditional-PUT key-value
+    store, versions reference them via POINTER LINKS (manifest entries),
+    and the local filesystem is only a download-once cache.
+
+    create (8 clustered parts uploaded) → pruned MERGE (top-bucket updates
+    + fresh inserts; carried files come back as pointer links — ZERO
+    re-uploaded bytes, asserted by the ``pointer_carry`` bit) →
+    deletion-vector DELETE (``delete_zero_rewrite``: every data file and
+    the manifest ride pointers, only the DV sidecar uploads — the
+    object-store cost profile DVs exist for) → the final version read back
+    THROUGH its vectors from a materialized cache. ``store_dedup`` asserts
+    physical blob bytes < the logical sum over versions (blocks are shared,
+    not copied). Content (count / decimal sum / max id) is hashed against
+    the plain-SQL replay, so the substrate swap cannot change one row.
+
+    Scale shape: the SAME merge/delete plans as the local chain (nothing in
+    the DML knows the substrate changed — the point of the port); per
+    version the store pays O(new bytes) uploads + O(files) KB pointer PUTs,
+    and reads pay O(missing blobs) downloads once per cache."""
+    from rca_data_tools_spark.functions.numeric import dsum
+    from rca_data_tools_spark.sources.commit_store import MemoryKVCommitStore
+    from rca_data_tools_spark.sources.kv_table import KVTable, table_totals
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    store = MemoryKVCommitStore()
+    t = KVTable(store, tempfile.mkdtemp(prefix="rca_kvchain_"))
+    t.create(e, zone_key="event_id", n_files=8)
+
+    m = int(e.agg(F.max("event_id")).first()[0])
+    # scale-relative update band (top ~20% of ids) so the carry invariant
+    # holds at every SF — a fixed id width would rewrite the whole table
+    # at small scales and prove nothing
+    upd = e.filter(F.col("event_id") >= m - m // 5).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    ins = e.filter(F.col("event_id") < 512).withColumn(
+        "event_id", F.col("event_id") + F.lit(int(m) + 1)
+    )
+    mstats = t.merge(spark, upd.unionByName(ins), ["event_id"], ddl,
+                     zone_key="event_id")
+    dstats = t.delete_where(spark, "event_id % 13 = 0", ddl)
+    tot = table_totals(store)
+
+    pointer_carry = int(
+        mstats["pointer_links"] > 0 and dstats["pointer_links"] > 0
+        and mstats["files_rewritten"] < mstats["files_total"]
+    )
+    delete_zero_rewrite = int(
+        dstats["files_rewritten"] == 0 and dstats["new_blobs"] >= 1
+    )
+    store_dedup = int(tot["physical_bytes"] < tot["logical_bytes"])
+
+    return t.read(spark, ddl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.max("event_id").alias("max_event"),
+    ).select(
+        F.lit(pointer_carry).cast("int").alias("pointer_carry"),
+        F.lit(delete_zero_rewrite).cast("int").alias("delete_zero_rewrite"),
+        F.lit(store_dedup).cast("int").alias("store_dedup"),
+        F.col("n_rows").cast("long"),
+        "sum_value",
+        F.col("max_event").cast("long"),
+    )
+
+
+@query(
+    "sink_merge_full_changes",
+    oracle="""
+WITH t AS (SELECT event_id, user_id, value FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM t),
+src AS (
+  SELECT event_id, user_id,
+         value + CASE WHEN event_id % 20 = 0 THEN 1000.0 ELSE -50.0 END AS value
+  FROM t WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, user_id, -99999.0 AS value FROM t WHERE event_id % 10 = 1
+  UNION ALL
+  SELECT t.event_id + m + 1 AS event_id, user_id, value
+  FROM t, mx WHERE event_id % 10 = 2
+),
+j AS (
+  SELECT t.event_id AS t_id, s.event_id AS s_id,
+         t.user_id AS t_user, s.user_id AS s_user,
+         t.value AS t_val, s.value AS s_val
+  FROM t FULL OUTER JOIN src s ON t.event_id = s.event_id
+),
+f AS (
+  SELECT *,
+    CASE WHEN t_id IS NOT NULL AND s_id IS NOT NULL AND s_val = -99999.0
+              THEN 'delete'
+         WHEN t_id IS NOT NULL AND s_id IS NOT NULL AND s_val > t_val
+              THEN 'update'
+         WHEN t_id IS NULL AND s_val > 100 THEN 'insert'
+         WHEN s_id IS NULL AND t_val < 5 THEN 'delete'
+         WHEN s_id IS NULL AND t_val > 300 THEN 'update'
+    END AS op
+  FROM j
+)
+SELECT COALESCE(t_id, s_id) AS event_id, op,
+  CASE WHEN t_id IS NULL THEN NULL ELSE t_user END AS before_user_id,
+  CASE WHEN op = 'delete' THEN NULL
+       WHEN t_id IS NULL THEN s_user
+       WHEN s_id IS NOT NULL THEN s_user
+       ELSE t_user + 100000 END AS after_user_id,
+  CASE WHEN t_id IS NULL THEN NULL ELSE t_val END AS before_value,
+  CASE WHEN op = 'delete' THEN NULL
+       WHEN t_id IS NULL THEN s_val
+       WHEN s_id IS NOT NULL THEN s_val
+       ELSE t_val END AS after_value
+FROM f WHERE op IS NOT NULL
+""",
+)
+def sink_merge_full_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-FIDELITY change-data-feed of a full-clause MERGE
+    (merge_full_changes, persisted by ``merge_table_full(changes_feed=
+    True)``): the same five-clause statement as sink_merge_full_surface,
+    but what is hashed here is the FEED — every insert/update/delete event
+    with both before_* and after_* images, including the not-matched-by-
+    source clauses' deletes and updates, and NOTHING for rows no clause
+    touched (condition-failed updates/inserts, unmatched-kept targets) —
+    the O(touched rows) contract that lets CDC consumers replay a merge
+    instead of diffing O(table) snapshots. Feed and table output share one
+    join/flag construction in the plan (``_merge_full_join``), so they
+    cannot disagree about which clause fired; tests/test_merge_full.py
+    additionally replays the feed and asserts replica ≡ table.
+
+    Scale shape: one full-outer shuffle join on the key (the merge's own
+    join shape), executor-written sidecar, zero driver row handling."""
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, latest_committed, merge_table_full, read_changes,
+    )
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_mfcdf_")
+    create_table(e, root, zone_key="event_id", n_files=8)
+    m = int(e.agg(F.max("event_id")).first()[0])
+
+    upd = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 20 == 0, F.lit(1000.0)).otherwise(F.lit(-50.0)),
+    )
+    dele = e.filter(F.col("event_id") % 10 == 1).withColumn(
+        "value", F.lit(-99999.0)
+    )
+    ins = e.filter(F.col("event_id") % 10 == 2).withColumn(
+        "event_id", F.col("event_id") + F.lit(m + 1)
+    )
+    merge_table_full(
+        spark, root, upd.unionByName(dele).unionByName(ins),
+        ["event_id"], ddl, zone_key="event_id", changes_feed=True,
+        matched_update_cond="s.value > t.value",
+        matched_delete_cond="s.value = -99999.0",
+        insert_cond="value > 100",
+        nmbs_update_set={"user_id": "user_id + 100000"},
+        nmbs_update_cond="value > 300",
+        nmbs_delete_cond="value < 5",
+    )
+    feed = read_changes(spark, root, 0, latest_committed(root))
+    return feed.select(
+        "event_id", "op",
+        "before_user_id", "after_user_id", "before_value", "after_value",
+    )

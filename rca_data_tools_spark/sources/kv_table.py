@@ -1,0 +1,280 @@
+"""Object-store DATA PLANE for the version chain (the follow-through on
+VERDICT r09 item 9's commit-protocol spike): run the chain's actual DML —
+create / pruned MERGE / deletion-vector DELETE / read — against a
+``CommitStore`` that holds the bytes, with the local filesystem demoted to a
+per-version CACHE (the role an executor's local disk plays when the table
+lives in S3/GCS).
+
+The mapping, per the commit-store contract (`commit_store.py`):
+
+- a DATA FILE is an immutable BLOB, uploaded once, content never rewritten;
+- a VERSION references its files via POINTER LINKS (manifest entries) — the
+  copy-on-write carry that the local-FS chain expresses as a hardlink
+  becomes ``store.link(ver, name, blob_id)``: a KB pointer PUT, zero data
+  bytes moved (this is exactly Delta/Iceberg's add-file manifest entry);
+- SIDECARS (zone-map manifest, deletion-vector parquet parts) are small
+  blobs linked under namespaced names, carried the same way;
+- the COMMIT MARKER publish is what makes the version visible — readers
+  resolve ``latest_committed`` → pointer list → blobs, so a crashed writer's
+  half-uploaded blobs are invisible garbage, never a torn table.
+
+Builds still run through the UNCHANGED local DML implementations
+(``merge_upsert_pruned``, ``delete_where``): the adapter materializes the
+base version into the cache (cache hits skip the download), lets the DML
+build the next version directory, then translates the result — files whose
+inode matches a cached blob become pointer links, genuinely new files
+upload. Nothing in the merge/delete logic knows the substrate changed,
+which is the point: the 100 TB port swaps THIS module's store for a real
+object-store client and the chain above it does not move.
+
+No counterpart in the reference repo (rca-data-tools is a batch QAQC/plot
+pipeline with no table format); the design follows the published Delta/
+Iceberg commit-log architecture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rca_data_tools_spark.sources.commit_store import advance
+
+# namespaced pointer prefixes for sidecar entries (data files are bare names)
+_MANIFEST_KEY = "__manifest__"
+_DELETES_PREFIX = "__deletes__/"
+
+
+class KVTable:
+    """A version-chain table whose bytes live in a conditional-PUT key-value
+    store (``MemoryKVCommitStore`` in tests; an S3/GCS client in the port).
+
+    ``cache_dir`` is scratch space: ``blobs/`` holds one file per downloaded
+    or uploaded blob (the content-addressed pool), ``v{N}/`` directories are
+    materialized versions built FROM the pool via hardlinks — so inode
+    identity tells the uploader which output files of a DML are carried
+    blobs (pointer link) vs new bytes (upload)."""
+
+    def __init__(self, store, cache_dir: str) -> None:
+        self.store = store
+        self.cache_dir = cache_dir
+        os.makedirs(os.path.join(cache_dir, "blobs"), exist_ok=True)
+        self._blob_by_inode: dict[int, str] = {}
+
+    # -- cache pool -------------------------------------------------------
+    def _pool_path(self, blob_id: str) -> str:
+        return os.path.join(self.cache_dir, "blobs", blob_id.replace("/", "%2F"))
+
+    def _ensure_blob_local(self, blob_id: str) -> str:
+        """Download-once: a blob already in the pool costs zero store reads
+        (the executor-disk cache an object-store reader keeps)."""
+        path = self._pool_path(blob_id)
+        if not os.path.exists(path):
+            with open(path, "wb") as fh:
+                fh.write(self.store.read_blob(blob_id))
+        self._blob_by_inode[os.stat(path).st_ino] = blob_id
+        return path
+
+    def _upload_new_blob(self, ver: int, rel_name: str, local_path: str) -> str:
+        """Upload a genuinely new file and adopt it into the pool, so a
+        LATER version that carries it becomes a pointer link."""
+        blob_id = f"v{ver}/{rel_name}"
+        with open(local_path, "rb") as fh:
+            self.store.put_blob(blob_id, fh.read())
+        pool = self._pool_path(blob_id)
+        if not os.path.exists(pool):
+            os.link(local_path, pool)
+        self._blob_by_inode[os.stat(local_path).st_ino] = blob_id
+        return blob_id
+
+    # -- version materialization (read path) ------------------------------
+    def materialize(self, ver: int) -> str:
+        """Build a local directory for a committed version from its pointer
+        list: every entry resolves to a pool blob (downloaded at most once)
+        and hardlinks into place — O(files) metadata, O(missing bytes) IO."""
+        vdir = os.path.join(self.cache_dir, f"v{ver}")
+        if os.path.exists(os.path.join(vdir, "_materialized")):
+            return vdir
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir)
+        for name, blob_id in self.store.list_files(ver).items():
+            if name == _MANIFEST_KEY:
+                local = os.path.join(vdir, "_manifest.json")
+            elif name.startswith(_DELETES_PREFIX):
+                os.makedirs(os.path.join(vdir, "_deletes"), exist_ok=True)
+                local = os.path.join(vdir, "_deletes", name[len(_DELETES_PREFIX):])
+            else:
+                local = os.path.join(vdir, name)
+            os.link(self._ensure_blob_local(blob_id), local)
+        open(os.path.join(vdir, "_materialized"), "w").close()
+        return vdir
+
+    # -- upload of a built version (write path) ---------------------------
+    def _publish_dir(self, ver: int, out_dir: str) -> dict:
+        """Translate a DML-built version directory into store state: files
+        whose inode is a pooled blob LINK (zero bytes), new files upload.
+        Returns {"pointer_links", "new_blobs", "bytes_uploaded"}."""
+        links = uploads = nbytes = 0
+
+        def _place(rel_key: str, path: str) -> None:
+            nonlocal links, uploads, nbytes
+            known = self._blob_by_inode.get(os.stat(path).st_ino)
+            if known is not None:
+                self.store.link(ver, rel_key, known)
+                links += 1
+            else:
+                self.store.link(ver, rel_key, self._upload_new_blob(ver, rel_key, path))
+                uploads += 1
+                nbytes += os.path.getsize(path)
+
+        for f in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, f)
+            if f.endswith(".parquet") and os.path.isfile(p):
+                _place(f, p)
+            elif f == "_manifest.json":
+                _place(_MANIFEST_KEY, p)
+            elif f == "_deletes" and os.path.isdir(p):
+                for df_ in sorted(os.listdir(p)):
+                    fp = os.path.join(p, df_)
+                    if os.path.isfile(fp) and df_.endswith(".parquet"):
+                        _place(_DELETES_PREFIX + df_, fp)
+        # the built dir doubles as the materialized cache for this version
+        open(os.path.join(out_dir, "_materialized"), "w").close()
+        return {"pointer_links": links, "new_blobs": uploads, "bytes_uploaded": nbytes}
+
+    # -- DML --------------------------------------------------------------
+    def create(self, df: DataFrame, zone_key: "str | None" = None, n_files: int = 8) -> dict:
+        """CREATE TABLE: build v0 locally (range-clustered like
+        ``sinks.create_table``), upload every part, publish the marker."""
+        from rca_data_tools_spark.sources import sinks
+
+        if not self.store.try_claim(0):
+            raise RuntimeError("KVTable.create: table already exists in store")
+        vdir = os.path.join(self.cache_dir, "v0")
+        # reuse the local create (clustering + manifest), minus its marker
+        out = df
+        if zone_key is not None:
+            out = df.repartitionByRange(n_files, zone_key).sortWithinPartitions(zone_key)
+        out.write.parquet(vdir)
+        if zone_key is not None:
+            spark = df.sparkSession
+            back = spark.read.parquet(vdir)
+            import pyspark.sql.functions as F
+
+            entries = {}
+            for r in (
+                back.groupBy(F.input_file_name().alias("__f"))
+                .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+                .collect()
+            ):
+                entries[os.path.basename(sinks._local_path(r["__f"]))] = {
+                    "mn": r["mn"], "mx": r["mx"],
+                }
+            sinks._write_manifest(vdir, zone_key, entries)
+        stats = self._publish_dir(0, vdir)
+        self.store.publish(0, {"op": "create", "stats": stats})
+        return {**stats, "version": 0}
+
+    def _advance(self, build_local, op: str, retries: int = 3) -> dict:
+        """claim → (materialize base, build locally, upload) → publish,
+        through the SAME substrate-agnostic ``advance`` loop the local-FS
+        chain uses — rebase/retry/backoff/claim-release included."""
+
+        def _build(base: int, ver: int) -> dict:
+            base_dir = self.materialize(base)
+            out_dir = os.path.join(self.cache_dir, f"v{ver}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stats = build_local(base_dir, out_dir)
+            return {**stats, **self._publish_dir(ver, out_dir)}
+
+        return advance(self.store, _build, retries, op=op)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list,
+        schema_ddl: str,
+        zone_key: "str | None" = None,
+    ) -> dict:
+        """Pruned copy-on-write MERGE against the store: carried files come
+        back as POINTER LINKS (the hardlinks merge_upsert_pruned makes
+        resolve to pooled blob inodes), only rewritten parts upload."""
+        from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
+
+        return self._advance(
+            lambda base_dir, out_dir: merge_upsert_pruned(
+                spark, base_dir, out_dir, source, keys, schema_ddl, zone_key=zone_key
+            ),
+            op="merge",
+        )
+
+    def delete_where(self, spark: SparkSession, predicate: str, schema_ddl: str) -> dict:
+        """Merge-on-read DELETE: every data file of the new version is a
+        pointer link (zero data bytes moved); only the deletion-vector
+        sidecar parts upload — the object-store cost profile DVs exist for."""
+        from rca_data_tools_spark.sources.sinks import delete_where as _dw
+
+        return self._advance(
+            lambda base_dir, out_dir: _dw(spark, base_dir, out_dir, predicate, schema_ddl),
+            op="delete",
+        )
+
+    def read(self, spark: SparkSession, schema_ddl: str, ver: "int | None" = None) -> DataFrame:
+        """Read a committed version THROUGH its deletion vectors, from the
+        materialized cache."""
+        from rca_data_tools_spark.sources.sinks import read_with_deletes
+
+        v = self.store.latest_committed() if ver is None else ver
+        return read_with_deletes(spark, self.materialize(v), schema_ddl)
+
+    def history(self) -> list:
+        """The commit log as recorded in the store's markers."""
+        out = []
+        for v in self.store.committed():
+            doc = self.store.read_marker(v) or {}
+            out.append({"version": v, "op": doc.get("op"), "stats": doc.get("stats")})
+        return out
+
+    def vacuum_blobs(self) -> dict:
+        """Reference-counted garbage collection — the object-store analogue
+        of the local chain's inode-refcount VACUUM: a blob unreferenced by
+        EVERY version's pointer list is deleted. (A real retention policy
+        would first drop old versions' pointer lists; this collects what is
+        already unreachable.)"""
+        live = set()
+        for v in self.store.committed():
+            live.update(self.store.list_files(v).values())
+        dead = [
+            k.split("/", 1)[1]
+            for k in list(getattr(self.store, "_objs", {}))
+            if k.startswith("blobs/") and k.split("/", 1)[1] not in live
+        ]
+        for blob_id in dead:
+            del self.store._objs[f"blobs/{blob_id}"]
+        return {"removed": sorted(dead), "live": len(live)}
+
+
+def table_totals(store) -> dict:
+    """Store-side accounting used by tests and the driver face: total blob
+    bytes vs the LOGICAL bytes a naive full-copy-per-version chain would
+    hold — the pointer-link savings made measurable."""
+    blob_bytes = {
+        k.split("/", 1)[1]: len(v)
+        for k, v in getattr(store, "_objs", {}).items()
+        if k.startswith("blobs/")
+    }
+    logical = 0
+    links = 0
+    for v in store.committed():
+        for name, blob_id in store.list_files(v).items():
+            logical += blob_bytes.get(blob_id, 0)
+            links += 1
+    return {
+        "physical_bytes": sum(blob_bytes.values()),
+        "logical_bytes": logical,
+        "n_blobs": len(blob_bytes),
+        "n_links": links,
+    }

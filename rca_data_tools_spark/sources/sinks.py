@@ -340,6 +340,215 @@ def _dup_guarded(source: DataFrame, keys: list[str]) -> DataFrame:
     return source.withColumn(keys[0], guard.cast(source.schema[keys[0]].dataType))
 
 
+def merge_full(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched_update_cond: "str | None" = None,
+    matched_delete_cond: "str | None" = None,
+    insert_cond: "str | None" = None,
+    nmbs_update_set: "dict[str, str] | None" = None,
+    nmbs_update_cond: "str | None" = None,
+    nmbs_delete_cond: "str | None" = None,
+) -> DataFrame:
+    """The COMPLETE SQL MERGE clause surface (Delta/Iceberg ``MERGE INTO``)
+    as one DataFrame transform — ``merge_upsert`` covers the plain upsert;
+    this adds every conditional clause:
+
+    - ``WHEN MATCHED AND <matched_delete_cond> THEN DELETE`` — checked
+      FIRST (documented clause order: delete, then update);
+    - ``WHEN MATCHED AND <matched_update_cond> THEN UPDATE SET *`` — an
+      unsatisfied condition KEEPS the target row (with no condition every
+      match updates, = merge_upsert);
+    - ``WHEN NOT MATCHED AND <insert_cond> THEN INSERT *`` — an unsatisfied
+      (or NULL) condition drops the source row;
+    - ``WHEN NOT MATCHED BY SOURCE AND <nmbs_delete_cond> THEN DELETE`` /
+      ``... THEN UPDATE SET <nmbs_update_set>`` — target rows with NO
+      source match, the clause Delta added for sync-style merges (purge
+      rows absent from the feed, flag stale rows); delete checked first.
+
+    Condition language: ``matched_*`` conditions see BOTH rows and use the
+    ``t.``/``s.`` prefixes (e.g. ``"s.value > t.value"`` — only upgrade);
+    ``insert_cond`` sees bare SOURCE columns; ``nmbs_*`` conditions and
+    ``nmbs_update_set`` expressions see bare TARGET columns. A NULL
+    condition never fires its clause (SQL WHEN semantics, both engines).
+
+    Scale shape: ONE full-outer shuffle join on the keys — single-side
+    conditions are precomputed as boolean columns before the join (no
+    ambiguity, no re-evaluation), both-side conditions resolve against the
+    ``t``/``s`` dataset aliases. No windows beyond merge's in-plan
+    duplicate-source-key guard, no driver loops. ``merge_full_pruned``
+    adds copy-on-write file pruning: files containing source keys PLUS
+    files holding a row satisfying a not-matched-by-source condition
+    rewrite; everything else hardlinks."""
+    j, fl, value_cols = _merge_full_join(
+        target, source, keys,
+        matched_update_cond, matched_delete_cond, insert_cond,
+        nmbs_update_set, nmbs_update_cond, nmbs_delete_cond,
+    )
+    keep = (
+        (fl["is_m"] & ~fl["m_del"])
+        | (fl["s_only"] & fl["ins_ok"])
+        | (fl["t_only"] & ~fl["nm_del"])
+    )
+    out_cols = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys
+    ]
+    for c in value_cols:
+        col = (
+            F.when(fl["s_only"], F.col(f"s.{c}"))
+            .when(fl["is_m"] & fl["m_upd"], F.col(f"s.{c}"))
+        )
+        if nmbs_update_set and c in nmbs_update_set:
+            col = col.when(fl["t_only"] & fl["nm_upd"], F.col(f"t.__set_{c}"))
+        out_cols.append(col.otherwise(F.col(f"t.{c}")).alias(c))
+    return j.filter(keep).select(*out_cols)
+
+
+def _merge_full_join(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched_update_cond: "str | None",
+    matched_delete_cond: "str | None",
+    insert_cond: "str | None",
+    nmbs_update_set: "dict[str, str] | None",
+    nmbs_update_cond: "str | None",
+    nmbs_delete_cond: "str | None",
+) -> tuple:
+    """merge_full's validated full-outer join plus its clause flags —
+    shared by the row output (``merge_full``) and the change-data-feed
+    (``merge_full_changes``) so the two can never drift. Returns
+    (joined, flags, value_cols); flags are Columns over the ``t``/``s``
+    aliased join: is_m/t_only/s_only row classes and
+    m_del/m_upd/ins_ok/nm_del/nm_upd clause verdicts."""
+    _check_merge_inputs(target, source, keys)
+    if nmbs_update_cond is not None and not nmbs_update_set:
+        raise ValueError(
+            "merge_full: nmbs_update_cond without nmbs_update_set does nothing"
+        )
+    value_cols = [c for c in target.columns if c not in keys]
+    bad_set = sorted(set(nmbs_update_set or ()) - set(value_cols))
+    if bad_set:
+        raise ValueError(
+            f"merge_full: nmbs_update_set may only assign value columns; "
+            f"{bad_set} are keys or unknown"
+        )
+    source = _dup_guarded(source, keys)
+
+    # single-side conditions evaluate BEFORE the join, where bare column
+    # names are unambiguous; the results ride the join as boolean columns
+    s = source.withColumn("__s", F.lit(True))
+    if insert_cond is not None:
+        s = s.withColumn("__ins", F.expr(insert_cond))
+    t = target.withColumn("__t", F.lit(True))
+    if nmbs_delete_cond is not None:
+        t = t.withColumn("__nmdel", F.expr(nmbs_delete_cond))
+    if nmbs_update_set:
+        t = t.withColumn(
+            "__nmupd",
+            F.expr(nmbs_update_cond) if nmbs_update_cond is not None else F.lit(True),
+        )
+        for c, expr in nmbs_update_set.items():
+            t = t.withColumn(
+                f"__set_{c}", F.expr(expr).cast(target.schema[c].dataType)
+            )
+    j = t.alias("t").join(
+        s.alias("s"),
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+        "full_outer",
+    )
+
+    is_m = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    fl = {
+        "is_m": is_m,
+        "t_only": F.col("s.__s").isNull(),
+        "s_only": F.col("t.__t").isNull(),
+        "m_del": (
+            is_m & F.coalesce(F.expr(matched_delete_cond), F.lit(False))
+            if matched_delete_cond is not None
+            else F.lit(False)
+        ),
+        "m_upd": (
+            F.coalesce(F.expr(matched_update_cond), F.lit(False))
+            if matched_update_cond is not None
+            else F.lit(True)
+        ),
+        "ins_ok": (
+            F.coalesce(F.col("s.__ins"), F.lit(False))
+            if insert_cond is not None
+            else F.lit(True)
+        ),
+        "nm_del": (
+            F.coalesce(F.col("t.__nmdel"), F.lit(False))
+            if nmbs_delete_cond is not None
+            else F.lit(False)
+        ),
+        "nm_upd": (
+            F.coalesce(F.col("t.__nmupd"), F.lit(False))
+            if nmbs_update_set
+            else F.lit(False)
+        ),
+    }
+    return j, fl, value_cols
+
+
+def merge_full_changes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched_update_cond: "str | None" = None,
+    matched_delete_cond: "str | None" = None,
+    insert_cond: "str | None" = None,
+    nmbs_update_set: "dict[str, str] | None" = None,
+    nmbs_update_cond: "str | None" = None,
+    nmbs_delete_cond: "str | None" = None,
+) -> DataFrame:
+    """The change-data-feed a FULL-CLAUSE merge produces, in merge_changes'
+    exact schema (keys, op, before_*/after_* per value column) so
+    ``read_changes`` unions it into the one replayable stream: matched
+    deletes and not-matched-by-source deletes emit op='delete' (after_*
+    NULL), applied updates emit op='update' with both images, accepted
+    inserts emit op='insert' (before_* NULL) — and rows no clause touched
+    (unmatched-kept targets, condition-failed updates/inserts) emit
+    NOTHING, which is what makes the feed O(touched rows), not O(table).
+    Shares merge_full's join/flag construction so feed and table can never
+    disagree about which clause fired."""
+    j, fl, value_cols = _merge_full_join(
+        target, source, keys,
+        matched_update_cond, matched_delete_cond, insert_cond,
+        nmbs_update_set, nmbs_update_cond, nmbs_delete_cond,
+    )
+    upd_m = fl["is_m"] & ~fl["m_del"] & fl["m_upd"]
+    upd_nm = fl["t_only"] & ~fl["nm_del"] & fl["nm_upd"]
+    op = (
+        F.when(fl["m_del"], F.lit("delete"))
+        .when(upd_m, F.lit("update"))
+        .when(fl["s_only"] & fl["ins_ok"], F.lit("insert"))
+        .when(fl["t_only"] & fl["nm_del"], F.lit("delete"))
+        .when(upd_nm, F.lit("update"))
+    )
+    cols = [
+        *[F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys],
+        op.alias("op"),
+    ]
+    for c in value_cols:
+        dt = target.schema[c].dataType
+        cols.append(
+            F.when(fl["s_only"], F.lit(None).cast(dt))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(f"before_{c}")
+        )
+        after = (
+            F.when(fl["m_del"] | (fl["t_only"] & fl["nm_del"]), F.lit(None).cast(dt))
+            .when(upd_m | fl["s_only"], F.col(f"s.{c}"))
+        )
+        if nmbs_update_set and c in nmbs_update_set:
+            after = after.when(upd_nm, F.col(f"t.__set_{c}"))
+        cols.append(after.otherwise(F.col(f"t.{c}")).alias(f"after_{c}"))
+    return j.filter(op.isNotNull()).select(*cols)
+
+
 def merge_changes(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
     """The change-data-feed a MERGE produces (Delta CDF shape, no deletes):
     one row per SOURCE key — op = 'update' when the key exists in the
@@ -531,14 +740,52 @@ def merge_upsert_pruned(
     there (hardlinks + new parquet parts + its own manifest), leaving
     ``target_dir`` immutable — the snapshot isolation a format gives via
     its log."""
+    zone_key = zone_key or keys[0]
+    stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
+    dv = read_deletion_vectors(spark, target_dir)
+    all_files = sorted(stats)
+    skeys = source.select(*keys).distinct()
+    cand_files, matched = _source_matched_files(
+        spark, stats, skeys, zone_key, schema_ddl, dv
+    )
+    if matched:
+        mdf = spark.read.schema(schema_ddl).parquet(*matched)
+        if dv is not None:
+            mdf = _subtract_deletes(mdf, dv)  # rewrite through the vectors
+        merged = merge_upsert(mdf, source, keys, delete_col=delete_col)
+    elif delete_col is not None:
+        # no target file contains any source key: flagged rows are no-op
+        # deletes (SQL MERGE), the rest are plain inserts
+        merged = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        merged = source
+    return _finish_cow_version(
+        spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
+        zone_key, schema_ddl, len(cand_files), manifest_used,
+    )
+
+
+def _local_path(uri: str) -> str:
+    """``input_file_name``/``_metadata.file_path`` return ``file:`` URIs on
+    a local filesystem; strip back to a plain path (pass-through for real
+    object-store URIs)."""
     from urllib.parse import unquote, urlparse
 
-    zone_key = zone_key or keys[0]
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme in ("file", "") else uri
 
-    def _local(uri: str) -> str:
-        p = urlparse(uri)
-        return unquote(p.path) if p.scheme in ("file", "") else uri
 
+def _zone_file_stats(
+    spark: SparkSession, target_dir: str, zone_key: str, schema_ddl: str
+) -> "tuple[dict, bool]":
+    """Per-file (min, max) of ``zone_key`` for every data file of a version:
+    read from the persisted MANIFEST when present AND consistent with the
+    directory listing (a data file the manifest doesn't know about — e.g.
+    appended by a plain Spark write — must not silently vanish from the next
+    version, so an inconsistent manifest falls back to the scan path), else
+    one key-column scan. Returns ({path: (mn, mx)}, manifest_used)."""
     disk_files = sorted(
         os.path.join(target_dir, f)
         for f in os.listdir(target_dir)
@@ -548,9 +795,6 @@ def merge_upsert_pruned(
     if manifest is not None and {
         os.path.join(target_dir, n) for n in manifest
     } != set(disk_files):
-        # a data file the manifest doesn't know about (e.g. appended by a
-        # plain Spark write) must not silently vanish from the new version:
-        # fall back to the scan path, which sees what is actually on disk
         manifest = None
     if manifest is not None:
         stats = {
@@ -560,14 +804,29 @@ def merge_upsert_pruned(
     else:
         back = spark.read.schema(schema_ddl).parquet(target_dir)
         stats = {
-            _local(r["__f"]): (r["mn"], r["mx"])
+            _local_path(r["__f"]): (r["mn"], r["mx"])
             for r in back.groupBy(F.input_file_name().alias("__f"))
             .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
             .collect()
         }
-    dv = read_deletion_vectors(spark, target_dir)
-    all_files = sorted(stats)
-    skeys = source.select(*keys).distinct()
+    return stats, manifest is not None
+
+
+def _source_matched_files(
+    spark: SparkSession,
+    stats: dict,
+    skeys: DataFrame,
+    zone_key: str,
+    schema_ddl: str,
+    dv: "DataFrame | None",
+) -> "tuple[list, list]":
+    """The COW rewrite set driven by SOURCE KEYS: a files-sized broadcast
+    range join of the distinct source keys against the zone stats picks
+    range candidates, then ONLY those files are opened and semi-joined with
+    the keys — through the deletion vectors, so a file whose only containing
+    rows are deleted stays a carried hardlink. Returns (cand_files, matched);
+    zone maps over-approximate, the exact pass never does."""
+    keys = skeys.columns
     # files with NULL zone bounds (0-row parts, all-NULL zone column) can
     # never contain a match: they skip the candidate join entirely and stay
     # hardlinks — also keeps createDataFrame from inferring an all-None column
@@ -589,50 +848,59 @@ def merge_upsert_pruned(
         ]
     else:
         cand_files = []
-    if cand_files:
-        cdf = spark.read.schema(schema_ddl).parquet(*cand_files)
-        if dv is not None:
-            # deleted rows are not matches: a file whose only containing
-            # rows are deleted must stay a hardlink, not a rewrite. The
-            # file path is captured from _metadata BEFORE the anti-join
-            # (input_file_name cannot sit above a multi-source join).
-            keyed = cdf.select(
-                *keys,
-                F.col("_metadata.file_path").alias("__f"),
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__fb"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-            fdf = keyed.join(
-                dv,
-                (keyed["__fb"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
-                "left_anti",
-            )
-        else:
-            fdf = cdf.withColumn("__f", F.input_file_name())
-        matched = sorted(
-            _local(r["__f"])
-            for r in fdf.join(F.broadcast(skeys), keys, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
+    if not cand_files:
+        return [], []
+    cdf = spark.read.schema(schema_ddl).parquet(*cand_files)
+    if dv is not None:
+        # deleted rows are not matches: a file whose only containing
+        # rows are deleted must stay a hardlink, not a rewrite. The
+        # file path is captured from _metadata BEFORE the anti-join
+        # (input_file_name cannot sit above a multi-source join).
+        keyed = cdf.select(
+            *keys,
+            F.col("_metadata.file_path").alias("__f"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__fb"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        fdf = keyed.join(
+            dv,
+            (keyed["__fb"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
+            "left_anti",
         )
     else:
-        matched = []
-    if matched:
-        mdf = spark.read.schema(schema_ddl).parquet(*matched)
-        if dv is not None:
-            mdf = _subtract_deletes(mdf, dv)  # rewrite through the vectors
-        merged = merge_upsert(mdf, source, keys, delete_col=delete_col)
-    elif delete_col is not None:
-        # no target file contains any source key: flagged rows are no-op
-        # deletes (SQL MERGE), the rest are plain inserts
-        merged = source.filter(
-            ~F.coalesce(F.col(delete_col), F.lit(False))
-        ).drop(delete_col)
-    else:
-        merged = source
+        fdf = cdf.withColumn("__f", F.input_file_name())
+    matched = sorted(
+        _local_path(r["__f"])
+        for r in fdf.join(F.broadcast(skeys), keys, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    )
+    return cand_files, matched
+
+
+def _finish_cow_version(
+    spark: SparkSession,
+    target_dir: str,
+    out_dir: str,
+    merged: DataFrame,
+    matched: list,
+    all_files: list,
+    stats: dict,
+    dv: "DataFrame | None",
+    zone_key: str,
+    schema_ddl: str,
+    n_candidates: int,
+    manifest_used: bool,
+) -> dict:
+    """Materialize a copy-on-write version: hardlink every unmatched file,
+    carry its deletion-vector and bloom-index sidecar rows, append the
+    rewrite as ~one part per rewritten file, and persist the new version's
+    manifest (carried entries copied, new parts paying one batch-sized
+    stats scan — secondary per-column maps ride the same scan). Shared by
+    every merge flavor (``merge_upsert_pruned``, ``merge_full_pruned``)."""
     _ensure_out_dir(out_dir)
     matched_set = set(matched)
     carried = {}
@@ -716,17 +984,178 @@ def merge_upsert_pruned(
         for r in (
             ndf.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
         ):
-            name = os.path.basename(_local(r["__f"]))
+            name = os.path.basename(_local_path(r["__f"]))
             carried[name] = {"mn": r["mn"], "mx": r["mx"]}
             for c in col_entries:
                 col_entries[c][name] = {"mn": r[f"mn__{c}"], "mx": r[f"mx__{c}"]}
     _write_manifest(out_dir, zone_key, carried, col_entries or None)
     return {
         "files_total": len(all_files),
-        "files_candidates": len(cand_files),
+        "files_candidates": n_candidates,
         "files_rewritten": len(matched),
-        "manifest_used": manifest is not None,
+        "manifest_used": manifest_used,
     }
+
+
+def merge_full_pruned(
+    spark: SparkSession,
+    target_dir: str,
+    out_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    schema_ddl: str,
+    zone_key: "str | None" = None,
+    matched_update_cond: "str | None" = None,
+    matched_delete_cond: "str | None" = None,
+    insert_cond: "str | None" = None,
+    nmbs_update_set: "dict[str, str] | None" = None,
+    nmbs_update_cond: "str | None" = None,
+    nmbs_delete_cond: "str | None" = None,
+    constraints: "dict[str, str] | None" = None,
+) -> dict:
+    """Copy-on-write ``merge_full`` with file pruning. The rewrite set is
+    the UNION of two halves:
+
+    1. files actually containing a SOURCE-KEY match (zone-map candidates →
+       exact semi-join containment, through the deletion vectors — the
+       same three metadata-sized passes as ``merge_upsert_pruned``);
+    2. when a NOT-MATCHED-BY-SOURCE clause is present, files holding at
+       least one row satisfying its condition — those rows' keys are by
+       definition NOT in the source, so key pruning alone would miss them
+       (the reason Delta scans the whole target when this clause appears).
+       One exact predicate scan through the deletion vectors finds them;
+       the scan over-approximates per FILE, never per row (a satisfying
+       row that turns out to be source-matched just means the file
+       rewrites, and the rewrite applies the exact clause semantics).
+
+    Everything else hardlinks, with deletion-vector / bloom / manifest
+    sidecar carry identical to ``merge_upsert_pruned``. ``constraints``
+    (rule → SQL predicate) are enforced in-plan on the REWRITTEN output —
+    every new byte is validated; carried files were validated when
+    written. Returns merge_upsert_pruned's stats plus {"files_nmbs"}."""
+    zone_key = zone_key or keys[0]
+    stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
+    dv = read_deletion_vectors(spark, target_dir)
+    all_files = sorted(stats)
+    skeys = source.select(*keys).distinct()
+    cand_files, key_matched = _source_matched_files(
+        spark, stats, skeys, zone_key, schema_ddl, dv
+    )
+    nmbs_files: list = []
+    nmbs_parts = []
+    if nmbs_delete_cond is not None:
+        nmbs_parts.append(f"({nmbs_delete_cond})")
+    if nmbs_update_set:
+        nmbs_parts.append(
+            f"({nmbs_update_cond})" if nmbs_update_cond is not None else "true"
+        )
+    if nmbs_parts and all_files:
+        pred = " OR ".join(nmbs_parts)
+        base = spark.read.schema(schema_ddl).parquet(*all_files)
+        keyed = base.select(
+            F.col("_metadata.file_path").alias("__f"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__fb"),
+            F.col("_metadata.row_index").alias("__pos"),
+            F.coalesce(F.expr(pred), F.lit(False)).alias("__hit"),
+        )
+        if dv is not None:
+            # a deleted row satisfying the condition must not force a
+            # rewrite: it is already gone from every read
+            keyed = keyed.join(
+                dv,
+                (keyed["__fb"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
+                "left_anti",
+            )
+        nmbs_files = sorted(
+            _local_path(r["__f"])
+            for r in keyed.filter("__hit").select("__f").distinct().collect()
+        )
+    matched = sorted(set(key_matched) | set(nmbs_files))
+    if matched:
+        mdf = spark.read.schema(schema_ddl).parquet(*matched)
+        if dv is not None:
+            mdf = _subtract_deletes(mdf, dv)
+        merged = merge_full(
+            mdf,
+            source,
+            keys,
+            matched_update_cond=matched_update_cond,
+            matched_delete_cond=matched_delete_cond,
+            insert_cond=insert_cond,
+            nmbs_update_set=nmbs_update_set,
+            nmbs_update_cond=nmbs_update_cond,
+            nmbs_delete_cond=nmbs_delete_cond,
+        )
+    else:
+        # no target file contains any source key: every source row is an
+        # insert, subject only to the insert condition
+        merged = (
+            source.filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
+            if insert_cond is not None
+            else source
+        )
+    if constraints:
+        from rca_data_tools_spark.operators.expectations import check_constraints
+
+        merged = check_constraints(merged, constraints)
+    out = _finish_cow_version(
+        spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
+        zone_key, schema_ddl, len(set(cand_files) | set(nmbs_files)),
+        manifest_used,
+    )
+    return {**out, "files_nmbs": len(nmbs_files)}
+
+
+def merge_table_full(
+    spark: SparkSession,
+    table_root: str,
+    source: DataFrame,
+    keys: list[str],
+    schema_ddl: str,
+    zone_key: "str | None" = None,
+    retries: int = 3,
+    constraints: "dict[str, str] | None" = None,
+    txn: "dict | None" = None,
+    changes_feed: bool = False,
+    **clauses,
+) -> dict:
+    """Full-clause MERGE as a chain-advancing DML (the ``merge_into_table``
+    of ``merge_full``): claim → ``merge_full_pruned`` build → publish via
+    the substrate-agnostic commit protocol, with rebase-and-retry on
+    collision. Persisted table CHECK constraints (plus any call-site
+    ``constraints``) are enforced in-plan on the rewritten output — a
+    violating update/insert (including one produced by a
+    not-matched-by-source UPDATE SET) fails the build and releases the
+    claim; no partial version commits. ``txn`` records the idempotent-
+    writer tag in the commit marker like merge_into_table.
+
+    ``changes_feed=True`` persists the version's FULL-FIDELITY change-data-
+    feed (``merge_full_changes`` — insert/update/delete rows including the
+    not-matched-by-source clauses' effects), computed against the base
+    read THROUGH its deletion vectors, so ``read_changes`` ranges and
+    streaming CDF consumers cross full-clause merges instead of raising.
+    ``clauses`` are merge_full's keyword conditions."""
+    effective = {**table_constraints(table_root), **(constraints or {})}
+
+    def _build(base_dir: str, out_dir: str) -> dict:
+        stats = merge_full_pruned(
+            spark, base_dir, out_dir, source, keys, schema_ddl,
+            zone_key=zone_key, constraints=effective or None, **clauses,
+        )
+        if changes_feed:
+            feed = merge_full_changes(
+                read_with_deletes(spark, base_dir, schema_ddl),
+                source, keys, **clauses,
+            )
+            feed.coalesce(8).write.parquet(os.path.join(out_dir, CHANGES_NAME))
+        return stats
+
+    return _advance_table(
+        table_root, _build, retries, op="merge_full",
+        extra_info=({"txn": txn} if txn else None),
+    )
 
 
 def _carry_bloom_links(target_dir: str, out_dir: str) -> None:

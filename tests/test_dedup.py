@@ -615,3 +615,38 @@ def test_repeated_substring_two_separate_repeats_stay_separate(spark):
         for r in spans.filter(F.col("doc_id") == 1).collect()
     )
     assert got == [(0, 8), (20, 28)], got
+
+
+def test_split_leakage_safe_no_pair_crosses(spark):
+    """The structural guarantee of split_leakage_safe: no near-dup pair may
+    straddle a split boundary, and the split is a function of the component
+    root alone."""
+    from rca_data_tools_spark.queries.dedupq import split_leakage_safe
+    from rca_data_tools_spark.queries.dedupq import simhash_fingerprints
+    from rca_data_tools_spark.operators.dedup import simhash_neardup_pairs
+    from rca_data_tools_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    assigned = split_leakage_safe(spark, sf)
+    rows = assigned.collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    comp_of = {r["doc_id"]: r["component"] for r in rows}
+    # every document got exactly one assignment
+    d = load_table(spark, sf, "documents")
+    assert len(rows) == d.count()
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    # recompute the near-dup pairs independently and assert zero crossings
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    pairs = simhash_neardup_pairs(fp, "doc_id", max_hamming=3).collect()
+    assert pairs, "fixture must contain near-dup pairs for the test to bite"
+    crossing = [
+        (p["id1"], p["id2"])
+        for p in pairs
+        if split_of[p["id1"]] != split_of[p["id2"]]
+    ]
+    assert crossing == []
+    # same component -> same split (the mechanism, not just the outcome)
+    by_comp: dict = {}
+    for doc, comp in comp_of.items():
+        by_comp.setdefault(comp, set()).add(split_of[doc])
+    assert all(len(s) == 1 for s in by_comp.values())
