@@ -3264,3 +3264,89 @@ def sink_merge_full_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "op",
         "before_user_id", "after_user_id", "before_value", "after_value",
     )
+
+
+@query(
+    "streaming_merge_full",
+    oracle="""
+SELECT event_id, user_id,
+       value + CASE WHEN event_id % 2 = 0 THEN 20.0
+                    WHEN event_id % 3 <> 0 THEN 10.0
+                    ELSE 5.0 END AS value,
+       CAST(3 AS BIGINT) AS n_versions,
+       CAST(2 AS BIGINT) AS n_txns
+FROM events WHERE event_id % 4 <> 0
+""",
+)
+def streaming_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING snapshot-sync through the full-clause MERGE
+    (streaming/joins.stream_merge_full): two micro-batches, each a
+    COMPLETE source snapshot, drive the version chain —
+
+    - batch 0: ids with ``%3 != 0`` at value+10 — matched rows update
+      (``s.value > t.value`` holds), every other base row is purged by the
+      NOT-MATCHED-BY-SOURCE DELETE (the sync semantics NMBS exists for);
+    - batch 1: ids with ``%4 != 0`` at value + (20 if even else 5) — even
+      ids improve and update, odd ids arrive LOWER (5 < 10) so surviving
+      %3!=0 rows KEEP their batch-0 value (the conditional-update face),
+      ids the first snapshot dropped re-INSERT, ids absent from snapshot 2
+      purge.
+
+    The final table is therefore a three-way mix of both snapshots and the
+    clause conditions — a missed purge, a wrongly-applied non-improving
+    update, a lost re-insert, or a double-applied batch all poison the
+    hash; the stamps assert exactly v0+2 serialized versions and exactly 2
+    applied txn tags (exactly-once via the (app, batch) marker tags, same
+    as streaming_merge_concurrent).
+
+    Scale shape: per batch merge_full_pruned's two-sided rewrite set; with
+    an always-true NMBS condition the snapshot-sync honestly touches the
+    whole table — the cost of the sync contract, documented in
+    stream_merge_full."""
+    from rca_data_tools_spark.sources.sinks import (
+        applied_txns, committed_versions, create_table, read_version,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_merge_full
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_streamfull_")
+    troot = os.path.join(root, "t")
+    os.makedirs(troot)
+    create_table(e, troot, zone_key="event_id", n_files=8)
+
+    snap0 = e.filter(F.col("event_id") % 3 != 0).withColumn(
+        "value", F.col("value") + F.lit(10.0)
+    )
+    snap1 = e.filter(F.col("event_id") % 4 != 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 2 == 0, F.lit(20.0)).otherwise(F.lit(5.0)),
+    )
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    for i, b in enumerate([snap0, snap1]):
+        stage = os.path.join(root, f"stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"snapshot-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = stream_merge_full(
+        stream, troot, ["event_id"], ddl, os.path.join(root, "ckpt"), "syncA",
+        zone_key="event_id",
+        matched_update_cond="s.value > t.value",
+        nmbs_delete_cond="true",
+    )
+    q.awaitTermination()
+
+    tip = read_version(spark, troot, ddl)
+    return tip.select(
+        "event_id", "user_id", "value",
+        F.lit(len(committed_versions(troot))).cast("long").alias("n_versions"),
+        F.lit(len(applied_txns(troot))).cast("long").alias("n_txns"),
+    )

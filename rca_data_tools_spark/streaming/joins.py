@@ -470,6 +470,57 @@ def stream_merge_concurrent(
     )
 
 
+def stream_merge_full(
+    stream: DataFrame,
+    table_root: str,
+    keys: list[str],
+    schema_ddl: str,
+    checkpoint_dir: str,
+    app_id: str,
+    zone_key: "str | None" = None,
+    retries: int = 20,
+    changes_feed: bool = False,
+    **clauses,
+):
+    """Streaming FULL-CLAUSE merge — the snapshot-sync recipe: each
+    micro-batch is a COMPLETE source snapshot applied through
+    ``merge_table_full``, so conditional matched UPDATE/DELETE, conditional
+    INSERT, and the NOT-MATCHED-BY-SOURCE clauses (purge rows absent from
+    the snapshot, flag stale survivors) all run per batch on the shared
+    version chain, with the same optimistic claim/rebase and
+    (``app_id``, batch_id) txn-tag exactly-once as stream_merge_concurrent.
+    Persisted CHECK constraints enforce on every rewritten byte;
+    ``changes_feed=True`` persists each batch's full-fidelity CDF.
+
+    Stated plainly because it matters: a NOT-MATCHED-BY-SOURCE clause is
+    only correct when each batch is a FULL snapshot of the source (the
+    CDC-sync shape it exists for) — applied to a PARTIAL batch it would
+    purge every row the batch happens not to mention. For incremental
+    feeds use stream_merge_upsert / stream_merge_cdc.
+
+    Scale shape: per batch, merge_full_pruned's two-sided candidate set
+    (source-key files + NMBS-hit files; with an always-true NMBS condition
+    that is honestly the whole table — the snapshot-sync cost, not a plan
+    defect); the txn check is a KB marker sweep."""
+    from rca_data_tools_spark.sources.sinks import applied_txns, merge_table_full
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if (app_id, int(batch_id)) in applied_txns(table_root):
+            return  # already committed by a prior incarnation: exactly-once
+        merge_table_full(
+            batch_df.sparkSession, table_root, batch_df, keys, schema_ddl,
+            zone_key=zone_key, retries=retries, changes_feed=changes_feed,
+            txn={"app": app_id, "batch": int(batch_id)}, **clauses,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _start_merge_stream(
     stream: DataFrame,
     table_root: str,

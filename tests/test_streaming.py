@@ -1371,3 +1371,52 @@ def test_stream_cdf_consumer_crosses_restore(spark, tmp_path):
     )
     tip = read_version(spark, root, ddl)
     assert sorted(map(tuple, replica.collect())) == sorted(map(tuple, tip.collect()))
+
+
+def test_stream_merge_full_exactly_once_replay(spark):
+    """A fresh-checkpoint reprocess of the same snapshots must no-op on the
+    applied (app, batch) txn tags — no new versions, identical table."""
+    import os
+    import tempfile
+
+    from rca_data_tools_spark.sources.sinks import (
+        committed_versions, create_table, read_version,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_merge_full
+
+    ddl = "k bigint, v double"
+    root = tempfile.mkdtemp(prefix="smf_")
+    troot = os.path.join(root, "t")
+    os.makedirs(troot)
+    base = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    create_table(base, troot, zone_key="k", n_files=4)
+    snap = spark.createDataFrame(
+        [(i, float(i + 1000)) for i in range(0, 100, 2)], ddl
+    )
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    stage = os.path.join(root, "stage")
+    snap.coalesce(1).write.parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, part), os.path.join(feed, "s0.parquet"))
+
+    def run(ck):
+        q = stream_merge_full(
+            spark.readStream.schema(ddl).parquet(feed),
+            troot, ["k"], ddl, os.path.join(root, ck), "sync",
+            zone_key="k",
+            matched_update_cond="s.v > t.v",
+            nmbs_delete_cond="v < 10",
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    after1 = sorted(map(tuple, read_version(spark, troot, ddl).collect()))
+    v1 = committed_versions(troot)
+    run("ck2")  # fresh checkpoint: same (app, batch=0) tag -> must no-op
+    assert committed_versions(troot) == v1
+    assert sorted(map(tuple, read_version(spark, troot, ddl).collect())) == after1
+    # semantics sanity: evens updated, odds >= 10 kept, odds < 10 purged
+    d = dict(after1)
+    assert d[0] == 1000.0 and d[98] == 1098.0
+    assert d[11] == 11.0 and 1 not in d and 9 not in d
