@@ -3350,3 +3350,103 @@ def streaming_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(committed_versions(troot))).cast("long").alias("n_versions"),
         F.lit(len(applied_txns(troot))).cast("long").alias("n_txns"),
     )
+
+
+@query(
+    "sink_column_mapping",
+    oracle="""
+WITH t AS (SELECT event_id, user_id, value FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM t),
+final AS (
+  SELECT event_id,
+    CASE WHEN event_id < 256 THEN user_id + 7 ELSE user_id END AS device_id,
+    CASE WHEN event_id < 256 THEN value * 2
+         WHEN event_id >= m - m // 5 THEN value + 1000
+         ELSE value END AS reading
+  FROM t, mx
+  UNION ALL
+  SELECT event_id + m + 1, user_id, value
+  FROM t, mx WHERE event_id >= 256 AND event_id < 384
+)
+SELECT event_id, device_id, reading,
+       CAST(1 AS BIGINT) AS rename_zero_copy,
+       'create,merge,rename_column,merge' AS history_ops
+FROM final
+""",
+)
+def sink_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING — rename without rewriting a byte (the Delta
+    column-mapping shape): the chain runs create → physical MERGE (top-band
+    corrections) → ``alter_table_rename_column`` (value→reading,
+    user_id→device_id; a metadata-only chain commit — the
+    ``rename_zero_copy`` bit asserts every data file of the rename version
+    is the SAME INODE as its predecessor) → a second MERGE addressed
+    entirely in the NEW LOGICAL names (``merge_table_logical`` translates
+    the frame and keys to the files' physical names at the boundary) → the
+    final table read back under logical names. The hashed content proves
+    both merges landed in the right physical slots across the rename;
+    history_ops pins the rename as a first-class logged commit.
+
+    Scale shape: the rename is O(files) hardlinks + one KB metadata write
+    at ANY table size — the whole point vs a rewrite; the logical
+    translation is a projection (zero cost); merges keep their pruned COW
+    shape. tests/test_column_mapping.py covers chained renames, collision/
+    missing refusals with claim release, constraint survival, and clone
+    metadata independence."""
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_rename_column, create_table, merge_into_table,
+        merge_table_logical, read_version_logical,
+    )
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_colmap_")
+    create_table(e, root, zone_key="event_id", n_files=8)
+    m = int(e.agg(F.max("event_id")).first()[0])
+
+    # v1: physical-name merge (top ~20% of ids corrected by +1000)
+    b1 = e.filter(F.col("event_id") >= m - m // 5).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    merge_into_table(spark, root, b1, ["event_id"], ddl, zone_key="event_id")
+
+    # v2: the rename, zero-copy (inode identity checked below)
+    alter_table_rename_column(
+        root, {"value": "reading", "user_id": "device_id"}, ddl
+    )
+    prev = {
+        f: os.stat(os.path.join(root, "v1", f)).st_ino
+        for f in os.listdir(os.path.join(root, "v1")) if f.endswith(".parquet")
+    }
+    now = {
+        f: os.stat(os.path.join(root, "v2", f)).st_ino
+        for f in os.listdir(os.path.join(root, "v2")) if f.endswith(".parquet")
+    }
+    zero_copy = int(prev == now and len(now) > 0)
+
+    # v3: a merge addressed ONLY in logical names — low-id updates + inserts
+    b2_upd = e.filter(F.col("event_id") < 256).select(
+        "event_id",
+        (F.col("user_id") + F.lit(7)).alias("device_id"),
+        (F.col("value") * F.lit(2.0)).alias("reading"),
+    )
+    b2_ins = e.filter(
+        (F.col("event_id") >= 256) & (F.col("event_id") < 384)
+    ).select(
+        (F.col("event_id") + F.lit(m + 1)).alias("event_id"),
+        F.col("user_id").alias("device_id"),
+        F.col("value").alias("reading"),
+    )
+    merge_table_logical(
+        spark, root, b2_upd.unionByName(b2_ins), ["event_id"], ddl,
+        zone_key="event_id",
+    )
+
+    from rca_data_tools_spark.sources.sinks import table_history
+
+    ops = ",".join(r["op"] for r in table_history(spark, root).collect())
+    return read_version_logical(spark, root, ddl).select(
+        "event_id", "device_id", "reading",
+        F.lit(zero_copy).cast("long").alias("rename_zero_copy"),
+        F.lit(ops).alias("history_ops"),
+    )

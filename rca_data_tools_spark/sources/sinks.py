@@ -1306,16 +1306,36 @@ def latest_committed(table_root: str) -> int:
 TABLE_META_NAME = "_table.json"
 
 
-def _write_table_meta(table_root: str, constraints: "dict[str, str]") -> None:
+def _read_table_meta(table_root: str) -> dict:
     import json
 
+    path = os.path.join(table_root, TABLE_META_NAME)
+    if not os.path.exists(path):
+        return {}
+    return json.load(open(path))
+
+
+def _write_table_meta(
+    table_root: str,
+    constraints: "dict[str, str] | None" = None,
+    column_mapping: "dict[str, str] | None" = None,
+) -> None:
+    import json
+
+    # read-merge-write so one field's update never erases another's
+    # (constraints and column_mapping are independent contracts);
     # temp-write + rename: atomic for concurrent readers, and never
     # truncates an inode another table might share (clones COPY this file,
     # but rename is the defensive half of that contract)
+    doc = _read_table_meta(table_root)
+    if constraints is not None:
+        doc["constraints"] = constraints
+    if column_mapping is not None:
+        doc["column_mapping"] = column_mapping
     path = os.path.join(table_root, TABLE_META_NAME)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"constraints": constraints}, f)
+        json.dump(doc, f)
     os.replace(tmp, path)
 
 
@@ -1323,12 +1343,15 @@ def table_constraints(table_root: str) -> "dict[str, str]":
     """The table's persisted CHECK constraints (``_table.json`` at the
     chain root — table metadata, not per-version: constraints govern every
     future write). Empty dict when none were declared."""
-    import json
+    return _read_table_meta(table_root).get("constraints", {})
 
-    path = os.path.join(table_root, TABLE_META_NAME)
-    if not os.path.exists(path):
-        return {}
-    return json.load(open(path)).get("constraints", {})
+
+def column_mapping(table_root: str) -> "dict[str, str]":
+    """The table's LOGICAL → PHYSICAL column-name mapping (Delta column-
+    mapping shape: data files keep their creation-time physical names
+    forever; a RENAME only rewrites this metadata). Empty dict = identity
+    (no rename ever happened). Only renamed columns appear."""
+    return _read_table_meta(table_root).get("column_mapping", {})
 
 
 def alter_table_constraints(
@@ -1408,6 +1431,123 @@ def alter_table_constraints(
         }
 
     return _advance_table(table_root, _build, retries, op="alter_constraints")
+
+
+def alter_table_rename_column(
+    table_root: str,
+    renames: "dict[str, str]",
+    schema_ddl: str,
+    retries: int = 3,
+) -> dict:
+    """RENAME COLUMN without rewriting a byte of data (Delta column
+    mapping): the parquet files keep their creation-time PHYSICAL column
+    names forever; a rename only updates the table's logical→physical map
+    in ``_table.json`` — as a CHAIN COMMIT (hardlink content, content-
+    neutral for CDF ranges, op + renames recorded in DESCRIBE HISTORY), so
+    time travel shows when the contract changed and a crashed rename never
+    half-applies.
+
+    ``renames`` maps CURRENT logical name → new logical name;
+    ``schema_ddl`` is the PHYSICAL schema (what the files hold), used to
+    validate against the full logical domain. Chained renames compose
+    (a→b then b→c leaves physical a mapped to logical c). A rename refuses
+    when the source name is not a current logical column, or the target
+    collides with another current logical column. Readers use
+    ``read_version_logical``; structured DML goes through
+    ``merge_table_logical`` (logical frames translated to physical at the
+    boundary); STRING predicates (delete_into_table / range_scan) address
+    PHYSICAL names — the documented seam, same as engines that resolve
+    mapping in the analyzer layer this repo does not own."""
+    from pyspark.sql.types import StructType
+
+    physical_cols = [f.name for f in StructType.fromDDL(schema_ddl).fields]
+
+    def _build(base_dir: str, out_dir: str) -> dict:
+        mapping = dict(column_mapping(table_root))
+        log_of = {p: l for l, p in mapping.items()}
+        # logical -> physical over the FULL column domain (identity included)
+        phys_of = {log_of.get(p, p): p for p in physical_cols}
+        for old, new in renames.items():
+            if old == new:
+                raise ValueError(f"rename_column: {old!r} -> itself")
+            if old not in phys_of:
+                raise ValueError(
+                    f"rename_column: {old!r} is not a current logical column "
+                    f"(have {sorted(phys_of)})"
+                )
+            if new in phys_of:
+                raise ValueError(
+                    f"rename_column: target {new!r} collides with an "
+                    "existing logical column"
+                )
+            phys_of[new] = phys_of.pop(old)
+        n = _link_version_content(base_dir, out_dir)
+        open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "w").close()
+        # drop identity entries; persist LAST so a refused rename leaves
+        # the metadata untouched (claim released, like alter_constraints)
+        _write_table_meta(
+            table_root,
+            column_mapping={l: p for l, p in phys_of.items() if l != p},
+        )
+        return {"files_linked": n, "renames": dict(renames)}
+
+    return _advance_table(table_root, _build, retries, op="rename_column")
+
+
+def read_version_logical(
+    spark: SparkSession,
+    table_root: str,
+    schema_ddl: "str | None" = None,
+    n: "int | None" = None,
+) -> DataFrame:
+    """``read_version`` presented under the table's LOGICAL column names:
+    the physical scan (deletion vectors subtracted) with the column-mapping
+    aliases applied on top — a pure projection, zero cost at any scale.
+    ``schema_ddl`` is the PHYSICAL schema (what the files actually hold)."""
+    df = read_version(spark, table_root, schema_ddl, n=n)
+    mapping = column_mapping(table_root)
+    if not mapping:
+        return df
+    log_of = {p: l for l, p in mapping.items()}
+    return df.select(
+        *[F.col(c).alias(log_of.get(c, c)) for c in df.columns]
+    )
+
+
+def merge_table_logical(
+    spark: SparkSession,
+    table_root: str,
+    source: DataFrame,
+    keys: list[str],
+    schema_ddl: str,
+    **kwargs,
+) -> dict:
+    """``merge_into_table`` addressed in LOGICAL column names: the source
+    frame and the merge keys arrive as the user sees the table (post-
+    rename), get translated to the files' physical names at this boundary
+    (a projection), and the unchanged physical merge runs — the thin
+    analyzer shim Delta's column mapping performs inside the engine.
+    ``schema_ddl`` stays PHYSICAL (it describes the bytes)."""
+    mapping = column_mapping(table_root)
+    bad = [c for c in source.columns if c in mapping.values()]
+    if bad:
+        # a physical name that has been renamed away is no longer a valid
+        # logical column — accepting it would silently write the wrong slot
+        raise ValueError(
+            f"merge_table_logical: {bad} are physical names whose logical "
+            "identity was renamed away; use the current logical names"
+        )
+    phys_source = source.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in source.columns]
+    )
+    phys_keys = [mapping.get(k, k) for k in keys]
+    zk = kwargs.pop("zone_key", None)
+    if zk is not None:
+        zk = mapping.get(zk, zk)
+    return merge_into_table(
+        spark, table_root, phys_source, phys_keys, schema_ddl,
+        zone_key=zk, **kwargs,
+    )
 
 
 def manifest_range_files(

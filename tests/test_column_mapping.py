@@ -1,0 +1,123 @@
+"""Column mapping (rename without rewrite): alter_table_rename_column /
+read_version_logical / merge_table_logical — zero-copy renames as chain
+commits, logical-name DML translation, refusals, clone independence."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from rca_data_tools_spark.sources.sinks import (
+    alter_table_rename_column,
+    column_mapping,
+    committed_versions,
+    create_table,
+    merge_table_logical,
+    read_version,
+    read_version_logical,
+    table_history,
+)
+
+DDL = "k long, u long, v double"
+
+
+def _mk(spark, constraints=None):
+    root = os.path.join(tempfile.mkdtemp(prefix="cm_"), "t")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(200)], DDL
+    )
+    create_table(df, root, zone_key="k", n_files=4, constraints=constraints)
+    return root, df
+
+
+def _inodes(d):
+    return {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d) if f.endswith(".parquet")
+    }
+
+
+def test_rename_is_zero_copy_and_logical_read(spark):
+    root, df = _mk(spark)
+    stats = alter_table_rename_column(root, {"v": "reading"}, DDL)
+    assert stats["version"] == 1
+    # zero bytes moved: every data file of v1 is the v0 inode
+    assert _inodes(os.path.join(root, "v1")) == _inodes(os.path.join(root, "v0"))
+    assert column_mapping(root) == {"reading": "v"}
+    log = read_version_logical(spark, root, DDL)
+    assert log.columns == ["k", "u", "reading"]
+    assert sorted(map(tuple, log.collect())) == sorted(map(tuple, df.collect()))
+    # physical read (time travel to v0) is untouched
+    assert read_version(spark, root, DDL, n=0).columns == ["k", "u", "v"]
+    ops = [r["op"] for r in table_history(spark, root).collect()]
+    assert ops == ["create", "rename_column"]
+
+
+def test_rename_chains_compose(spark):
+    root, _ = _mk(spark)
+    alter_table_rename_column(root, {"v": "reading"}, DDL)
+    alter_table_rename_column(root, {"reading": "measurement"}, DDL)
+    assert column_mapping(root) == {"measurement": "v"}
+    assert read_version_logical(spark, root, DDL).columns == [
+        "k", "u", "measurement",
+    ]
+
+
+def test_rename_refusals_release_claim(spark):
+    root, _ = _mk(spark)
+    tip = committed_versions(root)[-1]
+    with pytest.raises(ValueError, match="not a current logical column"):
+        alter_table_rename_column(root, {"nope": "x"}, DDL)
+    with pytest.raises(ValueError, match="collides"):
+        alter_table_rename_column(root, {"v": "u"}, DDL)
+    with pytest.raises(ValueError, match="itself"):
+        alter_table_rename_column(root, {"v": "v"}, DDL)
+    assert committed_versions(root)[-1] == tip
+    assert column_mapping(root) == {}
+    # a renamed-away physical name is no longer a logical column
+    alter_table_rename_column(root, {"v": "reading"}, DDL)
+    with pytest.raises(ValueError, match="not a current logical column"):
+        alter_table_rename_column(root, {"v": "volt"}, DDL)
+
+
+def test_merge_logical_translates_and_refuses_physical(spark):
+    root, df = _mk(spark)
+    alter_table_rename_column(root, {"v": "reading", "u": "device"}, DDL)
+    src = spark.createDataFrame(
+        [(5, 99, 555.0), (9001, 9, 1.0)], "k long, device long, reading double"
+    )
+    merge_table_logical(spark, root, src, ["k"], DDL, zone_key="k")
+    got = {r["k"]: (r["device"], r["reading"])
+           for r in read_version_logical(spark, root, DDL).collect()}
+    assert got[5] == (99, 555.0) and got[9001] == (9, 1.0)
+    assert got[6] == (6 % 7, 6.0)  # untouched row intact
+    # the physical name is refused once its logical identity moved
+    bad = spark.createDataFrame([(1, 1, 1.0)], DDL)  # carries 'v', 'u'
+    with pytest.raises(ValueError, match="renamed away"):
+        merge_table_logical(spark, root, bad, ["k"], DDL)
+
+
+def test_constraints_survive_rename(spark):
+    root, _ = _mk(spark, constraints={"v_nonneg": "v >= 0"})
+    alter_table_rename_column(root, {"v": "reading"}, DDL)
+    src = spark.createDataFrame(
+        [(3, 1, -5.0)], "k long, u long, reading double"
+    )
+    # the constraint is written on PHYSICAL names and the logical merge
+    # translates before the check: the violation is still caught
+    with pytest.raises(Exception, match="constraint violated"):
+        merge_table_logical(spark, root, src, ["k"], DDL, zone_key="k")
+
+
+def test_clone_mapping_independent(spark):
+    from rca_data_tools_spark.sources.sinks import clone_table
+
+    root, _ = _mk(spark)
+    clone = os.path.join(tempfile.mkdtemp(prefix="cm_clone_"), "c")
+    clone_table(root, clone)
+    alter_table_rename_column(root, {"v": "reading"}, DDL)
+    assert column_mapping(root) == {"reading": "v"}
+    assert column_mapping(clone) == {}  # metadata copied, never aliased
