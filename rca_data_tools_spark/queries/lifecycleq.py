@@ -3450,3 +3450,86 @@ def sink_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(zero_copy).cast("long").alias("rename_zero_copy"),
         F.lit(ops).alias("history_ops"),
     )
+
+
+@query(
+    "sink_drop_column",
+    oracle="""
+WITH t AS (SELECT event_id, user_id, value FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM t),
+final AS (
+  SELECT event_id,
+    CASE WHEN event_id % 5 = 0 THEN value + 7
+         WHEN event_id >= m - m // 5 THEN value + 1000
+         ELSE value END AS value
+  FROM t, mx
+  UNION ALL
+  SELECT event_id + m + 1, value FROM t, mx WHERE event_id < 128
+)
+SELECT event_id, value,
+       CAST(1 AS BIGINT) AS drop_zero_copy,
+       'create,merge,drop_column,merge' AS history_ops
+FROM final
+""",
+)
+def sink_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN without rewriting a byte (completes the schema-evolution
+    triple: ADD via merge_evolved, RENAME via sink_column_mapping, DROP
+    here): create → physical MERGE (top-band +1000) →
+    ``alter_table_drop_column('user_id')`` — a metadata-only chain commit
+    (``drop_zero_copy`` asserts inode identity with the predecessor; the
+    physical bytes stay in the files until a rewrite) → a LOGICAL merge
+    that no longer mentions the column (%5 corrections + low-id inserts;
+    the dead physical slot is NULL-filled in rewritten files, invisible to
+    every logical read) → the final table read under logical names. The
+    hashed content proves the drop never leaked into visible data and the
+    post-drop merge landed correctly; history_ops pins the drop as a
+    logged commit. Refusals (zone-map key, constraint-referenced column,
+    unknown name) are pytest-covered with claim release.
+
+    Scale shape: the drop is O(files) hardlinks + one KB metadata write at
+    any table size; the logical projection is free; post-drop merges keep
+    the pruned COW shape with one extra NULL column in the rewrite."""
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_drop_column, create_table, merge_into_table,
+        merge_table_logical, read_version_logical, table_history,
+    )
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_dropcol_")
+    create_table(e, root, zone_key="event_id", n_files=8)
+    m = int(e.agg(F.max("event_id")).first()[0])
+
+    b1 = e.filter(F.col("event_id") >= m - m // 5).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    merge_into_table(spark, root, b1, ["event_id"], ddl, zone_key="event_id")
+
+    alter_table_drop_column(root, ["user_id"], ddl)
+    prev = {
+        f: os.stat(os.path.join(root, "v1", f)).st_ino
+        for f in os.listdir(os.path.join(root, "v1")) if f.endswith(".parquet")
+    }
+    now = {
+        f: os.stat(os.path.join(root, "v2", f)).st_ino
+        for f in os.listdir(os.path.join(root, "v2")) if f.endswith(".parquet")
+    }
+    zero_copy = int(prev == now and len(now) > 0)
+
+    b2_upd = e.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", (F.col("value") + F.lit(7.0)).alias("value")
+    )
+    b2_ins = e.filter(F.col("event_id") < 128).select(
+        (F.col("event_id") + F.lit(m + 1)).alias("event_id"), "value"
+    )
+    merge_table_logical(
+        spark, root, b2_upd.unionByName(b2_ins), ["event_id"], ddl,
+        zone_key="event_id",
+    )
+    ops = ",".join(r["op"] for r in table_history(spark, root).collect())
+    return read_version_logical(spark, root, ddl).select(
+        "event_id", "value",
+        F.lit(zero_copy).cast("long").alias("drop_zero_copy"),
+        F.lit(ops).alias("history_ops"),
+    )

@@ -1319,19 +1319,22 @@ def _write_table_meta(
     table_root: str,
     constraints: "dict[str, str] | None" = None,
     column_mapping: "dict[str, str] | None" = None,
+    dropped: "list[str] | None" = None,
 ) -> None:
     import json
 
     # read-merge-write so one field's update never erases another's
-    # (constraints and column_mapping are independent contracts);
-    # temp-write + rename: atomic for concurrent readers, and never
-    # truncates an inode another table might share (clones COPY this file,
-    # but rename is the defensive half of that contract)
+    # (constraints, column_mapping and the drop list are independent
+    # contracts); temp-write + rename: atomic for concurrent readers, and
+    # never truncates an inode another table might share (clones COPY this
+    # file, but rename is the defensive half of that contract)
     doc = _read_table_meta(table_root)
     if constraints is not None:
         doc["constraints"] = constraints
     if column_mapping is not None:
         doc["column_mapping"] = column_mapping
+    if dropped is not None:
+        doc["dropped_columns"] = dropped
     path = os.path.join(table_root, TABLE_META_NAME)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -1352,6 +1355,13 @@ def column_mapping(table_root: str) -> "dict[str, str]":
     forever; a RENAME only rewrites this metadata). Empty dict = identity
     (no rename ever happened). Only renamed columns appear."""
     return _read_table_meta(table_root).get("column_mapping", {})
+
+
+def dropped_columns(table_root: str) -> "list[str]":
+    """PHYSICAL names of logically dropped columns (Delta drop-column
+    shape: the bytes stay in the files until a rewrite; readers and
+    logical DML just stop seeing the column)."""
+    return _read_table_meta(table_root).get("dropped_columns", [])
 
 
 def alter_table_constraints(
@@ -1494,6 +1504,79 @@ def alter_table_rename_column(
     return _advance_table(table_root, _build, retries, op="rename_column")
 
 
+def alter_table_drop_column(
+    table_root: str,
+    cols: "list[str]",
+    schema_ddl: str,
+    retries: int = 3,
+) -> dict:
+    """DROP COLUMN without rewriting a byte (the Delta drop-column shape):
+    the physical bytes stay in the files until some rewrite naturally
+    replaces them; this commit only records the column's PHYSICAL name in
+    ``_table.json``'s drop list — ``read_version_logical`` stops projecting
+    it and ``merge_table_logical`` refuses sources that still carry it
+    (rewritten rows NULL the dead slot; OPTIMIZE materializes the drop).
+    Chain commit like rename: hardlinked content, content-neutral for CDF,
+    op + columns in DESCRIBE HISTORY, refusals release the claim.
+
+    Refuses: unknown logical names; dropping the zone-map key (pruned
+    merges address files by it); dropping a column a persisted CHECK
+    constraint references (the constraint would silently evaluate against
+    NULLs on rewritten rows — drop the constraint first)."""
+    import re
+
+    from pyspark.sql.types import StructType
+
+    physical_cols = [f.name for f in StructType.fromDDL(schema_ddl).fields]
+
+    def _build(base_dir: str, out_dir: str) -> dict:
+        mapping = column_mapping(table_root)
+        log_of = {p: l for l, p in mapping.items()}
+        already = set(dropped_columns(table_root))
+        live = {
+            log_of.get(p, p): p for p in physical_cols if p not in already
+        }
+        doc = _read_manifest_doc(base_dir)
+        zone_physical = doc.get("zone_key") if doc else None
+        rules = table_constraints(table_root)
+        phys_drop = []
+        for c in cols:
+            if c not in live:
+                raise ValueError(
+                    f"drop_column: {c!r} is not a current logical column "
+                    f"(have {sorted(live)})"
+                )
+            p = live[c]
+            if p == zone_physical:
+                raise ValueError(
+                    f"drop_column: {c!r} is the table's zone-map key — "
+                    "pruned merges address files by it; re-cluster first"
+                )
+            hit = [
+                name for name, expr in rules.items()
+                if re.search(rf"\b{re.escape(p)}\b", expr)
+            ]
+            if hit:
+                raise ValueError(
+                    f"drop_column: {c!r} is referenced by CHECK "
+                    f"constraint(s) {hit} — drop the constraint first"
+                )
+            phys_drop.append(p)
+        n = _link_version_content(base_dir, out_dir)
+        open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "w").close()
+        # the dropped column's rename entry (if any) is spent
+        _write_table_meta(
+            table_root,
+            column_mapping={
+                l: p for l, p in mapping.items() if p not in phys_drop
+            },
+            dropped=sorted(already | set(phys_drop)),
+        )
+        return {"files_linked": n, "dropped": sorted(cols)}
+
+    return _advance_table(table_root, _build, retries, op="drop_column")
+
+
 def read_version_logical(
     spark: SparkSession,
     table_root: str,
@@ -1501,16 +1584,18 @@ def read_version_logical(
     n: "int | None" = None,
 ) -> DataFrame:
     """``read_version`` presented under the table's LOGICAL column names:
-    the physical scan (deletion vectors subtracted) with the column-mapping
-    aliases applied on top — a pure projection, zero cost at any scale.
-    ``schema_ddl`` is the PHYSICAL schema (what the files actually hold)."""
+    the physical scan (deletion vectors subtracted) with dropped columns
+    projected OUT and the column-mapping aliases applied on top — a pure
+    projection, zero cost at any scale. ``schema_ddl`` is the PHYSICAL
+    schema (what the files actually hold)."""
     df = read_version(spark, table_root, schema_ddl, n=n)
     mapping = column_mapping(table_root)
-    if not mapping:
+    dead = set(dropped_columns(table_root))
+    if not mapping and not dead:
         return df
     log_of = {p: l for l, p in mapping.items()}
     return df.select(
-        *[F.col(c).alias(log_of.get(c, c)) for c in df.columns]
+        *[F.col(c).alias(log_of.get(c, c)) for c in df.columns if c not in dead]
     )
 
 
@@ -1527,19 +1612,35 @@ def merge_table_logical(
     rename), get translated to the files' physical names at this boundary
     (a projection), and the unchanged physical merge runs — the thin
     analyzer shim Delta's column mapping performs inside the engine.
-    ``schema_ddl`` stays PHYSICAL (it describes the bytes)."""
+    ``schema_ddl`` stays PHYSICAL (it describes the bytes). On a table
+    with DROPPED columns the source must not carry them (logically they no
+    longer exist); the dead physical slots are NULL-filled so rewritten
+    files keep the physical schema — reads never project them, and the
+    next OPTIMIZE materializes the drop."""
+    from pyspark.sql.types import StructType
+
     mapping = column_mapping(table_root)
-    bad = [c for c in source.columns if c in mapping.values()]
+    dead = set(dropped_columns(table_root))
+    bad = [c for c in source.columns if c in mapping.values() or c in dead]
     if bad:
-        # a physical name that has been renamed away is no longer a valid
-        # logical column — accepting it would silently write the wrong slot
+        # a physical name that has been renamed away — or any dropped
+        # column — is no longer a valid logical column: accepting it would
+        # silently write the wrong (or a dead) slot
         raise ValueError(
-            f"merge_table_logical: {bad} are physical names whose logical "
-            "identity was renamed away; use the current logical names"
+            f"merge_table_logical: {bad} are renamed-away physical names "
+            "or dropped columns; use the current logical names"
         )
     phys_source = source.select(
         *[F.col(c).alias(mapping.get(c, c)) for c in source.columns]
     )
+    if dead:
+        phys_types = {
+            f.name: f.dataType for f in StructType.fromDDL(schema_ddl).fields
+        }
+        for p in sorted(dead):
+            phys_source = phys_source.withColumn(
+                p, F.lit(None).cast(phys_types[p])
+            )
     phys_keys = [mapping.get(k, k) for k in keys]
     zk = kwargs.pop("zone_key", None)
     if zk is not None:

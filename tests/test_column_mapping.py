@@ -96,7 +96,7 @@ def test_merge_logical_translates_and_refuses_physical(spark):
     assert got[6] == (6 % 7, 6.0)  # untouched row intact
     # the physical name is refused once its logical identity moved
     bad = spark.createDataFrame([(1, 1, 1.0)], DDL)  # carries 'v', 'u'
-    with pytest.raises(ValueError, match="renamed away"):
+    with pytest.raises(ValueError, match="renamed-away"):
         merge_table_logical(spark, root, bad, ["k"], DDL)
 
 
@@ -121,3 +121,70 @@ def test_clone_mapping_independent(spark):
     alter_table_rename_column(root, {"v": "reading"}, DDL)
     assert column_mapping(root) == {"reading": "v"}
     assert column_mapping(clone) == {}  # metadata copied, never aliased
+
+
+def test_drop_column_zero_copy_and_logical_views(spark):
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_drop_column, dropped_columns,
+    )
+
+    root, df = _mk(spark)
+    stats = alter_table_drop_column(root, ["u"], DDL)
+    assert stats["version"] == 1 and stats["dropped"] == ["u"]
+    # zero-copy: the drop version shares every inode with its predecessor
+    assert _inodes(os.path.join(root, "v1")) == _inodes(os.path.join(root, "v0"))
+    assert dropped_columns(root) == ["u"]
+    log = read_version_logical(spark, root, DDL)
+    assert log.columns == ["k", "v"]
+    # time travel to v0 under physical names still shows the column
+    assert read_version(spark, root, DDL, n=0).columns == ["k", "u", "v"]
+    ops = [r["op"] for r in table_history(spark, root).collect()]
+    assert ops == ["create", "drop_column"]
+
+
+def test_drop_column_refusals(spark):
+    from rca_data_tools_spark.sources.sinks import alter_table_drop_column
+
+    root, _ = _mk(spark, constraints={"v_nonneg": "v >= 0"})
+    tip = committed_versions(root)[-1]
+    with pytest.raises(ValueError, match="zone-map key"):
+        alter_table_drop_column(root, ["k"], DDL)
+    with pytest.raises(ValueError, match="CHECK"):
+        alter_table_drop_column(root, ["v"], DDL)
+    with pytest.raises(ValueError, match="not a current logical column"):
+        alter_table_drop_column(root, ["ghost"], DDL)
+    assert committed_versions(root)[-1] == tip
+
+
+def test_drop_column_merge_null_fills_dead_slot(spark):
+    from rca_data_tools_spark.sources.sinks import alter_table_drop_column
+
+    root, df = _mk(spark)
+    alter_table_drop_column(root, ["u"], DDL)
+    src = spark.createDataFrame([(5, 555.0), (9001, 1.0)], "k long, v double")
+    merge_table_logical(spark, root, src, ["k"], DDL, zone_key="k")
+    log = read_version_logical(spark, root, DDL)
+    got = {r["k"]: r["v"] for r in log.collect()}
+    assert got[5] == 555.0 and got[9001] == 1.0 and got[6] == 6.0
+    assert log.columns == ["k", "v"]
+    # the rewritten rows carry NULL in the dead physical slot, the carried
+    # rows keep their old bytes — both invisible logically
+    phys = read_version(spark, root, DDL)
+    assert phys.filter("k = 5").collect()[0]["u"] is None
+    # a source still carrying the dropped column refuses
+    bad = spark.createDataFrame([(1, 1, 1.0)], DDL)
+    with pytest.raises(ValueError, match="dropped columns"):
+        merge_table_logical(spark, root, bad, ["k"], DDL)
+
+
+def test_drop_after_rename_spends_mapping(spark):
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_drop_column, dropped_columns,
+    )
+
+    root, _ = _mk(spark)
+    alter_table_rename_column(root, {"u": "device"}, DDL)
+    alter_table_drop_column(root, ["device"], DDL)
+    assert dropped_columns(root) == ["u"]
+    assert column_mapping(root) == {}
+    assert read_version_logical(spark, root, DDL).columns == ["k", "v"]
