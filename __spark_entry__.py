@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 9: 250 registered, 249 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 10 adds 13 queries
-# (263 registered): the 2-D zone-map pruned merge+lookup, the
+# agg_approx_distinct row), 0 never-checked. Round 10 adds 14 queries
+# (264 registered): the 2-D zone-map pruned merge+lookup, the
 # capped-components edit-distance dedup, the concurrent-writer
 # streaming merge, ALTER TABLE ADD/DROP CONSTRAINT as chain commits,
 # the VACUUM retention face, the manifest-pruned range scan, the
@@ -33,9 +33,11 @@ from rca_data_tools_spark.sources.readers import load_table
 # to one side of every eval boundary), the full-clause merge's
 # persisted change-data-feed (read_changes ranges cross merge_full
 # versions), the streaming snapshot-sync face of the full merge
-# (txn-tagged exactly-once, per-batch NMBS purge), and column mapping
+# (txn-tagged exactly-once, per-batch NMBS purge), column mapping
 # (RENAME and DROP COLUMN as zero-copy metadata commits; logical-name
-# merges translate at the boundary, dead slots NULL-fill on rewrite).
+# merges translate at the boundary, dead slots NULL-fill on rewrite),
+# and the capped-components split (the leakage-safe split's scale path,
+# sharing dedup_lsh_capped's oracle CTE chain).
 #
 # Round-10 window = (a) the six queries ADDED this round, (b) rows
 # whose PLANS CHANGED this round — sink_changes_replay's chain now
@@ -49,14 +51,15 @@ from rca_data_tools_spark.sources.readers import load_table
 # path); the bloom sidecar rebuild writes per-key parallel parts and
 # point_lookup composes manifest range pruning — and (c) oldest-cohort
 # sentinels: the six r05-cohort rows displaced in r09 (documented there)
-# plus 19 queries whose last driver window was r01 (p4_value_filter,
+# plus 18 queries whose last driver window was r01 (p4_value_filter,
 # q12_priority_shipping, e2_union_distinct, a10_bit_or_rollup,
-# o7_argmin_nearest, j8_time_shifted_overlay and j3_profile_range_join
-# yielded their slots to the seven second-session additions
-# sink_merge_full_surface / sink_kv_chain_roundtrip / split_leakage_safe
-# / sink_merge_full_changes / streaming_merge_full / sink_column_mapping
-# / sink_drop_column; all seven stay oracle-checked at sf0.001 every
-# session) — the oldest greens in
+# o7_argmin_nearest, j8_time_shifted_overlay, j3_profile_range_join and
+# subperiod_grouping yielded their slots to the eight second-session
+# additions sink_merge_full_surface / sink_kv_chain_roundtrip /
+# split_leakage_safe / sink_merge_full_changes / streaming_merge_full /
+# sink_column_mapping / sink_drop_column / split_leakage_capped; all
+# eight stay oracle-checked at sf0.001 every session) — the oldest
+# greens in
 # the registry by last-proven round; the full registry is still
 # oracle-checked at sf0.001 every session by tests/test_quick.py — this
 # re-proves them at the driver's sf0.01 gate).
@@ -75,6 +78,7 @@ _ROUND_WINDOW = [
     "streaming_merge_full",       # snapshot-sync NMBS merge, txn-tagged
     "sink_column_mapping",        # rename w/o rewrite; logical-name merge
     "sink_drop_column",           # drop w/o rewrite; NULL-filled dead slot
+    "split_leakage_capped",       # capped-components split (scale path)
     # (b) changed-plan rows
     "sink_changes_replay",        # feed crosses RESTORE (snapshot diff)
     "sink_restore_version",
@@ -95,7 +99,7 @@ _ROUND_WINDOW = [
     "streaming_cdc_matches",
     "sink_json_index_roundtrip",
     "quality_classifier_score",
-    # (c) cont.: the 19 oldest greens (last driver-proven in the r01
+    # (c) cont.: the 18 oldest greens (last driver-proven in the r01
     # window; re-proven here at sf0.01)
     "a14_rollup_counts",
     "a3_windowed_mean",
@@ -114,7 +118,6 @@ _ROUND_WINDOW = [
     "q6_forecast_revenue",
     "q_semi_anti_churn",
     "qc_climatology_build",
-    "subperiod_grouping",
     "w1_lag_step_flags",
 ]
 

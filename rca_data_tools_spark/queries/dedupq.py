@@ -494,6 +494,16 @@ _LSH_CAP = 8  # query-face cap: sf0.01 has band buckets of 17 and 10, so both
 
 
 def _capped_oracle() -> str:
+    return f"""{_capped_cte_chain()}
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+def _capped_cte_chain() -> str:
+    """The capped-components WITH chain (shingles → minhash → banding →
+    cap split → star edges + verified pairs → recursive closure), ending
+    at ``reach`` — shared by dedup_lsh_capped and split_leakage_capped so
+    the two oracles can never drift."""
     K = MINHASH_K
     return f"""
 WITH RECURSIVE {_minhash_prefix()},
@@ -539,9 +549,7 @@ reach(node, lbl) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, r.lbl FROM edges e JOIN reach r ON e.src = r.node
-)
-SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
-"""
+)"""
 
 
 @query("dedup_lsh_capped", oracle=_capped_oracle())
@@ -1564,6 +1572,57 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .withColumn("h", (F.col("component") * F.lit(2654435761)) % 10)
+    )
+    return assigned.select(
+        "doc_id",
+        "component",
+        F.when(F.col("h") < 8, F.lit("train"))
+        .when(F.col("h") == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _leakage_split_capped_oracle() -> str:
+    return f"""{_capped_cte_chain()},
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         (COALESCE(c.component, d.doc_id) * 2654435761) % 10 AS h
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+FROM assigned
+"""
+
+
+@query("split_leakage_capped", oracle=_leakage_split_capped_oracle())
+def split_leakage_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB face of the leakage-safe split: same component-pinned
+    train/val/test assignment as split_leakage_safe, but the near-dup
+    graph comes from the CAPPED MinHash components
+    (minhash_dedup_components — over-cap band buckets route to m-1 star
+    edges, pair work LINEAR in corpus size for fixed cap) instead of the
+    all-true-pairs SimHash graph, whose dup-dense sf1 cost is quadratic in
+    clone-cluster size (measured in SCALING.md). Detection basis differs
+    (Jaccard >= 0.7 vs Hamming <= 3) — the leakage GUARANTEE is identical:
+    same component => same split, structurally.
+
+    The oracle replays the full capped routing (shared CTE chain with
+    dedup_lsh_capped) plus the component-hash assignment."""
+    from rca_data_tools_spark.operators.dedup import minhash_dedup_components
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = minhash_dedup_components(
+        d, "doc_id", "text", threshold=0.7, bucket_cap=_LSH_CAP
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
     assigned = (
         d.select("doc_id")
         .join(comp, "doc_id", "left")
