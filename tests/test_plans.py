@@ -336,3 +336,36 @@ def test_bnlj_only_where_intended(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders.append((name, "unexpected BNLJ"))
     assert not offenders, offenders
+
+
+def test_merge_full_plan_one_join_no_bnlj(spark):
+    """merge_full's plan is ONE keyed full-outer join regardless of how
+    many clauses are active: no nested-loop, no cartesian, and the
+    single-side conditions ride as precomputed columns (no second join)."""
+    from rca_data_tools_spark.sources.sinks import merge_full
+
+    tgt = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(100)], "k long, u long, v double"
+    )
+    src = spark.createDataFrame(
+        [(i, 9, float(i + 1000)) for i in range(0, 50, 2)],
+        "k long, u long, v double",
+    )
+    df = merge_full(
+        tgt, src, ["k"],
+        matched_update_cond="s.v > t.v",
+        matched_delete_cond="s.v = -1.0",
+        insert_cond="v > 0",
+        nmbs_update_set={"u": "u + 1"}, nmbs_update_cond="v > 90",
+        nmbs_delete_cond="v < 2",
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = len(
+        re.findall(r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin)", plan, re.M)
+    )
+    assert joins == 1, f"{joins} joins\n{plan}"
+    assert "BatchEvalPython" not in plan

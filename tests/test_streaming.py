@@ -1420,3 +1420,50 @@ def test_stream_merge_full_exactly_once_replay(spark):
     d = dict(after1)
     assert d[0] == 1000.0 and d[98] == 1098.0
     assert d[11] == 11.0 and 1 not in d and 9 not in d
+
+
+def test_stream_table_changes_crosses_merge_full(spark):
+    """The streaming CDF consumer reads a merge_table_full version's
+    persisted feed exactly like a merge_into_table one — full-clause
+    merges produce the same replayable stream (incl. delete ops, which
+    plain merge feeds never carry)."""
+    import os
+    import tempfile
+
+    from rca_data_tools_spark.sources.sinks import (
+        create_table, merge_into_table, merge_table_full,
+    )
+    from rca_data_tools_spark.streaming.joins import stream_table_changes
+
+    ddl = "k bigint, v double"
+    root = os.path.join(tempfile.mkdtemp(prefix="cdfmf_"), "t")
+    os.makedirs(root)
+    base = spark.createDataFrame([(i, float(i)) for i in range(50)], ddl)
+    create_table(base, root, zone_key="k", n_files=2)
+    merge_into_table(
+        spark, root,
+        spark.createDataFrame([(1, 100.0), (999, 5.0)], ddl),
+        ["k"], ddl, zone_key="k", changes_feed=True,
+    )
+    merge_table_full(
+        spark, root,
+        spark.createDataFrame([(2, 200.0)], ddl),
+        ["k"], ddl, zone_key="k", changes_feed=True,
+        matched_update_cond="s.v > t.v",
+        nmbs_delete_cond="v = 49",
+    )
+    feed_ddl = (
+        "k bigint, op string, before_v double, after_v double"
+    )
+    q = (
+        stream_table_changes(spark, root, feed_ddl)
+        .writeStream.format("memory").queryName("cdf_mf")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from cdf_mf").collect()
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r["_version"], []).append((r["k"], r["op"]))
+    assert sorted(by_ver[1]) == [(1, "update"), (999, "insert")]
+    assert sorted(by_ver[2]) == [(2, "update"), (49, "delete")]
