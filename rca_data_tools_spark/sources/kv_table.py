@@ -230,6 +230,38 @@ class KVTable:
         v = self.store.latest_committed() if ver is None else ver
         return read_with_deletes(spark, self.materialize(v), schema_ddl)
 
+    def restore(self, to_version: int) -> dict:
+        """RESTORE as pure pointer surgery — the object-store shape of
+        ``sinks.restore_table``: the new version's file list is a COPY of
+        the restored version's pointer entries (KB PUTs, zero blobs moved
+        or duplicated), published through the same claim/publish protocol.
+        Blobs shared with any other version stay refcounted by the pointer
+        lists, so a later ``vacuum_blobs`` collects exactly what no
+        version references."""
+        committed = self.store.committed()
+        if to_version not in committed:
+            raise ValueError(
+                f"restore: v{to_version} is not a committed version "
+                f"(have {committed})"
+            )
+
+        def _build(base: int, ver: int) -> dict:
+            n = 0
+            for name, blob_id in self.store.list_files(to_version).items():
+                self.store.link(ver, name, blob_id)
+                n += 1
+            return {"restored_to": to_version, "pointer_links": n}
+
+        out = advance(self.store, _build, op="restore")
+        # invalidate any stale materialization of the new number
+        import shutil as _sh
+
+        _sh.rmtree(
+            os.path.join(self.cache_dir, f"v{out['version']}"),
+            ignore_errors=True,
+        )
+        return out
+
     def history(self) -> list:
         """The commit log as recorded in the store's markers."""
         out = []

@@ -120,3 +120,24 @@ def test_kv_create_refuses_existing(spark):
     store, t = _mk(spark)
     with pytest.raises(RuntimeError, match="already exists"):
         KVTable(store, t.cache_dir).create(_df(spark, 10))
+
+
+def test_kv_restore_is_pointer_surgery(spark):
+    store, t = _mk(spark)
+    v0_content = sorted(map(tuple, t.read(spark, DDL, ver=0).collect()))
+    t.merge(spark, spark.createDataFrame([(3, 12345.0)], DDL), ["k"], DDL,
+            zone_key="k")
+    t.delete_where(spark, "k % 10 = 0", DDL)
+    n_blobs_before = table_totals(store)["n_blobs"]
+    out = t.restore(0)
+    assert out["restored_to"] == 0 and out["version"] == 3
+    # zero new blobs: restore copied pointers, never bytes
+    assert table_totals(store)["n_blobs"] == n_blobs_before
+    # the restored tip reads exactly like v0 (a fresh cache proves the
+    # pointers alone carry it)
+    t2 = KVTable(store, tempfile.mkdtemp(prefix="kvt_r_"))
+    assert sorted(map(tuple, t2.read(spark, DDL).collect())) == v0_content
+    # v0's pointer list and v3's name the same blobs
+    assert store.list_files(3) == store.list_files(0)
+    with pytest.raises(ValueError, match="not a committed version"):
+        t.restore(99)
