@@ -3039,7 +3039,11 @@ def sink_merge_full_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     root = tempfile.mkdtemp(prefix="rca_mergefull_")
     create_table(e, root, zone_key="event_id", n_files=8)
-    m = e.agg(F.max("event_id")).first()[0]
+    # empty-corpus contract: MAX of zero rows is NULL -> m=0 keeps
+    # every derived filter well-typed (and matching the oracle, whose
+    # joins/filters are all vacuous on empty tables)
+    _m = e.agg(F.max("event_id")).first()[0]
+    m = int(_m) if _m is not None else 0
 
     upd = e.filter(F.col("event_id") % 10 == 0).withColumn(
         "value",
@@ -3127,7 +3131,11 @@ def sink_kv_chain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = KVTable(store, tempfile.mkdtemp(prefix="rca_kvchain_"))
     t.create(e, zone_key="event_id", n_files=8)
 
-    m = int(e.agg(F.max("event_id")).first()[0])
+    # empty-corpus contract: MAX of zero rows is NULL -> m=0 keeps
+    # every derived filter well-typed (and matching the oracle, whose
+    # joins/filters are all vacuous on empty tables)
+    _m = e.agg(F.max("event_id")).first()[0]
+    m = int(_m) if _m is not None else 0
     # scale-relative update band (top ~20% of ids) so the carry invariant
     # holds at every SF — a fixed id width would rewrite the whole table
     # at small scales and prove nothing
@@ -3236,7 +3244,11 @@ def sink_merge_full_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     root = tempfile.mkdtemp(prefix="rca_mfcdf_")
     create_table(e, root, zone_key="event_id", n_files=8)
-    m = int(e.agg(F.max("event_id")).first()[0])
+    # empty-corpus contract: MAX of zero rows is NULL -> m=0 keeps
+    # every derived filter well-typed (and matching the oracle, whose
+    # joins/filters are all vacuous on empty tables)
+    _m = e.agg(F.max("event_id")).first()[0]
+    m = int(_m) if _m is not None else 0
 
     upd = e.filter(F.col("event_id") % 10 == 0).withColumn(
         "value",
@@ -3402,7 +3414,11 @@ def sink_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     root = tempfile.mkdtemp(prefix="rca_colmap_")
     create_table(e, root, zone_key="event_id", n_files=8)
-    m = int(e.agg(F.max("event_id")).first()[0])
+    # empty-corpus contract: MAX of zero rows is NULL -> m=0 keeps
+    # every derived filter well-typed (and matching the oracle, whose
+    # joins/filters are all vacuous on empty tables)
+    _m = e.agg(F.max("event_id")).first()[0]
+    m = int(_m) if _m is not None else 0
 
     # v1: physical-name merge (top ~20% of ids corrected by +1000)
     b1 = e.filter(F.col("event_id") >= m - m // 5).withColumn(
@@ -3499,7 +3515,11 @@ def sink_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     root = tempfile.mkdtemp(prefix="rca_dropcol_")
     create_table(e, root, zone_key="event_id", n_files=8)
-    m = int(e.agg(F.max("event_id")).first()[0])
+    # empty-corpus contract: MAX of zero rows is NULL -> m=0 keeps
+    # every derived filter well-typed (and matching the oracle, whose
+    # joins/filters are all vacuous on empty tables)
+    _m = e.agg(F.max("event_id")).first()[0]
+    m = int(_m) if _m is not None else 0
 
     b1 = e.filter(F.col("event_id") >= m - m // 5).withColumn(
         "value", F.col("value") + F.lit(1000.0)
