@@ -2535,9 +2535,12 @@ def sink_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_history(spark, root).select("version", "op")
 
 
-# second-key derivation for the 2-D pruning face: v = (k * 7919) % P is
-# injective for k < P, giving the table a second candidate key that is
-# uncorrelated with k's layout
+# second-key derivation for the 2-D pruning face: v = (k * 7919) % P —
+# uncorrelated with k's layout. NOT injective once ids exceed P (the sf1
+# scale corpus key-shifts ids into the hundreds of millions), so the
+# source batch is reduced to ONE row per v (max_by on k) before the
+# v-keyed merge — MERGE-legal at every scale, and the reduction is
+# replayed verbatim in the oracle
 _P2D = 1048583
 _W2D = 100000  # source batch updates keys with v < this
 
@@ -2549,8 +2552,14 @@ WITH t AS (
   SELECT event_id AS k, (event_id * 7919) % {_P2D} AS v, value AS val
   FROM events
 ),
+src AS (
+  SELECT MAX_BY(k, k) AS k, v, MAX_BY(val, k) + 1000 AS val
+  FROM t WHERE v < {_W2D} GROUP BY v
+),
 merged AS (
-  SELECT k, v, CASE WHEN v < {_W2D} THEN val + 1000 ELSE val END AS val FROM t
+  SELECT k, v, val FROM t
+  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.v = t.v)
+  UNION ALL SELECT k, v, val FROM src
 )
 SELECT CAST(1 AS BIGINT) AS merge_manifest_used,
        CAST(1 AS BIGINT) AS merge_pruned,
@@ -2608,8 +2617,14 @@ def sink_merge_prune_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimize_table(spark, root, target_bytes=max(1 << 12, total // 24),
                    zorder_cols=["k", "v"])
 
-    src = e.filter(F.col("v") < _W2D).select(
-        "k", "v", (F.col("val") + F.lit(1000.0)).alias("val")
+    src = (
+        e.filter(F.col("v") < _W2D)
+        .groupBy("v")
+        .agg(
+            F.max("k").alias("k"),
+            (F.max_by("val", "k") + F.lit(1000.0)).alias("val"),
+        )
+        .select("k", "v", "val")
     )
     st = merge_into_table(spark, root, src, ["v"], ddl, zone_key="v")
     tip = read_version(spark, root, ddl)
