@@ -297,38 +297,55 @@ def main() -> None:
     )
     warm.mapInPandas(lambda it: it, schema="x double").count()
 
+    # Prior round's committed medians (read BEFORE this run overwrites the
+    # detail file): the cross-round sanity gate re-measures any row whose
+    # new median drifted >1.5x from the last committed artifact — sustained
+    # co-tenant load keeps samples self-consistent, so spread checks alone
+    # cannot catch it (VERDICT r10 what's-wrong #1).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_medians: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior_medians = json.load(f).get("headline", {}).get("queries", {})
+    except Exception:
+        pass
+
     # Median-of-N with recorded spread: single runs at this scale swing 30%+
     # with machine contention (BASELINE.md), so the headline number is the
-    # per-query MEDIAN of n_runs and the line carries each query's min-max
-    # spread so a reader can tell noise from regression.
+    # per-query MEDIAN of n_runs and the detail file carries each query's
+    # min-max spread so a reader can tell noise from regression.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
+    rows_seen: dict[str, int] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        # One untimed warm-up execution per query: the first run pays C2/
-        # whole-stage-codegen compilation of THIS query's generated classes
-        # (measured 23s -> 2.7s decay on the minhash pipeline) — one-time JVM
-        # cost, not plan cost, and not what the benchmark grades.
-        spark.catalog.clearCache()
-        QUERIES[name](spark, sf_dir).count()
-        samples, n = [], 0
-        for _ in range(n_runs):
+
+    def _measure_headline(name: str, runs: int, warmups: int = 1) -> None:
+        """Measure one sf0.1 row: untimed warm-up(s) pay the C2/whole-stage-
+        codegen compilation of THIS query's generated classes (measured 23s
+        -> 2.7s decay on the minhash pipeline — a one-time JVM cost, not
+        plan cost), then `runs` timed executions append to the query's
+        sample pool; the reported number is the median of the 3 FASTEST
+        pooled samples (steady-state plan cost, not a burst, and not one
+        lucky run either)."""
+        for _ in range(warmups):
+            spark.catalog.clearCache()
+            QUERIES[name](spark, sf_dir).count()
+        samples = all_samples.setdefault(name, [])
+        for _ in range(runs):
             # Queries that persist intermediates (minhash) must not distort
             # the next measurement's memory budget.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            rows_seen[name] = QUERIES[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         # Contention escalation (the sf0.1 face of the sf1 self-correction):
         # a clean query's samples agree within ~1.3x; a >2x max/min spread
-        # means a load burst polluted the window (observed: edit-distance
+        # means a load BURST polluted the window (observed: edit-distance
         # 2.5s clean vs [7.1, 55.6] under a co-tenant burst — same plan).
-        # Keep sampling (bounded) until the three FASTEST agree within
-        # 1.3x, then report their median: steady-state plan cost, not the
-        # burst, and not a single lucky run either.
+        # Keep sampling (bounded) until the three fastest agree within 1.3x.
         extra = 0
         while (
             len(samples) >= 3
@@ -346,10 +363,15 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
         tag = f" (+{extra} escalated)" if extra else ""
         print(
-            f"# {name}: median {timings[name]:.3f}s of {sorted(samples)}"
-            f" rows={n}{tag}",
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(s, 3) for s in sorted(samples)]} rows={rows_seen[name]}{tag}",
             file=sys.stderr,
         )
+
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        _measure_headline(name, n_runs)
 
     # 10x scale sweep: when the gitignored scale corpus exists (rebuild with
     # tools/build_scale_corpus.py), run each headline query ONCE at sf1 so
@@ -423,6 +445,58 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # PHYSICAL SANITY GATES (VERDICT r10 what's-wrong #1): sustained
+    # co-tenant load keeps a contaminated row's samples self-consistent, so
+    # the burst escalation above passes it. Two cross-checks catch what
+    # spread cannot:
+    #   (a) a query's sf0.1 median must not exceed its own sf1 median —
+    #       a plan cannot be slower on 1/10th the data (r10 recorded q3 at
+    #       8.66s sf0.1 vs 1.21s sf1, same plan, tight-and-wrong spread);
+    #   (b) a median that moved >1.5x from the previous round's committed
+    #       artifact is suspect until re-measured (a genuine regression
+    #       re-measures to the same number and stands).
+    # Flagged rows get a fresh warm-up + 3 more timed runs pooled with the
+    # earlier samples; up to 2 passes, then the row keeps its best evidence
+    # and the violation (if any survives) is recorded in the detail file.
+    sanity_flagged: dict[str, list[str]] = {}
+    for _pass in range(2):
+        flagged = []
+        for name in list(timings):
+            reasons = []
+            if name in scale_timings and timings[name] > scale_timings[name]:
+                reasons.append("sf0.1>sf1")
+            if (
+                name in prior_medians
+                and prior_medians[name] > 0
+                and timings[name] > 1.5 * prior_medians[name]
+                and _pass == 0  # re-measure once for drift; twice only for (a)
+            ):
+                reasons.append("drift>1.5x_vs_prior")
+            if reasons:
+                flagged.append(name)
+                sanity_flagged.setdefault(name, []).extend(
+                    r for r in reasons if r not in sanity_flagged.get(name, [])
+                )
+        if not flagged:
+            break
+        print(
+            f"# sanity pass {_pass + 1}: re-measuring {flagged}",
+            file=sys.stderr,
+        )
+        for name in flagged:
+            _measure_headline(name, 3)
+    sanity_violations = sorted(
+        name
+        for name in timings
+        if name in scale_timings and timings[name] > scale_timings[name]
+    )
+    if sanity_violations:
+        print(
+            f"# WARNING: rows still violating sf0.1<=sf1 after re-measure: "
+            f"{sanity_violations}",
+            file=sys.stderr,
+        )
+
     # Native-format scan benchmark: the engine's own Zarr reader over live
     # localhost HTTP vs the parquet scan of the same rows (VERDICT r05 §6).
     # Kept OUT of the headline total so `value` stays comparable to the
@@ -442,29 +516,38 @@ def main() -> None:
         except Exception as ex:
             print(f"# native scan bench (sf1) failed: {ex}", file=sys.stderr)
 
-    # STDOUT gets ONE COMPACT JSON line — the driver's capture truncated the
-    # r07 record to an unparseable tail because this line had grown to ~5 KB
-    # (per-query spreads + full native section). Everything beyond the
-    # primary fields now goes to BENCH_DETAIL.json (committed per round) and
-    # stderr; the stdout line stays ~1.5 KB so every BENCH_rNN parses.
+    # STDOUT gets ONE COMPACT JSON line. r07's record truncated at ~5 KB;
+    # r10's at ~3 KB (37 headline + 37 scale entries + method prose) — so
+    # the stdout line now carries ONLY the headline totals + per-query
+    # seconds at 2 decimals plus the scale TOTAL (~1 KB for 40 queries);
+    # scale per-query rows, spreads, sanity records, native-scan numbers,
+    # and the method prose all live in BENCH_DETAIL.json (committed per
+    # round) and on stderr.
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "method": (
-            f"median of 3 fastest (>= {n_runs} runs, contention-escalated "
-            "when max/min > 2x), warm, detail=BENCH_DETAIL.json"
-        ),
+        "method": "median3fastest,warm,sanity-gated;detail=BENCH_DETAIL.json",
     }
     if scale_timings:
         out["scale_sf"] = 1.0
         out["scale_total_sec"] = round(sum(scale_timings.values()), 2)
-        out["scale_queries"] = {k: round(v, 2) for k, v in scale_timings.items()}
     detail = {
         "spread_min_max": spread,
+        "scale_queries": {k: round(v, 3) for k, v in scale_timings.items()},
+        "sanity_flagged": sanity_flagged,
+        "sanity_violations_remaining": sanity_violations,
+        "sanity_method": (
+            "after the sf1 sweep, any row whose sf0.1 median exceeds its "
+            "own sf1 median (physically impossible for a real slowdown) or "
+            "moved >1.5x from the previous committed artifact re-measures "
+            "(warm-up + 3 pooled runs, up to 2 passes) — sustained "
+            "co-tenant load defeats spread-based escalation (VERDICT r10)"
+        ),
+        "prior_medians_used": bool(prior_medians),
         "scale_rows": scale_rows,
         "scale_method": (
             "10x corpus (.scale/sf1), warm JVM; heaviest queries 2 untimed "

@@ -532,7 +532,14 @@ def minhash_dedup_components(
     ).persist()
     verified = verify_jaccard(pruned, hashed, id_col, threshold).select("id1", "id2")
     edges = verified.unionByName(star)
-    return connected_components(edges)
+    out = connected_components(edges)
+    # connected_components localCheckpoints its edges eagerly, so the
+    # result's lineage is flat and no longer reads through these caches —
+    # release them instead of leaking partitions into a long-lived session
+    # (VERDICT r10 item 9).
+    for cached in (hashed, sig, tagged, pruned):
+        cached.unpersist()
+    return out
 
 
 def connected_components(
@@ -1087,4 +1094,9 @@ def fuzzy_edit_distance_components(
         .select("id1", "id2")
     )
     edges = verified.unionByName(star)
-    return connected_components(edges)
+    out = connected_components(edges)
+    # safe to release here: connected_components checkpointed the edges
+    # eagerly, so nothing downstream reads through the cache (VERDICT r10
+    # item 9 — this persist leaked into long-lived sessions)
+    tagged.unpersist()
+    return out

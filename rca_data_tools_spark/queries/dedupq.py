@@ -1534,7 +1534,7 @@ comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
 assigned AS (
   SELECT d.doc_id,
          COALESCE(c.component, d.doc_id) AS component,
-         (COALESCE(c.component, d.doc_id) * 2654435761) % 10 AS h
+         ((COALESCE(c.component, d.doc_id) % 1000000007) * 2654435761) % 10 AS h
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 )
 SELECT doc_id, component,
@@ -1576,7 +1576,13 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id")
         .join(comp, "doc_id", "left")
         .withColumn("component", F.coalesce("component", "doc_id"))
-        .withColumn("h", (F.col("component") * F.lit(2654435761)) % 10)
+        .withColumn(
+            # reduce mod a prime BEFORE the Knuth multiply: raw component ids
+            # past ~3.47e9 would overflow BIGINT (Spark wraps negative ->
+            # skewed split, DuckDB raises) — ADVICE r10. Max product is now
+            # ~2.65e18 < 2^63-1 on both engines.
+            "h", ((F.col("component") % 1000000007) * F.lit(2654435761)) % 10
+        )
     )
     return assigned.select(
         "doc_id",
@@ -1594,7 +1600,7 @@ comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
 assigned AS (
   SELECT d.doc_id,
          COALESCE(c.component, d.doc_id) AS component,
-         (COALESCE(c.component, d.doc_id) * 2654435761) % 10 AS h
+         ((COALESCE(c.component, d.doc_id) % 1000000007) * 2654435761) % 10 AS h
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 )
 SELECT doc_id, component,
@@ -1627,7 +1633,13 @@ def split_leakage_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id")
         .join(comp, "doc_id", "left")
         .withColumn("component", F.coalesce("component", "doc_id"))
-        .withColumn("h", (F.col("component") * F.lit(2654435761)) % 10)
+        .withColumn(
+            # reduce mod a prime BEFORE the Knuth multiply: raw component ids
+            # past ~3.47e9 would overflow BIGINT (Spark wraps negative ->
+            # skewed split, DuckDB raises) — ADVICE r10. Max product is now
+            # ~2.65e18 < 2^63-1 on both engines.
+            "h", ((F.col("component") % 1000000007) * F.lit(2654435761)) % 10
+        )
     )
     return assigned.select(
         "doc_id",

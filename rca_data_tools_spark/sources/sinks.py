@@ -316,6 +316,27 @@ def _check_merge_inputs(target: DataFrame, source: DataFrame, keys: list[str]) -
         )
 
 
+def _validate_full_clauses(
+    value_cols: list,
+    nmbs_update_set: "dict[str, str] | None",
+    nmbs_update_cond: "str | None",
+) -> None:
+    """merge_full's clause-combination validation, shared so the pruned
+    path can run it EAGERLY even when no target file matches (the
+    fallback used to skip straight to the insert set, committing a
+    mis-specified clause combination silently — ADVICE r10)."""
+    if nmbs_update_cond is not None and not nmbs_update_set:
+        raise ValueError(
+            "merge_full: nmbs_update_cond without nmbs_update_set does nothing"
+        )
+    bad_set = sorted(set(nmbs_update_set or ()) - set(value_cols))
+    if bad_set:
+        raise ValueError(
+            f"merge_full: nmbs_update_set may only assign value columns; "
+            f"{bad_set} are keys or unknown"
+        )
+
+
 def _dup_guarded(source: DataFrame, keys: list[str]) -> DataFrame:
     """The Delta/Iceberg MERGE duplicate-source-key refusal, enforced inside
     the merge job itself: the first key column is wrapped in a guarded
@@ -423,17 +444,8 @@ def _merge_full_join(
     aliased join: is_m/t_only/s_only row classes and
     m_del/m_upd/ins_ok/nm_del/nm_upd clause verdicts."""
     _check_merge_inputs(target, source, keys)
-    if nmbs_update_cond is not None and not nmbs_update_set:
-        raise ValueError(
-            "merge_full: nmbs_update_cond without nmbs_update_set does nothing"
-        )
     value_cols = [c for c in target.columns if c not in keys]
-    bad_set = sorted(set(nmbs_update_set or ()) - set(value_cols))
-    if bad_set:
-        raise ValueError(
-            f"merge_full: nmbs_update_set may only assign value columns; "
-            f"{bad_set} are keys or unknown"
-        )
+    _validate_full_clauses(value_cols, nmbs_update_set, nmbs_update_cond)
     source = _dup_guarded(source, keys)
 
     # single-side conditions evaluate BEFORE the join, where bare column
@@ -741,6 +753,18 @@ def merge_upsert_pruned(
     ``target_dir`` immutable — the snapshot isolation a format gives via
     its log."""
     zone_key = zone_key or keys[0]
+    # Eager validation BEFORE the pruning passes: the no-matched-files
+    # fallback (first batch of a feed) used to set merged = source without
+    # ever running the schema check or the duplicate-source-key guard,
+    # silently committing a permanent one-row-per-key violation (ADVICE
+    # r10, medium). The probe frame is empty — schema-only, driver-side.
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in source")
+    _check_merge_inputs(
+        spark.createDataFrame([], schema_ddl),
+        source.drop(delete_col) if delete_col is not None else source,
+        keys,
+    )
     stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
     dv = read_deletion_vectors(spark, target_dir)
     all_files = sorted(stats)
@@ -755,12 +779,17 @@ def merge_upsert_pruned(
         merged = merge_upsert(mdf, source, keys, delete_col=delete_col)
     elif delete_col is not None:
         # no target file contains any source key: flagged rows are no-op
-        # deletes (SQL MERGE), the rest are plain inserts
-        merged = source.filter(
-            ~F.coalesce(F.col(delete_col), F.lit(False))
-        ).drop(delete_col)
+        # deletes (SQL MERGE), the rest are plain inserts — still
+        # dup-guarded (same in-plan guard merge_upsert applies after its
+        # own delete-flag split)
+        merged = _dup_guarded(
+            source.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col),
+            keys,
+        )
     else:
-        merged = source
+        merged = _dup_guarded(source, keys)
     return _finish_cow_version(
         spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
         zone_key, schema_ddl, len(cand_files), manifest_used,
@@ -1034,6 +1063,15 @@ def merge_full_pruned(
     every new byte is validated; carried files were validated when
     written. Returns merge_upsert_pruned's stats plus {"files_nmbs"}."""
     zone_key = zone_key or keys[0]
+    # Eager schema + clause validation (ADVICE r10, medium): the
+    # no-matched-files fallback must refuse the same inputs the non-empty
+    # path refuses — a first-batch merge is not a validation holiday.
+    probe = spark.createDataFrame([], schema_ddl)
+    _check_merge_inputs(probe, source, keys)
+    _validate_full_clauses(
+        [c for c in probe.columns if c not in keys],
+        nmbs_update_set, nmbs_update_cond,
+    )
     stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
     dv = read_deletion_vectors(spark, target_dir)
     all_files = sorted(stats)
@@ -1090,11 +1128,14 @@ def merge_full_pruned(
         )
     else:
         # no target file contains any source key: every source row is an
-        # insert, subject only to the insert condition
+        # insert, subject only to the insert condition — dup-guarded on the
+        # FULL source (merge_full guards before the insert filter, so a
+        # duplicate key raises even when one copy fails the condition)
+        guarded = _dup_guarded(source, keys)
         merged = (
-            source.filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
+            guarded.filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
             if insert_cond is not None
-            else source
+            else guarded
         )
     if constraints:
         from rca_data_tools_spark.operators.expectations import check_constraints

@@ -650,3 +650,26 @@ def test_split_leakage_safe_no_pair_crosses(spark):
     for doc, comp in comp_of.items():
         by_comp.setdefault(comp, set()).add(split_of[doc])
     assert all(len(s) == 1 for s in by_comp.values())
+
+
+def test_split_hash_wrap_safe_at_huge_component_ids(spark):
+    """ADVICE r10: raw component ids past ~3.47e9 overflowed BIGINT in the
+    Knuth multiply (Spark wrapped negative -> everything routed to 'train';
+    DuckDB raised). The mod-prime reduction keeps both engines identical
+    and in [0, 10) at any id scale."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    ids = [1, 2654435761, 3_470_000_000, 2**40, 2**62, 9_223_372_036_854_775]
+    df = spark.createDataFrame([(i,) for i in ids], "component long").withColumn(
+        "h", ((F.col("component") % 1000000007) * F.lit(2654435761)) % 10
+    )
+    got = {r["component"]: r["h"] for r in df.collect()}
+    assert all(0 <= h <= 9 for h in got.values())
+    con = duckdb.connect()
+    for i in ids:
+        (oh,) = con.execute(
+            f"SELECT (({i} % 1000000007) * 2654435761) % 10"
+        ).fetchone()
+        assert got[i] == oh
+    assert len(set(got.values())) > 1  # still spreads

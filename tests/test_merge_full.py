@@ -283,3 +283,68 @@ def test_merge_table_full_feed_crosses_ranges(spark):
     assert sorted(map(tuple, replica.collect())) == sorted(
         map(tuple, tip.collect())
     )
+
+
+def test_merge_full_pruned_fallback_validates(spark):
+    """ADVICE r10 (medium): the no-matched-files fallback must run the same
+    schema / clause / duplicate-source-key validation as the non-empty path
+    — a first-batch merge is not a validation holiday."""
+    tmp = tempfile.mkdtemp(prefix="mf_")
+    root, _ = _chain(spark, tmp, n=64, n_files=2)
+    v0 = os.path.join(root, "v0")
+    # source keys far outside every file's zone range -> pure-insert path
+    far = spark.createDataFrame([(10**7, 1, 1.0), (10**7 + 1, 1, 2.0)], DDL)
+    # (a) clause misconfiguration refused eagerly, before any pruning pass
+    with pytest.raises(ValueError, match="nmbs_update_cond"):
+        merge_full_pruned(
+            spark, v0, os.path.join(root, "bad1"), far, ["k"], DDL,
+            zone_key="k", nmbs_update_cond="v > 0",
+        )
+    # (b) schema drift refused eagerly
+    drifted = far.withColumnRenamed("v", "w")
+    with pytest.raises(ValueError, match="identical schemas"):
+        merge_full_pruned(
+            spark, v0, os.path.join(root, "bad2"), drifted, ["k"], DDL,
+            zone_key="k",
+        )
+    # (c) duplicate source keys trip the in-plan guard on the insert set —
+    # even when one copy fails the insert condition (merge_full order)
+    dup = spark.createDataFrame(
+        [(10**7, 1, 1.0), (10**7, 1, 100.0)], DDL
+    )
+    out = os.path.join(root, "bad3")
+    with pytest.raises(Exception, match="duplicate keys"):
+        merge_full_pruned(
+            spark, v0, out, dup, ["k"], DDL, zone_key="k", insert_cond="v > 50",
+        )
+
+
+def test_merge_upsert_pruned_fallback_validates(spark):
+    from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
+
+    tmp = tempfile.mkdtemp(prefix="mu_")
+    root, _ = _chain(spark, tmp, n=64, n_files=2)
+    v0 = os.path.join(root, "v0")
+    far_dup = spark.createDataFrame([(10**7, 1, 1.0), (10**7, 1, 2.0)], DDL)
+    with pytest.raises(Exception, match="duplicate keys"):
+        merge_upsert_pruned(
+            spark, v0, os.path.join(root, "o1"), far_dup, ["k"], DDL,
+            zone_key="k",
+        )
+    drifted = spark.createDataFrame([(10**7, 1)], "k long, u long")
+    with pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert_pruned(
+            spark, v0, os.path.join(root, "o2"), drifted, ["k"], DDL,
+            zone_key="k",
+        )
+    # delete_col fallback: flagged keys are no-op deletes, the REST are
+    # dup-guarded inserts
+    flagged = spark.createDataFrame(
+        [(10**7, 1, 1.0, False), (10**7, 1, 2.0, False), (10**7 + 5, 1, 3.0, True)],
+        "k long, u long, v double, del boolean",
+    )
+    with pytest.raises(Exception, match="duplicate keys"):
+        merge_upsert_pruned(
+            spark, v0, os.path.join(root, "o3"), flagged, ["k"], DDL,
+            zone_key="k", delete_col="del",
+        )
