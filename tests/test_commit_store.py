@@ -140,3 +140,89 @@ def test_advance_runs_identically_on_local_fs(tmp_path):
         _advance_table(root, lambda b, o: (_ for _ in ()).throw(RuntimeError("boom")))
     assert not os.path.exists(os.path.join(root, "v2"))
     assert committed_versions(root) == [0, 1]
+
+
+def test_takeover_elects_one_and_never_double_commits():
+    """Race fuzzer for the lease takeover (VERDICT r10 item 7): a zombie
+    writer that revives AFTER its claim was taken over can still publish
+    FIRST (it wins, the taker rebases) but never AS WELL — the version's
+    marker is a conditional PUT, and the winning generation's manifest is
+    the one readers resolve."""
+    import random
+    import threading
+    import time as _time
+
+    for round_i in range(8):
+        store = MemoryKVCommitStore()
+        store.try_claim(0)
+        store.publish(0, {"op": "create"})
+        results = {}
+
+        def zombie():
+            assert store.try_claim(1)
+            store.link(1, "f.parquet", "blob-zombie")
+            _time.sleep(random.uniform(0.0, 0.2))
+            results["z"] = store.publish(1, {"op": "zombie"})
+
+        def taker():
+            _time.sleep(0.08)
+            gen = None
+            while gen is None and "z" not in results:
+                gen = store.try_takeover(1, ttl=0.05)
+            if gen is None:
+                results["t"] = None  # zombie finished before takeover
+                return
+            assert gen >= 1
+            store.link(1, "f.parquet", "blob-taker")
+            results["t"] = store.publish(1, {"op": "taker"})
+
+        tz = threading.Thread(target=zombie)
+        tt = threading.Thread(target=taker)
+        tz.start(); tt.start(); tz.join(); tt.join()
+        wins = [k for k in ("z", "t") if results.get(k) is True]
+        assert len(wins) == 1, results  # EXACTLY one commit, every round
+        marker = store.read_marker(1)
+        winner_blob = "blob-zombie" if wins == ["z"] else "blob-taker"
+        assert marker["op"] == ("zombie" if wins == ["z"] else "taker")
+        # readers resolve the WINNING generation's manifest
+        reader = MemoryKVCommitStore()
+        reader._objs, reader._lock = store._objs, store._lock
+        assert reader.list_files(1) == {"f.parquet": winner_blob}
+
+
+def test_advance_loser_rebases_after_lost_publish():
+    """A writer whose build loses the marker race (taken over, then the
+    zombie revived and won) must REBASE and land its write at the next
+    version — no lost update, no double commit."""
+    import threading
+    import time as _time
+
+    store = MemoryKVCommitStore()
+    store.try_claim(0)
+    store.publish(0, {"op": "create"})
+    order = []
+
+    def slow_build(base, ver):
+        order.append(("slow", ver))
+        _time.sleep(0.25)
+        return {"who": "slow"}
+
+    def fast_build(base, ver):
+        order.append(("fast", ver))
+        return {"who": "fast"}
+
+    out = {}
+
+    def slow_writer():
+        out["slow"] = advance(store, slow_build, retries=5, op="slow")
+
+    t = threading.Thread(target=slow_writer)
+    t.start()
+    _time.sleep(0.1)
+    # takeover path: the slow writer's claim looks expired to this writer
+    out["fast"] = advance(store, fast_build, retries=5, op="fast", lease_ttl=0.05)
+    t.join()
+    vs = {out["slow"]["version"], out["fast"]["version"]}
+    assert vs == {1, 2}, out  # both land, on DIFFERENT versions
+    ops = [store.read_marker(v)["op"] for v in (1, 2)]
+    assert sorted(ops) == ["fast", "slow"]
