@@ -1345,6 +1345,7 @@ def latest_committed(table_root: str) -> int:
 
 
 TABLE_META_NAME = "_table.json"
+VERSION_META_NAME = "_meta.json"
 
 
 def _read_table_meta(table_root: str) -> dict:
@@ -1354,6 +1355,46 @@ def _read_table_meta(table_root: str) -> dict:
     if not os.path.exists(path):
         return {}
     return json.load(open(path))
+
+
+def _write_version_meta(version_dir: str, doc: dict) -> None:
+    """Persist a version's OWN metadata document (constraints / column
+    mapping / drop list) inside the version directory — committed
+    atomically WITH the version by the marker publish, exactly like data
+    content. Temp-write + rename so a concurrent reader never sees a torn
+    doc, and so writing never mutates a hardlink-shared inode."""
+    import json
+
+    path = os.path.join(version_dir, VERSION_META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+def _effective_meta(table_root: str, n: "int | None" = None) -> dict:
+    """Version-``n``'s OWN metadata document (Delta semantics — VERDICT r10
+    item 4: time travel resolves the schema the version was committed
+    under, so a read of v4 after a rename at v5 shows the OLD names).
+
+    Resolution: the newest committed version ≤ n carrying a
+    ``_meta.json`` wins (metadata commits write one; plain DML versions
+    inherit by the walk — no per-version copies needed). Chains with NO
+    version docs at all fall back to the root ``_table.json`` (legacy
+    chains from before metadata was versioned: their history never
+    recorded per-version docs, so the current doc is the only truth
+    available — the documented pre-r11 behavior). Empty dict when neither
+    exists."""
+    import json
+
+    vs = committed_versions(table_root)
+    if n is None and vs:
+        n = vs[-1]
+    for k in sorted((v for v in vs if n is None or v <= n), reverse=True):
+        path = os.path.join(table_root, f"v{k}", VERSION_META_NAME)
+        if os.path.exists(path):
+            return json.load(open(path))
+    return _read_table_meta(table_root)
 
 
 def _write_table_meta(
@@ -1383,26 +1424,30 @@ def _write_table_meta(
     os.replace(tmp, path)
 
 
-def table_constraints(table_root: str) -> "dict[str, str]":
-    """The table's persisted CHECK constraints (``_table.json`` at the
-    chain root — table metadata, not per-version: constraints govern every
-    future write). Empty dict when none were declared."""
-    return _read_table_meta(table_root).get("constraints", {})
+def table_constraints(table_root: str, n: "int | None" = None) -> "dict[str, str]":
+    """The CHECK constraints in force at version ``n`` (default: the tip —
+    what every future write enforces). Versioned with the chain: an ALTER
+    CONSTRAINT at v5 does not govern a time-travel read of v4. Empty dict
+    when none were declared."""
+    return _effective_meta(table_root, n).get("constraints", {})
 
 
-def column_mapping(table_root: str) -> "dict[str, str]":
-    """The table's LOGICAL → PHYSICAL column-name mapping (Delta column-
-    mapping shape: data files keep their creation-time physical names
-    forever; a RENAME only rewrites this metadata). Empty dict = identity
-    (no rename ever happened). Only renamed columns appear."""
-    return _read_table_meta(table_root).get("column_mapping", {})
+def column_mapping(table_root: str, n: "int | None" = None) -> "dict[str, str]":
+    """The LOGICAL → PHYSICAL column-name mapping at version ``n``
+    (default: the tip). Data files keep their creation-time physical names
+    forever; a RENAME only commits new metadata — and the metadata is
+    per-version, so time travel to before the rename resolves the OLD
+    logical names (VERDICT r10 item 4). Empty dict = identity. Only
+    renamed columns appear."""
+    return _effective_meta(table_root, n).get("column_mapping", {})
 
 
-def dropped_columns(table_root: str) -> "list[str]":
-    """PHYSICAL names of logically dropped columns (Delta drop-column
-    shape: the bytes stay in the files until a rewrite; readers and
-    logical DML just stop seeing the column)."""
-    return _read_table_meta(table_root).get("dropped_columns", [])
+def dropped_columns(table_root: str, n: "int | None" = None) -> "list[str]":
+    """PHYSICAL names of columns logically dropped as of version ``n``
+    (default: the tip). The bytes stay in the files until a rewrite;
+    readers of PRE-drop versions still see the column (per-version
+    metadata, Delta drop-column shape)."""
+    return _effective_meta(table_root, n).get("dropped_columns", [])
 
 
 def alter_table_constraints(
@@ -1471,17 +1516,25 @@ def alter_table_constraints(
         n = _link_version_content(base_dir, out_dir)
         # content-neutral: read_changes ranges cross the ALTER cleanly
         open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "w").close()
-        # persist the new contract LAST inside the build: a validation
-        # failure releases the claim with the metadata untouched; from the
-        # marker's publish onward, history and metadata agree
-        _write_table_meta(table_root, new_rules)
+        # the new contract is THIS VERSION's metadata document — committed
+        # atomically with the version by the marker publish (a crash before
+        # the publish leaves an invisible claim, never an applied-but-
+        # uncommitted contract — ADVICE r10); earlier versions keep their
+        # own docs, so time travel resolves the constraints then in force
+        _write_version_meta(
+            out_dir, {**_effective_meta(table_root), "constraints": new_rules}
+        )
         return {
             "files_linked": n,
             "added": sorted(add),
             "dropped": sorted(drop),
         }
 
-    return _advance_table(table_root, _build, retries, op="alter_constraints")
+    out = _advance_table(table_root, _build, retries, op="alter_constraints")
+    # root _table.json is a non-authoritative CACHE for legacy readers,
+    # refreshed only after the version published
+    _write_table_meta(table_root, new_rules)
+    return out
 
 
 def alter_table_rename_column(
@@ -1513,11 +1566,20 @@ def alter_table_rename_column(
 
     physical_cols = [f.name for f in StructType.fromDDL(schema_ddl).fields]
 
+    state = {}
+
     def _build(base_dir: str, out_dir: str) -> dict:
-        mapping = dict(column_mapping(table_root))
+        doc = _effective_meta(table_root)
+        mapping = dict(doc.get("column_mapping", {}))
+        dead = set(doc.get("dropped_columns", []))
         log_of = {p: l for l, p in mapping.items()}
-        # logical -> physical over the FULL column domain (identity included)
-        phys_of = {log_of.get(p, p): p for p in physical_cols}
+        # logical -> physical over the LIVE column domain (identity
+        # included; DROPPED physical columns are not renameable — a rename
+        # of a dead slot would let merge_table_logical silently NULL-fill
+        # the caller's data into it, ADVICE r10)
+        phys_of = {
+            log_of.get(p, p): p for p in physical_cols if p not in dead
+        }
         for old, new in renames.items():
             if old == new:
                 raise ValueError(f"rename_column: {old!r} -> itself")
@@ -1534,15 +1596,19 @@ def alter_table_rename_column(
             phys_of[new] = phys_of.pop(old)
         n = _link_version_content(base_dir, out_dir)
         open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "w").close()
-        # drop identity entries; persist LAST so a refused rename leaves
-        # the metadata untouched (claim released, like alter_constraints)
-        _write_table_meta(
-            table_root,
-            column_mapping={l: p for l, p in phys_of.items() if l != p},
+        # the new mapping is THIS VERSION's metadata doc, committed by the
+        # marker publish (never applied without a committed version —
+        # ADVICE r10); identity entries dropped
+        state["mapping"] = {l: p for l, p in phys_of.items() if l != p}
+        _write_version_meta(
+            out_dir, {**doc, "column_mapping": state["mapping"]}
         )
         return {"files_linked": n, "renames": dict(renames)}
 
-    return _advance_table(table_root, _build, retries, op="rename_column")
+    out = _advance_table(table_root, _build, retries, op="rename_column")
+    # refresh the legacy root cache only after the publish
+    _write_table_meta(table_root, column_mapping=state["mapping"])
+    return out
 
 
 def alter_table_drop_column(
@@ -1570,10 +1636,13 @@ def alter_table_drop_column(
 
     physical_cols = [f.name for f in StructType.fromDDL(schema_ddl).fields]
 
+    state = {}
+
     def _build(base_dir: str, out_dir: str) -> dict:
-        mapping = column_mapping(table_root)
+        doc = _effective_meta(table_root)
+        mapping = doc.get("column_mapping", {})
         log_of = {p: l for l, p in mapping.items()}
-        already = set(dropped_columns(table_root))
+        already = set(doc.get("dropped_columns", []))
         live = {
             log_of.get(p, p): p for p in physical_cols if p not in already
         }
@@ -1605,17 +1674,28 @@ def alter_table_drop_column(
             phys_drop.append(p)
         n = _link_version_content(base_dir, out_dir)
         open(os.path.join(out_dir, CHANGES_EMPTY_NAME), "w").close()
-        # the dropped column's rename entry (if any) is spent
-        _write_table_meta(
-            table_root,
-            column_mapping={
-                l: p for l, p in mapping.items() if p not in phys_drop
+        # the dropped column's rename entry (if any) is spent; the new doc
+        # is THIS VERSION's metadata, committed by the marker publish
+        state["mapping"] = {
+            l: p for l, p in mapping.items() if p not in phys_drop
+        }
+        state["dropped"] = sorted(already | set(phys_drop))
+        _write_version_meta(
+            out_dir,
+            {
+                **doc,
+                "column_mapping": state["mapping"],
+                "dropped_columns": state["dropped"],
             },
-            dropped=sorted(already | set(phys_drop)),
         )
         return {"files_linked": n, "dropped": sorted(cols)}
 
-    return _advance_table(table_root, _build, retries, op="drop_column")
+    out = _advance_table(table_root, _build, retries, op="drop_column")
+    # refresh the legacy root cache only after the publish
+    _write_table_meta(
+        table_root, column_mapping=state["mapping"], dropped=state["dropped"]
+    )
+    return out
 
 
 def read_version_logical(
@@ -1624,14 +1704,16 @@ def read_version_logical(
     schema_ddl: "str | None" = None,
     n: "int | None" = None,
 ) -> DataFrame:
-    """``read_version`` presented under the table's LOGICAL column names:
-    the physical scan (deletion vectors subtracted) with dropped columns
-    projected OUT and the column-mapping aliases applied on top — a pure
-    projection, zero cost at any scale. ``schema_ddl`` is the PHYSICAL
-    schema (what the files actually hold)."""
+    """``read_version`` presented under the LOGICAL column names OF THAT
+    VERSION: the physical scan (deletion vectors subtracted) with the
+    version's own dropped columns projected OUT and its own column-mapping
+    aliases applied on top — a pure projection, zero cost at any scale.
+    Time travel resolves the metadata the version was committed under
+    (Delta semantics): reading v4 after a rename at v5 shows the OLD name.
+    ``schema_ddl`` is the PHYSICAL schema (what the files actually hold)."""
     df = read_version(spark, table_root, schema_ddl, n=n)
-    mapping = column_mapping(table_root)
-    dead = set(dropped_columns(table_root))
+    mapping = column_mapping(table_root, n=n)
+    dead = set(dropped_columns(table_root, n=n))
     if not mapping and not dead:
         return df
     log_of = {p: l for l, p in mapping.items()}
@@ -1810,6 +1892,10 @@ def create_table(
                 )
                 entries[nm] = {"mn": r["mn"], "mx": r["mx"]}
             _write_manifest(v0, zone_key, entries)
+    # v0 carries its OWN metadata doc from birth (possibly empty), so the
+    # chain is fully versioned: a later ALTER at v5 cannot retroactively
+    # change what a time-travel read of v0-v4 resolves (VERDICT r10 item 4)
+    _write_version_meta(v0, {"constraints": constraints} if constraints else {})
     if constraints:
         _write_table_meta(table_root, constraints)
     mark_committed(v0, {"op": "create"})
@@ -2342,6 +2428,10 @@ def restore_table(
     def _build(base: str, out: str) -> dict:
         src = os.path.join(table_root, f"v{to_version}")
         n = _link_version_content(src, out)
+        # metadata restores WITH the data (Delta RESTORE semantics): the
+        # new version pins the restored version's effective doc, so a
+        # rollback across a rename/drop also rolls the logical schema back
+        _write_version_meta(out, _effective_meta(table_root, to_version))
         if changes_feed_keys is not None:
             feed = _snapshot_diff_feed(
                 spark, base, src, changes_feed_keys, schema_ddl
@@ -2387,17 +2477,20 @@ def clone_table(
     out = os.path.join(dest_root, "v0")
     os.makedirs(out)
     _link_version_content(os.path.join(src_root, f"v{v}"), out)
-    if os.path.exists(os.path.join(src_root, TABLE_META_NAME)):
-        # table metadata (CHECK constraints) is part of what a clone is —
-        # COPIED, not hardlinked: metadata is mutable (a future ALTER on
-        # either table rewrites it), and a shared inode would alias one
-        # table's constraint change onto the other
-        import shutil
+    # table metadata is part of what a clone is — the cloned VERSION's
+    # effective doc (constraints, column mapping, drop list) becomes the
+    # clone's own v0 doc, COPIED not hardlinked: metadata is mutable (a
+    # future ALTER on either table writes its own doc), and a shared inode
+    # would alias one table's change onto the other
+    doc = _effective_meta(src_root, v)
+    _write_version_meta(out, doc)
+    if doc:
+        import json as _json
 
-        shutil.copyfile(
-            os.path.join(src_root, TABLE_META_NAME),
-            os.path.join(dest_root, TABLE_META_NAME),
-        )
+        tmp = os.path.join(dest_root, TABLE_META_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            _json.dump(doc, f)
+        os.replace(tmp, os.path.join(dest_root, TABLE_META_NAME))
     mark_committed(out, {"op": "clone", "source": f"{src_root}/v{v}"})
     return out
 

@@ -188,3 +188,97 @@ def test_drop_after_rename_spends_mapping(spark):
     assert dropped_columns(root) == ["u"]
     assert column_mapping(root) == {}
     assert read_version_logical(spark, root, DDL).columns == ["k", "v"]
+
+
+def test_metadata_is_versioned_time_travel_shows_old_names(spark):
+    """VERDICT r10 item 4 done criterion: rename at v5 — a logical read of
+    v4 (or any earlier version) resolves the version's OWN metadata and
+    shows the OLD name; the tip shows the new one."""
+    from rca_data_tools_spark.sources.sinks import merge_into_table
+
+    root, df = _mk(spark)
+    src = spark.createDataFrame([(1, 50, 111.0)], DDL)
+    # grow the chain to v4 with plain DML (no metadata changes)
+    for i in range(4):
+        merge_into_table(
+            spark, root,
+            spark.createDataFrame([(i, 50, float(100 + i))], DDL),
+            ["k"], DDL, zone_key="k",
+        )
+    assert committed_versions(root) == [0, 1, 2, 3, 4]
+    stats = alter_table_rename_column(root, {"v": "reading"}, DDL)
+    assert stats["version"] == 5
+    # v4 (pre-rename) still reads under the OLD logical name
+    assert read_version_logical(spark, root, DDL, n=4).columns == ["k", "u", "v"]
+    assert read_version_logical(spark, root, DDL, n=0).columns == ["k", "u", "v"]
+    # the tip (and v5) read under the NEW name
+    assert read_version_logical(spark, root, DDL).columns == ["k", "u", "reading"]
+    assert read_version_logical(spark, root, DDL, n=5).columns == ["k", "u", "reading"]
+    # per-version accessors agree
+    assert column_mapping(root, n=4) == {}
+    assert column_mapping(root, n=5) == {"reading": "v"}
+
+
+def test_constraints_are_versioned(spark):
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_constraints, table_constraints,
+    )
+
+    root, _ = _mk(spark, constraints={"v_nonneg": "v >= 0"})
+    alter_table_constraints(spark, root, drop=["v_nonneg"], schema_ddl=DDL)
+    alter_table_constraints(
+        spark, root, add={"v_cap": "v < 1e9"}, schema_ddl=DDL
+    )
+    assert table_constraints(root, n=0) == {"v_nonneg": "v >= 0"}
+    assert table_constraints(root, n=1) == {}
+    assert table_constraints(root) == {"v_cap": "v < 1e9"}
+
+
+def test_restore_rolls_metadata_back(spark):
+    """Delta RESTORE semantics: rolling back across a rename restores the
+    OLD logical schema along with the data."""
+    from rca_data_tools_spark.sources.sinks import restore_table
+
+    root, df = _mk(spark)
+    alter_table_rename_column(root, {"v": "reading"}, DDL)       # v1
+    out = restore_table(root, 0)                                  # v2
+    assert out["version"] == 2
+    assert read_version_logical(spark, root, DDL).columns == ["k", "u", "v"]
+    assert column_mapping(root) == {}
+    # the rename version itself still time-travels under its own mapping
+    assert read_version_logical(spark, root, DDL, n=1).columns == [
+        "k", "u", "reading",
+    ]
+
+
+def test_rename_of_dropped_column_refused(spark):
+    """ADVICE r10: a DROPPED column is not renameable — resurrecting the
+    dead physical slot under a new logical name would let a later logical
+    merge silently NULL-fill the caller's data into it."""
+    from rca_data_tools_spark.sources.sinks import alter_table_drop_column
+
+    root, _ = _mk(spark)
+    alter_table_drop_column(root, ["u"], DDL)
+    with pytest.raises(ValueError, match="not a current logical column"):
+        alter_table_rename_column(root, {"u": "u2"}, DDL)
+    # the refusal released the claim: the next metadata op lands
+    stats = alter_table_rename_column(root, {"v": "reading"}, DDL)
+    assert stats["version"] == 2
+
+
+def test_clone_carries_version_metadata(spark):
+    """A clone of a post-rename version starts life under the renamed
+    logical schema — and evolves it independently of the source."""
+    import tempfile as _tf
+
+    from rca_data_tools_spark.sources.sinks import clone_table
+
+    root, df = _mk(spark)
+    alter_table_rename_column(root, {"v": "reading"}, DDL)
+    dest = os.path.join(_tf.mkdtemp(prefix="cm_clone_"), "t")
+    clone_table(root, dest)
+    assert column_mapping(dest) == {"reading": "v"}
+    assert read_version_logical(spark, dest, DDL).columns == ["k", "u", "reading"]
+    alter_table_rename_column(dest, {"reading": "obs"}, DDL)
+    assert column_mapping(dest) == {"obs": "v"}
+    assert column_mapping(root) == {"reading": "v"}  # source untouched

@@ -341,12 +341,12 @@ def test_mark_committed_repub_preserves_history_entry(spark, tmp_path):
 
 
 def test_clone_metadata_is_independent_of_source(spark, tmp_path):
-    """ADVICE r09: _table.json was HARDLINKED into the clone while
-    _write_table_meta truncated it in place — a constraint change on either
-    table would mutate the other's persisted metadata. The clone must carry
-    its own copy."""
+    """ADVICE r09 (updated for r11's versioned metadata): the clone carries
+    its OWN copy of the cloned version's metadata doc — an ALTER on either
+    table must never leak onto the other (with hardlinked/shared docs a
+    constraint change would alias across tables)."""
     from rca_data_tools_spark.sources.sinks import (
-        _write_table_meta, table_constraints,
+        alter_table_constraints, table_constraints,
     )
 
     src = str(tmp_path / "src")
@@ -356,10 +356,17 @@ def test_clone_metadata_is_independent_of_source(spark, tmp_path):
     clone_table(src, dest)
     assert table_constraints(dest) == {"val_nonneg": "val >= 0"}
 
-    # distinct inodes: rewriting one side leaves the other untouched
-    _write_table_meta(dest, {"val_cap": "val < 1e9"})
+    # a constraint change on the CLONE leaves the source untouched...
+    alter_table_constraints(
+        spark, dest, add={"val_cap": "val < 1e9"},
+        drop=["val_nonneg"], schema_ddl=DDL,
+    )
     assert table_constraints(dest) == {"val_cap": "val < 1e9"}
     assert table_constraints(src) == {"val_nonneg": "val >= 0"}
+    # ...and vice versa
+    alter_table_constraints(spark, src, drop=["val_nonneg"], schema_ddl=DDL)
+    assert table_constraints(src) == {}
+    assert table_constraints(dest) == {"val_cap": "val < 1e9"}
 
 
 def test_restore_change_feed_crosses_rollback(spark, tmp_path):
