@@ -18,107 +18,99 @@ from rca_data_tools_spark.queries import QUERIES, ORACLES
 from rca_data_tools_spark.sources.readers import load_table
 
 # The driver verifies the first 50 entries of queries() per round.
-# Cumulative state after round 9: 250 registered, 249 cumulative
+# Cumulative state after round 10: 264 registered, 263 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 10 adds 14 queries
-# (264 registered): the 2-D zone-map pruned merge+lookup, the
-# capped-components edit-distance dedup, the concurrent-writer
-# streaming merge, ALTER TABLE ADD/DROP CONSTRAINT as chain commits,
-# the VACUUM retention face, the manifest-pruned range scan, the
-# full-clause MERGE (conditional matched UPDATE/DELETE, conditional
-# INSERT, NOT MATCHED BY SOURCE UPDATE/DELETE) as one chain DML, the
-# object-store data plane (chain DML over a conditional-PUT KV store
-# with pointer-link carry, sources/kv_table.py), the leakage-safe
-# train/val/test split (near-dup components pin whole clone clusters
-# to one side of every eval boundary), the full-clause merge's
-# persisted change-data-feed (read_changes ranges cross merge_full
-# versions), the streaming snapshot-sync face of the full merge
-# (txn-tagged exactly-once, per-batch NMBS purge), column mapping
-# (RENAME and DROP COLUMN as zero-copy metadata commits; logical-name
-# merges translate at the boundary, dead slots NULL-fill on rewrite),
-# and the capped-components split (the leakage-safe split's scale path,
-# sharing dedup_lsh_capped's oracle CTE chain).
+# agg_approx_distinct row), 0 never-checked. Round 11 adds 4 queries
+# (268 registered): the object-store data plane over a LIVE HTTP store
+# (conditional-PUT claims, streamed blob uploads, cold-cache read with
+# EXECUTOR-side blob fetch — sources/kv_http.py), the lease takeover of a
+# crashed writer's claim (generational claims + conditional marker
+# publish, at-most-one commit per version), versioned table metadata
+# (per-version docs: time travel resolves the schema each version was
+# committed under, RESTORE rolls the logical schema back with the data),
+# and the capped SimHash components face (near-dup components whose
+# over-cap 16-bit block buckets route to star edges — pair work linear in
+# corpus size for fixed cap, crossover vs the exact face measured in
+# SCALING.md).
 #
-# Round-10 window = (a) the six queries ADDED this round, (b) rows
-# whose PLANS CHANGED this round — sink_changes_replay's chain now
-# contains a RESTORE whose change feed is the persisted snapshot diff;
-# the streaming merge sink gained crash-claim recovery + persisted
-# CHECK-constraint enforcement; clone copies (not hardlinks) table
-# metadata; mark_committed preserves history entries on re-publish; the
-# chain DML claim loop moved to the substrate-agnostic
-# commit_store.advance with capped-exponential backoff; the manifest
-# grew per-column secondary maps (merge carry + OPTIMIZE ZORDER write
-# path); the bloom sidecar rebuild writes per-key parallel parts and
-# point_lookup composes manifest range pruning — and (c) oldest-cohort
-# sentinels: the six r05-cohort rows displaced in r09 (documented there)
-# plus 18 queries whose last driver window was r01 (p4_value_filter,
-# q12_priority_shipping, e2_union_distinct, a10_bit_or_rollup,
-# o7_argmin_nearest, j8_time_shifted_overlay, j3_profile_range_join and
-# subperiod_grouping yielded their slots to the eight second-session
-# additions sink_merge_full_surface / sink_kv_chain_roundtrip /
-# split_leakage_safe / sink_merge_full_changes / streaming_merge_full /
-# sink_column_mapping / sink_drop_column / split_leakage_capped; all
-# eight stay oracle-checked at sf0.001 every session) — the oldest
-# greens in
-# the registry by last-proven round; the full registry is still
-# oracle-checked at sf0.001 every session by tests/test_quick.py — this
-# re-proves them at the driver's sf0.01 gate).
+# Round-11 window = (a) the four queries ADDED this round, (b) rows whose
+# PLANS CHANGED this round — split_leakage_capped was rebuilt on the cheap
+# SimHash fingerprints (VERDICT r10 item 3; it beats the exact face now),
+# both split faces hash components through a wrap-safe mod-prime Knuth
+# assignment (ADVICE r10 overflow), the metadata-commit faces
+# (sink_column_mapping / sink_drop_column / sink_alter_constraints) write
+# per-version docs committed by the marker publish, RESTORE/CLONE/history
+# faces carry version metadata, sink_changes_replay's restore pins the
+# restored doc, sink_kv_chain_roundtrip rides the rewritten generational
+# commit store with streaming blob IO, the pruned merges
+# (sink_merge_upsert / sink_merge_full_surface) validate their
+# no-matched-files fallback eagerly and dup-guard its insert set, the
+# capped edit-distance face releases its caches after the components
+# checkpoint, and streaming_merge_upsert resolves constraints through the
+# versioned metadata accessor — and (c) oldest-cohort sentinels
+# (VERDICT r10 item 8): the eight rows displaced by the r10 window
+# (p4_value_filter, q12_priority_shipping, e2_union_distinct,
+# a10_bit_or_rollup, o7_argmin_nearest, j8_time_shifted_overlay,
+# j3_profile_range_join, subperiod_grouping), the named r02-r04 cohort
+# (qc_bitmask_decode, the f_* scalar families, j10, p9_regex_filter), and
+# the remaining oldest r01/r02 greens. The full registry is still
+# oracle-checked at sf0.001 every session by tests/test_quick.py.
 _ROUND_WINDOW = [
-    # (a) added round 10
-    "sink_merge_prune_2d",        # ZORDER 2nd dim prunes via manifest maps
-    "dedup_edit_distance_capped",  # star-edge routing over the cap
-    "streaming_merge_concurrent",  # two writers, txn tags, no lost update
-    "sink_alter_constraints",     # ALTER ADD/DROP CONSTRAINT as commits
-    "sink_vacuum_retention",      # protocol-aware VACUUM, hashed retention
-    "sink_range_scan_pruned",     # manifest-pruned range read, 2nd Z dim
-    "sink_merge_full_surface",    # full MERGE grammar incl. NMBS clauses
-    "sink_kv_chain_roundtrip",    # object-store data plane, pointer carry
-    "split_leakage_safe",         # near-dup components pin the eval split
-    "sink_merge_full_changes",    # full-fidelity CDF of the 5-clause merge
-    "streaming_merge_full",       # snapshot-sync NMBS merge, txn-tagged
-    "sink_column_mapping",        # rename w/o rewrite; logical-name merge
-    "sink_drop_column",           # drop w/o rewrite; NULL-filled dead slot
-    "split_leakage_capped",       # capped-components split (scale path)
+    # (a) added round 11
+    "sink_kv_http_roundtrip",     # live HTTP object store + executor fetch
+    "sink_lease_takeover",        # expired claim taken over, one commit
+    "sink_versioned_metadata",    # time-traveling schema; RESTORE rolls it
+    "dedup_simhash_capped",       # capped SimHash components (scale face)
     # (b) changed-plan rows
-    "sink_changes_replay",        # feed crosses RESTORE (snapshot diff)
-    "sink_restore_version",
-    "sink_clone_table",           # metadata copied, not hardlinked
-    "sink_table_history",         # mark_committed idempotent re-publish
-    "sink_merge_concurrent",      # commit_store.advance + expo backoff
-    "sink_merge_upsert",
-    "sink_merge_prune_roundtrip",  # secondary-map carry in the manifest
-    "sink_optimize_zorder",       # ZORDER writes both manifest columns
-    "sink_bloom_lookup",          # parallel per-key sidecar + manifest prune
-    "streaming_merge_upsert",     # crash-claim recovery + constraints
-    "streaming_merge_quarantine",
-    "streaming_merge_cdc",
-    # (c) oldest-cohort sentinels: the six displaced r05 rows
-    "media_audio_frames",
-    "text_vocab_growth",
-    "sink_csv_roundtrip",
-    "streaming_cdc_matches",
-    "sink_json_index_roundtrip",
-    "quality_classifier_score",
-    # (c) cont.: the 18 oldest greens (last driver-proven in the r01
-    # window; re-proven here at sf0.01)
-    "a14_rollup_counts",
-    "a3_windowed_mean",
-    "coarsen_block_mean",
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "j2_interval_clip",
-    "j5_gross_range_flags",
-    "j7_annotation_overlap",
-    "o6_argmax_per_bucket",
-    "p10_isin_filter",
-    "p7_band_extraction",
-    "q14_promo_revenue",
-    "q19_banded_revenue",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q_semi_anti_churn",
-    "qc_climatology_build",
-    "w1_lag_step_flags",
+    "split_leakage_capped",       # rebuilt on SimHash bands; now wins
+    "split_leakage_safe",         # wrap-safe component hash
+    "sink_column_mapping",        # per-version metadata docs
+    "sink_drop_column",
+    "sink_alter_constraints",
+    "sink_restore_version",       # restore pins the restored version's doc
+    "sink_clone_table",           # clone copies the cloned version's doc
+    "sink_table_history",
+    "sink_changes_replay",        # restore-in-chain writes version meta
+    "sink_kv_chain_roundtrip",    # generational store, streaming blob IO
+    "sink_merge_upsert",          # eager fallback validation + dup guard
+    "sink_merge_full_surface",
+    "dedup_edit_distance_capped",  # unpersist after components checkpoint
+    "streaming_merge_upsert",     # constraints via versioned accessor
+    # (c) oldest-cohort sentinels: the eight rows displaced by r10
+    "p4_value_filter",
+    "q12_priority_shipping",
+    "e2_union_distinct",
+    "a10_bit_or_rollup",
+    "o7_argmin_nearest",
+    "j8_time_shifted_overlay",
+    "j3_profile_range_join",
+    "subperiod_grouping",
+    # (c) cont.: the named r02-r04 cohort
+    "qc_bitmask_decode",
+    "f_json_extract",
+    "f_math_conversions",
+    "f_nested_cal_arrays",
+    "f_string_parse",
+    "j10_latest_deploy_window",
+    "p9_regex_filter",
+    # (c) cont.: remaining oldest r01/r02 greens
+    "w2_lead_intervals",
+    "w3_gap_detection",
+    "w5_positional_flags",
+    "w6_interpolate_na",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "a15_percentiles",
+    "text_lang_id",
+    "text_token_stats",
+    "sample_stratified",
+    "pack_sequences",
+    "corpus_curation",
+    "media_frame_sample",
+    "q4_order_priority",
+    "q8_market_share",
+    "ann_lsh_topk",
+    "media_batch_stats",
 ]
 
 

@@ -252,7 +252,8 @@ class KVTable:
         return {**stats, "version": 0}
 
     def _advance(self, build_local, op: str, retries: int = 3,
-                 spark: "SparkSession | None" = None) -> dict:
+                 spark: "SparkSession | None" = None,
+                 lease_ttl: "float | None" = None) -> dict:
         """claim → (materialize base, build locally, upload) → publish,
         through the SAME substrate-agnostic ``advance`` loop the local-FS
         chain uses — rebase/retry/backoff/claim-release included. ``spark``
@@ -266,7 +267,7 @@ class KVTable:
             stats = build_local(base_dir, out_dir)
             return {**stats, **self._publish_dir(ver, out_dir)}
 
-        return advance(self.store, _build, retries, op=op)
+        return advance(self.store, _build, retries, op=op, lease_ttl=lease_ttl)
 
     def merge(
         self,
@@ -275,10 +276,13 @@ class KVTable:
         keys: list,
         schema_ddl: str,
         zone_key: "str | None" = None,
+        lease_ttl: "float | None" = None,
     ) -> dict:
         """Pruned copy-on-write MERGE against the store: carried files come
         back as POINTER LINKS (the hardlinks merge_upsert_pruned makes
-        resolve to pooled blob inodes), only rewritten parts upload."""
+        resolve to pooled blob inodes), only rewritten parts upload.
+        ``lease_ttl`` (seconds) lets this writer take over an expired
+        crashed claim instead of giving up (commit_store.advance)."""
         from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
 
         return self._advance(
@@ -287,6 +291,7 @@ class KVTable:
             ),
             op="merge",
             spark=spark,
+            lease_ttl=lease_ttl,
         )
 
     def delete_where(self, spark: SparkSession, predicate: str, schema_ddl: str) -> dict:

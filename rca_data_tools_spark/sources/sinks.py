@@ -2058,6 +2058,39 @@ def read_changes(
     return functools.reduce(DataFrame.unionByName, parts)
 
 
+def read_changes_logical(
+    spark: SparkSession, table_root: str, from_v: int, to_v: "int | None" = None
+) -> DataFrame:
+    """``read_changes`` presented under the LOGICAL column names of the
+    range's END version — a consumer that tracked the table across a
+    RENAME addresses the whole feed by its current schema (the physical
+    sidecars keep their creation-time names forever, exactly like data
+    files; this is the same pure projection ``read_version_logical``
+    applies to snapshots). Columns dropped as of the end version are
+    projected out of the feed; ``op``/``_version`` pass through."""
+    vs = committed_versions(table_root)
+    end = vs[-1] if to_v is None else to_v
+    df = read_changes(spark, table_root, from_v, to_v)
+    mapping = column_mapping(table_root, n=end)
+    dead = set(dropped_columns(table_root, n=end))
+    log_of = {p: l for l, p in mapping.items()}
+    out = []
+    for c in df.columns:
+        if c in ("op", "_version"):
+            out.append(F.col(c))
+            continue
+        for pre in ("before_", "after_"):
+            if c.startswith(pre):
+                p = c[len(pre):]
+                if p not in dead:
+                    out.append(F.col(c).alias(pre + log_of.get(p, p)))
+                break
+        else:
+            if c not in dead:
+                out.append(F.col(c).alias(log_of.get(c, c)))
+    return df.select(*out)
+
+
 def replay_changes(base: DataFrame, feed: DataFrame, keys: list[str]) -> DataFrame:
     """Materialize a DOWNSTREAM REPLICA from a base snapshot plus a
     change-data-feed (read_changes' output: keys, op, before_*/after_*,

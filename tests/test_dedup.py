@@ -673,3 +673,61 @@ def test_split_hash_wrap_safe_at_huge_component_ids(spark):
         ).fetchone()
         assert got[i] == oh
     assert len(set(got.values())) > 1  # still spreads
+
+
+def test_simhash_components_capped_matches_exact_under_cap(spark):
+    """With a cap no bucket exceeds, the capped routing IS the exact
+    pipeline: components equal connected_components(simhash pairs)."""
+    from rca_data_tools_spark.operators.dedup import (
+        connected_components,
+        simhash_components_capped,
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    capped = simhash_components_capped(
+        d, "doc_id", "text", max_hamming=3, bucket_cap=10**9
+    )
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    exact = connected_components(
+        simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_simhash_components_capped_star_routing_over_merges_never_splits(spark):
+    """Over-cap buckets route to UNVERIFIED star edges: every exact
+    component stays within ONE capped component (splits would leak across
+    an eval boundary; over-merges are conservative)."""
+    from rca_data_tools_spark.operators.dedup import (
+        connected_components,
+        simhash_components_capped,
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    capped = simhash_components_capped(
+        d, "doc_id", "text", max_hamming=3, bucket_cap=3
+    ).withColumnRenamed("label", "capped_label")
+    fp = simhash_fingerprints(d, "doc_id", "text")
+    exact = connected_components(
+        simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+    ).withColumnRenamed("label", "exact_label")
+    j = exact.join(capped, "node")  # every exact node got SOME capped label
+    assert j.count() == exact.count()
+    # one exact component -> exactly one capped component (never split)
+    import pyspark.sql.functions as F
+
+    split_groups = (
+        j.groupBy("exact_label")
+        .agg(F.count_distinct("capped_label").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert split_groups == 0

@@ -64,4 +64,33 @@ build(
     f"lang, source, n_chars + 1 + LENGTH({filler}) AS n_chars",
     out_name="documents_distinct",
 )
+
+# CLONE-DENSE knob (VERDICT r10 item 3): documents_dense.parquet replicates
+# 5% of the base docs CLUSTER times each (near-identical — one trailing
+# token differs), the rest stay singletons. Cluster size is the axis the
+# capped-vs-exact crossover lives on: exact pair faces pay m(m-1)/2 per
+# cluster, capped faces pay m-1 star edges.  Set via 4th arg or
+# SPARK_GRAFT_DENSE_CLUSTER (default 64).
+CLUSTER = int(
+    sys.argv[4] if len(sys.argv) > 4 else os.environ.get("SPARK_GRAFT_DENSE_CLUSTER", "64")
+)
+con.execute(f"CREATE VIEW crep AS SELECT unnest(range({CLUSTER})) AS crep")
+dense_body = f"""
+SELECT doc_id * {CLUSTER} + crep AS doc_id,
+       text || ' r' || crep AS text, lang, source,
+       n_chars + 2 + LENGTH(CAST(crep AS VARCHAR)) AS n_chars
+FROM read_parquet('{src}/documents.parquet'), crep
+WHERE doc_id % 20 = 0
+UNION ALL
+SELECT doc_id * {CLUSTER} AS doc_id, text, lang, source, n_chars
+FROM read_parquet('{src}/documents.parquet')
+WHERE doc_id % 20 <> 0
+"""
+con.execute(
+    f"COPY ({dense_body}) TO '{out}/documents_dense.parquet' (FORMAT PARQUET)"
+)
+n = con.sql(
+    f"SELECT COUNT(*) FROM read_parquet('{out}/documents_dense.parquet')"
+).fetchone()[0]
+print(f"documents_dense: {n} rows (cluster={CLUSTER})")
 print("done:", out)
