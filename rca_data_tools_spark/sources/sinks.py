@@ -2564,6 +2564,13 @@ def optimize_table(
         total = sum(os.path.getsize(f) for f in files)
         n_files = max(1, math.ceil(total / target_bytes))
         df = read_with_deletes(spark, base_dir)
+        # materialize column DROPS: logically dropped columns' bytes stop
+        # here (the drop_column contract — rewritten files shed the dead
+        # slots; explicit-schema readers of mixed files see NULLs, and the
+        # logical read never projects them anyway)
+        dead = set(dropped_columns(table_root))
+        if dead:
+            df = df.drop(*[c for c in df.columns if c in dead])
         # repartition, NOT coalesce: coalesce(n) would collapse the whole
         # scan+DV-subtract stage to n tasks (a 1000-file table compacted to
         # 8 files would read on 8 tasks); one round-robin shuffle keeps the

@@ -321,3 +321,32 @@ def test_read_changes_logical_crosses_rename(spark):
     assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, tip.collect())
     )
+
+
+def test_optimize_materializes_column_drop(spark):
+    """The drop_column contract's second half: OPTIMIZE sheds the dead
+    physical slots from rewritten files (the bytes stop existing), while
+    logical reads and later logical merges keep working."""
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_drop_column, latest_committed, optimize_table,
+        read_version_logical,
+    )
+
+    root, df = _mk(spark)
+    alter_table_drop_column(root, ["u"], DDL)                  # v1
+    before = read_version_logical(spark, root, DDL)
+    stats = optimize_table(spark, root)                         # v2
+    v = latest_committed(root)
+    vdir = os.path.join(root, f"v{v}")
+    # the physical files no longer carry the dropped column
+    phys = spark.read.parquet(vdir)
+    assert "u" not in phys.columns
+    after = read_version_logical(spark, root, DDL)
+    assert sorted(map(tuple, after.collect())) == sorted(
+        map(tuple, before.collect())
+    )
+    # a later logical merge still lands (dead slot NULL-fills on rewrite)
+    b = spark.createDataFrame([(3, 9999.0)], "k long, v double")
+    merge_table_logical(spark, root, b, ["k"], DDL, zone_key="k")
+    got = read_version_logical(spark, root, DDL).filter("k = 3").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(3, 9999.0)]
