@@ -62,6 +62,12 @@ HEADLINE = [
     # data plane join the benched lifecycle
     "sink_merge_full_surface",
     "sink_kv_chain_roundtrip",
+    # round-11: the live-HTTP object store face (conditional-PUT claims,
+    # executor-side cold-cache fetch), versioned metadata lifecycle, and
+    # the capped SimHash components (the tuned near-dup scale face)
+    "sink_kv_http_roundtrip",
+    "sink_versioned_metadata",
+    "dedup_simhash_capped",
 ]
 
 
