@@ -294,16 +294,20 @@ class KVTable:
             lease_ttl=lease_ttl,
         )
 
-    def delete_where(self, spark: SparkSession, predicate: str, schema_ddl: str) -> dict:
+    def delete_where(self, spark: SparkSession, predicate: str, schema_ddl: str,
+                     lease_ttl: "float | None" = None) -> dict:
         """Merge-on-read DELETE: every data file of the new version is a
         pointer link (zero data bytes moved); only the deletion-vector
-        sidecar parts upload — the object-store cost profile DVs exist for."""
+        sidecar parts upload — the object-store cost profile DVs exist for.
+        ``lease_ttl`` enables takeover of an expired crashed claim, like
+        ``merge``."""
         from rca_data_tools_spark.sources.sinks import delete_where as _dw
 
         return self._advance(
             lambda base_dir, out_dir: _dw(spark, base_dir, out_dir, predicate, schema_ddl),
             op="delete",
             spark=spark,
+            lease_ttl=lease_ttl,
         )
 
     def read(self, spark: SparkSession, schema_ddl: str, ver: "int | None" = None) -> DataFrame:

@@ -1259,6 +1259,21 @@ def vacuum_versions(table_root: str, keep_last: int = 2) -> dict:
         versions = all_vs
         doomed = versions[:-keep_last] if keep_last < len(versions) else []
         kept = [d for _, d in versions[len(doomed):]]
+    # METADATA CONTINUITY: a doomed version may be the one carrying the
+    # _meta.json that governs the survivors (a rename at v5 vacuumed while
+    # v6+ plain-DML versions survive would make the walk fall back to an
+    # OLDER doc and silently revert the logical schema). Pin the oldest
+    # surviving committed version's EFFECTIVE doc into its own directory
+    # before anything is deleted — resolution-neutral for every survivor
+    # (versions after it either carry their own doc or inherited exactly
+    # this one), the versioned-metadata analogue of a Delta checkpoint.
+    if doomed and marked:
+        survivors = sorted(n for n, d in marked if d in keep)
+        if survivors:
+            oldest = survivors[0]
+            sdir = os.path.join(table_root, f"v{oldest}")
+            if not os.path.exists(os.path.join(sdir, VERSION_META_NAME)):
+                _write_version_meta(sdir, _effective_meta(table_root, oldest))
     freed = 0
     for _, d in doomed:
         vdir = os.path.join(table_root, d)

@@ -350,3 +350,28 @@ def test_optimize_materializes_column_drop(spark):
     merge_table_logical(spark, root, b, ["k"], DDL, zone_key="k")
     got = read_version_logical(spark, root, DDL).filter("k = 3").collect()
     assert [(r["k"], r["v"]) for r in got] == [(3, 9999.0)]
+
+
+def test_vacuum_preserves_metadata_continuity(spark):
+    """Vacuuming the RENAME version itself must not revert the logical
+    schema: the oldest survivor gets the effective doc pinned into its own
+    directory before deletion (the Delta-checkpoint analogue)."""
+    from rca_data_tools_spark.sources.sinks import (
+        merge_into_table, vacuum_versions,
+    )
+
+    root, df = _mk(spark)
+    alter_table_rename_column(root, {"v": "reading"}, DDL)        # v1
+    for i in range(3):                                             # v2-v4
+        merge_into_table(
+            spark, root, spark.createDataFrame([(i, 0, 1.0)], DDL.replace("v ", "reading "))
+            .withColumnRenamed("reading", "v"),
+            ["k"], DDL, zone_key="k",
+        )
+    out = vacuum_versions(root, keep_last=2)                       # drops v0-v2
+    assert "v1" in out["removed"]
+    # the rename survives the vacuum of its own commit
+    assert column_mapping(root) == {"reading": "v"}
+    assert read_version_logical(spark, root, DDL).columns == [
+        "k", "u", "reading",
+    ]
