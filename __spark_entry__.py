@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 10: 264 registered, 263 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 11 adds 4 queries
-# (268 registered): the object-store data plane over a LIVE HTTP store
+# agg_approx_distinct row), 0 never-checked. Round 11 adds 5 queries
+# (269 registered): the object-store data plane over a LIVE HTTP store
 # (conditional-PUT claims, streamed blob uploads, cold-cache read with
 # EXECUTOR-side blob fetch — sources/kv_http.py), the lease takeover of a
 # crashed writer's claim (generational claims + conditional marker
@@ -31,9 +31,10 @@ from rca_data_tools_spark.sources.readers import load_table
 # and the capped SimHash components face (near-dup components whose
 # over-cap 16-bit block buckets route to star edges — pair work linear in
 # corpus size for fixed cap, crossover vs the exact face measured in
-# SCALING.md).
+# SCALING.md), plus the logical change-data-feed face (read_changes_logical
+# — a CDF range spanning a rename reads under the end version's names).
 #
-# Round-11 window = (a) the four queries ADDED this round, (b) rows whose
+# Round-11 window = (a) the five queries ADDED this round, (b) rows whose
 # PLANS CHANGED this round — split_leakage_capped was rebuilt on the cheap
 # SimHash fingerprints (VERDICT r10 item 3; it beats the exact face now),
 # both split faces hash components through a wrap-safe mod-prime Knuth
@@ -61,6 +62,7 @@ _ROUND_WINDOW = [
     "sink_lease_takeover",        # expired claim taken over, one commit
     "sink_versioned_metadata",    # time-traveling schema; RESTORE rolls it
     "dedup_simhash_capped",       # capped SimHash components (scale face)
+    "sink_changes_logical",       # CDF across a rename, logical names
     # (b) changed-plan rows
     "split_leakage_capped",       # rebuilt on SimHash bands; now wins
     "split_leakage_safe",         # wrap-safe component hash
@@ -110,7 +112,6 @@ _ROUND_WINDOW = [
     "q4_order_priority",
     "q8_market_share",
     "ann_lsh_topk",
-    "media_batch_stats",
 ]
 
 

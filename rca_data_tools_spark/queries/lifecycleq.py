@@ -3835,3 +3835,107 @@ def sink_versioned_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(v3_sum) if v3_sum is not None else None)
         .cast("double").alias("sum_at_v3"),
     )
+
+
+@query(
+    "sink_changes_logical",
+    oracle="""
+WITH t AS (SELECT event_id, user_id, value FROM events),
+mx AS (SELECT MAX(event_id) AS m FROM t),
+v1src AS (
+  SELECT event_id, user_id, value + 100 AS value FROM t WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + m + 1, user_id, value FROM t, mx WHERE event_id < 64
+),
+v1feed AS (
+  SELECT s.event_id,
+         CASE WHEN b.event_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+         b.user_id AS before_device_id, s.user_id AS after_device_id,
+         b.value AS before_reading, s.value AS after_reading,
+         1 AS _version
+  FROM v1src s LEFT JOIN t b ON b.event_id = s.event_id
+),
+post1 AS (
+  SELECT * FROM t
+  WHERE NOT EXISTS (SELECT 1 FROM v1src s WHERE s.event_id = t.event_id)
+  UNION ALL SELECT * FROM v1src
+),
+v3src AS (
+  SELECT event_id, user_id + 9 AS device_id, -1.5 * event_id + 0.0 AS reading
+  FROM t WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id + 2 * m + 2, user_id, -2.0 AS reading FROM t, mx
+  WHERE event_id < 32
+),
+v3feed AS (
+  SELECT s.event_id,
+         CASE WHEN b.event_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+         b.user_id AS before_device_id, s.device_id AS after_device_id,
+         b.value AS before_reading, s.reading AS after_reading,
+         3 AS _version
+  FROM v3src s LEFT JOIN post1 b ON b.event_id = s.event_id
+)
+SELECT * FROM v1feed UNION ALL SELECT * FROM v3feed
+""",
+)
+def sink_changes_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-feed read ACROSS A RENAME under logical names
+    (``sinks.read_changes_logical`` — the CDF half of the versioned-
+    metadata story): v1 merges under the PHYSICAL names (value/user_id,
+    feed persisted), v2 renames value→reading and user_id→device_id
+    (zero-copy metadata commit), v3 merges addressed entirely in the NEW
+    logical names (feed persisted). The full-range feed then reads with
+    EVERY event — including v1's, written before the rename existed —
+    under the END version's logical names (before_reading/after_reading,
+    before_device_id/after_device_id): physical sidecars keep their
+    creation-time names forever, the projection is resolved from the end
+    version's own metadata doc. The oracle replays both merges' exact
+    feed semantics (one row per source key, update/insert vs the
+    then-current table) with the post-rename names.
+
+    Scale shape: the feed is O(touched rows) per version; the logical
+    translation is a zero-cost projection; the rename never rewrote a
+    byte."""
+    from rca_data_tools_spark.sources.sinks import (
+        alter_table_rename_column, create_table, merge_into_table,
+        merge_table_logical, read_changes_logical,
+    )
+
+    ddl = "event_id bigint, user_id bigint, value double"
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="rca_cdflog_")
+    create_table(e, root, zone_key="event_id", n_files=8)
+    _m = e.agg(F.max("event_id")).first()[0]
+    m = int(_m) if _m is not None else 0
+
+    v1 = e.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + F.lit(100.0)
+    ).unionByName(
+        e.filter(F.col("event_id") < 64).withColumn(
+            "event_id", F.col("event_id") + F.lit(m + 1)
+        )
+    )
+    merge_into_table(spark, root, v1, ["event_id"], ddl, zone_key="event_id",
+                     changes_feed=True)                                    # v1
+    alter_table_rename_column(
+        root, {"value": "reading", "user_id": "device_id"}, ddl
+    )                                                                      # v2
+    v3 = e.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        (F.col("user_id") + F.lit(9)).alias("device_id"),
+        # + 0.0 normalizes IEEE -0.0 at event_id=0 identically in both engines
+        (F.col("event_id") * F.lit(-1.5) + F.lit(0.0)).alias("reading"),
+    ).unionByName(
+        e.filter(F.col("event_id") < 32).select(
+            (F.col("event_id") + F.lit(2 * m + 2)).alias("event_id"),
+            F.col("user_id").alias("device_id"),
+            F.lit(-2.0).alias("reading"),
+        )
+    )
+    merge_table_logical(spark, root, v3, ["event_id"], ddl,
+                        zone_key="event_id", changes_feed=True)            # v3
+    return read_changes_logical(spark, root, 0).select(
+        "event_id", "op", "before_device_id", "after_device_id",
+        "before_reading", "after_reading",
+        F.col("_version").cast("int").alias("_version"),
+    )
