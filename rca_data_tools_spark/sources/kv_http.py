@@ -214,6 +214,16 @@ def _server_handler(root: str):
         def _key_path(self, key: str) -> str:
             return os.path.join(root, _quote(key))
 
+        def _stage(self) -> str:
+            """Unique in-flight staging path OUTSIDE the object namespace —
+            staged bytes must never appear in a prefix listing, and their
+            names must never collide across concurrent handler threads."""
+            import uuid
+
+            d = os.path.join(root, ".inflight")
+            os.makedirs(d, exist_ok=True)
+            return os.path.join(d, uuid.uuid4().hex)
+
         def _send(self, status: int, body: bytes = b"",
                   ctype: str = "application/octet-stream") -> None:
             self.send_response(status)
@@ -228,9 +238,15 @@ def _server_handler(root: str):
                 prefix = urllib.parse.parse_qs(parsed.query).get("prefix", [""])[0]
                 out = {}
                 for name in os.listdir(root):
+                    path = os.path.join(root, name)
+                    if not os.path.isfile(path):
+                        continue  # .inflight/ staging dir is not an object
                     key = urllib.parse.unquote(name)
                     if key.startswith(prefix):
-                        out[key] = os.path.getsize(os.path.join(root, name))
+                        try:
+                            out[key] = os.path.getsize(path)
+                        except FileNotFoundError:
+                            pass  # deleted between listdir and stat
                 self._send(200, json.dumps(out).encode(), "application/json")
                 return
             key = urllib.parse.unquote(parsed.path.lstrip("/"))
@@ -272,7 +288,7 @@ def _server_handler(root: str):
                 # COMPLETE — an O_EXCL-open-then-write would expose a torn
                 # claim object to a concurrent reader. The body drains
                 # either way (keep-alive requires it).
-                tmp = f"{path}.cond.{threading.get_ident()}"
+                tmp = self._stage()
                 with open(tmp, "wb") as fh:
                     self._read_body_to(fh)
                 try:
@@ -283,7 +299,7 @@ def _server_handler(root: str):
                 finally:
                     os.unlink(tmp)
                 return
-            tmp = f"{path}.inflight.{threading.get_ident()}"
+            tmp = self._stage()
             with open(tmp, "wb") as fh:
                 self._read_body_to(fh)
             os.replace(tmp, path)

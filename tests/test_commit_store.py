@@ -226,3 +226,46 @@ def test_advance_loser_rebases_after_lost_publish():
     assert vs == {1, 2}, out  # both land, on DIFFERENT versions
     ops = [store.read_marker(v)["op"] for v in (1, 2)]
     assert sorted(ops) == ["fast", "slow"]
+
+
+def test_http_store_serializes_concurrent_writers():
+    """The conditional-PUT race proven OVER THE WIRE: 8 threads race
+    advance() against the live HTTP object server — gapless versions,
+    every claim arbitrated by the server's atomic write-then-link, no
+    lost update. (The in-memory fuzzer above proves the protocol; this
+    proves the HTTP primitive actually provides it.)"""
+    import tempfile
+    import threading
+
+    from rca_data_tools_spark.sources.kv_http import (
+        HttpKVCommitStore, LocalKVServer,
+    )
+
+    with LocalKVServer(tempfile.mkdtemp(prefix="kvsrv_race_")) as srv:
+        store = HttpKVCommitStore(srv.url)
+        store.try_claim(0)
+        store.publish(0, {"op": "create"})
+        results, errors = [], []
+
+        def writer(i):
+            try:
+                # each thread its own client: separate keep-alive conns,
+                # like real distributed writers
+                own = HttpKVCommitStore(srv.url)
+                results.append(
+                    advance(own, lambda b, v: {"w": i}, retries=40, op="merge")
+                )
+            except Exception as ex:  # noqa: BLE001
+                errors.append(ex)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert sorted(r["version"] for r in results) == list(range(1, 9))
+        assert store.committed() == list(range(9))
+        # every marker records exactly one writer's stats
+        ws = sorted(store.read_marker(v)["stats"]["w"] for v in range(1, 9))
+        assert len(set(ws)) == 8
