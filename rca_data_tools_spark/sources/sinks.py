@@ -2204,10 +2204,16 @@ def _advance_table(
     from rca_data_tools_spark.sources.commit_store import advance
 
     def _fs_build(base: int, ver: int) -> dict:
-        return build(
-            os.path.join(table_root, f"v{base}"),
-            os.path.join(table_root, f"v{ver}"),
-        )
+        out_dir = os.path.join(table_root, f"v{ver}")
+        stats = build(os.path.join(table_root, f"v{base}"), out_dir)
+        # every version pins its effective metadata doc (builds that set
+        # their own — the ALTERs, RESTORE — already wrote one): the
+        # _effective_meta walk stays O(1) instead of O(versions since the
+        # last metadata commit), for one KB write per version — the
+        # metadata checkpoint Delta pays every 10 commits, paid every time
+        if not os.path.exists(os.path.join(out_dir, VERSION_META_NAME)):
+            _write_version_meta(out_dir, _effective_meta(table_root, base))
+        return stats
 
     return advance(
         LocalFSCommitStore(table_root), _fs_build, retries, op, extra_info
