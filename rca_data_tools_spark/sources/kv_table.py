@@ -350,6 +350,28 @@ class KVTable:
         )
         return out
 
+    def range_scan(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        schema_ddl: str,
+        ver: "int | None" = None,
+    ) -> "tuple[DataFrame, dict]":
+        """Manifest-pruned range read against the store (the local chain's
+        ``sinks.range_scan`` over a materialized version): the zone-map
+        manifest rides the version's pointer list as a KB sidecar blob, so
+        pruning resolves from cached metadata and only candidate-file
+        blobs ever need fetching on a warm pool. Returns (rows, stats)."""
+        from rca_data_tools_spark.sources.sinks import range_scan as _rs
+
+        v = self.store.latest_committed() if ver is None else ver
+        return _rs(
+            spark, self.materialize(v, spark=spark), col, lo, hi,
+            schema_ddl=schema_ddl,
+        )
+
     def history(self) -> list:
         """The commit log as recorded in the store's markers."""
         out = []

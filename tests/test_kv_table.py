@@ -259,3 +259,16 @@ def test_kv_executor_side_blob_fetch(spark):
         assert again is None  # warm pool: nothing to fetch
         got = sorted(map(tuple, t2.read(spark, DDL).collect()))
         assert got == expected
+
+
+def test_kv_range_scan_prunes_from_manifest(spark, kv_store):
+    """The manifest-pruned range read composes with the data plane: the
+    zone-map sidecar rides the pointer list, pruning opens only candidate
+    files, and the result matches the full-scan filter exactly."""
+    store, t = _mk(spark, kv_store)
+    rows, stats = t.range_scan(spark, "k", 100, 200, DDL)
+    assert stats["files_scanned"] < stats["files_total"]
+    exp = sorted(
+        map(tuple, t.read(spark, DDL).filter("k between 100 and 200").collect())
+    )
+    assert sorted(map(tuple, rows.collect())) == exp
