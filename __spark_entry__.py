@@ -20,8 +20,8 @@ from rca_data_tools_spark.sources.readers import load_table
 # The driver verifies the first 50 entries of queries() per round.
 # Cumulative state after round 10: 264 registered, 263 cumulative
 # driver-green (the one non-green is the documented no-oracle
-# agg_approx_distinct row), 0 never-checked. Round 11 adds 5 queries
-# (269 registered): the object-store data plane over a LIVE HTTP store
+# agg_approx_distinct row), 0 never-checked. Round 11 adds 6 queries
+# (270 registered): the object-store data plane over a LIVE HTTP store
 # (conditional-PUT claims, streamed blob uploads, cold-cache read with
 # EXECUTOR-side blob fetch — sources/kv_http.py), the lease takeover of a
 # crashed writer's claim (generational claims + conditional marker
@@ -32,9 +32,12 @@ from rca_data_tools_spark.sources.readers import load_table
 # over-cap 16-bit block buckets route to star edges — pair work linear in
 # corpus size for fixed cap, crossover vs the exact face measured in
 # SCALING.md), plus the logical change-data-feed face (read_changes_logical
-# — a CDF range spanning a rename reads under the end version's names).
+# — a CDF range spanning a rename reads under the end version's names)
+# and the streaming-onto-object-store face (stream_merge_kv: micro-batches
+# claim/merge/publish immutable store versions, txn-tag exactly-once with
+# a fresh-checkpoint replay proven a no-op in-band).
 #
-# Round-11 window = (a) the five queries ADDED this round, (b) rows whose
+# Round-11 window = (a) the six queries ADDED this round, (b) rows whose
 # PLANS CHANGED this round — split_leakage_capped was rebuilt on the cheap
 # SimHash fingerprints (VERDICT r10 item 3; it beats the exact face now),
 # both split faces hash components through a wrap-safe mod-prime Knuth
@@ -63,6 +66,7 @@ _ROUND_WINDOW = [
     "sink_versioned_metadata",    # time-traveling schema; RESTORE rolls it
     "dedup_simhash_capped",       # capped SimHash components (scale face)
     "sink_changes_logical",       # CDF across a rename, logical names
+    "streaming_merge_kv",         # streaming ingest onto the object store
     # (b) changed-plan rows
     "split_leakage_capped",       # rebuilt on SimHash bands; now wins
     "split_leakage_safe",         # wrap-safe component hash
@@ -110,7 +114,6 @@ _ROUND_WINDOW = [
     "corpus_curation",
     "media_frame_sample",
     "q4_order_priority",
-    "q8_market_share",
     "ann_lsh_topk",
 ]
 

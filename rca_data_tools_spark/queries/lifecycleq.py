@@ -3939,3 +3939,135 @@ def sink_changes_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before_reading", "after_reading",
         F.col("_version").cast("int").alias("_version"),
     )
+
+
+@query(
+    "streaming_merge_kv",
+    oracle=f"""
+WITH full_run AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), b1 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 30 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT1}'
+), b2 AS (
+  SELECT * FROM (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE value > 60 GROUP BY 1, 2
+  ) WHERE d >= '{_SM_CUT2}'
+),
+merged AS (
+  SELECT f.d, f.event_type, f.n, f.n_users FROM full_run f
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.d = f.d AND b1.event_type = f.event_type)
+    AND NOT EXISTS (SELECT 1 FROM b2 WHERE b2.d = f.d AND b2.event_type = f.event_type)
+  UNION ALL
+  SELECT o.d, o.event_type, o.n, o.n_users FROM b1 o
+  WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.d = o.d AND b2.event_type = o.event_type)
+  UNION ALL
+  SELECT d, event_type, n, n_users FROM b2
+)
+SELECT 1 AS exactly_once, 1 AS pointer_carry, 1 AS replay_noop,
+  (SELECT COUNT(*) FROM merged) AS n_rows,
+  (SELECT SUM(n) FROM merged) AS sum_n,
+  (SELECT COUNT(*) FROM merged WHERE n_users IS NOT NULL) AS n_nonnull
+""",
+)
+def streaming_merge_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest STRAIGHT ONTO THE OBJECT-STORE DATA
+    PLANE (streaming/joins.stream_merge_kv): the daily rollup is v0 of a
+    ``KVTable`` over the conditional-PUT store; two correction batches
+    drain through ``readStream(maxFilesPerTrigger=1)`` + availableNow, and
+    every micro-batch claims → pruned-merges → publishes an immutable
+    object-store version — carried files as pointer links, new parts as
+    streamed blob uploads, the same plans as the local chain.
+
+    Exactly-once is asserted THREE ways in-band: ``exactly_once`` (both
+    batches' ``{app, batch}`` txn tags in committed markers, no
+    duplicates), ``replay_noop`` (re-draining the SAME feed against a
+    FRESH checkpoint — the crash-replay shape — commits no new version:
+    the tags are found in the markers and every batch no-ops), and the
+    hashed final content equals the sequential-merge SQL replay.
+    ``pointer_carry`` asserts the second batch's version carried untouched
+    files by pointer (zero re-uploaded bytes for them).
+
+    Scale shape: per batch O(touched files) rewrite + O(new bytes)
+    uploads + KB pointer/marker PUTs; the stream holds no state — the
+    STORE is the state, and any reader materializes the tip from
+    pointers."""
+    from rca_data_tools_spark.functions.numeric import dsum  # noqa: F401
+    from rca_data_tools_spark.sources.commit_store import MemoryKVCommitStore
+    from rca_data_tools_spark.sources.kv_table import KVTable
+    from rca_data_tools_spark.streaming.joins import stream_merge_kv
+
+    ddl = "d string, event_type string, n bigint, n_users bigint"
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="rca_stream_kv_")
+    store = MemoryKVCommitStore()
+    t = KVTable(store, os.path.join(root, "cache"))
+    t.create(
+        _daily(e).select("d", "event_type", "n", "n_users"),
+        zone_key="d", n_files=4,
+    )
+
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    batches = [
+        _daily(e.filter(F.col("value") > 30)).filter(F.col("d") >= _SM_CUT1),
+        _daily(e.filter(F.col("value") > 60)).filter(F.col("d") >= _SM_CUT2),
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(root, f"stage{i}")
+        b.select("d", "event_type", "n", "n_users").coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = stream_merge_kv(
+        stream, t, ["d", "event_type"], ddl, os.path.join(root, "ckpt"),
+        zone_key="d",
+    )
+    q.awaitTermination()
+
+    txns = t.applied_txns()
+    tags = sorted((x["app"], x["batch"]) for x in txns)
+    exactly_once = int(tags == [("stream-kv", 0), ("stream-kv", 1)])
+    merges = [h for h in t.history() if h["op"] == "merge"]
+    pointer_carry = int(
+        len(merges) == 2
+        and all((h["stats"] or {}).get("pointer_links", 0) > 0 for h in merges)
+    )
+
+    # crash-replay shape: SAME feed, FRESH checkpoint — every batch finds
+    # its txn tag already committed and no-ops; the chain must not grow
+    tip_before = store.latest_committed()
+    stream2 = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q2 = stream_merge_kv(
+        stream2, t, ["d", "event_type"], ddl, os.path.join(root, "ckpt2"),
+        zone_key="d",
+    )
+    q2.awaitTermination()
+    replay_noop = int(store.latest_committed() == tip_before)
+
+    return t.read(spark, ddl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n").alias("sum_n"),
+        F.count("n_users").alias("n_nonnull"),
+    ).select(
+        F.lit(exactly_once).cast("int").alias("exactly_once"),
+        F.lit(pointer_carry).cast("int").alias("pointer_carry"),
+        F.lit(replay_noop).cast("int").alias("replay_noop"),
+        F.col("n_rows").cast("long"),
+        F.col("sum_n").cast("long"),
+        F.col("n_nonnull").cast("long"),
+    )

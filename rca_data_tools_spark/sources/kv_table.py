@@ -253,7 +253,8 @@ class KVTable:
 
     def _advance(self, build_local, op: str, retries: int = 3,
                  spark: "SparkSession | None" = None,
-                 lease_ttl: "float | None" = None) -> dict:
+                 lease_ttl: "float | None" = None,
+                 txn: "dict | None" = None) -> dict:
         """claim → (materialize base, build locally, upload) → publish,
         through the SAME substrate-agnostic ``advance`` loop the local-FS
         chain uses — rebase/retry/backoff/claim-release included. ``spark``
@@ -267,7 +268,10 @@ class KVTable:
             stats = build_local(base_dir, out_dir)
             return {**stats, **self._publish_dir(ver, out_dir)}
 
-        return advance(self.store, _build, retries, op=op, lease_ttl=lease_ttl)
+        return advance(
+            self.store, _build, retries, op=op, lease_ttl=lease_ttl,
+            extra_info=({"txn": txn} if txn else None),
+        )
 
     def merge(
         self,
@@ -277,12 +281,15 @@ class KVTable:
         schema_ddl: str,
         zone_key: "str | None" = None,
         lease_ttl: "float | None" = None,
+        txn: "dict | None" = None,
     ) -> dict:
         """Pruned copy-on-write MERGE against the store: carried files come
         back as POINTER LINKS (the hardlinks merge_upsert_pruned makes
         resolve to pooled blob inodes), only rewritten parts upload.
         ``lease_ttl`` (seconds) lets this writer take over an expired
-        crashed claim instead of giving up (commit_store.advance)."""
+        crashed claim instead of giving up (commit_store.advance); ``txn``
+        records an idempotent-writer tag in the commit marker (the
+        streaming exactly-once handle, like merge_into_table's)."""
         from rca_data_tools_spark.sources.sinks import merge_upsert_pruned
 
         return self._advance(
@@ -292,6 +299,7 @@ class KVTable:
             op="merge",
             spark=spark,
             lease_ttl=lease_ttl,
+            txn=txn,
         )
 
     def delete_where(self, spark: SparkSession, predicate: str, schema_ddl: str,
@@ -378,6 +386,16 @@ class KVTable:
         for v in self.store.committed():
             doc = self.store.read_marker(v) or {}
             out.append({"version": v, "op": doc.get("op"), "stats": doc.get("stats")})
+        return out
+
+    def applied_txns(self) -> list:
+        """Every idempotent-writer tag recorded in a committed marker — the
+        replay-detection read (KB marker reads, O(versions))."""
+        out = []
+        for v in self.store.committed():
+            doc = self.store.read_marker(v) or {}
+            if doc.get("txn") is not None:
+                out.append(doc["txn"])
         return out
 
     def vacuum_blobs(self) -> dict:

@@ -689,3 +689,52 @@ def stream_table_changes(spark, table_root: str, feed_ddl: str):
             ).cast("int"),
         )
     )
+
+
+def stream_merge_kv(
+    stream: DataFrame,
+    table,
+    keys: list,
+    schema_ddl: str,
+    checkpoint_dir: str,
+    zone_key: "str | None" = None,
+    app_id: str = "stream-kv",
+    lease_ttl: "float | None" = None,
+):
+    """Streaming ingest straight onto the OBJECT-STORE data plane: every
+    micro-batch runs ``KVTable.merge`` — claim by conditional PUT, carried
+    files as pointer links, new parts as streamed blob uploads, publish by
+    conditional marker PUT — against the store (``table`` is a
+    ``sources.kv_table.KVTable``; memory model in tests, HTTP/S3 in the
+    port). This is the 100 TB ingest shape: micro-batches land as
+    immutable object-store versions with no local chain at all, and a
+    reader anywhere materializes the tip from pointers.
+
+    Exactly-once via idempotent-writer txn tags, the same design as the
+    local chain's ``stream_merge_concurrent``: each batch's
+    ``{app, batch}`` tag is recorded in its commit marker; a REPLAYED
+    batch (crash between publish and checkpoint-offset commit) finds its
+    tag in ``applied_txns`` — KB marker reads — and no-ops instead of
+    double-merging. ``lease_ttl`` additionally lets a restarted writer
+    take over its own crashed predecessor's claim instead of wedging
+    (commit_store lease takeover).
+
+    Returns the started StreamingQuery (availableNow — drain then stop)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        tag = {"app": app_id, "batch": int(batch_id)}
+        if tag in table.applied_txns():
+            return  # replayed batch: its version already committed
+        if batch.isEmpty():
+            return
+        table.merge(
+            batch.sparkSession, batch, keys, schema_ddl,
+            zone_key=zone_key, lease_ttl=lease_ttl, txn=tag,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
