@@ -68,6 +68,7 @@ HEADLINE = [
     "sink_kv_http_roundtrip",
     "sink_versioned_metadata",
     "dedup_simhash_capped",
+    "streaming_merge_kv",
 ]
 
 

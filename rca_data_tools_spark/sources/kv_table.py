@@ -34,7 +34,6 @@ Iceberg commit-log architecture.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
