@@ -1467,3 +1467,53 @@ def test_stream_table_changes_crosses_merge_full(spark):
         by_ver.setdefault(r["_version"], []).append((r["k"], r["op"]))
     assert sorted(by_ver[1]) == [(1, "update"), (999, "insert")]
     assert sorted(by_ver[2]) == [(2, "update"), (49, "delete")]
+
+
+def test_stream_merge_kv_takes_over_crashed_claim(spark, tmp_path):
+    """A writer crashed mid-claim on the object store; the restarted
+    streaming job passes lease_ttl and drains through a takeover instead
+    of wedging — every batch lands exactly once."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from rca_data_tools_spark.sources.commit_store import MemoryKVCommitStore
+    from rca_data_tools_spark.sources.kv_table import KVTable
+    from rca_data_tools_spark.streaming.joins import stream_merge_kv
+
+    ddl = "k bigint, v double"
+    store = MemoryKVCommitStore()
+    t = KVTable(store, str(tmp_path / "cache"))
+    t.create(
+        spark.createDataFrame([(i, float(i)) for i in range(100)], ddl),
+        zone_key="k", n_files=4,
+    )
+    # the crash: an orphan claim at tip+1
+    assert store.try_claim(1)
+    _time.sleep(0.15)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, rows in enumerate([[(3, 100.0)], [(5, 200.0), (200, 1.0)]]):
+        stage = tmp_path / f"s{i}"
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(str(stage))
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(str(stage / part), str(feed / f"b{i}.parquet"))
+        os.utime(str(feed / f"b{i}.parquet"), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = stream_merge_kv(
+        stream, t, ["k"], ddl, str(tmp_path / "ckpt"),
+        zone_key="k", lease_ttl=0.1,
+    )
+    q.awaitTermination()
+    got = {r["k"]: r["v"] for r in t.read(spark, ddl).collect()}
+    assert got[3] == 100.0 and got[5] == 200.0 and got[200] == 1.0
+    assert len(got) == 101
+    # batch 0 landed at the WEDGED version number via takeover (gen >= 1)
+    assert store.read_marker(1)["gen"] >= 1
+    assert sorted(x["batch"] for x in t.applied_txns()) == [0, 1]
