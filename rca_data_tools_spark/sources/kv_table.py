@@ -27,6 +27,12 @@ upload. Nothing in the merge/delete logic knows the substrate changed,
 which is the point: the 100 TB port swaps THIS module's store for a real
 object-store client and the chain above it does not move.
 
+Scope note (honest limit): the KV plane exposes the chain's DML + read +
+restore/vacuum surface, not the metadata ALTERs — versioned column
+mapping / constraints live on the local-FS chain (``sinks.py``); a port
+wanting them on the store would carry each version's ``_meta.json`` as one
+more KB sidecar pointer, exactly like the zone-map manifest.
+
 No counterpart in the reference repo (rca-data-tools is a batch QAQC/plot
 pipeline with no table format); the design follows the published Delta/
 Iceberg commit-log architecture.
