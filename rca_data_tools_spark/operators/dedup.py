@@ -572,9 +572,22 @@ def connected_components(
     fwd = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
     rev = pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint()
+    # seed labels with min(node, min neighbor) instead of node: the first
+    # neighbor-propagation round comes free with the init aggregate (same
+    # one shuffle the old distinct paid), and on the star/clique-shaped
+    # components LSH bucketing produces — where the hub usually IS the
+    # minimum — the whole graph converges at init and the loop exits after
+    # one confirming round instead of two or three. Fewer rounds is the
+    # only lever that matters here: each round costs fixed driver/job
+    # overhead that dwarfs the KB-sized shuffles (guide §1.2: fix the
+    # distributed algorithm, not the per-task work).
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__nbr")).alias("label"),
+        )
         .localCheckpoint()
     )
     cur_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -630,21 +643,25 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
         _hex_slice_to_long(md5c, 9).alias("h_lo"),
     )
 
-    def vote(h: str, j: int):
-        return F.sum(
-            F.when(F.expr(f"(({h} >> {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
-        )
+    # vote_j = sum(+1/-1 per token bit) > 0  ⟺  2 * sum(bit_j) > n_tokens:
+    # summing the raw bit (one shift+and per bit) and comparing against the
+    # token count once per doc does the same vote with no per-row branch —
+    # 64 CASE WHENs per token row dropped from the hot aggregate
+    # (guide §1.2 step 2: cheaper per-task work, identical result)
+    def bitsum(h: str, j: int):
+        return F.sum(F.expr(f"({h} >> {j}) & 1"))
 
-    aggs = [vote("h_hi", j).alias(f"vh{j}") for j in range(32)] + [
-        vote("h_lo", j).alias(f"vl{j}") for j in range(32)
-    ]
+    aggs = [bitsum("h_hi", j).alias(f"vh{j}") for j in range(32)] + [
+        bitsum("h_lo", j).alias(f"vl{j}") for j in range(32)
+    ] + [F.count(F.lit(1)).alias("__nt")]
     votes = hashed.groupBy(id_col).agg(*aggs)
 
     def assemble(prefix: str):
         acc = F.lit(0).cast("long")
         for j in range(32):
             acc = acc + F.when(
-                F.col(f"{prefix}{j}") > 0, F.lit(1 << j).cast("long")
+                F.col(f"{prefix}{j}") * 2 > F.col("__nt"),
+                F.lit(1 << j).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         return acc
 

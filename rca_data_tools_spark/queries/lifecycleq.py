@@ -3973,7 +3973,7 @@ merged AS (
 )
 SELECT 1 AS exactly_once, 1 AS pointer_carry, 1 AS replay_noop,
   (SELECT COUNT(*) FROM merged) AS n_rows,
-  (SELECT SUM(n) FROM merged) AS sum_n,
+  (SELECT CAST(SUM(n) AS BIGINT) FROM merged) AS sum_n,
   (SELECT COUNT(*) FROM merged WHERE n_users IS NOT NULL) AS n_nonnull
 """,
 )

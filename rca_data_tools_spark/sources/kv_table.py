@@ -232,19 +232,32 @@ class KVTable:
                 out = df.repartitionByRange(n_files, zone_key).sortWithinPartitions(zone_key)
             out.write.parquet(vdir)
             if zone_key is not None:
-                spark = df.sparkSession
-                back = spark.read.parquet(vdir)
-                import pyspark.sql.functions as F
-
+                names = [
+                    f for f in os.listdir(vdir) if f.endswith(".parquet")
+                ]
+                # footer-first: min/max of the files just written is in
+                # their footers (KB reads, no Spark job — guide §6)
+                footer = sinks._footer_file_stats(
+                    [os.path.join(vdir, n) for n in names], [zone_key]
+                )
                 entries = {}
-                for r in (
-                    back.groupBy(F.input_file_name().alias("__f"))
-                    .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-                    .collect()
-                ):
-                    entries[os.path.basename(sinks._local_path(r["__f"]))] = {
-                        "mn": r["mn"], "mx": r["mx"],
-                    }
+                if footer is not None:
+                    for n in names:
+                        mn, mx = footer[os.path.join(vdir, n)][zone_key]
+                        entries[n] = {"mn": mn, "mx": mx}
+                else:
+                    spark = df.sparkSession
+                    back = spark.read.parquet(vdir)
+                    import pyspark.sql.functions as F
+
+                    for r in (
+                        back.groupBy(F.input_file_name().alias("__f"))
+                        .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+                        .collect()
+                    ):
+                        entries[os.path.basename(sinks._local_path(r["__f"]))] = {
+                            "mn": r["mn"], "mx": r["mx"],
+                        }
                 sinks._write_manifest(vdir, zone_key, entries)
             stats = self._publish_dir(0, vdir)
         except BaseException:

@@ -768,32 +768,40 @@ def merge_upsert_pruned(
     stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
     dv = read_deletion_vectors(spark, target_dir)
     all_files = sorted(stats)
-    skeys = source.select(*keys).distinct()
-    cand_files, matched = _source_matched_files(
-        spark, stats, skeys, zone_key, schema_ddl, dv
-    )
-    if matched:
-        mdf = spark.read.schema(schema_ddl).parquet(*matched)
-        if dv is not None:
-            mdf = _subtract_deletes(mdf, dv)  # rewrite through the vectors
-        merged = merge_upsert(mdf, source, keys, delete_col=delete_col)
-    elif delete_col is not None:
-        # no target file contains any source key: flagged rows are no-op
-        # deletes (SQL MERGE), the rest are plain inserts — still
-        # dup-guarded (same in-plan guard merge_upsert applies after its
-        # own delete-flag split)
-        merged = _dup_guarded(
-            source.filter(
-                ~F.coalesce(F.col(delete_col), F.lit(False))
-            ).drop(delete_col),
-            keys,
+    # persist the distinct source keys: they drive TWO jobs (the zone-map
+    # range join and the exact-containment semi-join) and each would
+    # otherwise recompute the full source plan — a scan + distinct shuffle
+    # paid twice per merge (guide §5: cache only what is reused and more
+    # expensive to recompute than to hold; a batch's key set is both)
+    skeys = source.select(*keys).distinct().persist()
+    try:
+        cand_files, matched = _source_matched_files(
+            spark, stats, skeys, zone_key, schema_ddl, dv
         )
-    else:
-        merged = _dup_guarded(source, keys)
-    return _finish_cow_version(
-        spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
-        zone_key, schema_ddl, len(cand_files), manifest_used,
-    )
+        if matched:
+            mdf = spark.read.schema(schema_ddl).parquet(*matched)
+            if dv is not None:
+                mdf = _subtract_deletes(mdf, dv)  # rewrite through the vectors
+            merged = merge_upsert(mdf, source, keys, delete_col=delete_col)
+        elif delete_col is not None:
+            # no target file contains any source key: flagged rows are no-op
+            # deletes (SQL MERGE), the rest are plain inserts — still
+            # dup-guarded (same in-plan guard merge_upsert applies after its
+            # own delete-flag split)
+            merged = _dup_guarded(
+                source.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col),
+                keys,
+            )
+        else:
+            merged = _dup_guarded(source, keys)
+        return _finish_cow_version(
+            spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
+            zone_key, schema_ddl, len(cand_files), manifest_used,
+        )
+    finally:
+        skeys.unpersist()
 
 
 def _local_path(uri: str) -> str:
@@ -804,6 +812,66 @@ def _local_path(uri: str) -> str:
 
     p = urlparse(uri)
     return unquote(p.path) if p.scheme in ("file", "") else uri
+
+
+def _footer_file_stats(
+    paths: "list[str]", cols: "list[str]"
+) -> "dict | None":
+    """Exact per-file (min, max) for integer-typed columns straight from the
+    parquet FOOTERS — KB metadata reads on the driver, zero data scan, zero
+    Spark jobs (what a real format reads from its manifest instead of
+    re-scanning data it just wrote — guide §6). Returns
+    {path: {col: (mn, mx)}} or None when any file lacks trustworthy stats
+    for any requested column; callers then fall back to the one-pass column
+    scan, so staleness costs a scan, never a wrong bound.
+
+    Integer columns only, on purpose: INT32/INT64 footer min/max are exact
+    by spec, while double stats are unreliable around NaN (writers order it
+    inconsistently and Spark ranks NaN greatest) and binary stats may be
+    truncated. A file whose rows are all NULL in ``col`` reports
+    (None, None) — the same never-a-candidate bound the scan path yields."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    out: dict = {}
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            return None
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        per_col: dict = {}
+        for c in cols:
+            if c not in names:
+                return None
+            i = names.index(c)
+            sc = md.schema.column(i)
+            lt = str(sc.logical_type)
+            if sc.physical_type not in ("INT32", "INT64") or not (
+                lt == "None" or (lt.startswith("Int(") and "isSigned=true" in lt)
+            ):
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                cm = md.row_group(rg).column(i)
+                s = cm.statistics
+                if s is None:
+                    return None
+                if not s.has_min_max:
+                    # an all-NULL group legitimately has no bounds; a group
+                    # with live values but no bounds is untrustworthy
+                    if s.null_count is not None and s.null_count == cm.num_values:
+                        continue
+                    return None
+                smn, smx = s.min, s.max
+                if not isinstance(smn, int) or not isinstance(smx, int):
+                    return None
+                mn = smn if mn is None else min(mn, smn)
+                mx = smx if mx is None else max(mx, smx)
+            per_col[c] = (mn, mx)
+        out[p] = per_col
+    return out
 
 
 def _zone_file_stats(
@@ -830,15 +898,20 @@ def _zone_file_stats(
             os.path.join(target_dir, name): (e["mn"], e["mx"])
             for name, e in manifest.items()
         }
-    else:
-        back = spark.read.schema(schema_ddl).parquet(target_dir)
-        stats = {
-            _local_path(r["__f"]): (r["mn"], r["mx"])
-            for r in back.groupBy(F.input_file_name().alias("__f"))
-            .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-            .collect()
-        }
-    return stats, manifest is not None
+        return stats, True
+    # no manifest: parquet footers answer without a data scan (integer zone
+    # keys; anything else falls back to the one-column Spark scan)
+    footer = _footer_file_stats(disk_files, [zone_key])
+    if footer is not None:
+        return {p: footer[p][zone_key] for p in disk_files}, False
+    back = spark.read.schema(schema_ddl).parquet(target_dir)
+    stats = {
+        _local_path(r["__f"]): (r["mn"], r["mx"])
+        for r in back.groupBy(F.input_file_name().alias("__f"))
+        .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+        .collect()
+    }
+    return stats, False
 
 
 def _source_matched_files(
@@ -939,15 +1012,22 @@ def _finish_cow_version(
             os.link(f, os.path.join(out_dir, name))
             mn, mx = stats[f]
             carried[name] = {"mn": mn, "mx": mx}
+    from pyspark.sql import Observation
+
     if dv is not None and carried:
         # carried files keep their deletion vectors (same immutable bytes);
         # rewritten files drop theirs — the rewrite materialized them.
         # Executor-side filter + write, same as delete_where's sidecar.
+        # The survivor count rides the write job as an Observation — the
+        # old read-back count() was a whole extra Spark job per version
+        # (guide §1.4: measure on the action you already pay for).
         carried_names = F.array(*[F.lit(n) for n in sorted(carried)])
         survivors = dv.filter(F.array_contains(carried_names, F.col("f")))
-        survivors.coalesce(8).write.parquet(_deletes_dir(out_dir))
-        n_dv = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
-        if n_dv == 0:  # every vector belonged to a rewritten file
+        obs_dv = Observation()
+        survivors.observe(obs_dv, F.count(F.lit(1)).alias("n")).coalesce(
+            8
+        ).write.parquet(_deletes_dir(out_dir))
+        if obs_dv.get["n"] == 0:  # every vector belonged to a rewritten file
             import shutil
 
             shutil.rmtree(_deletes_dir(out_dir), ignore_errors=True)
@@ -960,8 +1040,11 @@ def _finish_cow_version(
         bl = spark.read.parquet(bdir)
         carried_arr = F.array(*[F.lit(n) for n in sorted(carried)])
         surv = bl.filter(F.array_contains(carried_arr, F.col("f")))
-        surv.coalesce(8).write.parquet(os.path.join(out_dir, BLOOM_NAME))
-        if spark.read.parquet(os.path.join(out_dir, BLOOM_NAME)).isEmpty():
+        obs_bl = Observation()
+        surv.observe(obs_bl, F.count(F.lit(1)).alias("n")).coalesce(
+            8
+        ).write.parquet(os.path.join(out_dir, BLOOM_NAME))
+        if obs_bl.get["n"] == 0:
             import shutil
 
             shutil.rmtree(os.path.join(out_dir, BLOOM_NAME), ignore_errors=True)
@@ -1003,20 +1086,34 @@ def _finish_cow_version(
         if f.endswith(".parquet") and f not in carried
     ]
     if new_parts:
-        ndf = spark.read.schema(schema_ddl).parquet(
-            *[os.path.join(out_dir, f) for f in new_parts]
+        # footer-first: the new parts were just written by this very job, so
+        # their min/max is already sitting in their footers — read THAT (KB
+        # metadata, no Spark job) instead of re-scanning bytes we just wrote
+        part_paths = [os.path.join(out_dir, f) for f in new_parts]
+        footer = _footer_file_stats(
+            part_paths, [zone_key, *col_entries]
         )
-        col_entries = {c: m for c, m in col_entries.items() if c in ndf.columns}
-        aggs = [F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx")]
-        for c in col_entries:
-            aggs += [F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}")]
-        for r in (
-            ndf.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
-        ):
-            name = os.path.basename(_local_path(r["__f"]))
-            carried[name] = {"mn": r["mn"], "mx": r["mx"]}
+        if footer is not None:
+            for p in part_paths:
+                name = os.path.basename(p)
+                mn, mx = footer[p][zone_key]
+                carried[name] = {"mn": mn, "mx": mx}
+                for c in col_entries:
+                    cmn, cmx = footer[p][c]
+                    col_entries[c][name] = {"mn": cmn, "mx": cmx}
+        else:
+            ndf = spark.read.schema(schema_ddl).parquet(*part_paths)
+            col_entries = {c: m for c, m in col_entries.items() if c in ndf.columns}
+            aggs = [F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx")]
             for c in col_entries:
-                col_entries[c][name] = {"mn": r[f"mn__{c}"], "mx": r[f"mx__{c}"]}
+                aggs += [F.min(c).alias(f"mn__{c}"), F.max(c).alias(f"mx__{c}")]
+            for r in (
+                ndf.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+            ):
+                name = os.path.basename(_local_path(r["__f"]))
+                carried[name] = {"mn": r["mn"], "mx": r["mx"]}
+                for c in col_entries:
+                    col_entries[c][name] = {"mn": r[f"mn__{c}"], "mx": r[f"mx__{c}"]}
     _write_manifest(out_dir, zone_key, carried, col_entries or None)
     return {
         "files_total": len(all_files),
@@ -1892,20 +1989,30 @@ def create_table(
         # predecessor to carry entries from)
         names = [f for f in os.listdir(v0) if f.endswith(".parquet")]
         entries = {n: {"mn": None, "mx": None} for n in names}
-        ndf = spark.read.parquet(v0)
-        if zone_key in ndf.columns:
-            from urllib.parse import unquote, urlparse
+        if zone_key in df.columns:
+            # footer-first (guide §6): the freshly written files' min/max is
+            # in their footers — KB metadata reads instead of a full re-scan
+            footer = _footer_file_stats(
+                [os.path.join(v0, n) for n in names], [zone_key]
+            )
+            if footer is not None:
+                for n in names:
+                    mn, mx = footer[os.path.join(v0, n)][zone_key]
+                    entries[n] = {"mn": mn, "mx": mx}
+            else:
+                from urllib.parse import unquote, urlparse
 
-            for r in (
-                ndf.groupBy(F.input_file_name().alias("__f"))
-                .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
-                .collect()
-            ):
-                p = urlparse(r["__f"])
-                nm = os.path.basename(
-                    unquote(p.path) if p.scheme in ("file", "") else r["__f"]
-                )
-                entries[nm] = {"mn": r["mn"], "mx": r["mx"]}
+                ndf = spark.read.parquet(v0)
+                for r in (
+                    ndf.groupBy(F.input_file_name().alias("__f"))
+                    .agg(F.min(zone_key).alias("mn"), F.max(zone_key).alias("mx"))
+                    .collect()
+                ):
+                    p = urlparse(r["__f"])
+                    nm = os.path.basename(
+                        unquote(p.path) if p.scheme in ("file", "") else r["__f"]
+                    )
+                    entries[nm] = {"mn": r["mn"], "mx": r["mx"]}
             _write_manifest(v0, zone_key, entries)
     # v0 carries its OWN metadata doc from birth (possibly empty), so the
     # chain is fully versioned: a later ALTER at v5 cannot retroactively
@@ -2709,17 +2816,27 @@ def update_where(
     data_files = [f for f in os.listdir(target_dir) if f.endswith(".parquet")]
     for f in data_files:
         os.link(os.path.join(target_dir, f), os.path.join(out_dir, f))
-    prior_n = dv.count() if dv is not None else 0
+    if dv is not None:
+        prior_n = _parquet_dir_rows(_deletes_dir(target_dir))
+        if prior_n is None:
+            prior_n = dv.count()
+    else:
+        prior_n = 0
     # new images first (they read target_dir, not out_dir), then the sidecar.
     # coalesce(8), not (1): a wide UPDATE (10% of a 100 TB table) must not
     # funnel through one writer task; a production MoR writer bin-packs by
     # bytes — here optimize_table reclaims whatever small parts remain
     updated.coalesce(8).write.mode("append").parquet(out_dir)
-    combined.coalesce(8).write.parquet(_deletes_dir(out_dir))
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    combined.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(8).write.parquet(
+        _deletes_dir(out_dir)
+    )
     # hardlinked files keep valid blooms; the new image parts have none and
     # a bloom-pruned lookup treats unindexed files as always-candidates
     _carry_bloom_links(target_dir, out_dir)
-    total_n = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
+    total_n = obs.get["n"]
     # keep the zone-map manifest alive: hardlinked files carry their entries
     # (byte-identical; vectored rows only ever over-approximate the range),
     # new image parts pay one batch-sized stats scan — without this the
@@ -2771,8 +2888,21 @@ def _extend_manifest(
         if f.endswith(".parquet") and f not in carried_names
     ]
     if new_parts:
+        part_paths = [os.path.join(out_dir, f) for f in new_parts]
+        # footer-first (guide §6): stats of parts this chain just wrote come
+        # from their own footers when the columns are integer-typed — no job
+        footer = _footer_file_stats(part_paths, [zone_key, *col_maps])
+        if footer is not None:
+            for f, p in zip(new_parts, part_paths):
+                mn, mx = footer[p][zone_key]
+                entries[f] = {"mn": mn, "mx": mx}
+                for c in col_maps:
+                    cmn, cmx = footer[p][c]
+                    col_maps[c][f] = {"mn": cmn, "mx": cmx}
+            _write_manifest(out_dir, zone_key, entries, col_maps or None)
+            return
         reader = spark.read if schema_ddl is None else spark.read.schema(schema_ddl)
-        ndf = reader.parquet(*[os.path.join(out_dir, f) for f in new_parts])
+        ndf = reader.parquet(*part_paths)
         if zone_key not in ndf.columns:
             return
         col_maps = {c: m for c, m in col_maps.items() if c in ndf.columns}
@@ -2892,6 +3022,24 @@ def has_deletes(table_dir: str) -> bool:
     return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
 
+def _parquet_dir_rows(dir_path: str) -> "int | None":
+    """Total row count of a parquet directory from its FOOTERS — one KB
+    metadata read per file, no Spark job (guide §6). None when unreadable;
+    callers then fall back to a count() job."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    total = 0
+    try:
+        for f in os.listdir(dir_path):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dir_path, f)).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
 def read_deletion_vectors(spark: SparkSession, table_dir: str) -> "DataFrame | None":
     """The version's deletion vectors as a DataFrame ``(f, pos)`` — file
     basename + row position — or None when the version carries none. The
@@ -2957,7 +3105,14 @@ def delete_where(
         F.col("_metadata.row_index").alias("pos"),
     )
     prior = read_deletion_vectors(spark, target_dir)
-    prior_n = prior.count() if prior is not None else 0
+    if prior is not None:
+        # the prior sidecar's row count sits in its parquet footers (its
+        # rows are distinct by construction) — no count() job needed
+        prior_n = _parquet_dir_rows(_deletes_dir(target_dir))
+        if prior_n is None:
+            prior_n = prior.count()
+    else:
+        prior_n = 0
     combined = (prior.unionByName(hits) if prior is not None else hits).distinct()
 
     _ensure_out_dir(out_dir)
@@ -2966,9 +3121,16 @@ def delete_where(
         os.link(os.path.join(target_dir, f), os.path.join(out_dir, f))
     # sidecar rows are 16-byte (f, pos) pairs: a handful of writer tasks
     # keeps the file count constant while still absorbing billions of
-    # positions; the distinct's shuffle did the heavy lifting upstream
-    combined.coalesce(8).write.parquet(_deletes_dir(out_dir))
-    total_n = spark.read.schema(DELETES_DDL).parquet(_deletes_dir(out_dir)).count()
+    # positions; the distinct's shuffle did the heavy lifting upstream.
+    # The new total rides the write as an Observation — the old read-back
+    # count() was one more job per delete (guide §1.4)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    combined.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(8).write.parquet(
+        _deletes_dir(out_dir)
+    )
+    total_n = obs.get["n"]
     # manifest and bloom index (if any) carry over untouched: deletes change
     # no file bytes (a vectored row's set bits over-approximate — one-sided,
     # so still correct)
