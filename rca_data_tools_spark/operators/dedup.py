@@ -179,14 +179,31 @@ def lsh_banded(
     bands: int = MINHASH_BANDS,
     keep_cols: tuple = (),
 ) -> DataFrame:
-    """(id, band_id, band_sig) rows: band signature = md5 of the band's
-    concatenated minhashes. The shared banding step behind candidate
-    generation and bucket-size routing."""
+    """(id, band_id, band_sig) rows: band signature = the first 60 bits of
+    the md5 of the band's concatenated minhashes, as a LONG. The shared
+    banding step behind candidate generation and bucket-size routing.
+
+    60-bit longs, not the 32-char md5 string (guide §2.3 — narrower
+    types): the band self-join and every bucket-size aggregate key on this
+    column, so an 8-byte key shuffles and hashes several times cheaper
+    than a 32-byte string; 60 bits keeps the value in a signed BIGINT on
+    both engines (the same truncation ``shingle_hashes``' h60 uses —
+    cross-bucket collision odds at ~10^5 buckets are ~10^-8, and the SQL
+    oracle replays the identical truncation, so the two engines always
+    agree on the bucketing)."""
     r = k // bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])).alias("band_sig"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long").alias("band_sig"),
         )
         for b in range(bands)
     ]
@@ -266,15 +283,14 @@ PAIR_LIMIT_DEFAULT = object()
 PAIR_LIMIT_CONF = "spark.rca.dedup.broadcastPairLimit"
 
 
-def _pair_side(cand: DataFrame, limit):
-    """Return the candidate-pair side for the verify/estimate joins:
-    broadcast-hinted when the pair list is provably small (counted on the
-    persisted pair list — the count materializes work the joins need
-    anyway), un-hinted past ``limit`` so Spark plans a shuffle equi-join
-    (AQE may still runtime-broadcast if the actual bytes allow; the point
-    is we never FORCE an unbounded driver-side broadcast). ``limit=None``
-    forces the broadcast hint unconditionally (no count job — legacy
-    behavior, plan inspection)."""
+def _pair_budget(cand: DataFrame, limit) -> "tuple[DataFrame, bool]":
+    """Persist the candidate-pair list and decide broadcastability: True
+    when the pair list is provably small (counted on the persisted list —
+    the count materializes work the joins need anyway), False past
+    ``limit`` so callers let Spark plan a shuffle equi-join (AQE may still
+    runtime-broadcast if the actual bytes allow; the point is we never
+    FORCE an unbounded driver-side broadcast). ``limit=None`` forces True
+    unconditionally (no count job — legacy behavior, plan inspection)."""
     if limit is PAIR_LIMIT_DEFAULT:
         conf = cand.sparkSession.conf.get(PAIR_LIMIT_CONF, "")
         if conf == "force":
@@ -284,12 +300,46 @@ def _pair_side(cand: DataFrame, limit):
         else:
             limit = BROADCAST_PAIR_LIMIT
     if limit is None:
-        return F.broadcast(cand)
+        return cand, True
     from pyspark import StorageLevel
 
     if cand.storageLevel == StorageLevel(False, False, False, False):
         cand = cand.persist()
-    return F.broadcast(cand) if cand.count() <= limit else cand
+    return cand, cand.count() <= limit
+
+
+def _pair_side(cand: DataFrame, limit):
+    """The candidate-pair side for the verify/estimate joins:
+    broadcast-hinted iff ``_pair_budget`` proves it small."""
+    cand, bc = _pair_budget(cand, limit)
+    return F.broadcast(cand) if bc else cand
+
+
+def _length_pruned_pairs(
+    cand: DataFrame, norm: DataFrame, id_col: str, max_edit: int, limit
+) -> DataFrame:
+    """Apply the |len(a)−len(b)| ≤ max_edit prune to the candidate PAIR
+    LIST before any document text moves (guide §2.3 / §8: decide with
+    small rows, move big rows once). The old plan attached both texts to
+    every band candidate and filtered afterwards — on the sf1 dup-dense
+    corpus that shipped ~4M pairs' worth of ~300-char texts through the
+    verify joins so that 3M of them could be dropped by an integer
+    comparison. Here the pair list joins a per-doc LENGTH table (8-byte
+    rows) twice, the filter runs on integers, and only the surviving
+    quarter of the pairs ever touches text bytes. Returns the pruned pair
+    side, broadcast-hinted iff the UNPRUNED list already passed the byte
+    budget (pruned ⊆ cand, so the hint stays safe)."""
+    cand, bc = _pair_budget(cand, limit)
+    lens = norm.select(F.col(id_col), F.length("__nt").alias("__l"))
+    l1 = lens.select(F.col(id_col).alias("id1"), F.col("__l").alias("__l1"))
+    l2 = lens.select(F.col(id_col).alias("id2"), F.col("__l").alias("__l2"))
+    pruned = (
+        l1.join(F.broadcast(cand) if bc else cand, "id1")
+        .join(l2, "id2")
+        .filter(F.abs(F.col("__l1") - F.col("__l2")) <= F.lit(max_edit))
+        .select("id1", "id2")
+    )
+    return F.broadcast(pruned) if bc else pruned
 
 
 def verify_jaccard(
@@ -1086,14 +1136,14 @@ def fuzzy_edit_distance_pairs(
     sig = minhash_signatures(hashed, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     norm = spread.select(F.col(id_col), normalize(text_col).alias("__nt"))
+    pruned = _length_pruned_pairs(
+        cand, norm, id_col, max_edit, broadcast_pair_limit
+    )
     t1 = norm.select(F.col(id_col).alias("id1"), F.col("__nt").alias("__nt1"))
     t2 = norm.select(F.col(id_col).alias("id2"), F.col("__nt").alias("__nt2"))
     return (
-        t1.join(_pair_side(cand, broadcast_pair_limit), "id1")
+        t1.join(pruned, "id1")
         .join(t2, "id2")
-        .filter(
-            F.abs(F.length("__nt1") - F.length("__nt2")) <= F.lit(max_edit)
-        )
         .withColumn(
             "edit_distance",
             # identical strings short-circuit at O(len) equality — in a
@@ -1166,14 +1216,14 @@ def fuzzy_edit_distance_components(
         .distinct()
     )
     norm = spread.select(F.col(id_col), normalize(text_col).alias("__nt"))
+    pruned = _length_pruned_pairs(
+        cand, norm, id_col, max_edit, broadcast_pair_limit
+    )
     t1 = norm.select(F.col(id_col).alias("id1"), F.col("__nt").alias("__nt1"))
     t2 = norm.select(F.col(id_col).alias("id2"), F.col("__nt").alias("__nt2"))
     verified = (
-        t1.join(_pair_side(cand, broadcast_pair_limit), "id1")
+        t1.join(pruned, "id1")
         .join(t2, "id2")
-        .filter(
-            F.abs(F.length("__nt1") - F.length("__nt2")) <= F.lit(max_edit)
-        )
         .filter(
             F.when(F.col("__nt1") == F.col("__nt2"), F.lit(0)).otherwise(
                 F.levenshtein(F.col("__nt1"), F.col("__nt2"), max_edit)

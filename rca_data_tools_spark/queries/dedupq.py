@@ -50,8 +50,13 @@ def _minhash_prefix() -> str:
         f"MIN(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
         for i in range(MINHASH_K)
     )
+    # band_sig = first 60 bits of the band md5 as BIGINT — the exact
+    # truncation lsh_banded applies engine-side (narrow join keys,
+    # guide §2.3); identical on both engines, so bucketing always agrees
     band_selects = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_sig FROM sig".format(
+        "SELECT doc_id, {b} AS band_id, "
+        "CAST(('0x' || substr(md5({concat}), 1, 15)) AS BIGINT) AS band_sig "
+        "FROM sig".format(
             b=b,
             concat=" || '|' || ".join(
                 f"CAST(h{b * MINHASH_ROWS + j} AS VARCHAR)" for j in range(MINHASH_ROWS)

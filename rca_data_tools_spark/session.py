@@ -61,6 +61,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Deployment-parameterized overrides (guide §9): SPARK_GRAFT_EXTRA_CONF
+    # carries ';'-separated key=value pairs (e.g. shuffle codec, adaptive
+    # advisory sizes) so the cluster deployment can retune without code
+    # edits; an explicit extra_conf argument still wins.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
