@@ -631,6 +631,13 @@ def connected_components(
     # only lever that matters here: each round costs fixed driver/job
     # overhead that dwarfs the KB-sized shuffles (guide §1.2: fix the
     # distributed algorithm, not the per-task work).
+    # The convergence sum rides each materialization as an Observation —
+    # metrics populate on the localCheckpoint job itself, so every round
+    # (and the init) pays ONE action instead of checkpoint + a separate
+    # sum-collect job (guide §1.4: measure on the action you already pay).
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__nbr"))
@@ -638,31 +645,44 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__nbr")).alias("label"),
         )
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    cur_sum = obs0.get["s"]
+
+    def _step(lbl: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lbl, edges.src == lbl.node)
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        stepped = labels.join(nbr, "node", "left").select(
+        stepped = lbl.join(nbr, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
         )
         # pointer jump: label <- label(label); halves chain depth per round
         lmap = stepped.select(F.col("node").alias("label"), F.col("label").alias("jump"))
+        return stepped.join(lmap, "label", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("jump", F.col("label"))).alias("label"),
+        )
+
+    for _ in range(max_iter):
+        # ONE propagation step per materialized round. Measured alternative
+        # (r11): composing two steps before the checkpoint QUADRUPLES the
+        # inner subtree — _step references its input twice (the pointer-jump
+        # self-join), so without a materialization between steps the nested
+        # plan re-executes and re-analyzes the duplicated subtree (4.4s vs
+        # 1.6s warm on the sf0.1 simhash graph). The checkpoint per step is
+        # the cheap side of that trade.
+        obs = Observation()
         new_labels = (
-            stepped.join(lmap, "label", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("jump", F.col("label"))).alias("label"),
-            )
+            _step(labels)
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == cur_sum:
             break
@@ -686,37 +706,37 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     explode(bits) formulation shuffled 32x the rows through two groupBys);
     the fingerprint assembly from the votes is a pure projection."""
     toks = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(normalize(text_col)))).alias("tok"))
-    md5c = F.md5(F.col("tok"))
-    hashed = toks.select(
+    hashed = toks.selectExpr(
         id_col,
-        _hex_slice_to_long(md5c, 1).alias("h_hi"),
-        _hex_slice_to_long(md5c, 9).alias("h_lo"),
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) AS h_hi",
+        "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT) AS h_lo",
     )
 
     # vote_j = sum(+1/-1 per token bit) > 0  ⟺  2 * sum(bit_j) > n_tokens:
     # summing the raw bit (one shift+and per bit) and comparing against the
     # token count once per doc does the same vote with no per-row branch —
     # 64 CASE WHENs per token row dropped from the hot aggregate
-    # (guide §1.2 step 2: cheaper per-task work, identical result)
-    def bitsum(h: str, j: int):
-        return F.sum(F.expr(f"({h} >> {j}) & 1"))
-
-    aggs = [bitsum("h_hi", j).alias(f"vh{j}") for j in range(32)] + [
-        bitsum("h_lo", j).alias(f"vl{j}") for j in range(32)
-    ] + [F.count(F.lit(1)).alias("__nt")]
+    # (guide §1.2 step 2: cheaper per-task work, identical result).
+    # The 65 aggregates and the two 32-term bit assemblies are built as SQL
+    # strings, ONE F.expr each: the Column-API formulation paid ~460 py4j
+    # round-trips of driver time per call (profiled at 1.6s inside
+    # ``assemble`` alone at any scale — guide §5, driver discipline).
+    aggs = [
+        F.expr(f"sum(shiftright(h_hi, {j}) & 1) AS vh{j}") for j in range(32)
+    ] + [
+        F.expr(f"sum(shiftright(h_lo, {j}) & 1) AS vl{j}") for j in range(32)
+    ] + [F.expr("count(1) AS __nt")]
     votes = hashed.groupBy(id_col).agg(*aggs)
 
-    def assemble(prefix: str):
-        acc = F.lit(0).cast("long")
-        for j in range(32):
-            acc = acc + F.when(
-                F.col(f"{prefix}{j}") * 2 > F.col("__nt"),
-                F.lit(1 << j).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        return acc
+    def assemble(prefix: str) -> str:
+        return " + ".join(
+            f"IF({prefix}{j} * 2 > __nt, {1 << j}L, 0L)" for j in range(32)
+        )
 
-    return votes.select(
-        F.col(id_col), assemble("vh").alias("fp_hi"), assemble("vl").alias("fp_lo")
+    return votes.selectExpr(
+        id_col,
+        f"({assemble('vh')}) AS fp_hi",
+        f"({assemble('vl')}) AS fp_lo",
     )
 
 

@@ -60,6 +60,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4 wraps EVERY DataFrame/Column API call to capture the
+        # Python call site for error enrichment (errors/utils._with_origin):
+        # a stack walk + a conf read + a py4j round-trip per call. Profiling
+        # dedup_simhash_capped showed ~1.2s of an 8.4s run inside that
+        # wrapper (698 calls). Pure driver-side overhead with no effect on
+        # results or executor work — off for the engine's sessions
+        # (guide §5: the driver should do almost no work; §1.2 step 2).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # Deployment-parameterized overrides (guide §9): SPARK_GRAFT_EXTRA_CONF
     # carries ';'-separated key=value pairs (e.g. shuffle codec, adaptive

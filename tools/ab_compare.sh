@@ -6,7 +6,7 @@ set -u
 REPS=$1; RUNS=$2; shift 2
 mkdir -p /tmp/ab
 for i in $(seq 1 "$REPS"); do
-  python /root/repo/tools/ab_bench.py /root/repo_before "$RUNS" "$@" 2>/dev/null | tail -1 > "/tmp/ab/before_$i.json"
+  python /root/repo/tools/ab_bench.py "${BEFORE_TREE:-/root/repo_before}" "$RUNS" "$@" 2>/dev/null | tail -1 > "/tmp/ab/before_$i.json"
   python /root/repo/tools/ab_bench.py /root/repo "$RUNS" "$@" 2>/dev/null | tail -1 > "/tmp/ab/after_$i.json"
 done
 python - "$REPS" <<'EOF'
