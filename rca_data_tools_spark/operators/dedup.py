@@ -651,15 +651,17 @@ def connected_components(
     cur_sum = obs0.get["s"]
 
     def _step(lbl: DataFrame) -> DataFrame:
-        nbr = (
-            edges.join(lbl, edges.src == lbl.node)
-            .select(F.col("dst").alias("node"), "label")
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_min"))
+        # min over {own label} ∪ {neighbors' labels} as ONE union + groupBy
+        # instead of a groupBy plus a separate own-label left join — same
+        # value per node (least(own, min-neighbors) ≡ min over the union),
+        # one fewer join/exchange per round (guide §2.4)
+        nbr_rows = edges.join(lbl, edges.src == lbl.node).select(
+            F.col("dst").alias("node"), "label"
         )
-        stepped = lbl.join(nbr, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+        stepped = (
+            nbr_rows.unionByName(lbl)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         # pointer jump: label <- label(label); halves chain depth per round
         lmap = stepped.select(F.col("node").alias("label"), F.col("label").alias("jump"))

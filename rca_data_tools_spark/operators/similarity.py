@@ -791,14 +791,25 @@ def ivf_pq_search(
         lut[:, mi, :] = np.round(acc, 6)
 
     # the LUT as a plan-time literal: lut_lit[qidx][mi][code] — ADC becomes
-    # M array lookups + M-1 adds in whole-stage codegen, no Python
-    lut_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(float(lut[qi, mi, j])) for j in range(k_eff)])
-            for mi in range(m)
-        ])
-        for qi in range(nq)
-    ])
+    # M array lookups + M-1 adds in whole-stage codegen, no Python. Built as
+    # ONE SQL string (repr round-trips doubles exactly; the D suffix keeps
+    # Spark from parsing the literal as DECIMAL): the nested-F.array
+    # formulation paid nq*m*k_eff py4j round-trips of pure driver time
+    # (~0.8s for a 10x8x16 LUT — guide §5, driver discipline)
+    def _dlit(v: float) -> str:
+        return repr(float(v)) + "D"
+
+    lut_lit = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(
+                    _dlit(lut[qi, mi, j]) for j in range(k_eff)
+                ) + ")"
+                for mi in range(m)
+            ) + ")"
+            for qi in range(nq)
+        ) + ")"
+    )
     qidx = F.create_map(
         *[F.lit(x) for i, qid in enumerate(q_ids) for x in (qid, i)]
     )[F.col(q_id_col)].cast("int")

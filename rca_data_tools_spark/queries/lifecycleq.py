@@ -46,6 +46,47 @@ def _daily(e: DataFrame) -> DataFrame:
     )
 
 
+def _stage_feed_files(
+    spark: SparkSession,
+    batches: "list[DataFrame]",
+    ddl: str,
+    dests: "list[str]",
+    mtimes: bool = False,
+) -> None:
+    """Write every micro-batch frame of a streaming feed in ONE Spark job:
+    the batches union with a partition tag and land via a single
+    ``partitionBy`` write, then each partition's part file moves to its
+    destination path. The per-batch ``coalesce(1).write`` loop this
+    replaces paid one full aggregate+write JOB per batch — at bench scale
+    the job count IS the setup cost, and in one job the batches' aggregate
+    subtrees schedule concurrently on the idle cores (guide §2.6 overlap /
+    §1.2 fewer passes). A batch with no rows still yields its (schema-only)
+    feed file. ``mtimes=True`` stamps increasing mtimes so file-order
+    arrival is deterministic."""
+    stage = tempfile.mkdtemp(prefix="rca_feed_stage_")
+    u = None
+    for i, b in enumerate(batches):
+        t = b.withColumn("__b", F.lit(i))
+        u = t if u is None else u.unionByName(t)
+    u.coalesce(1).write.partitionBy("__b").parquet(os.path.join(stage, "out"))
+    for i, dst in enumerate(dests):
+        pdir = os.path.join(stage, "out", f"__b={i}")
+        parts = (
+            [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if os.path.isdir(pdir)
+            else []
+        )
+        if parts:
+            os.rename(os.path.join(pdir, parts[0]), dst)
+        else:  # empty batch: write a schema-only file (rare, tiny-SF corpora)
+            ed = os.path.join(stage, f"empty{i}")
+            spark.createDataFrame([], ddl).coalesce(1).write.parquet(ed)
+            part = [f for f in os.listdir(ed) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(ed, part), dst)
+        if mtimes:
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+
 @query(
     "sink_partition_overwrite",
     oracle=f"""
@@ -1014,9 +1055,6 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddl = "d string, event_type string, n bigint, n_users bigint"
     e = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="rca_stream_merge_")
-    _daily(e).select("d", "event_type", "n", "n_users").write.parquet(
-        os.path.join(root, "v0")
-    )
 
     feed = os.path.join(root, "feed")
     os.makedirs(feed)
@@ -1024,13 +1062,27 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _daily(e.filter(F.col("value") > 30)).filter(F.col("d") >= _SM_CUT1),
         _daily(e.filter(F.col("value") > 60)).filter(F.col("d") >= _SM_CUT2),
     ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(root, f"stage{i}")
-        b.select("d", "event_type", "n", "n_users").coalesce(1).write.parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        dst = os.path.join(feed, f"batch-{i}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    # v0 build and the one-job feed staging are independent: run them from a
+    # 2-thread pool so the second job's tasks back-fill the first's idle
+    # cores (guide §2.6); the feed batches themselves staged in ONE job
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(
+            lambda: _daily(e)
+            .select("d", "event_type", "n", "n_users")
+            .write.parquet(os.path.join(root, "v0"))
+        )
+        ff = pool.submit(
+            _stage_feed_files,
+            spark,
+            [b.select("d", "event_type", "n", "n_users") for b in batches],
+            ddl,
+            [os.path.join(feed, f"batch-{i}.parquet") for i in range(2)],
+            True,
+        )
+        fv.result()
+        ff.result()
 
     stream = (
         spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)
@@ -2708,24 +2760,40 @@ def streaming_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     root = tempfile.mkdtemp(prefix="rca_conc_stream_")
     daily = _daily(e).select("d", "event_type", "n", "n_users")
-    create_table(daily, root, zone_key="d", n_files=4)
 
     ab = F.col("event_type").isin("view", "click")
     batches = {
         "appA": _daily(e.filter((F.col("value") > 30) & ab)),
         "appB": _daily(e.filter((F.col("value") > 60) & ~ab)),
     }
+    apps = list(batches)
+    for app in apps:
+        os.makedirs(os.path.join(root, f"feed_{app}"))
+    # v0 create and the one-job two-feed staging run concurrently from a
+    # thread pool (guide §2.6: independent jobs back-fill idle cores)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(create_table, daily, root, zone_key="d", n_files=4)
+        ff = pool.submit(
+            _stage_feed_files,
+            spark,
+            [
+                batches[app]
+                .filter(F.col("d") >= _CUTOFF)
+                .select("d", "event_type", "n", "n_users")
+                for app in apps
+            ],
+            ddl,
+            [os.path.join(root, f"feed_{app}", "b0.parquet") for app in apps],
+        )
+        fv.result()
+        ff.result()
     queries = []
-    for app, b in batches.items():
-        feed = os.path.join(root, f"feed_{app}")
-        os.makedirs(feed)
-        stage = os.path.join(root, f"stage_{app}")
-        b.filter(F.col("d") >= _CUTOFF).select(
-            "d", "event_type", "n", "n_users"
-        ).coalesce(1).write.parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        os.rename(os.path.join(stage, part), os.path.join(feed, "b0.parquet"))
-        stream = spark.readStream.schema(ddl).parquet(feed)
+    for app in apps:
+        stream = spark.readStream.schema(ddl).parquet(
+            os.path.join(root, f"feed_{app}")
+        )
         queries.append(stream_merge_concurrent(
             stream, root, ["d", "event_type"], ddl,
             os.path.join(root, f"ck_{app}"), app,
@@ -4009,10 +4077,6 @@ def streaming_merge_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="rca_stream_kv_")
     store = MemoryKVCommitStore()
     t = KVTable(store, os.path.join(root, "cache"))
-    t.create(
-        _daily(e).select("d", "event_type", "n", "n_users"),
-        zone_key="d", n_files=4,
-    )
 
     feed = os.path.join(root, "feed")
     os.makedirs(feed)
@@ -4020,13 +4084,25 @@ def streaming_merge_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         _daily(e.filter(F.col("value") > 30)).filter(F.col("d") >= _SM_CUT1),
         _daily(e.filter(F.col("value") > 60)).filter(F.col("d") >= _SM_CUT2),
     ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(root, f"stage{i}")
-        b.select("d", "event_type", "n", "n_users").coalesce(1).write.parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        dst = os.path.join(feed, f"batch-{i}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    # v0 create and the one-job feed staging overlap (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(
+            t.create,
+            _daily(e).select("d", "event_type", "n", "n_users"),
+            zone_key="d", n_files=4,
+        )
+        ff = pool.submit(
+            _stage_feed_files,
+            spark,
+            [b.select("d", "event_type", "n", "n_users") for b in batches],
+            ddl,
+            [os.path.join(feed, f"batch-{i}.parquet") for i in range(2)],
+            True,
+        )
+        fv.result()
+        ff.result()
 
     stream = (
         spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(feed)

@@ -768,11 +768,15 @@ def merge_upsert_pruned(
     stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
     dv = read_deletion_vectors(spark, target_dir)
     all_files = sorted(stats)
-    # persist the distinct source keys: they drive TWO jobs (the zone-map
-    # range join and the exact-containment semi-join) and each would
-    # otherwise recompute the full source plan — a scan + distinct shuffle
-    # paid twice per merge (guide §5: cache only what is reused and more
-    # expensive to recompute than to hold; a batch's key set is both)
+    # persist the SOURCE and its distinct key set: the source plan (often an
+    # aggregate at sf-scale) is consumed by THREE jobs per merge — the
+    # zone-map range join, the exact-containment semi-join (via skeys), and
+    # the rewrite union itself — and each would otherwise recompute it from
+    # scratch (guide §5: cache only what is reused and more expensive to
+    # recompute than to hold; a merge batch is both, and holding it costs at
+    # most one batch spill where recomputing costs a full source pass per
+    # job). Both are released in the finally.
+    source = source.persist()
     skeys = source.select(*keys).distinct().persist()
     try:
         cand_files, matched = _source_matched_files(
@@ -802,6 +806,7 @@ def merge_upsert_pruned(
         )
     finally:
         skeys.unpersist()
+        source.unpersist()
 
 
 def _local_path(uri: str) -> str:
@@ -1172,77 +1177,85 @@ def merge_full_pruned(
     stats, manifest_used = _zone_file_stats(spark, target_dir, zone_key, schema_ddl)
     dv = read_deletion_vectors(spark, target_dir)
     all_files = sorted(stats)
-    skeys = source.select(*keys).distinct()
-    cand_files, key_matched = _source_matched_files(
-        spark, stats, skeys, zone_key, schema_ddl, dv
-    )
-    nmbs_files: list = []
-    nmbs_parts = []
-    if nmbs_delete_cond is not None:
-        nmbs_parts.append(f"({nmbs_delete_cond})")
-    if nmbs_update_set:
-        nmbs_parts.append(
-            f"({nmbs_update_cond})" if nmbs_update_cond is not None else "true"
+    # same reuse argument as merge_upsert_pruned: the source plan feeds the
+    # two pruning passes AND the clause join — persist once, release at the
+    # end (guide §5)
+    source = source.persist()
+    skeys = source.select(*keys).distinct().persist()
+    try:
+        cand_files, key_matched = _source_matched_files(
+            spark, stats, skeys, zone_key, schema_ddl, dv
         )
-    if nmbs_parts and all_files:
-        pred = " OR ".join(nmbs_parts)
-        base = spark.read.schema(schema_ddl).parquet(*all_files)
-        keyed = base.select(
-            F.col("_metadata.file_path").alias("__f"),
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__fb"),
-            F.col("_metadata.row_index").alias("__pos"),
-            F.coalesce(F.expr(pred), F.lit(False)).alias("__hit"),
-        )
-        if dv is not None:
-            # a deleted row satisfying the condition must not force a
-            # rewrite: it is already gone from every read
-            keyed = keyed.join(
-                dv,
-                (keyed["__fb"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
-                "left_anti",
+        nmbs_files: list = []
+        nmbs_parts = []
+        if nmbs_delete_cond is not None:
+            nmbs_parts.append(f"({nmbs_delete_cond})")
+        if nmbs_update_set:
+            nmbs_parts.append(
+                f"({nmbs_update_cond})" if nmbs_update_cond is not None else "true"
             )
-        nmbs_files = sorted(
-            _local_path(r["__f"])
-            for r in keyed.filter("__hit").select("__f").distinct().collect()
-        )
-    matched = sorted(set(key_matched) | set(nmbs_files))
-    if matched:
-        mdf = spark.read.schema(schema_ddl).parquet(*matched)
-        if dv is not None:
-            mdf = _subtract_deletes(mdf, dv)
-        merged = merge_full(
-            mdf,
-            source,
-            keys,
-            matched_update_cond=matched_update_cond,
-            matched_delete_cond=matched_delete_cond,
-            insert_cond=insert_cond,
-            nmbs_update_set=nmbs_update_set,
-            nmbs_update_cond=nmbs_update_cond,
-            nmbs_delete_cond=nmbs_delete_cond,
-        )
-    else:
-        # no target file contains any source key: every source row is an
-        # insert, subject only to the insert condition — dup-guarded on the
-        # FULL source (merge_full guards before the insert filter, so a
-        # duplicate key raises even when one copy fails the condition)
-        guarded = _dup_guarded(source, keys)
-        merged = (
-            guarded.filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
-            if insert_cond is not None
-            else guarded
-        )
-    if constraints:
-        from rca_data_tools_spark.operators.expectations import check_constraints
+        if nmbs_parts and all_files:
+            pred = " OR ".join(nmbs_parts)
+            base = spark.read.schema(schema_ddl).parquet(*all_files)
+            keyed = base.select(
+                F.col("_metadata.file_path").alias("__f"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__fb"),
+                F.col("_metadata.row_index").alias("__pos"),
+                F.coalesce(F.expr(pred), F.lit(False)).alias("__hit"),
+            )
+            if dv is not None:
+                # a deleted row satisfying the condition must not force a
+                # rewrite: it is already gone from every read
+                keyed = keyed.join(
+                    dv,
+                    (keyed["__fb"] == dv["f"]) & (keyed["__pos"] == dv["pos"]),
+                    "left_anti",
+                )
+            nmbs_files = sorted(
+                _local_path(r["__f"])
+                for r in keyed.filter("__hit").select("__f").distinct().collect()
+            )
+        matched = sorted(set(key_matched) | set(nmbs_files))
+        if matched:
+            mdf = spark.read.schema(schema_ddl).parquet(*matched)
+            if dv is not None:
+                mdf = _subtract_deletes(mdf, dv)
+            merged = merge_full(
+                mdf,
+                source,
+                keys,
+                matched_update_cond=matched_update_cond,
+                matched_delete_cond=matched_delete_cond,
+                insert_cond=insert_cond,
+                nmbs_update_set=nmbs_update_set,
+                nmbs_update_cond=nmbs_update_cond,
+                nmbs_delete_cond=nmbs_delete_cond,
+            )
+        else:
+            # no target file contains any source key: every source row is an
+            # insert, subject only to the insert condition — dup-guarded on the
+            # FULL source (merge_full guards before the insert filter, so a
+            # duplicate key raises even when one copy fails the condition)
+            guarded = _dup_guarded(source, keys)
+            merged = (
+                guarded.filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
+                if insert_cond is not None
+                else guarded
+            )
+        if constraints:
+            from rca_data_tools_spark.operators.expectations import check_constraints
 
-        merged = check_constraints(merged, constraints)
-    out = _finish_cow_version(
-        spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
-        zone_key, schema_ddl, len(set(cand_files) | set(nmbs_files)),
-        manifest_used,
-    )
+            merged = check_constraints(merged, constraints)
+        out = _finish_cow_version(
+            spark, target_dir, out_dir, merged, matched, all_files, stats, dv,
+            zone_key, schema_ddl, len(set(cand_files) | set(nmbs_files)),
+            manifest_used,
+        )
+    finally:
+        skeys.unpersist()
+        source.unpersist()
     return {**out, "files_nmbs": len(nmbs_files)}
 
 
