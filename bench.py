@@ -313,9 +313,12 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     prior_medians: dict[str, float] = {}
+    prior_scale_medians: dict[str, float] = {}
     try:
         with open(detail_path) as f:
-            prior_medians = json.load(f).get("headline", {}).get("queries", {})
+            _prior_doc = json.load(f)
+        prior_medians = _prior_doc.get("headline", {}).get("queries", {})
+        prior_scale_medians = _prior_doc.get("scale_queries", {})
     except Exception:
         pass
 
@@ -442,6 +445,23 @@ def main() -> None:
                     spark.catalog.clearCache()
                     QUERIES[name](spark, scale_dir).count()  # warm-up
                     runs += [_one() for _ in range(3)]
+            # cross-round drift gate for the SCALE sweep too (r11: the
+            # sf0.1-side gates below cannot see an sf1-only contamination,
+            # and sustained load keeps the two-run agreement check green —
+            # measured this round: six untouched plans recorded 1.6-3.4x
+            # sf1 growth in one window and re-measured clean minutes later).
+            # A row whose median drifted >1.5x from the previous committed
+            # artifact re-measures once: warm-up + 3 runs pooled with the
+            # earlier samples; a genuine regression re-measures to the same
+            # number and stands.
+            med0 = sorted(t for t, _ in runs)[len(runs) // 2]
+            prior = prior_scale_medians.get(name)
+            if prior and med0 > 1.5 * prior:
+                if name not in scale_escalated:
+                    scale_escalated.append(name)
+                spark.catalog.clearCache()
+                QUERIES[name](spark, scale_dir).count()  # warm-up
+                runs += [_one() for _ in range(3)]
             samples = sorted(t for t, _ in runs)
             n = runs[-1][1]
             scale_timings[name] = round(samples[len(samples) // 2], 4)

@@ -707,6 +707,11 @@ def simhash_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     shuffle on the doc id and no 32x bit-row explosion (an earlier
     explode(bits) formulation shuffled 32x the rows through two groupBys);
     the fingerprint assembly from the votes is a pure projection."""
+    # NOT spread (measured r11): the md5+vote map side runs in the scan's
+    # single partition at bench scale, but a noop A/B showed repartitioning
+    # first is neutral here (0.85s vs 0.86s warm) — the cost is plan and
+    # schedule, not the hashing — and the extra exchange would shuffle the
+    # corpus text for nothing at scale
     toks = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(normalize(text_col)))).alias("tok"))
     hashed = toks.selectExpr(
         id_col,
