@@ -236,7 +236,6 @@ def instr_pco2w_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        light.alias("light"),
         ((eid * 97) % 16384).alias("blank_434"),
         ((eid * 89) % 16384).alias("blank_620"),
         (F.col("value") * 4.0).alias("pco2"),
@@ -246,6 +245,12 @@ def instr_pco2w_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("prev_blank_434", F.lag("blank_434").over(w))
         .withColumn("prev_blank_620", F.lag("blank_620").over(w))
         .withColumn("prev_pco2", F.lag("pco2").over(w))
+        # the 14-element light frame is a pure function of event_id: derive
+        # it AFTER the window so the lag exchange + sort move 4 scalar
+        # columns per row instead of carrying a 14-element array through the
+        # shuffle (guide §2.3 — shuffle fewer bytes; Catalyst does not delay
+        # projections past a Window on its own)
+        .withColumn("light", light)
     )
     flags = pco2w_advanced_flags(
         light=F.col("light"),
