@@ -577,12 +577,20 @@ def minhash_dedup_components(
     ).persist()
     sig = minhash_signatures(hashed, id_col).persist()
     banded = lsh_banded(sig, id_col)
-    # bucket stats shuffle on the same (band_id, band_sig) key the self-join
-    # would use; the join back is key-colocated (no extra exchange under AQE)
-    sizes = banded.groupBy("band_id", "band_sig").agg(
-        F.count(F.lit(1)).alias("m"), F.min(id_col).alias("hub")
+    # bucket stats as WINDOW aggregates over the same (band_id, band_sig)
+    # key the self-join uses: the old groupBy + join-back evaluated the
+    # banded subtree TWICE (Spark does not dedupe common subexpressions
+    # across join inputs) and paid an extra Exchange + join; one window
+    # pays one Exchange and one pass (guide §2.4 — operations keyed the
+    # same way share one exchange). count/min per key are identical.
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_id", "band_sig")
+    tagged = (
+        banded.withColumn("m", F.count(F.lit(1)).over(wb))
+        .withColumn("hub", F.min(id_col).over(wb))
+        .persist()
     )
-    tagged = banded.join(sizes, ["band_id", "band_sig"]).persist()
     small = tagged.filter(F.col("m") <= bucket_cap)
     star = (
         tagged.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("hub")))
@@ -683,8 +691,18 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        # pointer jump: label <- label(label); halves chain depth per round
-        lmap = stepped.select(F.col("node").alias("label"), F.col("label").alias("jump"))
+        # pointer jump: label <- label(label); halves chain depth per round.
+        # The jump map reads the PREVIOUS round's checkpointed labels (a
+        # flat scan), not `stepped` itself: a stepped-on-stepped self-join
+        # references the un-materialized union+groupBy subtree twice, so
+        # every round executed its aggregate TWICE (guide §2.4 / §3.3 —
+        # Spark does not dedupe common subexpressions across join inputs).
+        # A one-round-stale jump preserves the invariant (labels are node
+        # ids inside the same component, only ever decreasing) and the
+        # fixpoint: the loop stops only after a full no-change round, where
+        # the stale and fresh maps coincide, so the converged labels are
+        # the component minimum either way.
+        lmap = lbl.select(F.col("node").alias("label"), F.col("label").alias("jump"))
         return stepped.join(lmap, "label", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("jump", F.col("label"))).alias("label"),
@@ -836,11 +854,19 @@ def simhash_components_capped(
             )
         ).alias("b"),
     ).select(id_col, "fp_hi", "fp_lo", "b.blk", "b.bv")
-    sizes = blocks.groupBy("blk", "bv").agg(
-        F.count(F.lit(1)).alias("m"), F.min(id_col).alias("hub")
+    # bucket stats as WINDOW aggregates: the old groupBy + join-back
+    # re-evaluated the blocks subtree — and the simhash_fingerprints
+    # aggregate under it — TWICE, plus an extra Exchange + join; one
+    # window over the same (blk, bv) key pays one Exchange and one
+    # upstream pass (guide §2.4). count/min per key are identical.
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("blk", "bv")
+    tagged = (
+        blocks.withColumn("m", F.count(F.lit(1)).over(wb))
+        .withColumn("hub", F.min(id_col).over(wb))
+        .persist()
     )
-    # same-key join back: colocated with the groupBy shuffle under AQE
-    tagged = blocks.join(sizes, ["blk", "bv"]).persist()
     star = (
         tagged.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("hub")))
         .select(F.col("hub").alias("id1"), F.col(id_col).alias("id2"))
@@ -1249,11 +1275,19 @@ def fuzzy_edit_distance_components(
     )
     sig = minhash_signatures(hashed, id_col)
     banded = lsh_banded(sig, id_col)
-    sizes = banded.groupBy("band_id", "band_sig").agg(
-        F.count(F.lit(1)).alias("m"), F.min(id_col).alias("hub")
+    # bucket stats as WINDOW aggregates: here sig is NOT cached (nothing
+    # else reads it), so the old groupBy + join-back re-ran the whole
+    # two-UDF shingle→md5→permutation chain on BOTH join inputs — the
+    # single most expensive duplication in this face. One window over the
+    # same key pays one Exchange and one chain pass (guide §2.4).
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_id", "band_sig")
+    tagged = (
+        banded.withColumn("m", F.count(F.lit(1)).over(wb))
+        .withColumn("hub", F.min(id_col).over(wb))
+        .persist()
     )
-    # same-key join back: colocated with the groupBy shuffle under AQE
-    tagged = banded.join(sizes, ["band_id", "band_sig"]).persist()
     small = tagged.filter(F.col("m") <= bucket_cap)
     star = (
         tagged.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("hub")))
